@@ -1,0 +1,62 @@
+"""Determinism helpers shared by queries and oracles (SURVEY.md §2.12).
+
+Float sums across partitions are reduction-order dependent; the oracle
+value-hash is exact. Strategy:
+
+- **Sums**: round each term to a fixed-scale DECIMAL first, sum exactly,
+  emit DOUBLE. Each per-row double→decimal cast is deterministic and both
+  engines see bitwise-identical input doubles, so the exact decimal sums
+  match regardless of partitioning — this survives any cluster size.
+- **Avgs**: decimal-sum / count, then round — fully order-independent.
+- **Other float outputs** (stddev, ratios): round(…, 6); the residual
+  noise at these magnitudes is far below 1e-6.
+- **Timestamps**: emit as formatted strings so engine/pandas tz and
+  precision conventions can't skew the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale-6 decimal with enough integer digits for 100 TB-scale sums.
+DEC = "decimal(30,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double expression → DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: Column | str, ndigits: int = 6) -> Column:
+    """Order-independent average of a double expression → DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), ndigits)
+
+
+def r6(col: Column | str, ndigits: int = 6) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, ndigits)
+
+
+def ts_str(col: Column | str) -> Column:
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (UTC session tz pinned)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# DuckDB-side equivalents, for building oracle SQL strings.
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, ndigits: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {ndigits})"
+    )
+
+
+def sql_ts_str(expr: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"

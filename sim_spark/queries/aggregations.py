@@ -1,0 +1,229 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All are single groupBy().agg() plans: Catalyst always plans these as
+partial (map-side) HashAggregate → shuffle on the group keys → final
+HashAggregate, so at 100 TB the shuffle carries one row per (partition ×
+group), not per input row. Group-key cardinalities here are tiny (≤ a few
+thousand), so the final stage is never the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import davg, dsum, r6, sql_davg, sql_dsum
+from sim_spark.io import table
+from sim_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1 shape (also mounted as entry()).
+# --------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_q1_pricing", oracle=_Q1_ORACLE)
+def agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: filter → groupBy → 8 aggregates.
+
+    Plan shape: parquet scan with l_shipdate predicate pushed to row
+    groups, partial agg, 6-group shuffle, final agg — one WholeStageCodegen
+    span per side of the exchange.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global_noGroup",
+    oracle=f"""
+SELECT
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  {sql_dsum('l_extendedprice')} AS sum_price,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  MIN(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS min_shipdate,
+  MAX(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS max_shipdate,
+  COUNT(*) AS n_rows
+FROM lineitem
+""",
+)
+def agg_global_noGroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global reduction, no GROUP BY — the sim min/max-voxel analogue.
+
+    Plans as partial agg per partition → single-row final agg; at 100 TB
+    the shuffle moves one row per partition.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")).alias("min_shipdate"),
+        F.max(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")).alias("max_shipdate"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (expand + two-phase agg in Spark)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL++ value differs from DuckDB's sketch
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct l_orderkey via HyperLogLog++ (rsd=0.02).
+
+    No oracle: sketch values are engine-specific. tests/test_invariants.py
+    proves ≤2% relative error against the exact count. At 100 TB this is
+    THE distinct-count path — fixed-size sketch per partition, no expand.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING COUNT(*) > 40
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING). nation is broadcast (25 rows)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 40)
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+SELECT o_orderstatus AS status,
+       ROUND(AVG(o_totalprice), 6) AS avg_price,
+       ROUND(STDDEV_SAMP(o_totalprice), 6) AS std_price,
+       ROUND(VAR_SAMP(o_totalprice), 4) AS var_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group, rounded to absorb FP noise."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            r6(F.avg("o_totalprice")).alias("avg_price"),
+            r6(F.stddev_samp("o_totalprice")).alias("std_price"),
+            F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n.n_name AS nation,
+       string_agg(c.c_custkey, ',' ORDER BY c.c_custkey) AS custkeys
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted collection, emitted as a CSV string.
+
+    sort_array(collect_list(...)) makes the value deterministic; the string
+    form sidesteps array-representation differences between engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias("custkeys")
+        )
+    )
+
+
+@query(
+    "agg_partial_final",
+    oracle="""
+SELECT l_suppkey AS suppkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_suppkey
+""",
+)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (partial+final) reduction semantics — sim's histogram-merge
+    analogue. Spark always plans map-side partial aggregation here;
+    tests/test_plans.py asserts both HashAggregate modes appear.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )

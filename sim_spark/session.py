@@ -1,0 +1,57 @@
+"""SparkSession construction and per-session normalization.
+
+The driver harness passes us an already-built SparkSession; tests and
+bench.py build their own via :func:`get_spark`. Either way,
+:func:`normalize` pins the runtime confs that query correctness depends
+on (UTC session time zone, ANSI SQL semantics) — these are settable at
+runtime so we apply them defensively on every query invocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every query depends on (SURVEY.md §2.12).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # DuckDB semantics for div-by-zero/overflow; 4.x default but pin anyway.
+    "spark.sql.ansi.enabled": "true",
+}
+
+
+def normalize(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on a session we did not build (driver-owned)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host; queries still avoid depending on it
+    return spark
+
+
+def get_spark(app: str = "sim_spark", cpus: int | None = None) -> SparkSession:
+    """Local-mode session sized for this machine; multi-executor-safe design.
+
+    Shuffle partition count follows core count, not the 200 default — at
+    test scale AQE coalesces anyway; at cluster scale the deployer overrides.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,100 @@
+"""Local replica of the driver's DuckDB-oracle comparison (SURVEY.md §5.2).
+
+Catches dialect drift and float-hash mismatches before the driver does.
+Comparison is deliberately strict: columns sorted by name, every cell
+canonicalized to a string, rows compared as a sorted multiset — an
+order-insensitive exact match, which is what an order-insensitive
+value-hash implies.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from sim_spark.io import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 3.0 == 3 regardless of int/double column typing
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    s = str(v)
+    return "NULL" if s in ("nan", "NaT", "None", "<NA>") else s
+
+
+def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = sorted(
+        tuple(_canon_cell(v) for v in row)
+        for row in out.itertuples(index=False, name=None)
+    )
+    return cols, rows
+
+
+@dataclass
+class CompareResult:
+    ok: bool
+    detail: str = ""
+    diffs: list[str] = field(default_factory=list)
+
+
+def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> CompareResult:
+    scols, srows = canonicalize(spark_df)
+    ocols, orows = canonicalize(oracle_df)
+    if scols != ocols:
+        return CompareResult(False, f"column mismatch: spark={scols} oracle={ocols}")
+    if len(srows) != len(orows):
+        return CompareResult(False, f"row count: spark={len(srows)} oracle={len(orows)}")
+    if srows == orows:
+        return CompareResult(True)
+    diffs = []
+    for a, b in zip(srows, orows):
+        if a != b:
+            diffs.append(f"  spark={a}\n  oracle={b}")
+            if len(diffs) >= 5:
+                break
+    return CompareResult(False, f"{len(diffs)}+ differing rows (of {len(srows)})", diffs)
+
+
+def run_parity(spark, key: str, sf_dir: str) -> CompareResult:
+    """Run one registered query against its oracle, driver-style."""
+    from sim_spark.registry import ORACLES, QUERIES
+
+    sdf = QUERIES[key](spark, sf_dir).toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        odf = con.execute(ORACLES[key]).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(sdf, odf)
