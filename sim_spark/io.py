@@ -125,8 +125,21 @@ SCHEMAS: dict[str, T.StructType] = {
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (lazy; no driver-side data)."""
+    """Load one fixture table as a DataFrame (lazy; no driver-side data).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
+    outright (PARQUET_TYPE_ILLEGAL). We read it as a nanos long (legacy
+    conf) and floor-divide to microseconds — bit-identical to DuckDB's own
+    ns→µs truncation on read, so oracle comparisons of raw ts agree.
+    """
     normalize(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

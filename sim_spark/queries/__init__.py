@@ -1,3 +1,9 @@
 """Importing this package populates sim_spark.registry with every operator."""
 
-from sim_spark.queries import aggregations  # noqa: F401
+from sim_spark.queries import (  # noqa: F401
+    aggregations,
+    joins,
+    projections,
+    scans,
+    sorts_sets,
+)

@@ -1,0 +1,106 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.2).
+
+All narrow transformations: no shuffle, whole-stage-codegen'd, filters and
+column selection pushed into the parquet scan by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+
+@query(
+    "project_compute",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+""",
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns: arithmetic, cast, string concat — per-row IEEE
+    double math is deterministic, so raw doubles hash-match."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@query(
+    "filter_multi_pred",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE (p_size BETWEEN 10 AND 30 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+   OR (p_type LIKE 'PROMO%' AND p_name LIKE '%ring%')
+""",
+)
+def filter_multi_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR of range, set-membership, and pattern predicates."""
+    p = table(spark, sf_dir, "part")
+    keep = (
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ) | (F.col("p_type").like("PROMO%") & F.col("p_name").like("%ring%"))
+    return p.filter(keep).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(NULLIF(l_discount, 0.0)) AS n_nonzero_disc,
+  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_disc,
+  CAST(SUM(CASE WHEN NOT (NULLIF(l_discount, 0.0) > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS n_small_disc,
+  CAST(SUM(CASE WHEN (NULLIF(l_discount, 0.0) > 0.05) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+FROM lineitem
+""",
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic over a derived nullable column: a NULL predicate
+    is neither TRUE nor NOT TRUE — n_big + n_small + n_unknown = n_rows."""
+    li = table(spark, sf_dir, "lineitem")
+    nz = F.nullif(F.col("l_discount"), F.lit(0.0))
+    pred = nz > 0.05
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nz).alias("n_nonzero_disc"),
+        F.sum(F.when(pred, 1).otherwise(0)).alias("n_big_disc"),
+        F.sum(F.when(~pred, 1).otherwise(0)).alias("n_small_disc"),
+        F.sum(F.when(pred.isNull(), 1).otherwise(0)).alias("n_unknown"),
+    )
+
+
+@query(
+    "voxel_binarize",
+    oracle="""
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0.1 THEN 1 ELSE 0 END)) AS BIGINT)
+         AS n_above
+FROM embeddings
+""",
+)
+def voxel_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element threshold over the embedding array (sim's binarization
+    pipeline semantics — threshold a block of voxel intensities, count
+    survivors). Higher-order functions keep it in Tungsten: no Python, no
+    explode-shuffle; at 100 TB this is a pure map stage."""
+    e = table(spark, sf_dir, "embeddings")
+    binarized = F.transform("embedding", lambda x: (x > F.lit(0.1)).cast("int"))
+    return e.select(
+        "vec_id",
+        F.aggregate(binarized, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "n_above"
+        ),
+    )

@@ -1,0 +1,135 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+The scale story lives in what Catalyst pushes into the parquet scan:
+`scan_pruned_projection` must show a 2-column ReadSchema and
+`scan_filter_pushdown` a PushedFilters entry (asserted in
+tests/test_plans.py) — at 100 TB those are the difference between reading
+2 columns of a few row groups and reading everything.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import ts_str
+from sim_spark.io import SCHEMAS, TABLES, table
+from sim_spark.registry import query
+
+_COUNT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS tbl, COUNT(*) AS n FROM {t}" for t in TABLES
+)
+
+
+@query("scan_parquet_count", oracle=_COUNT_ORACLE)
+def scan_parquet_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count every fixture table; parquet answers from footer metadata."""
+    counts = [
+        table(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"), F.count(F.lit(1)).alias("n")
+        )
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionAll, counts)
+
+
+@query(
+    "scan_pruned_projection",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_pruned_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read 2 of 11 lineitem columns — column pruning reaches the scan."""
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "scan_filter_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp range predicate pushed to parquet row-group pruning."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_linenumber", ts_str("l_shipdate").alias("shipdate"))
+
+
+@query("scan_csv_roundtrip", oracle="SELECT * FROM region")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → CSV with header → read back with the pinned explicit schema.
+
+    Round-trips through a temp dir; the read uses SCHEMAS['region'] rather
+    than inference, so types survive the text format.
+    """
+    tmp = tempfile.mkdtemp(prefix="sim_spark_csv_")
+    try:
+        table(spark, sf_dir, "region").write.mode("overwrite").option(
+            "header", True
+        ).csv(tmp)
+        back = spark.read.schema(SCHEMAS["region"]).option("header", True).csv(tmp)
+        # Materialize before the temp dir disappears.
+        out = spark.createDataFrame(back.collect(), schema=SCHEMAS["region"])
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("scan_json_roundtrip", oracle="SELECT * FROM nation")
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → JSON lines → read back with schema INFERENCE, then cast to
+    the pinned schema (JSON infers integers as bigint)."""
+    tmp = tempfile.mkdtemp(prefix="sim_spark_json_")
+    try:
+        table(spark, sf_dir, "nation").write.mode("overwrite").json(tmp)
+        back = spark.read.json(tmp).select(
+            F.col("n_nationkey").cast("int"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("int"),
+        )
+        return spark.createDataFrame(back.collect(), schema=SCHEMAS["nation"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (sim's image split/merge analogue): write
+    lineitem partitioned by l_returnflag, read it back, aggregate per
+    partition value. Static partition pruning applies on the re-read; at
+    100 TB `partitionBy` on a low-cardinality key is the layout that makes
+    downstream scans prune."""
+    tmp = tempfile.mkdtemp(prefix="sim_spark_sink_")
+    try:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        back = (
+            spark.read.parquet(tmp)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

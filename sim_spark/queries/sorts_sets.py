@@ -1,0 +1,118 @@
+"""Sort / limit / top-k (§2.6) and set operations (§2.7).
+
+Top-k uses orderBy().limit(k) which Catalyst plans as
+TakeOrderedAndProject: each partition keeps a k-row heap, the driver
+merges k·p rows — no global sort, scale-safe. Global sorts only appear
+where the sorted keys themselves are the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+
+@query(
+    "sort_multi_nulls",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NULLIF(o_orderstatus, 'P') AS status_or_null,
+       o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC,
+         NULLIF(o_orderstatus, 'P') ASC NULLS FIRST,
+         o_totalprice DESC
+""",
+)
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS FIRST over an injected nullable
+    key. The value-hash is order-insensitive, so the sort keys are
+    projected — correctness shows up in the row *values*; the ordering
+    itself is asserted in tests/test_plans.py."""
+    o = table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            status_or_null.alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.asc("o_orderpriority"),
+            F.asc_nulls_first("status_or_null"),
+            F.desc("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+""",
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 with a total-order tie-break (§2.12.4) →
+    TakeOrderedAndProject, never a full sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(10)
+    )
+
+
+def _segment_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def _urgent_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+_SET_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+_SET_B = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+
+@query("set_union_all", oracle=f"{_SET_A} UNION ALL {_SET_B}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — duplicates preserved; a zero-shuffle concatenation."""
+    return _segment_custs(spark, sf_dir).unionAll(_urgent_custs(spark, sf_dir))
+
+
+@query("set_union_distinct", oracle=f"{_SET_A} UNION {_SET_B}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — one hash-distinct shuffle on top of the concat."""
+    return _segment_custs(spark, sf_dir).union(_urgent_custs(spark, sf_dir)).distinct()
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics, plans as a left-semi)."""
+    return _segment_custs(spark, sf_dir).intersect(_urgent_custs(spark, sf_dir))
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (distinct semantics, plans as a left-anti).
+
+    Note ``subtract`` (≡ EXCEPT DISTINCT), not ``exceptAll().distinct()``
+    — the latter keeps a value present on both sides if the left has more
+    copies, which is bag semantics, not EXCEPT.
+    """
+    return _segment_custs(spark, sf_dir).subtract(_urgent_custs(spark, sf_dir))
