@@ -2,8 +2,10 @@
 
 from sim_spark.queries import (  # noqa: F401
     aggregations,
+    functions_scalar,
     joins,
     projections,
     scans,
     sorts_sets,
+    windows,
 )

@@ -1,0 +1,201 @@
+"""Window function operators (SURVEY.md §2.5).
+
+Every window partitions by a key (user_id / o_custkey / o_orderstatus), so
+at scale each partition's state fits one task; there is exactly one shuffle
+per distinct (partitionBy, orderBy) spec. Determinism: every orderBy
+carries a unique tie-break column (§2.12.4) and windowed float sums go
+through the decimal path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+
+@query(
+    "win_rank_family",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+FROM orders
+""",
+)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number (total order w/ tie-break) vs rank/dense_rank (value order)."""
+    o = table(spark, sf_dir, "orders")
+    w_total = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_value = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_value).alias("rnk"),
+        F.dense_rank().over(w_value).alias("drnk"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Catalyst 4.x pushes the rn<=3 predicate
+    into the window sort (WindowGroupLimit) — per-group heap, not a full
+    per-group sort, which is what survives a 100× fan-out."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum in event-time order; decimal accumulation makes
+    the prefix sums bit-stable regardless of engine summation strategy."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "win_sliding_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6)))
+              OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS sliding_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+""",
+)
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row centered moving average (decimal-sum / count, rounded)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-1, 1)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("sliding_avg"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                      RANGE BETWEEN 2592000000 PRECEDING AND 2592000000 FOLLOWING)
+         AS n_within_30d
+FROM orders
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: how many of the same customer's orders fall within ±30
+    days of each order (frame bounds by value, not row position)."""
+    o = table(spark, sf_dir, "orders")
+    ms30d = 30 * 24 * 3600 * 1000
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-ms30d, ms30d)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_within_30d")
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts))  OVER w AS gap_us_before,
+       LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us_after,
+       LAG(event_type, 1, 'none') OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps via lag/lead — computed on integer microseconds so
+    there is no float at all in the output."""
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us_before"),
+        (F.lead("us").over(w) - F.col("us")).alias("gap_us_after"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "win_analytic_misc",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey)
+         OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_analytic_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first_value / last_value —
+    last_value needs the full-partition frame (the default frame stops at
+    CURRENT ROW, a classic silent-wrong-answer)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
