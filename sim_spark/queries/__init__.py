@@ -3,7 +3,9 @@
 from sim_spark.queries import (  # noqa: F401
     aggregations,
     functions_scalar,
+    grouping_ext,
     joins,
+    joins_advanced,
     projections,
     scans,
     sorts_sets,

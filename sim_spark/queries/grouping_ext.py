@@ -1,0 +1,99 @@
+"""Grouping extensions: ROLLUP / CUBE / GROUPING SETS (SURVEY.md §2.4).
+
+agg_grouping_sets deliberately goes through spark.sql() over temp views —
+the engine's third entry point (SURVEY.md §3.2 EP3) — so the SQL parser
+path is exercised alongside the DataFrame builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import dsum, sql_dsum
+from sim_spark.io import register_views, table
+from sim_spark.registry import query
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       GROUPING(r.r_name, n.n_name) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation): per-nation, per-region subtotal, grand
+    total — grouping_id disambiguates the NULL-filled rollup rows."""
+    o, c, n, r = (
+        table(spark, sf_dir, t) for t in ("orders", "customer", "nation", "region")
+    )
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions: all 2² grouping sets."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT lang, source,
+       GROUPING(lang, source) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS, written as SQL text → exercises the ANTLR
+    parser entry point; same Catalyst plan as the DataFrame build."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT lang, source,
+               grouping_id(lang, source) AS gid,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY lang, source GROUPING SETS ((lang), (source), ())
+        """
+    )

@@ -1,0 +1,105 @@
+"""As-of and interval joins (SURVEY.md §2.3 hard rows, §4.3 designs).
+
+Both run inside the events table because it is the only fixture with a
+shared time axis (orders live in 1995-2001, events in 2024 — a cross-table
+temporal join would be vacuously empty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import ts_str
+from sim_spark.io import table
+from sim_spark.ops.asof import asof_join_backward
+from sim_spark.ops.rangejoin import interval_join
+from sim_spark.registry import query
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prev_view_id
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent view at-or-before it
+    (backward as-of join; NULL when the purchase precedes all views).
+
+    Implemented with ops.asof.asof_join_backward — union-tag + one keyed
+    window, never a per-row subquery. Oracle uses the equivalent
+    correlated LIMIT 1 subquery (deterministic tie-break on event_id),
+    which DuckDB happily decorrelates.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_backward(
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id"],
+        right_order="event_id",
+    )
+    return out.select(
+        F.col("p_event_id").alias("event_id"),
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        F.col("asof_event_id").cast("long").alias("prev_view_id"),
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+SELECT e.event_id AS error_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+FROM events e JOIN events p
+  ON p.event_type = 'purchase'
+ AND e.event_type = 'error'
+ AND p.ts >= e.ts
+ AND p.ts < e.ts + INTERVAL 10 MINUTE
+""",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (error, purchase) pairs — any user — where the purchase lands
+    within 10 minutes after the error (pure interval join, no equi key).
+
+    ops.rangejoin.interval_join quantizes both sides into 10-minute
+    buckets and equi-joins on the bucket id (left exploded to ≤2 buckets)
+    with the exact range predicate as a residual — a hash join, not the
+    BroadcastNestedLoop a naive range predicate would plan.
+    """
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    ten_min_us = 10 * 60 * 1_000_000
+    pairs = interval_join(
+        errors, purchases, left_ts="e_ts", right_ts="p_ts",
+        lower_us=0, upper_us=ten_min_us,
+    )
+    return pairs.select(
+        "error_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("e_ts").cast("timestamp"))).alias("gap_us"),
+    )

@@ -1,0 +1,101 @@
+"""Property tests for the composite operators (SURVEY.md §5.3.4):
+asof_join_backward and interval_join must equal their naive O(n·m)
+formulations on randomized small inputs."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from sim_spark.ops.asof import asof_join_backward
+from sim_spark.ops.rangejoin import interval_join
+
+
+def _random_events(rng: random.Random, n: int, n_keys: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [rng.randrange(n_keys) for _ in range(n)],
+            # timestamps in microseconds; duplicates on purpose (tie cases)
+            "ts_us": [rng.randrange(0, 50) * 1_000_000 for _ in range(n)],
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_asof_matches_naive(spark, seed):
+    rng = random.Random(seed)
+    left = _random_events(rng, 40, 5)
+    right = _random_events(rng, 60, 5)
+    right["event_id"] += 1000
+
+    ldf = spark.createDataFrame(left).withColumnRenamed("event_id", "l_id")
+    rdf = spark.createDataFrame(right)
+
+    got = (
+        asof_join_backward(
+            ldf.withColumnRenamed("ts_us", "ts"),
+            rdf.withColumnRenamed("ts_us", "ts"),
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload_cols=["event_id"],
+            right_order="event_id",
+        )
+        .toPandas()
+        .set_index("l_id")["asof_event_id"]
+        .astype("float64")
+        .sort_index()
+    )
+
+    def naive(row):
+        cand = right[
+            (right.user_id == row.user_id) & (right.ts_us <= row.ts_us)
+        ].sort_values(["ts_us", "event_id"])
+        return float(cand.event_id.iloc[-1]) if len(cand) else float("nan")
+
+    want = left.apply(naive, axis=1)
+    want.index = left.event_id
+    want = want.sort_index()
+    assert list(got.fillna(-1)) == list(want.fillna(-1)), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("lower_s,upper_s", [(0, 7), (-3, 3), (5, 9)])
+def test_interval_join_matches_naive(spark, seed, lower_s, upper_s):
+    rng = random.Random(seed)
+    left = _random_events(rng, 30, 3).rename(columns={"event_id": "l_id", "ts_us": "l_us"})
+    right = _random_events(rng, 30, 3).rename(columns={"event_id": "r_id", "ts_us": "r_us"})
+    left["l_ts"] = pd.to_datetime(left.l_us, unit="us")
+    right["r_ts"] = pd.to_datetime(right.r_us, unit="us")
+
+    ldf = spark.createDataFrame(left[["l_id", "l_ts"]])
+    rdf = spark.createDataFrame(right[["r_id", "r_ts"]])
+    lo, hi = lower_s * 1_000_000, upper_s * 1_000_000
+
+    got = sorted(
+        map(
+            tuple,
+            interval_join(ldf, rdf, "l_ts", "r_ts", lo, hi)
+            .select("l_id", "r_id")
+            .toPandas()
+            .values.tolist(),
+        )
+    )
+
+    want = sorted(
+        (int(l.l_id), int(r.r_id))
+        for _, l in left.iterrows()
+        for _, r in right.iterrows()
+        if l.l_us + lo <= r.r_us < l.l_us + hi
+    )
+    assert got == want, f"seed={seed} window=[{lower_s},{upper_s})"
+
+
+def test_interval_join_rejects_empty_window(spark):
+    df = spark.range(1).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
+    with pytest.raises(ValueError, match="empty interval"):
+        interval_join(df, df.withColumnRenamed("ts", "ts2").withColumnRenamed("id", "id2"),
+                      "ts", "ts2", 5, 5)

@@ -49,4 +49,4 @@ try:
 except Exception as e:
     print("missing-dir probe: raised", type(e).__name__, str(e).splitlines()[0][:90])
 spark.stop()
-print("DRIVE OK")
+print("DRIVE OK:", sum(1 for k in os_))
