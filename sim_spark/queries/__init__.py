@@ -9,5 +9,6 @@ from sim_spark.queries import (  # noqa: F401
     projections,
     scans,
     sorts_sets,
+    streaming_batch,
     windows,
 )

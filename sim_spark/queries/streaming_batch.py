@@ -1,0 +1,189 @@
+"""Streaming-semantics operators in their batch formulation (SURVEY.md §2.9).
+
+The contract (oracle-checked) side of each operator runs as a time-semantic
+batch query; the identical logic is mounted on Structured Streaming in
+sim_spark/streaming/mounts.py and proven equal in
+tests/test_stream_parity.py. ``stream_stateful_counter`` is the one entry
+that runs the real streaming machinery in-query (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import sql_dsum
+from sim_spark.io import table
+from sim_spark.registry import query
+from sim_spark.streaming import mounts
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumbling_1h",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{_FMT}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type (epoch-aligned, so the window
+    start ≡ date_trunc('hour')). Batch and stream share mounts.tumbling_1h."""
+    return mounts.tumbling_1h(table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding_1h_15m",
+    oracle=f"""
+SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                               - k.k * 900000000), '{_FMT}') AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+GROUP BY 1
+""",
+)
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min — every event lands in exactly 4
+    windows; the oracle enumerates them by bucket arithmetic."""
+    return mounts.sliding_1h_15m(table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_30m",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_FMT}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_FMT}') AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap, via Spark's native
+    session_window; the oracle is the equivalent gaps-and-islands build
+    (new session exactly when the gap ≥ 30 min; session end = last event
+    + gap, matching session_window's half-open extent)."""
+    return mounts.session_30m(table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup_ids",
+    oracle=f"""
+SELECT event_id,
+       strftime(MIN(ts), '{_FMT}') AS first_ts,
+       MIN(user_id) AS user_id,
+       COUNT(*) AS n_copies
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+GROUP BY event_id
+""",
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a duplicated replay (events ∪all events): keep-first
+    by (ts, event_id) via row_number, with the duplicate count carried
+    along. Streaming twin: dropDuplicates(['event_id']) + watermark
+    (mounts.dedup_ids_stream, parity-tested)."""
+    ev = table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    w = W.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        doubled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("event_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            "user_id",
+            "n_copies",
+        )
+    )
+
+
+@query(
+    "stream_watermark_late",
+    oracle=f"""
+WITH a AS (
+  SELECT *, epoch_us(ts) AS us,
+         (event_id * 1103515245 + 12345) % 2147483648 AS arr
+  FROM events
+), b AS (
+  SELECT *, MAX(us) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) - 600000000 AS wm
+  FROM a
+), kept AS (
+  SELECT * FROM b WHERE wm IS NULL OR us >= wm
+)
+SELECT strftime(make_timestamp((us // 3600000000) * 3600000000), '{_FMT}')
+         AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM kept GROUP BY 1
+""",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic watermark-semantics simulation: events arrive in a
+    pseudo-random (hash of event_id) order; the watermark is the running
+    max event time minus 10 minutes; events older than the watermark at
+    arrival are dropped before the 1-hour window aggregation.
+
+    This makes late-data semantics ORACLE-checkable (a real streaming run
+    is trigger-timing dependent). The global running max is inherently
+    sequential — it is a semantic spec, not the scale path; the scalable
+    implementation is the real watermark in mounts.tumbling_with_watermark,
+    whose drop behavior is asserted in tests/test_stream_parity.py.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("arr", (F.col("event_id") * 1103515245 + 12345) % 2147483648)
+    )
+    w = W.orderBy("arr").rowsBetween(W.unboundedPreceding, -1)
+    ev = ev.withColumn("wm", F.max("us").over(w) - 600_000_000)
+    kept = ev.filter(F.col("wm").isNull() | (F.col("us") >= F.col("wm")))
+    return (
+        kept.withColumn("win_us", F.expr("(us div 3600000000) * 3600000000"))
+        .groupBy("win_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.timestamp_micros(F.col("win_us")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_stateful_counter")  # rows-only: real streaming artifact
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: per-user running event count and max
+    inter-event gap via applyInPandasWithState over a file-source replay
+    (availableNow). The memory sink accumulates one update per user per
+    micro-batch; counts grow monotonically, so max() per user is the final
+    state. Batch-equivalent parity is asserted in tests."""
+    replay = mounts.events_replay_dir(spark, sf_dir)
+    stream = mounts.stream_events(spark, replay)
+    updates = mounts.stateful_counter(stream)
+    sink = mounts.run_streaming_to_memory(updates, "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_gap_us").alias("max_gap_us")
+    )

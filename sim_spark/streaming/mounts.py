@@ -1,0 +1,222 @@
+"""File-source replay machinery + streaming transformations.
+
+Every §2.9 operator has a *batch* formulation (the oracle-checked contract)
+and an identical *streaming* formulation mounted here on
+``spark.readStream`` over a parquet replay directory. The parity tests
+(tests/test_stream_parity.py) replay the same events through both and
+assert equality — that is the streaming correctness story DuckDB can't
+check directly.
+
+At production scale the replay dir is a Kafka topic / object-store prefix;
+nothing below depends on single-machine layout: state is keyed by
+user_id / window, so the state store shards with the shuffle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sim_spark.io import table
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
+    """Write events (µs timestamps, via io.table's nanos fix) to a fresh
+    replay directory as ``n_files`` parquet files — the file-source input.
+
+    For multi-file replays the chunks are written *sequentially* (split on
+    event_id, which is time-ordered in the fixtures) with distinct mtimes:
+    FileStreamSource orders pending files by modification time, so this
+    guarantees micro-batches arrive in event-time order — the premise the
+    cross-batch state parity tests rely on.
+    """
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="sim_spark_replay_")
+    ev = table(spark, sf_dir, "events")
+    if n_files <= 1:
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return tmp
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    chunk = (hi - lo + n_files) // n_files
+    for i in range(n_files):
+        (
+            ev.filter(
+                (F.col("event_id") >= lo + i * chunk)
+                & (F.col("event_id") < lo + (i + 1) * chunk)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp)
+        )
+        if i < n_files - 1:
+            time.sleep(1.05)  # distinct whole-second mtimes for FileStreamSource
+    return tmp
+
+
+def stream_events(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a replay dir with the pinned schema."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(replay_dir)
+
+
+def run_streaming_to_memory(
+    out: DataFrame, output_mode: str, await_seconds: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the sink table as a batch DataFrame."""
+    name = "sink_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    spark = out.sparkSession
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Shared transformations — each takes an events DataFrame (batch OR stream)
+# so the two sides of the parity test run literally the same code.
+# ---------------------------------------------------------------------------
+
+
+def tumbling_1h(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_1h_15m(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_30m(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_ids_stream(ev: DataFrame) -> DataFrame:
+    """Streaming exact dedup: watermark bounds the id-set state."""
+    return ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+
+
+def tumbling_with_watermark(ev: DataFrame) -> DataFrame:
+    """Windowed count under a 10-minute watermark (append mode: only
+    watermark-closed windows are emitted; later-than-watermark input is
+    dropped).
+
+    Observed 4.1 semantics (pinned by tests/test_stream_parity.py): the
+    late-record filter in micro-batch N uses the watermark *displayed for
+    batch N-1* (one trigger behind), while window eviction/emission uses
+    batch N's; and numRowsDroppedByWatermark counts dropped per-window
+    partial-agg rows, not raw input rows.
+    """
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+# --- arbitrary stateful processing -----------------------------------------
+
+STATEFUL_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_gap_us bigint"
+STATEFUL_STATE_SCHEMA = "n bigint, max_gap bigint, last_us bigint"
+
+
+def _stateful_counter_fn(key, pdf_iter, state):
+    """Per-user running event count + max inter-event gap via the state
+    store. Works across micro-batches: last_us persists in state."""
+    import pandas as pd
+
+    if state.exists:
+        n, max_gap, last_us = state.get
+    else:
+        n, max_gap, last_us = 0, 0, None
+
+    frames = [pdf for pdf in pdf_iter]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        # int64 view of datetime64[ns] is nanoseconds → µs via //1000
+        for u in us:
+            if last_us is not None:
+                gap = int(u) - int(last_us)
+                if gap > max_gap:
+                    max_gap = gap
+            last_us = int(u)
+            n += 1
+    state.update((n, max_gap, last_us if last_us is not None else 0))
+    yield __import__("pandas").DataFrame(
+        [[key[0], n, max_gap]], columns=["user_id", "n_events", "max_gap_us"]
+    )
+
+
+def stateful_counter(ev: DataFrame) -> DataFrame:
+    """applyInPandasWithState mount: emits the running (count, max gap)
+    per user every micro-batch; the final emission per user is the total."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _stateful_counter_fn,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,140 @@
+"""Structured Streaming ⇄ batch parity (SURVEY.md §5.3.3).
+
+Replays the events fixture through a file source (availableNow) and
+asserts the streaming output equals the batch formulation of the same
+operator — the correctness check DuckDB can't provide for micro-batched
+execution. Also exercises multi-batch state (maxFilesPerTrigger=1) and
+watermark late-data drops with a crafted two-batch replay.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.streaming import mounts
+from sim_spark.testing import canonicalize
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay(spark):
+    d = mounts.events_replay_dir(spark, SF, n_files=3)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _assert_same(batch_df, stream_df, label):
+    b = canonicalize(batch_df.toPandas())
+    s = canonicalize(stream_df.toPandas())
+    assert b[0] == s[0], f"{label}: column mismatch {b[0]} vs {s[0]}"
+    assert b[1] == s[1], f"{label}: row values differ (batch={len(b[1])}, stream={len(s[1])})"
+
+
+@pytest.mark.parametrize(
+    "xform", [mounts.tumbling_1h, mounts.sliding_1h_15m, mounts.session_30m],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_windowed_aggs_stream_equals_batch(spark, replay, xform):
+    batch = xform(table(spark, SF, "events"))
+    stream = mounts.run_streaming_to_memory(
+        xform(mounts.stream_events(spark, replay)), "complete"
+    )
+    _assert_same(batch, stream, xform.__name__)
+
+
+def test_dedup_stream_drops_duplicates(spark, replay, tmp_path):
+    # Duplicate the whole replay into a second set of files → every event
+    # id arrives twice; streaming dropDuplicates must emit each id once.
+    dup_dir = str(tmp_path / "dup_replay")
+    ev = table(spark, SF, "events")
+    ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(dup_dir)
+    out = mounts.run_streaming_to_memory(
+        mounts.dedup_ids_stream(mounts.stream_events(spark, dup_dir)), "append"
+    )
+    n_ids = ev.select("event_id").distinct().count()
+    got = out.select("event_id").toPandas()["event_id"]
+    assert len(got) == n_ids, f"expected {n_ids} unique ids, got {len(got)}"
+    assert got.is_unique
+
+
+def test_stateful_counter_multibatch_equals_batch_windows(spark, replay):
+    """State must persist across micro-batches: run with one file per
+    trigger (3 batches) and compare final per-user state to the batch
+    window-function formulation."""
+    from pyspark.sql import Window as W
+
+    stream = mounts.stream_events(spark, replay, max_files_per_trigger=1)
+    sink = mounts.run_streaming_to_memory(mounts.stateful_counter(stream), "update")
+    got = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_gap_us").alias("max_gap_us"))
+    )
+
+    ev = table(spark, SF, "events").withColumn("us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_us"),
+        )
+    )
+    _assert_same(want, got, "stateful_counter")
+
+
+def test_watermark_drops_late_batch(spark, tmp_path):
+    """Three-file replay, one file per trigger:
+
+      batch 0 — the real events (advances the committed watermark);
+      batch 1 — a single spacer event at max ts (Spark's late-record
+                filter uses the watermark from ONE TRIGGER BEHIND the
+                displayed one — verified empirically on 4.1: batch N
+                filters with batch N-1's displayed watermark — so the
+                spacer batch is what arms the filter for batch 2);
+      batch 2 — every event shifted 2 days early: all behind the armed
+                watermark → dropped before reaching state.
+
+    Append-mode output must therefore equal the batch windows over only
+    the on-time events, restricted to watermark-closed windows; none of
+    the shifted copies may surface anywhere."""
+    import time
+
+    ev = table(spark, SF, "events")
+    max_ts_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    spacer = ev.orderBy(F.desc("ts")).limit(1).withColumn(
+        "event_id", F.col("event_id") + 500_000
+    )
+    late = (
+        ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 2 DAYS"))
+        .withColumn("event_id", F.col("event_id") + 1_000_000)
+    )
+    d = str(tmp_path / "late_replay")
+    for chunk in (ev, spacer, late):
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.05)  # distinct mtimes → deterministic batch order
+
+    out = mounts.run_streaming_to_memory(
+        mounts.tumbling_with_watermark(
+            mounts.stream_events(spark, d, max_files_per_trigger=1)
+        ),
+        "append",
+    )
+
+    wm_us = max_ts_us - 600_000_000
+    expected = (
+        ev.unionAll(spacer)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.unix_micros(F.col("w.end").cast("timestamp")) <= F.lit(wm_us))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+    _assert_same(expected, out, "watermark_late")
