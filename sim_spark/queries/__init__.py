@@ -6,9 +6,13 @@ from sim_spark.queries import (  # noqa: F401
     grouping_ext,
     joins,
     joins_advanced,
+    ml_llm,
     projections,
     scans,
+    sim_ann,
     sorts_sets,
     streaming_batch,
+    text_extras,
+    udfs,
     windows,
 )

@@ -1,0 +1,574 @@
+"""ML / LLM-data-pipeline operators (SURVEY.md §2.11).
+
+The training-data-pipeline surface: exact + near dedup, similarity
+search, text analysis, multimodal joins, clustering, feature scaling,
+and the sim voxel-pipeline analogues (histogram / min-max over vector
+components).
+
+Scale designs (SCALE.md has the full notes):
+- dedup_exact_hash: shuffle on a 256-bit hash — perfectly uniform keys.
+- dedup_jaccard_shingles: candidate generation via shingle-equi-join
+  (the bucket-then-refine pattern again), never an all-pairs scan; a
+  shingle shared by many docs bounds the blowup and AQE splits skew.
+- sim_topk_cosine: bounded query set broadcast against the corpus —
+  corpus never shuffles; at real scale swap the query broadcast for
+  LSH/IVF bucketing (same refine shape).
+- Determinism: every float score is rounded BEFORE ranking so both
+  engines rank identical values (§2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import sql_dsum
+from sim_spark.io import table
+from sim_spark.registry import query
+
+# --------------------------------------------------------------------------
+# multimodal + profiles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT e.label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(CAST(d.n_chars AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_chars,
+       COUNT(DISTINCT d.lang) AS n_langs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector ("multimodal columns" in one frame): per-embedding-
+    label statistics of the paired documents."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (the metadata aggregation every corpus
+    audit starts with)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+WITH tokens AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+SELECT word, COUNT(*) AS n FROM tokens
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+""",
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount, top-50 with a total-order tie-break."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+WITH words AS (SELECT doc_id, lang, str_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, lang, unnest(w) AS word,
+         generate_subscripts(w, 1) AS i, len(w) AS n
+  FROM words
+),
+bi AS (
+  SELECT a.lang, a.word || ' ' || b.word AS bigram
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+)
+SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY lang, bigram
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per language. Spark builds bigrams with a zero-shuffle
+    higher-order transform over the token array (no positional self-join —
+    that's only the oracle's formulation)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_tfidf_manual",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, word AS top_term, score FROM ranked WHERE rn = 1
+""",
+)
+def text_tfidf_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational tf-idf (smooth idf), top term per document — manual so it
+    is oracle-checkable (HashingTF buckets aren't). Scores are rounded
+    BEFORE ranking so both engines rank identical values."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; fixture-sized driver value, broadcast as literal
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+SELECT sha256(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY 1
+""",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash-group, keep min doc_id. The
+    fixtures have no exact dups (FIXTURES.md), so the corpus is
+    self-unioned to prove the halving. The sha256 shuffle key is uniform
+    by construction — no skew at any scale."""
+    d = table(spark, sf_dir, "documents")
+    doubled = d.unionAll(d)
+    return (
+        doubled.withColumn("text_hash", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_sets(d: DataFrame) -> DataFrame:
+    """doc_id → distinct 3-word shingles (the near-dup fingerprint)."""
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+    return d.select("doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_sh"))
+
+
+@query(
+    "dedup_jaccard_shingles",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        FOR i IN range(1, len(w) - 1)]) AS shingles
+  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, MIN(a.n_sh) AS na, MIN(b.n_sh) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM cand
+WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+""",
+)
+def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 3-word shingles, exact Jaccard ≥ 0.8.
+
+    Candidate pairs come from an equi-join on shared shingles (docs with
+    zero common shingles are never compared — the same bucket-then-refine
+    shape as the range join), then the exact Jaccard refines. This is the
+    deterministic ground truth the MinHash/LSH variant is recall-tested
+    against."""
+    d = table(spark, sf_dir, "documents")
+    sh = _shingle_sets(d)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    cand = (
+        a.join(b, (a.shingle == b.shingle) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return cand.filter(jac >= 0.8).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: hash-bucket contents are seed/impl-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup candidates via MinHashLSH (seed=42) over a
+    binary shingle vector (HashingTF). The scale path: candidate pairs
+    come from LSH band buckets instead of the exact shingle join.
+    tests/test_invariants.py checks recall ≥ 0.9 against
+    dedup_jaccard_shingles ground truth."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents")
+    sh = _shingle_sets(d).filter(F.col("n_sh") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", seed=42, numHashTables=8)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_DOT = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+prod AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+  FROM q CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+),
+dots AS (
+  SELECT qid, cid,
+         ROUND(SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)), 6) AS score
+  FROM prod GROUP BY qid, cid
+)
+"""
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=_DOT
+    + """
+SELECT qid, cid, score, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+  FROM dots
+) t WHERE rn <= 5
+""",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors per query vector (vec_id < 50) by cosine ≡
+    dot product (fixtures are unit-norm). Brute-force: broadcast the
+    bounded query set against the corpus — the corpus side never moves.
+    Scores are rounded to 6dp BEFORE the ranking window so float noise
+    can't reorder near-ties across engines. 100 TB path: same refine,
+    candidates from LSH/IVF buckets (SCALE.md)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dots = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(dot, 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle="""
+WITH prod AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b, ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) AS score
+  FROM prod GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, score FROM dots WHERE score > 0.8
+""",
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine > 0.8 (symmetric-deduped a < b).
+    Round-then-compare keeps the boundary decision identical in both
+    engines."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("score"))
+        .filter(F.col("score") > 0.8)
+    )
+
+
+# --------------------------------------------------------------------------
+# clustering / scaling / voxel analogues
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_kmeans_assign_fixed",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 10),
+prod AS (
+  SELECT v.vec_id AS vid, c.cid,
+         unnest(v.embedding) AS vx, unnest(c.c_emb) AS cx
+  FROM embeddings v CROSS JOIN c
+),
+dists AS (
+  SELECT vid, cid,
+         ROUND(SUM((CAST(vx AS DOUBLE) - CAST(cx AS DOUBLE))
+                   * (CAST(vx AS DOUBLE) - CAST(cx AS DOUBLE))), 6) AS dist2
+  FROM prod GROUP BY vid, cid
+),
+assigned AS (
+  SELECT vid, cid,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM dists
+)
+SELECT cid AS centroid, COUNT(*) AS n_assigned
+FROM assigned WHERE rn = 1 GROUP BY cid
+""",
+)
+def ml_kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means ASSIGNMENT step against fixed centroids (the first 10
+    vectors) — the deterministic, oracle-checkable half of Lloyd's
+    iteration (sim's kmeans pipeline step). Centroids broadcast; each
+    vector computes argmin squared distance (rounded before argmin)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    v = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            "v_emb", "c_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = v.crossJoin(F.broadcast(cents)).select(
+        "vid", "cid", F.round(dist2, 6).alias("dist2")
+    )
+    w = W.partitionBy("vid").orderBy(F.asc("dist2"), F.asc("cid"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("centroid"))
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+
+
+@query("ml_kmeans_embeddings")  # rows-only: trained cluster ids aren't SQL-derivable
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MLlib KMeans (k=10, seed=42, k-means||) on the embeddings —
+    the iterative half of sim's kmeans pipeline. Output: cluster sizes,
+    descending (size, cluster) order. Invariants (10 clusters, sizes sum
+    to N, seed-stable) in tests/test_invariants.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings")
+    feat = e.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=10, seed=42, initMode="k-means||", maxIter=20, featuresCol="features")
+    model = km.fit(feat)
+    return (
+        model.transform(feat)
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+@query(
+    "ml_feature_scale",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma, 6) AS value_z
+FROM events e JOIN stats s USING (event_type)
+""",
+)
+def ml_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score (StandardScaler semantics, relational for
+    oracle-ability): one agg + broadcast join back, no window over the
+    full fact table."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("value_z"),
+        )
+    )
+
+
+@query(
+    "voxel_histogram",
+    oracle="""
+SELECT CAST(floor((CAST(x AS DOUBLE) + 0.5) / 0.02) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM (SELECT unnest(embedding) AS x FROM embeddings)
+GROUP BY 1
+""",
+)
+def voxel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fixed-width histogram over every embedding component —
+    sim's histogram pipeline semantics (two-stage reduce: partial per
+    partition, merge on the 50-ish bucket keys). The bucket expression is
+    computed identically in both engines (no width_bucket edge cases)."""
+    e = table(spark, sf_dir, "embeddings")
+    x = F.explode("embedding").alias("x")
+    return (
+        e.select(x)
+        .select(
+            F.floor((F.col("x").cast("double") + 0.5) / 0.02).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "voxel_minmax_global",
+    oracle=f"""
+SELECT ROUND(CAST(MIN(x) AS DOUBLE), 6) AS min_comp,
+       ROUND(CAST(MAX(x) AS DOUBLE), 6) AS max_comp,
+       {sql_dsum('CAST(x AS DOUBLE)')} AS sum_comp,
+       COUNT(*) AS n_comp
+FROM (SELECT unnest(embedding) AS x FROM embeddings)
+""",
+)
+def voxel_minmax_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/sum over every component of every embedding — sim's
+    min-max voxel reduction (partial per partition → single-row merge)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.explode("embedding").alias("x"))
+        .agg(
+            F.round(F.min("x").cast("double"), 6).alias("min_comp"),
+            F.round(F.max("x").cast("double"), 6).alias("max_comp"),
+            F.sum(F.col("x").cast("double").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_comp"),
+            F.count(F.lit(1)).alias("n_comp"),
+        )
+    )

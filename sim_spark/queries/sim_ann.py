@@ -1,0 +1,91 @@
+"""Approximate similarity search: IVF-style bucketed top-k (driver
+mandate: the scale path beside brute force).
+
+Coarse quantizer: the deterministic fixed centroids (first 10 vectors,
+same as ml_kmeans_assign_fixed). Every vector is assigned to its nearest
+centroid (its *cell*); a query searches only the ``nprobe`` cells whose
+centroids score highest — an equi-join on cell id instead of a full cross
+join. Recall vs the exact sim_topk_cosine is asserted in
+tests/test_invariants.py (rows-only key: recall-bounded output, not
+bit-equal to the exact answer by construction).
+
+At 100 TB: centroids come from KMeans on a sample, cells become the
+partitioning key of the vector table, and the probe join prunes entire
+partitions — the same plan shape as here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+NPROBE = 4
+TOP_K = 5
+N_QUERIES = 50
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cells(spark: SparkSession, sf_dir: str):
+    """(vectors with cell assignment, centroid table)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(_dot("embedding", "c_emb"), 6).alias("c_score"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    return assigned, cents
+
+
+@query("sim_ann_ivf")  # rows-only: approximate by construction; recall-tested
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: per query (vec_id < 50), probe the NPROBE best cells and
+    rank candidates only there. Join structure: query→probe-cells explode,
+    equi-join on cell — the corpus never cross-joins."""
+    assigned, cents = _cells(spark, sf_dir)
+
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    # nprobe best centroids per query
+    q_cells = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("qid", "q_emb", "cid", F.round(_dot("q_emb", "c_emb"), 6).alias("c_score"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("c_score"), F.asc("cid"))
+    probes = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "q_emb", F.col("cid").alias("cell"))
+    )
+
+    cand = probes.join(assigned, "cell").filter(F.col("qid") != F.col("vec_id"))
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.round(_dot("q_emb", "embedding"), 6).alias("score"),
+    )
+    wk = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= TOP_K)

@@ -1,0 +1,286 @@
+"""Text-analysis extras for the LLM-data surface (driver mandate):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting, SimHash near-dup — plus the multimodal binary-features
+query riding the ops.multimodal plumbing.
+
+All are single-pass projections/aggregations over documents; the only
+shuffles are the final small group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.ops.multimodal import binary_features
+from sim_spark.registry import query
+
+# Marker-word profiles for the n-gram/keyword language-ID heuristic.
+# Deterministic and engine-portable (plain IN-list membership counts);
+# with the synthetic corpus the scores are what they are — the point is
+# the operator shape, scored identically in both engines.
+_LANG_MARKERS = {
+    "en": ("table", "row", "value", "fast"),
+    "de": ("hash", "merge", "batch", "scan"),
+    "es": ("part", "key", "agg", "slow"),
+}
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS word FROM documents
+),
+scores AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN word IN {str(_LANG_MARKERS['en'])} THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         CAST(SUM(CASE WHEN word IN {str(_LANG_MARKERS['de'])} THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         CAST(SUM(CASE WHEN word IN {str(_LANG_MARKERS['es'])} THEN 1 ELSE 0 END) AS BIGINT) AS s_es
+  FROM tokens GROUP BY doc_id, lang
+)
+SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es,
+       CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_es THEN 'de'
+            ELSE 'es' END AS predicted_lang
+FROM scores
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-profile language ID: count marker-word hits per language
+    profile, predict the argmax (fixed precedence tie-break)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def score(markers: tuple[str, ...]):
+        return F.size(F.filter(words, lambda w: w.isin(*markers))).cast("bigint")
+
+    s = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score(_LANG_MARKERS["en"]).alias("s_en"),
+        score(_LANG_MARKERS["de"]).alias("s_de"),
+        score(_LANG_MARKERS["es"]).alias("s_es"),
+    )
+    return s.withColumn(
+        "predicted_lang",
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       n_chars,
+       len(str_split(text, ' ')) AS n_words,
+       ROUND(CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')), 6) AS avg_word_len,
+       ROUND(CAST(len(list_filter(str_split(text, ' '),
+             w -> w IN ('a', 'the', 'of', 'to', 'and'))) AS DOUBLE)
+             / len(str_split(text, ' ')), 6) AS stopword_ratio,
+       CASE WHEN n_chars BETWEEN 50 AND 450
+             AND len(str_split(text, ' ')) >= 10 THEN 1 ELSE 0 END AS passes_filter
+FROM documents
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, mean word length, stopword ratio, and
+    a composite keep/drop flag — the standard pre-training corpus filter
+    shape."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop = F.size(F.filter(words, lambda w: w.isin("a", "the", "of", "to", "and")))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars").cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.when((F.col("n_chars").between(50, 450)) & (n_words >= 10), 1)
+        .otherwise(0)
+        .alias("passes_filter"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(str_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       length(text) AS n_bytes
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other chars) — the cheap token
+    estimator used for corpus sizing."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))
+         AS bag_fingerprint,
+       md5(text) AS exact_fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of text) and bag-of-words (md5 of
+    the sorted distinct vocabulary — catches word-order shuffles, the
+    cheap canonical form before heavier near-dup machinery)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")).alias(
+            "bag_fingerprint"
+        ),
+        F.md5("text").alias("exact_fingerprint"),
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+#
+# 32-bit SimHash from word md5s: hex digit j of md5(word) contributes its 4
+# bits to positions 4j..4j+3; per position, sum (+1 if bit set else -1) over
+# distinct words; fingerprint bit = 1 iff the sum is positive. Everything is
+# integer arithmetic on md5 hex — bit-identical across engines.
+
+_SIMHASH_BITS = 32
+
+
+def _vote_merger(b: int):
+    """2-ary merge lambda for bit b (closure, NOT a default arg — PySpark
+    derives the HOF's variable count from the lambda's arity)."""
+    pos, mask = b // 4 + 1, 1 << (3 - b % 4)
+
+    def merge(acc, h):
+        bit = F.conv(F.substring(h, pos, 1), 16, 10).cast("int").bitwiseAND(F.lit(mask))
+        return acc + F.when(bit > 0, 1).otherwise(-1)
+
+    return merge
+
+
+def _spark_simhash(words_col):
+    """SimHash fingerprint as a pure higher-order-function expression."""
+    hexes = F.transform(words_col, lambda w: F.substring(F.md5(w), 1, 8))
+    bit_votes = [
+        F.aggregate(hexes, F.lit(0), _vote_merger(b)) for b in range(_SIMHASH_BITS)
+    ]
+    fp = F.lit(0).cast("bigint")
+    for i, v in enumerate(bit_votes):
+        fp = fp + F.when(v > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return fp
+
+
+_SIMHASH_ORACLE_VOTES = ",\n         ".join(
+    "CAST(SUM(CASE WHEN (strpos('0123456789abcdef', "
+    f"substring(md5(word), {b // 4 + 1}, 1)) - 1) & {1 << (3 - b % 4)} > 0 "
+    f"THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_ORACLE_SUM = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_ORACLE_VOTES}
+  FROM tokens GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_ORACLE_SUM} AS BIGINT) AS simhash
+FROM votes
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over the distinct word set — near-dup
+    docs land at small hamming distance. Computed entirely in integer HOF
+    expressions (no Python), so it's a map-only stage at any scale;
+    pairing happens in dedup_simhash_pairs."""
+    d = table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    return d.select("doc_id", _spark_simhash(words).alias("simhash"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_ORACLE_VOTES}
+  FROM tokens GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({_SIMHASH_ORACLE_SUM} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: hamming(simhash_a, simhash_b) ≤ 5.
+
+    Here a self-join on the (small) fingerprint table; the 100 TB version
+    splits the 32 bits into 4 bands and equi-joins on band values —
+    identical candidates, no quadratic scan (SCALE.md)."""
+    fp = dedup_simhash(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 5)
+    )
+
+
+# --- multimodal binary features ---------------------------------------------
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       hex(substring(text, 1, 8)) AS head_hex,
+       CAST(ceil(octet_length(CAST(text AS BLOB)) / 4096.0) AS BIGINT) AS n_chunks
+FROM documents
+""",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via the ops.multimodal mapInPandas
+    plumbing: documents' text encoded to an opaque binary payload (the
+    stand-in for image/audio bytes — fixture text is pure ASCII so
+    byte_len ≡ n_chars), then per-batch metadata extraction. The decode
+    step itself is a clearly-marked stub (ops/multimodal.py)."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary_features(payloads)

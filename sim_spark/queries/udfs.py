@@ -1,0 +1,235 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+Python is the deliberate slow path here — every operator exists to prove
+the boundary machinery (Arrow-vectorized pandas UDFs, grouped
+applyInPandas, UDTF lateral expansion, and one intentionally row-at-a-time
+Python UDF). Hot-path equivalents of these computations live JVM-side in
+the other modules; at 100 TB you reach for these only when numpy/pandas
+semantics are genuinely required, and always Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from sim_spark.io import register_views, table
+from sim_spark.registry import query
+
+# --- pandas scalar UDF ------------------------------------------------------
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+@pandas_udf(T.StringType())
+def _normalize_text(s: pd.Series) -> pd.Series:
+    """lower → strip punctuation → collapse whitespace → trim (vectorized;
+    regexes mirrored 1:1 by the SQL oracle)."""
+    return (
+        s.str.lower()
+        .str.replace(_PUNCT, "", regex=True)
+        .str.replace(_WS, " ", regex=True)
+        .str.strip()
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+            lower('  ' || upper(text) || ' .,! '),
+            '[^a-zA-Z0-9_ ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized text normalization over a deliberately noised
+    input (padding + case + punctuation) so the UDF does real work."""
+    d = table(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("  "), F.upper("text"), F.lit(" .,! "))
+    return d.select("doc_id", _normalize_text(noisy).alias("norm_text"))
+
+
+# --- row-at-a-time Python UDF ----------------------------------------------
+
+
+def _trigrams(s: str) -> set[str]:
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+@F.udf(T.DoubleType())
+def _jaccard_trigram(a: str, b: str) -> float:
+    sa, sb = _trigrams(a.lower()), _trigrams(b.lower())
+    union = len(sa | sb)
+    return round(len(sa & sb) / union, 6) if union else 1.0
+
+
+@query(
+    "udf_python_rowwise",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey,
+         list_distinct([substring(lower(p_name), i, 3)
+                        FOR i IN range(1, length(p_name) - 1)]) AS ga,
+         list_distinct([substring(lower(p_type), i, 3)
+                        FOR i IN range(1, length(p_type) - 1)]) AS gb
+  FROM part
+)
+SELECT p_partkey,
+       ROUND(len(list_filter(ga, x -> list_contains(gb, x))) * 1.0
+             / (len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x)))),
+             6) AS name_type_jaccard
+FROM t
+""",
+)
+def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard of p_name vs p_type as a plain Python UDF
+    — the intentionally slow path (pickled rows, one Python call per row),
+    kept as the contrast case for the Arrow-batched UDFs."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", _jaccard_trigram("p_name", "p_type").alias("name_type_jaccard")
+    )
+
+
+# --- grouped-map UDAF-style -------------------------------------------------
+
+_GAP_SCHEMA = "user_id bigint, n_gaps bigint, median_gap_us double, p90_gap_us double"
+
+
+def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    gaps = np.diff(us).astype("float64")
+    if len(gaps) == 0:
+        med = p90 = float("nan")
+    else:
+        # method='linear' ≡ DuckDB quantile_cont interpolation. Rounded to
+        # 1dp, not 6: at ~1e11 µs magnitudes the 6th decimal is beyond
+        # double precision, so last-bit interpolation differences survive
+        # a 6dp round but not a 1dp one (fractions are multiples of ~0.1).
+        med = float(np.quantile(gaps, 0.5, method="linear"))
+        p90 = float(np.quantile(gaps, 0.9, method="linear"))
+    return pd.DataFrame(
+        [[int(pdf["user_id"].iloc[0]), len(gaps), round(med, 1), round(p90, 1)]],
+        columns=["user_id", "n_gaps", "median_gap_us", "p90_gap_us"],
+    )
+
+
+@query(
+    "udaf_grouped_map",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap, 0.5), 1) AS median_gap_us,
+       ROUND(quantile_cont(gap, 0.9), 1) AS p90_gap_us
+FROM g GROUP BY user_id
+""",
+)
+def udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median/p90 inter-event gap via grouped applyInPandas —
+    the UDAF shape: one Arrow batch per group, numpy math inside, linear
+    interpolation matching quantile_cont exactly."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(_gap_stats, _GAP_SCHEMA)
+
+
+# --- UDTF -------------------------------------------------------------------
+
+
+@udtf(
+    returnType=T.StructType(
+        [T.StructField("word", T.StringType()), T.StructField("pos", T.IntegerType())]
+    )
+)
+class _WordExpand:
+    """Explode a document into (word, position) rows — 1-based positions
+    to match SQL array indexing."""
+
+    def eval(self, text: str):  # noqa: A002
+        for i, w in enumerate(text.split(" ")):
+            yield (w, i + 1)
+
+
+@query(
+    "udtf_expand",
+    oracle="""
+SELECT doc_id,
+       unnest(str_split(text, ' ')) AS word,
+       CAST(generate_subscripts(str_split(text, ' '), 1) AS INTEGER) AS pos
+FROM documents
+""",
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral expansion: documents × word → one row per
+    (doc_id, word, pos)."""
+    register_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("word_expand", _WordExpand)
+    return spark.sql(
+        "SELECT d.doc_id, we.word, we.pos FROM documents d, LATERAL word_expand(d.text) we"
+    )
+
+
+# --- Arrow UDF with numpy vector math --------------------------------------
+
+
+# NB: module-level UDF returnTypes must be StructType objects, not DDL
+# strings — workers re-import this module and DDL parsing needs a live
+# SparkContext, which executors don't have.
+_NORMS_TYPE = T.StructType(
+    [
+        T.StructField("l2_norm", T.DoubleType()),
+        T.StructField("l1_norm", T.DoubleType()),
+        T.StructField("n_dims", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_NORMS_TYPE)
+def _vector_norms(emb: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
+    l2, l1, nd = [], [], []
+    for v in emb:
+        a = np.asarray(v, dtype="float64")
+        l2.append(round(float(np.sqrt(np.dot(a, a))), 6))
+        l1.append(round(float(np.abs(a).sum()), 6))
+        nd.append(len(a))
+    return pd.DataFrame({"l2_norm": l2, "l1_norm": l1, "n_dims": nd})
+
+
+@query(
+    "udf_numpy_vector",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+         AS l1_norm,
+       CAST(len(embedding) AS INTEGER) AS n_dims
+FROM embeddings
+""",
+)
+def udf_numpy_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy voxel-style math inside an Arrow-batched pandas UDF (the sim
+    per-block ndarray pattern, DataFrame-native): L2/L1 norms per
+    embedding. Fixture vectors are unit-norm, so l2_norm ≈ 1.0."""
+    e = table(spark, sf_dir, "embeddings")
+    out = e.select("vec_id", _vector_norms("embedding").alias("s"))
+    return out.select("vec_id", "s.l2_norm", "s.l1_norm", "s.n_dims")
