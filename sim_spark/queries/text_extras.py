@@ -165,28 +165,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
-def _vote_merger(b: int):
-    """2-ary merge lambda for bit b (closure, NOT a default arg — PySpark
-    derives the HOF's variable count from the lambda's arity)."""
-    pos, mask = b // 4 + 1, 1 << (3 - b % 4)
+def _spark_simhash_df(d: DataFrame) -> DataFrame:
+    """SimHash via explode → one md5 per word → 32 SUM votes → fingerprint.
 
-    def merge(acc, h):
-        bit = F.conv(F.substring(h, pos, 1), 16, 10).cast("int").bitwiseAND(F.lit(mask))
-        return acc + F.when(bit > 0, 1).otherwise(-1)
-
-    return merge
-
-
-def _spark_simhash(words_col):
-    """SimHash fingerprint as a pure higher-order-function expression."""
-    hexes = F.transform(words_col, lambda w: F.substring(F.md5(w), 1, 8))
-    bit_votes = [
-        F.aggregate(hexes, F.lit(0), _vote_merger(b)) for b in range(_SIMHASH_BITS)
+    Columnar reformulation (not 32 aggregate() HOFs over the word array:
+    that re-hashed every word once per bit — 32 md5s per word — and ran
+    10× slower on the bench). Here each distinct word is hashed once, its
+    8 hex digits decoded once, and the per-bit votes are 32 plain SUM
+    aggregates — partial-aggregated map-side like any other groupBy."""
+    tokens = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    hexed = tokens.withColumn("h8", F.substring(F.md5("word"), 1, 8))
+    digits = hexed.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h8", j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            for j in range(8)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (3 - b % 4))) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
     ]
+    voted = digits.groupBy("doc_id").agg(*votes)
     fp = F.lit(0).cast("bigint")
-    for i, v in enumerate(bit_votes):
-        fp = fp + F.when(v > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    return fp
+    for i in range(_SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return voted.select("doc_id", fp.alias("simhash"))
 
 
 _SIMHASH_ORACLE_VOTES = ",\n         ".join(
@@ -217,12 +227,11 @@ FROM votes
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over the distinct word set — near-dup
-    docs land at small hamming distance. Computed entirely in integer HOF
-    expressions (no Python), so it's a map-only stage at any scale;
-    pairing happens in dedup_simhash_pairs."""
+    docs land at small hamming distance. Computed entirely in integer
+    expressions (no Python): explode → hash once per word → 32 summed
+    votes; pairing happens in dedup_simhash_pairs."""
     d = table(spark, sf_dir, "documents")
-    words = F.array_distinct(F.split("text", " "))
-    return d.select("doc_id", _spark_simhash(words).alias("simhash"))
+    return _spark_simhash_df(d)
 
 
 @query(

@@ -1,0 +1,96 @@
+"""Physical-plan audits (SURVEY.md §4.2): the scale properties we
+designed for must be visible in the executed plan, not assumed —
+pushdown reaching the scan, broadcasts where intended, no nested-loop
+joins on the composite operators, partial aggregation everywhere.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import sim_spark.queries  # noqa: F401
+from sim_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_column_pruning_reaches_parquet(spark):
+    p = plan(spark, "scan_pruned_projection")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["l_orderkey", "l_quantity"], cols
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    p = plan(spark, "scan_filter_pushdown")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "GreaterThanOrEqual(l_shipdate" in m.group(1), p
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = plan(spark, "join_inner_broadcast")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_multiway_star_broadcasts_all_dims(spark):
+    p = plan(spark, "join_multiway_star")
+    # lineitem ⋈ orders shuffles; customer/nation/region must broadcast.
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_partial_final_aggregation(spark):
+    p = plan(spark, "agg_partial_final")
+    # Both partial (map-side) and final HashAggregate modes present.
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert "Exchange" in p, p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    p = plan(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in p, p
+
+
+@pytest.mark.parametrize("key", ["join_theta_band", "join_range_interval", "join_asof"])
+def test_composite_joins_never_nested_loop(spark, key):
+    """The §4.3 designs exist precisely to avoid BNLJ/cartesian plans."""
+    p = plan(spark, key)
+    assert "CartesianProduct" not in p, f"{key}:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p, f"{key}:\n{p}"
+
+
+def test_semi_anti_join_operators(spark):
+    assert re.search(r"(?i)LeftSemi", plan(spark, "join_semi"))
+    assert re.search(r"(?i)LeftAnti", plan(spark, "join_anti"))
+
+
+def test_jaccard_candidate_join_is_hash_not_sort(spark):
+    """The shingle fanout join is hinted shuffled-hash: sorting 260k rows
+    per side bought nothing (measured 2× slower at sf0.1)."""
+    p = plan(spark, "dedup_jaccard_shingles")
+    assert "ShuffledHashJoin" in p, p
+
+
+def test_sort_multi_nulls_order_is_applied(spark):
+    """The value-hash is order-insensitive, so pin the actual output order
+    here: priorities ascending, NULL statuses first within a priority."""
+    rows = QUERIES["sort_multi_nulls"](spark, SF).limit(500).collect()
+    pr = [r["o_orderpriority"] for r in rows]
+    assert pr == sorted(pr), "primary sort key violated"
+    first_pri = [r for r in rows if r["o_orderpriority"] == pr[0]]
+    seen_non_null = False
+    for r in first_pri:
+        if r["status_or_null"] is not None:
+            seen_non_null = True
+        else:
+            assert not seen_non_null, "NULLS FIRST violated"
