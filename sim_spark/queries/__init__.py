@@ -7,6 +7,9 @@ from sim_spark.queries import (  # noqa: F401
     joins,
     joins_advanced,
     ml_llm,
+    pivots,
+    subqueries,
+    tpch_shapes,
     projections,
     scans,
     sim_ann,

@@ -173,6 +173,55 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_join_purchase_view",
+    oracle="""
+SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lead_us
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+""",
+)
+def stream_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase ⋈ preceding-hour views per user — the stream-stream join
+    shape (event-time-bounded inner join). Batch formulation here (the
+    oracle contract); the identical code runs as a watermarked
+    stream-stream join in tests/test_stream_parity.py, where the time
+    bound is what lets Spark GC the join state."""
+    ev = table(spark, sf_dir, "events")
+    return mounts.purchase_view_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+
+
+@query(
+    "stream_stateful_tws",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas (the 4.x
+    ValueState API; applyInPandasWithState fallback with identical
+    semantics where the TWS protobuf runner can't start —
+    mounts.tws_available) over a single-batch replay. With one
+    micro-batch the final emission per user IS the per-user total, so
+    this streaming run is exactly oracle-checkable against a plain GROUP
+    BY. (Python sums per-user values in arrival order within the single
+    batch — same left-to-right order DuckDB's single-threaded SUM over
+    ~70 rows/user uses; rounded to 6dp.)"""
+    replay = mounts.events_replay_dir(spark, sf_dir)
+    stream = mounts.stream_events(spark, replay)
+    sink = mounts.run_streaming_to_memory(mounts.stateful_sum_tws(stream), "update")
+    return sink.select("user_id", "n_events", "total_value")
+
+
 @query("stream_stateful_counter")  # rows-only: real streaming artifact
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: per-user running event count and max

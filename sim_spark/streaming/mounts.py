@@ -174,6 +174,37 @@ def tumbling_with_watermark(ev: DataFrame) -> DataFrame:
     )
 
 
+def purchase_view_join(purchases: DataFrame, views: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch: same code) inner join: for every
+    purchase, the same user's views in the hour before it. In streaming
+    both sides carry watermarks and the event-time bound lets Spark GC
+    join state; in batch it's a plain equi-join + range residual."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    v = views.select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", "10 minutes")
+        v = v.withWatermark("v_ts", "1 hour 10 minutes")
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    return joined.select(
+        "p_id",
+        "v_id",
+        "user_id",
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("v_ts").cast("timestamp"))).alias("lead_us"),
+    )
+
+
 # --- arbitrary stateful processing -----------------------------------------
 
 STATEFUL_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_gap_us bigint"
@@ -217,6 +248,106 @@ def stateful_counter(ev: DataFrame) -> DataFrame:
         _stateful_counter_fn,
         outputStructType=STATEFUL_OUTPUT_SCHEMA,
         stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- transformWithStateInPandas (the 4.x successor API) ---------------------
+
+
+class _SumByTypeProcessor:
+    """StatefulProcessor: per (user) running sum of `value` and event
+    count via a ValueState — the transformWithStateInPandas twin of the
+    applyInPandasWithState counter (same semantics, newer state API)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("total", DoubleType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas spawns a protobuf-speaking driver
+    worker; in environments with a broken/absent google.protobuf the
+    runner crashes before user code runs. Gate on the exact import it
+    needs (observed: "cannot import name 'descriptor'")."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _sum_fallback_fn(key, pdf_iter, state):
+    """applyInPandasWithState twin of _SumByTypeProcessor (identical
+    semantics, older state API) for runtimes where TWS can't start."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def stateful_sum_tws(ev: DataFrame) -> DataFrame:
+    """Per-user running totals on the 4.x transformWithStateInPandas API
+    (ValueState), falling back to applyInPandasWithState with identical
+    semantics where the TWS runner can't start (tws_available)."""
+    if tws_available():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class Proc(_SumByTypeProcessor, StatefulProcessor):
+            pass
+
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Proc(),
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sum_fallback_fn,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -88,6 +88,23 @@ def test_stateful_counter_multibatch_equals_batch_windows(spark, replay):
     _assert_same(want, got, "stateful_counter")
 
 
+def test_stream_stream_join_equals_batch(spark, replay):
+    """Watermarked stream-stream join over the replay equals the batch
+    formulation of the same event-time-bounded join."""
+    ev = table(spark, SF, "events")
+    batch = mounts.purchase_view_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    s = mounts.stream_events(spark, replay)
+    stream = mounts.purchase_view_join(
+        s.filter(F.col("event_type") == "purchase"),
+        s.filter(F.col("event_type") == "view"),
+    )
+    out = mounts.run_streaming_to_memory(stream, "append")
+    _assert_same(batch, out, "purchase_view_join")
+
+
 def test_watermark_drops_late_batch(spark, tmp_path):
     """Three-file replay, one file per trigger:
 
