@@ -42,6 +42,10 @@ HEADLINE = [
     "text_wordcount",
     "voxel_histogram",
     "ml_kmeans_assign_fixed",
+    "tpch_q3_shipping",
+    "tpch_q7_volume",
+    "subq_lateral_topn",
+    "agg_rollup",
 ]
 
 RUNS = 3

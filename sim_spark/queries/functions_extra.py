@@ -1,0 +1,99 @@
+"""Generator variants and error-safe function family (§2.8 adjacents):
+explode vs explode_outer vs posexplode, and the try_* / ANSI-safe
+operations that keep 100 TB jobs from dying on one malformed row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+
+@query(
+    "fn_explode_variants",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         str_split(text, ' ')[1:3] AS first3,
+         list_filter(str_split(text, ' '), w -> w = 'zz_nonexistent') AS empty_list
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(first3) AS word,
+         CAST(generate_subscripts(first3, 1) AS INTEGER) - 1 AS pos
+  FROM base
+),
+outer_ AS (
+  -- explode_outer on the (always empty) list keeps the row with NULLs
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS missing_word FROM base
+)
+SELECT p.doc_id, p.word, p.pos, o.missing_word
+FROM pos p JOIN outer_ o USING (doc_id)
+""",
+)
+def fn_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (0-based position) of the first 3 words joined with an
+    explode_outer over a provably-empty array — the outer variant must
+    keep the row and null-fill where plain explode would drop it."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.slice(F.split("text", " "), 1, 3).alias("first3"),
+        F.filter(F.split("text", " "), lambda w: w == "zz_nonexistent").alias("empty_list"),
+    )
+    pos = base.select("doc_id", F.posexplode("first3").alias("pos", "word"))
+    outer = base.select(
+        "doc_id", F.explode_outer("empty_list").alias("missing_word")
+    )
+    return pos.join(outer, "doc_id").select("doc_id", "word", "pos", "missing_word")
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE ROUND(l_tax / l_discount, 6) END AS tax_per_disc,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS ln_roundtrip,
+       COALESCE(TRY_CAST('not-a-date' AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')
+         IS NOT NULL AS bad_ts_is_defaulted
+FROM lineitem
+""",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe operations under ANSI mode: try_divide (NULL on ÷0
+    instead of an ANSI error), try_cast on unparseable input (NULL, not
+    job death) — the difference between one bad row and a failed 100 TB
+    job."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_tax", F.nullif(F.col("l_discount"), F.lit(0.0))), 6).alias(
+            "tax_per_disc"
+        ),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").cast("int").alias("ln_roundtrip"),
+        F.coalesce(
+            F.try_to_timestamp(F.lit("not-a-date")),
+            F.lit("1970-01-01").cast("timestamp"),
+        )
+        .isNotNull()
+        .alias("bad_ts_is_defaulted"),
+    )
+
+
+@query("scan_sample_seeded")  # rows-only: RNG streams differ across engines
+def scan_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of lineitem (10%, seed=42): deterministic
+    within Spark (same seed → same rows) but engine-specific RNG, so
+    rows-only. tests/test_invariants.py pins the sampled fraction and
+    repeat-run stability."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

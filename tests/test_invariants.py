@@ -77,6 +77,15 @@ def test_stateful_counter_rows_cover_all_users(spark):
     assert all(r["n_events"] > 0 for r in rows)
 
 
+def test_seeded_sample_stable_and_sized(spark):
+    a = QUERIES["scan_sample_seeded"](spark, SF).collect()
+    b = QUERIES["scan_sample_seeded"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "seed instability"
+    n_total = table(spark, SF, "lineitem").count()
+    frac = len(a) / n_total
+    assert 0.07 <= frac <= 0.13, frac
+
+
 def test_multimodal_decode_stub_raises(spark):
     from sim_spark.ops.multimodal import decode_stub
 
