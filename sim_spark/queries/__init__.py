@@ -9,6 +9,7 @@ from sim_spark.queries import (  # noqa: F401
     joins_advanced,
     ml_llm,
     pivots,
+    profiling,
     subqueries,
     tpch_shapes,
     projections,

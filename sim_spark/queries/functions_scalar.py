@@ -47,7 +47,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.upper("p_name").alias("name_upper"),
         F.lower("p_type").alias("type_lower"),
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
@@ -56,7 +56,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_repl"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
         F.rpad("p_brand", 10, ".").alias("brand_pad"),
-        F.instr("p_name", "ring").alias("ring_pos"),
+        F.instr("p_name", "ring").cast("bigint").alias("ring_pos"),
         F.split("p_name", " ").getItem(0).alias("first_word"),
         F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devowel"),
@@ -92,10 +92,10 @@ def fn_date_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("yr"),
-        F.month(d).alias("mon"),
-        F.dayofmonth(d).alias("dom"),
-        (F.dayofweek(d) - 1).alias("dow_sun0"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mon"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        (F.dayofweek(d) - 1).cast("bigint").alias("dow_sun0"),
         F.date_format(F.date_trunc("month", d), "yyyy-MM-dd HH:mm:ss").alias("month_start"),
         F.date_format(F.date_trunc("week", d), "yyyy-MM-dd HH:mm:ss").alias("week_start"),
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
@@ -112,8 +112,8 @@ def fn_date_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 1) AS price_r1,
-       FLOOR(l_extendedprice) AS price_floor,
-       CEIL(l_extendedprice) AS price_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
        ABS(l_discount - 0.05) AS disc_dev,
        ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
        ROUND(EXP(l_discount), 6) AS disc_exp,
@@ -121,7 +121,7 @@ SELECT l_orderkey, l_linenumber,
        ROUND(LOG10(l_extendedprice), 6) AS price_log10,
        ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
        l_partkey % 7 AS pk_mod7,
-       SIGN(l_discount - 0.05) AS disc_sign,
+       CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
        GREATEST(l_quantity, 25.0) AS qty_hi,
        LEAST(l_quantity, 25.0) AS qty_lo
 FROM lineitem
@@ -144,7 +144,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
         F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
         (F.col("l_partkey") % 7).alias("pk_mod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
         F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
         F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
     )
@@ -235,7 +235,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("bigint").alias("n_words"),
         F.when(F.array_contains(words, "hash"), 1).otherwise(0).alias("has_hash"),
         F.array_join(
             F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 50), " "))), ","

@@ -392,7 +392,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
-        dots.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+        dots.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
     )
 
 

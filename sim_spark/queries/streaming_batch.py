@@ -59,7 +59,7 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH g AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), s AS (
@@ -78,8 +78,10 @@ FROM s GROUP BY user_id, sess_id
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap, via Spark's native
     session_window; the oracle is the equivalent gaps-and-islands build
-    (new session exactly when the gap ≥ 30 min; session end = last event
-    + gap, matching session_window's half-open extent)."""
+    (new session exactly when the gap is STRICTLY > 30 min — an event
+    landing exactly at the gap boundary merges, a session_window
+    semantic pinned by the hypothesis property test; session end = last
+    event + gap)."""
     return mounts.session_30m(table(spark, sf_dir, "events"))
 
 

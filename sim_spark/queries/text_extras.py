@@ -97,7 +97,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "n_chars",
-        n_words.alias("n_words"),
+        n_words.cast("bigint").alias("n_words"),
         F.round(F.col("n_chars").cast("double") / n_words, 6).alias("avg_word_len"),
         F.round(stop.cast("double") / n_words, 6).alias("stopword_ratio"),
         F.when((F.col("n_chars").between(50, 450)) & (n_words >= 10), 1)
@@ -123,11 +123,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("bigint").alias(
             "bpe_ish_tokens"
         ),
-        F.length("text").alias("n_bytes"),
+        F.length("text").cast("bigint").alias("n_bytes"),
     )
 
 

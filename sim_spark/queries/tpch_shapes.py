@@ -69,7 +69,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_volume",
     oracle=f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       year(l.l_shipdate) AS ship_year,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
        {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -101,7 +101,7 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(dsum(volume).alias("volume"))
     )
 

@@ -35,9 +35,9 @@ def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.row_number().over(w_total).alias("rn"),
-        F.rank().over(w_value).alias("rnk"),
-        F.dense_rank().over(w_value).alias("drnk"),
+        F.row_number().over(w_total).cast("bigint").alias("rn"),
+        F.rank().over(w_value).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_value).cast("bigint").alias("drnk"),
     )
 
 
@@ -60,7 +60,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -147,8 +147,8 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_lead",
     oracle="""
 SELECT event_id, user_id,
-       epoch_us(ts) - LAG(epoch_us(ts))  OVER w AS gap_us_before,
-       LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us_after,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts))  OVER w AS DOUBLE) AS gap_us_before,
+       CAST(LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS DOUBLE) AS gap_us_after,
        LAG(event_type, 1, 'none') OVER w AS prev_type
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -162,8 +162,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        (F.col("us") - F.lag("us").over(w)).alias("gap_us_before"),
-        (F.lead("us").over(w) - F.col("us")).alias("gap_us_after"),
+        # double, not int64: a NULLable int column round-trips to pandas
+        # as float64 in one engine and int64 in the other — pin it.
+        (F.col("us") - F.lag("us").over(w)).cast("double").alias("gap_us_before"),
+        (F.lead("us").over(w) - F.col("us")).cast("double").alias("gap_us_after"),
         F.lag("event_type", 1, "none").over(w).alias("prev_type"),
     )
 
@@ -193,7 +195,7 @@ def win_analytic_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.first("o_orderkey").over(w).alias("first_key"),

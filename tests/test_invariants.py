@@ -77,6 +77,20 @@ def test_stateful_counter_rows_cover_all_users(spark):
     assert all(r["n_events"] > 0 for r in rows)
 
 
+def test_approx_quantiles_close_to_exact(spark):
+    exact = {
+        r["status"]: (r["p25"], r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_percentiles_exact"](spark, SF).collect()
+    }
+    approx = {
+        r["status"]: (r["ap25"], r["ap50"], r["ap90"], r["ap99"])
+        for r in QUERIES["agg_approx_quantiles"](spark, SF).collect()
+    }
+    for status, ex in exact.items():
+        for e, a in zip(ex, approx[status]):
+            assert abs(a - e) / max(abs(e), 1e-9) <= 0.02, (status, e, a)
+
+
 def test_seeded_sample_stable_and_sized(spark):
     a = QUERIES["scan_sample_seeded"](spark, SF).collect()
     b = QUERIES["scan_sample_seeded"](spark, SF).collect()
