@@ -2,6 +2,7 @@
 
 from sim_spark.queries import (  # noqa: F401
     aggregations,
+    functions_bits,
     functions_extra,
     functions_scalar,
     grouping_ext,

@@ -16,6 +16,45 @@ from sim_spark.registry import query
 
 
 @query(
+    "sql_multiway_star",
+    oracle=f"""
+SELECT r.r_name AS region,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY r.r_name
+""",
+)
+def sql_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiway star join written as SQL text (EP3, SURVEY §3.2):
+    same Catalyst plan as the DataFrame build in join_multiway_star —
+    parser entry point exercised on a join-heavy query."""
+    register_views(
+        spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"]
+    )
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY r.r_name
+        """
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
 SELECT r.r_name AS region, n.n_name AS nation,

@@ -105,6 +105,60 @@ def test_stream_stream_join_equals_batch(spark, replay):
     _assert_same(batch, out, "purchase_view_join")
 
 
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume semantics: run a counting query over file 1 with a
+    checkpoint, stop it, add file 2, restart with the SAME checkpoint —
+    the resumed query must process ONLY file 2 (no re-count of file 1's
+    rows) and the final totals must equal the batch count over both."""
+    import time
+
+    from pyspark.sql import functions as F2
+
+    ev = table(spark, SF, "events")
+    half1 = ev.filter(F2.col("event_id") % 2 == 0)
+    half2 = ev.filter(F2.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(src)
+
+    # foreachBatch sink: the production pattern for aggregations (the
+    # parquet file sink is append-only and can't take an updating agg);
+    # committed batch ids are not re-executed after a restart.
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append((batch_id, batch_df.agg(F2.sum("n")).collect()[0][0]))
+
+    def start():
+        return (
+            mounts.stream_events(spark, src)
+            .groupBy("event_type")
+            .agg(F2.count(F2.lit(1)).alias("n"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(300)
+    n_after_first = sum(n for _, n in seen_batches if n)
+    assert n_after_first == half1.count()
+
+    time.sleep(1.05)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start()
+    q2.awaitTermination(300)
+
+    batch_ids = [b for b, _ in seen_batches]
+    assert len(batch_ids) == len(set(batch_ids)), f"re-executed batches: {batch_ids}"
+    # update-mode agg emits cumulative per-key counts; the last batch's
+    # total must equal the full dataset (state restored from checkpoint,
+    # file 1 NOT re-read as input).
+    assert seen_batches[-1][1] == ev.count(), seen_batches
+
+
 def test_watermark_drops_late_batch(spark, tmp_path):
     """Three-file replay, one file per trigger:
 
