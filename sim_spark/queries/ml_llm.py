@@ -490,6 +490,24 @@ def ml_kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ml_kmeans_lloyd")  # rows-only: iterative; invariants in pytest
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means as driver-side iteration over cached DataFrame ops
+    (ops/kmeans_relational.py) — sim's iterative-pipeline pattern done
+    Spark-natively: broadcast literal centroids, one map + one agg per
+    iteration, k×dim doubles to the driver per step. Deterministic
+    (fixed init, rounded distances, 3 iterations); invariants: inertia
+    monotonically non-increasing, clusters cover all points."""
+    from sim_spark.ops.kmeans_relational import kmeans_lloyd
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned, _inertia = kmeans_lloyd(e, k=10, n_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.round(F.sum("dist2"), 4).alias("sse"))
+    )
+
+
 @query("ml_kmeans_embeddings")  # rows-only: trained cluster ids aren't SQL-derivable
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MLlib KMeans (k=10, seed=42, k-means||) on the embeddings —

@@ -44,6 +44,19 @@ class TestKMeans:
         assert again == sizes
 
 
+def test_lloyd_kmeans_converges_and_covers(spark):
+    from sim_spark.ops.kmeans_relational import kmeans_lloyd
+
+    assigned, inertia = kmeans_lloyd(table(spark, SF, "embeddings"), k=10, n_iter=3)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), (
+        f"inertia not monotone: {inertia}"
+    )
+    n = table(spark, SF, "embeddings").count()
+    sizes = assigned.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in sizes) == n
+    assert len(sizes) == 10
+
+
 def _pair_set(df, a="id_a", b="id_b"):
     return {(r[a], r[b]) for r in df.collect()}
 
