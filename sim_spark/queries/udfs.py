@@ -147,7 +147,15 @@ def udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UDAF shape: one Arrow batch per group, numpy math inside, linear
     interpolation matching quantile_cont exactly."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy("user_id").applyInPandas(_gap_stats, _GAP_SCHEMA)
+    out = e.groupBy("user_id").applyInPandas(_gap_stats, _GAP_SCHEMA)
+    # NaN → NULL on the way out: a single-event user yields no gaps, and
+    # pandas can only say NaN where SQL says NULL — the two are distinct
+    # double values to Spark/Arrow, and the oracle emits NULL.
+    nn = lambda c: F.when(F.isnan(c), F.lit(None)).otherwise(F.col(c))  # noqa: E731
+    return out.select(
+        "user_id", "n_gaps", nn("median_gap_us").alias("median_gap_us"),
+        nn("p90_gap_us").alias("p90_gap_us"),
+    )
 
 
 # --- UDTF -------------------------------------------------------------------

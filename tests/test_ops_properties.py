@@ -94,6 +94,35 @@ def test_interval_join_matches_naive(spark, seed, lower_s, upper_s):
     assert got == want, f"seed={seed} window=[{lower_s},{upper_s})"
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, how):
+    """Skew-salted join must be row-identical to the plain equi-join —
+    including unmatched-left rows under 'left'."""
+    from pyspark.sql import functions as F
+    from sim_spark.ops.salting import salted_join
+
+    left = spark.range(500).select(
+        F.col("id").alias("uid"),
+        # heavy skew: 80% of rows share key 7
+        F.when(F.col("id") % 5 < 4, 7).otherwise(F.col("id") % 40).alias("k"),
+    )
+    right = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+    plain = sorted(
+        map(tuple, left.join(right, "k", how).select("uid", "k", "payload").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(left, right, "k", n_salts=4, how=how, left_unique="uid")
+            .select("uid", "k", "payload")
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+
 def test_interval_join_rejects_empty_window(spark):
     df = spark.range(1).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
     with pytest.raises(ValueError, match="empty interval"):
