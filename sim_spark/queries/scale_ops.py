@@ -1,0 +1,146 @@
+"""Data-layout operators for the 100 TB path: bucketed co-located joins,
+range-partitioned sorted sinks, and embedding-space near-dup dedup.
+
+These are the ops whose *plans* are the point — the oracle checks the
+values, tests/test_scale_ops.py checks the physical properties (no
+Exchange on the bucketed join; disjoint per-file ranges on the sorted
+sink).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import dsum, sql_dsum, ts_str
+from sim_spark.io import table
+from sim_spark.ops.bucketing import bucketed_join
+from sim_spark.registry import query
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o.o_orderstatus AS status,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY status
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders with both sides pre-bucketed on the order key:
+    the join itself needs no Exchange and no Sort (bucketBy+sortBy at
+    write time). At 100 TB this amortizes the fact-table shuffle across
+    every downstream query on the same key."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = bucketed_join(spark, li, o, "l_orderkey", "o_orderkey", "lio", n_buckets=8)
+    return (
+        j.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "sink_sorted_ranges",
+    oracle=f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       COUNT(*) AS n_lines,
+       strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
+FROM lineitem GROUP BY year(l_shipdate) ORDER BY ship_year
+""",
+)
+def sink_sorted_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, internally-sorted parquet sink, then a read
+    back. ``repartitionByRange + sortWithinPartitions`` gives every file
+    a disjoint [min,max] l_shipdate span, so a future time-range scan
+    prunes whole files from parquet footer stats alone — the layout that
+    makes a 100 TB time-series table queryable. Values verified against
+    the source; the disjoint-range property against the file footers in
+    tests/test_scale_ops.py."""
+    li = table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="sim_spark_ranges_")
+    try:
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        back = (
+            spark.read.parquet(tmp)
+            .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                ts_str(F.min("l_shipdate")).alias("first_ship"),
+                ts_str(F.max("l_shipdate")).alias("last_ship"),
+            )
+            .orderBy("ship_year")
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH prod AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM prod GROUP BY id_a, id_b
+  HAVING ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) > 0.8
+)
+SELECT e.vec_id AS doc_id,
+       COALESCE(MIN(p.id_a), e.vec_id) AS canonical_id,
+       MIN(p.id_a) IS NOT NULL AS is_near_dup
+FROM embeddings e LEFT JOIN pairs p ON p.id_b = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: each vector maps to the smallest
+    id among its >0.8-cosine neighbors (one-hop single-linkage; vectors
+    are L2-normalized so dot ≡ cosine). The keep-set is
+    ``canonical_id = doc_id``. At scale the quadratic candidate join is
+    replaced by the LSH-bucketed variant (``sim_ann_ivf`` path); this is
+    the exact formulation both are measured against."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("score"))
+        .filter(F.col("score") > 0.8)
+        .select("id_a", "id_b")
+    )
+    return (
+        e.join(pairs, e.vec_id == pairs.id_b, "left")
+        .groupBy("vec_id")
+        .agg(F.min("id_a").alias("__min_n"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.coalesce("__min_n", "vec_id").alias("canonical_id"),
+            F.col("__min_n").isNotNull().alias("is_near_dup"),
+        )
+    )

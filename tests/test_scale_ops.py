@@ -1,0 +1,108 @@
+"""Physical-property tests for the data-layout operators: the values are
+oracle-checked like everything else; THESE tests pin the plan/layout
+facts that make the ops worth having at 100 TB."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key with equal bucket counts →
+    SortMergeJoin with zero Exchange and zero Sort nodes."""
+    from sim_spark.io import table
+    from sim_spark.ops.bucketing import bucketed_join
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    j = bucketed_join(spark, li, o, "l_orderkey", "o_orderkey", "t_nx", n_buckets=4)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # (A Sort may remain: sortBy only eliminates it when each bucket is
+    # a single file, which a parallel writer doesn't guarantee. The
+    # shuffle — the expensive part — is what bucketing removes.)
+    # And the result matches the plain join.
+    got = j.count()
+    want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert got == want
+
+
+def test_bucketed_scan_respects_bucket_pruning(spark):
+    """A point predicate on the bucket key scans only 1 of n buckets
+    (SelectedBucketsCount in the scan node)."""
+    from sim_spark.io import table
+    from sim_spark.ops.bucketing import write_bucketed
+
+    o = table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    t = write_bucketed(spark, o, "t_prune", "o_orderkey", n_buckets=4)
+    # autoBucketedScan turns the bucketed layout OFF when no operator
+    # needs the distribution — which also forfeits bucket pruning; a
+    # deployment doing point lookups on the bucket key disables it.
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        plan = (
+            t.filter(F.col("o_orderkey") == 7)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+
+
+def test_sorted_range_sink_files_are_disjoint(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions → per-file [min,max]
+    l_shipdate spans don't overlap, so footer stats prune whole files."""
+    from sim_spark.io import table
+
+    out = str(tmp_path / "ranges")
+    (
+        table(spark, SF, "lineitem")
+        .repartitionByRange(6, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ds = pq.ParquetDataset(out)
+    spans = []
+    for frag in ds.fragments:
+        md = frag.metadata
+        idx = frag.physical_schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2  # range partitioner actually split
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, f"overlapping file ranges: {spans}"
+
+
+def test_dedup_embedding_cosine_keep_set_invariants(spark):
+    """Canonical ids are ≤ their members, canonicals are self-canonical
+    (one-hop closure property), and non-dups keep themselves."""
+    import sim_spark.queries  # noqa: F401 — populates the registry
+    from sim_spark.registry import QUERIES
+
+    df = QUERIES["dedup_embedding_cosine"](spark, SF).cache()
+    try:
+        assert df.filter(F.col("canonical_id") > F.col("doc_id")).count() == 0
+        assert (
+            df.filter(~F.col("is_near_dup") & (F.col("canonical_id") != F.col("doc_id"))).count()
+            == 0
+        )
+        n_total = df.count()
+        n_distinct = df.select("doc_id").distinct().count()
+        assert n_total == n_distinct  # exactly one verdict per vector
+    finally:
+        df.unpersist()
