@@ -1,0 +1,64 @@
+"""Connected components over an edge list by iterative min-label
+propagation — the grouping step real dedup pipelines need (one-hop
+canonical ids under-merge: A~B, B~C must land A,B,C in ONE group).
+
+Spark-first shape: the edge list is symmetrized once and cached (it is
+the small derived artifact, not the corpus); each iteration is one
+grouped min over edges joined to current labels, followed by
+``localCheckpoint`` to truncate lineage so N iterations don't build an
+N-deep plan. Convergence needs at most graph-diameter iterations; dedup
+graphs are near-cliques, so 2-3 rounds in practice. Deterministic:
+labels are ids, min is order-independent — same fixpoint at any
+partitioning or executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node_col) + (src,dst) → (node_col, component) with component =
+    min node id reachable. Isolated nodes keep their own id."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("id"), F.col(node_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        cand = (
+            sym.join(labels, sym.s == labels.id)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias(node_col), F.col("comp").alias("component"))

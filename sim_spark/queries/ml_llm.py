@@ -408,11 +408,13 @@ dots AS (
   SELECT id_a, id_b, ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) AS score
   FROM prod GROUP BY id_a, id_b
 )
-SELECT id_a, id_b, score FROM dots WHERE score > 0.8
+SELECT id_a, id_b, score FROM dots WHERE score > 0.4
 """,
 )
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs with cosine > 0.8 (symmetric-deduped a < b).
+    """All vector pairs with cosine > 0.4 (symmetric-deduped a < b; 0.4
+    because the fixture's measured max pair score is 0.51 — a higher cut
+    matches zero pairs and the op would pass vacuously).
     Round-then-compare keeps the boundary decision identical in both
     engines."""
     e = table(spark, sf_dir, "embeddings")
@@ -426,7 +428,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dot, 6).alias("score"))
-        .filter(F.col("score") > 0.8)
+        .filter(F.col("score") > 0.4)
     )
 
 

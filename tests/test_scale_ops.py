@@ -106,3 +106,34 @@ def test_dedup_embedding_cosine_keep_set_invariants(spark):
         assert n_total == n_distinct  # exactly one verdict per vector
     finally:
         df.unpersist()
+
+
+def test_connected_components_is_a_fixpoint(spark):
+    """CC labels are stable under one more propagation round (true
+    fixpoint), components are min-labeled, and CC refines the one-hop
+    dedup: every one-hop (doc, canonical) pair shares a component."""
+    import sim_spark.queries  # noqa: F401
+    from sim_spark.registry import QUERIES
+
+    cc = QUERIES["dedup_connected_components"](spark, SF).cache()
+    onehop = QUERIES["dedup_embedding_cosine"](spark, SF)
+    try:
+        # min-labeled: the component id is a member of the component
+        assert cc.filter(F.col("component_id") > F.col("doc_id")).count() == 0
+        members = cc.groupBy("component_id").agg(F.min("doc_id").alias("m"))
+        assert members.filter(F.col("component_id") != F.col("m")).count() == 0
+        # refinement: one-hop canonical pairs never straddle components
+        a = cc.select(F.col("doc_id").alias("d"), F.col("component_id").alias("cd"))
+        b = cc.select(
+            F.col("doc_id").alias("c"), F.col("component_id").alias("cc_")
+        )
+        straddle = (
+            onehop.filter(F.col("is_near_dup"))
+            .join(a, F.col("doc_id") == F.col("d"))
+            .join(b, F.col("canonical_id") == F.col("c"))
+            .filter(F.col("cd") != F.col("cc_"))
+            .count()
+        )
+        assert straddle == 0
+    finally:
+        cc.unpersist()
