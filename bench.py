@@ -46,6 +46,10 @@ HEADLINE = [
     "tpch_q7_volume",
     "subq_lateral_topn",
     "agg_rollup",
+    "tpch_q6_forecast",
+    "tpch_q18_large_orders",
+    "join_bucketed_colocated",
+    "dedup_connected_components",
 ]
 
 RUNS = 3

@@ -416,20 +416,12 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the fixture's measured max pair score is 0.51 — a higher cut
     matches zero pairs and the op would pass vacuously).
     Round-then-compare keeps the boundary decision identical in both
-    engines."""
+    engines; the quadratic candidate space is GEMM-pruned before the
+    exact per-pair dot (ops/cosine_blas.py)."""
+    from sim_spark.ops.cosine_blas import exact_cosine_pairs
+
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
-    dot = F.aggregate(
-        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 6).alias("score"))
-        .filter(F.col("score") > 0.4)
-    )
+    return exact_cosine_pairs(e, 0.4, with_score=True)
 
 
 # --------------------------------------------------------------------------

@@ -124,19 +124,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sim_ann_ivf`` path); this is the exact formulation both are
     measured against. Full transitive grouping: ``dedup_connected_components``."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
-    dot = F.aggregate(
-        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 6).alias("score"))
-        .filter(F.col("score") > 0.4)
-        .select("id_a", "id_b")
-    )
+    pairs = _cosine_pairs(e, 0.4)
     return (
         e.join(pairs, e.vec_id == pairs.id_b, "left")
         .groupBy("vec_id")
@@ -150,20 +138,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
-    """(id_a < id_b) vector pairs with rounded dot > threshold."""
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
-    dot = F.aggregate(
-        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 6).alias("score"))
-        .filter(F.col("score") > threshold)
-        .select("id_a", "id_b")
-    )
+    """(id_a < id_b) vector pairs with rounded dot > threshold —
+    GEMM-pruned then exactly re-checked (ops/cosine_blas.py)."""
+    from sim_spark.ops.cosine_blas import exact_cosine_pairs
+
+    return exact_cosine_pairs(e, threshold)
 
 
 @query(
