@@ -1,0 +1,103 @@
+"""Prefix-filtered exact set-similarity join (SSJoin/PPJoin family,
+Chaudhuri et al. ICDE'06; Xiao et al. WWW'08 — public literature).
+
+All-shared-token candidate generation fans out to Σ df(token)² pairs
+(33M rows at sf0.1 for the shingle dedup). Prefix filtering: order every
+set by one GLOBAL token order (document frequency ascending, id
+tie-break), keep each set's first ⌊(1-t)·|s|⌋+1 tokens; any pair with
+Jaccard ≥ t MUST collide inside those prefixes (if not, the
+intersection is confined to the suffixes, bounding |a∩b| below the
+t-required size). Joining prefixes — dominated by RARE tokens by
+construction — replaces the full fanout; the exact Jaccard then refines
+candidates via in-row array_intersect (JVM-side, no further shuffle).
+
+Same output, same oracle; the candidate stage shrinks ~20-30×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jaccard_join_prefix(
+    sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    arr_col: str = "shingles",
+) -> DataFrame:
+    """``sets``: (id_col, arr_col: array<string> DISTINCT elements) →
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Exact — prefix filtering only prunes candidates that cannot reach
+    the threshold."""
+    # Cached: this (id, hashed-set) frame feeds THREE plan branches
+    # (global df counts, prefix extraction, exact refine) — uncached,
+    # the upstream tokenize+shingle+hash runs once per branch (measured
+    # 3×5 s of the query's cost at sf0.1). One row per document, so the
+    # cache is corpus-row-count sized, not fanout sized.
+    hashed = (
+        sets.select(
+            F.col(id_col).alias("id"),
+            F.transform(arr_col, lambda x: F.xxhash64(x)).alias("hs"),
+            F.size(arr_col).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .cache()
+    )
+
+    # Global rarity order: document frequency per token hash.
+    df_counts = (
+        hashed.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    # Per-set prefix under the (df, h) total order. Written as
+    # n - ⌈t·n⌉ + 1 with an epsilon guard: the naive ⌊(1-t)·n⌋+1 breaks
+    # on float error (⌊(1-0.8)·5⌋ evaluates to ⌊0.99…8⌋ = 0, one short —
+    # found by the randomized-equivalence test, which caught an
+    # exactly-at-threshold pair being dropped).
+    min_overlap = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+    prefix_len = F.col("n") - min_overlap + 1
+    exploded = hashed.select("id", "n", F.explode("hs").alias("h")).join(
+        F.broadcast(df_counts), "h"
+    )
+    prefixes = (
+        exploded.groupBy("id", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.slice("ordered", F.lit(1), prefix_len),
+                    lambda s: s.getField("h"),
+                )
+            ).alias("h"),
+        )
+    )
+
+    a = prefixes.select(F.col("id").alias("id_a"), "h")
+    b = prefixes.select(F.col("id").alias("id_b"), "h").hint("shuffle_hash")
+    cand = (
+        a.join(b, ["h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact refine: whole hashed sets ride in as broadcast arrays; the
+    # intersection is computed in-row (elements are distinct by contract).
+    full = hashed.select("id", "hs", "n")
+    cand_full = cand.join(
+        F.broadcast(full.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))),
+        "id_a",
+    ).join(
+        F.broadcast(full.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return cand_full.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

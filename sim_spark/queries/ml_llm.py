@@ -276,39 +276,16 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the range join), then the exact Jaccard refines. This is the
     deterministic ground truth the MinHash/LSH variant is recall-tested
     against."""
+    from sim_spark.ops.setsim import jaccard_join_prefix
+
     d = table(spark, sf_dir, "documents")
     sh = _shingle_sets(d)
-    # Join on the 64-bit shingle hash, not the 3-word string: 8-byte keys
-    # shuffle/compare ~3× faster and the Σ(df²) pair fanout (33M rows at
-    # sf0.1) dominates this query. A hash collision would need two of the
-    # ~27k distinct shingles to collide in 64 bits (p ≈ 4e-11) to perturb
-    # one intersection count.
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_h")
-    )
-    # Narrow pair rows (ids only) through the fanout, shuffled-hash join
-    # (SMJ would sort 260k rows per side for no benefit — measured 2×
-    # slower), shingle-set sizes re-attached afterwards via broadcast:
-    # the 33M-row stretch of the plan carries 3 longs per row.
-    a = ex.select(F.col("doc_id").alias("id_a"), "sh_h")
-    b = ex.select(F.col("doc_id").alias("id_b"), "sh_h").hint("shuffle_hash")
-    inter = (
-        a.join(b, (a.sh_h == b.sh_h) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = sh.select("doc_id", "n_sh")
-    cand = inter.join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))),
-        "id_a",
-    ).join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))),
-        "id_b",
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return cand.filter(jac >= 0.8).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    )
+    # Prefix-filtered set-similarity join (ops/setsim.py): candidates
+    # must collide in their rarest-⌊0.2n⌋+1 token prefixes, replacing
+    # the full Σdf² shared-shingle fanout (33M rows at sf0.1) with the
+    # rare-token prefix join; exact Jaccard refines in-row. 64-bit
+    # hashed tokens throughout (collision p ≈ 4e-11 over ~27k shingles).
+    return jaccard_join_prefix(sh, 0.8, id_col="doc_id", arr_col="shingles")
 
 
 @query("dedup_minhash_lsh")  # rows-only: hash-bucket contents are seed/impl-specific

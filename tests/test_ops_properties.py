@@ -123,6 +123,43 @@ def test_salted_join_equals_plain_join(spark, how):
     assert plain == salted
 
 
+@pytest.mark.parametrize("seed,t", [(1, 0.8), (2, 0.5), (3, 0.9), (4, 0.7)])
+def test_prefix_jaccard_join_equals_naive(spark, seed, t):
+    """Prefix-filtered set-similarity join must equal the naive all-pairs
+    Jaccard — including pairs EXACTLY at the threshold (this test caught
+    a float-precision prefix-length bug dropping a J==t pair)."""
+    import random
+
+    from sim_spark.ops.setsim import jaccard_join_prefix
+
+    rnd = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        n = rnd.randint(0, 12)
+        s = list(dict.fromkeys(rnd.sample(vocab, n) if n else []))
+        rows.append((i, s))
+        if rnd.random() < 0.3 and s:
+            s2 = s.copy()
+            if rnd.random() < 0.5:
+                s2 = s2[:-1] or s2
+            rows.append((1000 + i, s2))
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    got = sorted(map(tuple, jaccard_join_prefix(df, t).collect()))
+    data = dict(rows)
+    ids = sorted(data)
+    want = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = set(data[ids[x]]), set(data[ids[y]])
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= t:
+                want.append((ids[x], ids[y], round(j, 6)))
+    assert got == sorted(want), f"seed={seed} t={t}"
+
+
 def test_interval_join_rejects_empty_window(spark):
     df = spark.range(1).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
     with pytest.raises(ValueError, match="empty interval"):
