@@ -66,3 +66,76 @@ def binary_features(df: DataFrame) -> DataFrame:
     """Feature-extract over a (doc_id, payload: binary) DataFrame via
     mapInPandas — the deterministic stand-in for the decode step."""
     return df.mapInPandas(_features_batches, BINARY_FEATURES_SCHEMA)
+
+
+# --- frame sampling (video-shaped payloads) ---------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame_sig", T.StringType()),
+    ]
+)
+
+FRAME_SIZE = 64
+FRAME_STRIDE = 2
+_SIG_BYTES = 8
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N row expansion per Arrow batch: every ``FRAME_STRIDE``-th
+    fixed-size frame of each payload, signature = hex of its head bytes.
+    A real video pipeline swaps the signature for `decode_stub` output;
+    the fan-out shape, schema, and batch handling are what's tested."""
+    for pdf in batches:
+        ids, frames, sigs = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = (len(raw) + FRAME_SIZE - 1) // FRAME_SIZE
+            for f in range(0, n_frames, FRAME_STRIDE):
+                ids.append(doc_id)
+                frames.append(f)
+                sigs.append(raw[f * FRAME_SIZE : f * FRAME_SIZE + _SIG_BYTES].hex().upper())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_no": pd.Series(frames, dtype="int64"),
+                "frame_sig": pd.Series(sigs, dtype="object"),
+            }
+        )
+
+
+def frame_sample(df: DataFrame) -> DataFrame:
+    """Sample frames from (doc_id, payload: binary): mapInPandas emits a
+    row per kept frame. Output cardinality is data-dependent (unlike a
+    pandas_udf, which is 1:1) — the reason this plumbing must be
+    mapInPandas."""
+    return df.mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
+# --- resize (image-shaped metadata) -----------------------------------------
+
+RESIZE_TARGET = 224
+
+
+def resize_dims(df: DataFrame, w_col: str = "width", h_col: str = "height") -> DataFrame:
+    """Fit-within-target resize arithmetic as an Arrow-vectorized pandas
+    UDF (numpy whole-column math — the shape a real resize kernel plugs
+    into; pixel work would happen next to this, on the decoded buffer).
+    No upscaling; floor(x+0.5) rounding so the decision is engine-
+    portable (np.round/SQL ROUND disagree on half-values)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _scaled(dim: pd.Series, other: pd.Series) -> pd.Series:
+        d = dim.to_numpy(dtype=np.float64)
+        o = other.to_numpy(dtype=np.float64)
+        scale = np.minimum(1.0, RESIZE_TARGET / np.maximum(d, o))
+        return pd.Series(np.floor(d * scale + 0.5).astype(np.int64))
+
+    return df.withColumn("out_w", _scaled(F.col(w_col), F.col(h_col))).withColumn(
+        "out_h", _scaled(F.col(h_col), F.col(w_col))
+    )

@@ -293,3 +293,88 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return binary_features(payloads)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT d.doc_id, f.f AS frame_no,
+       upper(hex(CAST(substring(d.text, CAST(f.f * 64 + 1 AS BIGINT), 8) AS BLOB))) AS frame_sig
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(octet_length(CAST(d.text AS BLOB)) / 64.0) AS BIGINT), 2)) AS f) f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped 1→N frame sampling via mapInPandas (every 2nd
+    64-byte 'frame', signature = hex of its 8 head bytes): the fan-out
+    batch shape a real frame extractor runs in — the decode itself stays
+    the ops.multimodal stub. ASCII fixture text ⇒ byte offsets ≡ char
+    offsets, which is what lets the oracle mirror it with substring."""
+    from sim_spark.ops.multimodal import frame_sample
+
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return frame_sample(payloads)
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + (n_chars % 512) AS width, 64 + ((n_chars * 7) % 512) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(FLOOR(width  * LEAST(1.0, 224.0 / GREATEST(width, height)) + 0.5) AS BIGINT) AS out_w,
+       CAST(FLOOR(height * LEAST(1.0, 224.0 / GREATEST(width, height)) + 0.5) AS BIGINT) AS out_h
+FROM dims
+""",
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: deterministic fake (width, height) derived
+    from n_chars, then fit-within-224 scaling as an Arrow-vectorized
+    pandas UDF (ops.multimodal.resize_dims) — whole-column numpy math,
+    the slot a real pixel kernel drops into."""
+    from sim_spark.ops.multimodal import resize_dims
+
+    d = table(spark, sf_dir, "documents")
+    dims = d.select(
+        "doc_id",
+        (64 + F.col("n_chars") % 512).alias("width"),
+        (64 + (F.col("n_chars") * 7) % 512).alias("height"),
+    )
+    return resize_dims(dims)
+
+
+@query(
+    "text_fuzzy_levenshtein",
+    oracle="""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS edit_dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3
+WHERE levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) <= 22
+""",
+)
+def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on 30-char prefixes over a banded
+    candidate set (same lang, id-distance ≤ 3; ≤22 keeps the bottom quartile of the fixture's 14-29 distance range — levenshtein is O(n·m)
+    per pair, so real pipelines ALWAYS pre-band it behind a cheap
+    blocking key; the id band is this fixture's stand-in for one).
+    Spark and DuckDB agree on unit-cost Levenshtein semantics."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                 F.substring("text", 1, 30).alias("pref_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+                 F.substring("text", 1, 30).alias("pref_b"))
+    dist = F.levenshtein("pref_a", "pref_b")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") - F.col("id_a") <= 3),
+        )
+        .filter(dist <= 22)
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+    )
