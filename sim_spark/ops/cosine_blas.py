@@ -61,6 +61,64 @@ def cosine_candidate_pairs(e: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def exact_topk_cosine(
+    corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact top-k by rounded cosine per query (qid, cid, score, rn),
+    qid ≠ cid, ties broken by ascending cid — GEMM scores everything,
+    a guard band keeps every row that could still be top-k under the
+    exact ordering, and only those are exactly re-scored.
+
+    ``corpus``: (cid, c_emb); ``queries``: (qid, q_emb), small enough to
+    collect (it is already the broadcast side of the naive plan)."""
+    from pyspark.sql.window import Window
+
+    qrows = sorted(queries.select("qid", "q_emb").collect(), key=lambda r: r[0])
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["q_emb"] for r in qrows], dtype=np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["cid"].to_numpy(dtype=np.int64)
+            c = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]])
+            s = c @ q_mat.T  # (batch, n_queries)
+            ci, qi = np.nonzero(c_ids[:, None] != q_ids[None, :])
+            yield pd.DataFrame(
+                {"qid": q_ids[qi], "cid": c_ids[ci], "g": s[ci, qi]}
+            )
+
+    gemm = corpus.select(
+        F.col("cid"), F.col("c_emb")
+    ).mapInPandas(gen, schema="qid long, cid long, g double")
+
+    w = Window.partitionBy("qid").orderBy(F.desc("g"), F.asc("cid"))
+    wq = Window.partitionBy("qid")
+    ranked = gemm.withColumn("r", F.row_number().over(w)).withColumn(
+        "kth", F.min(F.when(F.col("r") <= k, F.col("g"))).over(wq)
+    )
+    cand = ranked.filter(F.col("g") >= F.col("kth") - F.lit(_GUARD)).select(
+        "qid", "cid"
+    )
+
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        cand.join(F.broadcast(queries), "qid")
+        .join(F.broadcast(corpus), "cid")
+        .select("qid", "cid", F.round(dot, 6).alias("score"))
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        exact.withColumn("rn", F.row_number().over(we).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def exact_cosine_pairs(
     e: DataFrame, threshold: float, with_score: bool = False
 ) -> DataFrame:

