@@ -45,7 +45,7 @@ def cosine_candidate_pairs(e: DataFrame, threshold: float) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if pdf.empty:
+            if pdf.empty or mat.size == 0:
                 continue
             b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             b = np.asarray(
@@ -79,7 +79,7 @@ def exact_topk_cosine(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if pdf.empty:
+            if pdf.empty or q_mat.size == 0:
                 continue
             c_ids = pdf["cid"].to_numpy(dtype=np.int64)
             c = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]])

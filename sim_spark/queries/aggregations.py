@@ -227,3 +227,34 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+@query(
+    "agg_filtered_argminmax",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       BOOL_OR(o_orderstatus = 'F') AS any_f,
+       BOOL_AND(o_totalprice > 0) AS all_pos,
+       ARG_MAX(o_orderstatus, o_orderkey) AS last_status,
+       ARG_MIN(o_orderstatus, o_orderkey) AS first_status
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+""",
+)
+def agg_filtered_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/argument aggregates: count_if, bool_or/bool_and,
+    max_by/min_by. The max_by/min_by ordering key is the UNIQUE
+    o_orderkey — arg-extrema over a non-unique key are tie-
+    nondeterministic and can never be oracle-hashed (§2.12)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+            F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        )
+        .orderBy("priority")
+    )

@@ -194,3 +194,85 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_dup_group"
         ),
     )
+
+
+@query(
+    "join_partition_pruned_fact",
+    oracle=f"""
+WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS ship_year
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+SELECT l.ship_year, COUNT(*) AS n_lines, {sql_dsum('l.l_extendedprice')} AS sum_price
+FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_extendedprice
+      FROM lineitem) l
+JOIN y ON l.ship_year = y.ship_year
+GROUP BY l.ship_year ORDER BY l.ship_year
+""",
+)
+def join_partition_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    `partitionBy(ship_year)`; joining it to a filtered dimension makes
+    Spark compute the dim's year set at runtime and skip entire fact
+    partitions (`dynamicpruningexpression` in PartitionFilters —
+    asserted in tests/test_scale_ops.py). At 100 TB this is the
+    difference between scanning one year's directories and the whole
+    lake when the pruning values are only known at run time."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="sim_spark_dpp_")
+    try:
+        (
+            li.select(
+                F.year("l_shipdate").cast("bigint").alias("ship_year"),
+                "l_extendedprice",
+            )
+            .write.mode("overwrite")
+            .partitionBy("ship_year")
+            .parquet(tmp)
+        )
+        fact = spark.read.parquet(tmp)
+        dim = (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            )
+            .select(F.year("o_orderdate").cast("bigint").alias("ship_year"))
+            .distinct()
+        )
+        out = (
+            fact.join(F.broadcast(dim), "ship_year")
+            .groupBy("ship_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum("l_extendedprice").alias("sum_price"),
+            )
+            .orderBy("ship_year")
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("sketch_hll_mergeable")  # rows-only: sketch estimates aren't SQL-derivable
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark
+    3.5+): one sketch per source partition-group, merged with
+    hll_union_agg into the global estimate — the 100 TB rollup pattern
+    (daily sketches union into monthly/united estimates WITHOUT
+    re-scanning raw data; plain approx_count_distinct can't re-merge).
+    Invariants (tests/test_scale_ops.py): merged estimate == direct
+    global sketch estimate, and relative error vs exact < 5%."""
+    e = table(spark, sf_dir, "events")
+    per_group = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate"),
+        F.count_distinct("user_id").alias("exact_global"),
+    )
+    return merged.crossJoin(direct)

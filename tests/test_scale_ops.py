@@ -108,6 +108,61 @@ def test_dedup_embedding_cosine_keep_set_invariants(spark):
         df.unpersist()
 
 
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Fact partitioned by ship_year joined to a filtered dim → the fact
+    scan's PartitionFilters carries a dynamicpruningexpression (runtime
+    partition skip), not a full scan."""
+    from sim_spark.io import table
+
+    out = str(tmp_path / "fact")
+    li = table(spark, SF, "lineitem")
+    (
+        li.select(F.year("l_shipdate").cast("bigint").alias("ship_year"), "l_extendedprice")
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    o = table(spark, SF, "orders")
+    dim = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(F.year("o_orderdate").cast("bigint").alias("ship_year"))
+        .distinct()
+    )
+    j = fact.join(F.broadcast(dim), "ship_year").groupBy("ship_year").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+
+
+def test_hll_sketch_merge_invariants(spark):
+    """Union of per-group sketches must estimate the same as one global
+    sketch (mergeability), and within 5% of the exact distinct count."""
+    import sim_spark.queries  # noqa: F401
+    from sim_spark.registry import QUERIES
+
+    row = QUERIES["sketch_hll_mergeable"](spark, SF).collect()[0]
+    assert row["merged_estimate"] == row["direct_estimate"]
+    exact = row["exact_global"]
+    assert abs(row["merged_estimate"] - exact) / exact < 0.05
+
+
+def test_cosine_ops_handle_empty_inputs(spark):
+    """GEMM helpers must return empty frames, not crash on shape
+    mismatch, when the corpus or query side is empty."""
+    from sim_spark.io import table
+    from sim_spark.ops.cosine_blas import exact_cosine_pairs, exact_topk_cosine
+
+    e = table(spark, SF, "embeddings").filter(F.col("vec_id") < 0)  # empty
+    assert exact_cosine_pairs(e, 0.4).count() == 0
+    full = table(spark, SF, "embeddings")
+    c = full.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    q0 = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    assert exact_topk_cosine(c, q0, k=5).count() == 0
+
+
 def test_connected_components_is_a_fixpoint(spark):
     """CC labels are stable under one more propagation round (true
     fixpoint), components are min-labeled, and CC refines the one-hop
