@@ -97,3 +97,76 @@ def scan_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "sql_recursive_cte_spine",
+    oracle="""
+WITH RECURSIVE spine(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM spine
+  WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+)
+SELECT strftime(s.m, '%Y-%m-%d %H:%M:%S') AS month_start,
+       COUNT(o.o_orderkey) AS n_orders
+FROM spine s LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.m
+GROUP BY s.m ORDER BY s.m
+""",
+)
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a monthly calendar
+    spine covering the orders date range, left-join order counts onto it
+    — the standard 'no gaps in the time series' reporting pattern
+    (months with zero orders still appear). Parser + recursion executor
+    exercised end-to-end; DuckDB runs the identical recursion."""
+    from sim_spark.io import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM spine
+          WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+        )
+        SELECT date_format(s.m, 'yyyy-MM-dd HH:mm:ss') AS month_start,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM spine s LEFT JOIN orders o ON date_trunc('MONTH', o.o_orderdate) = s.m
+        GROUP BY s.m ORDER BY s.m
+        """
+    )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into a variant
+    column once, extract typed fields with variant_get — the
+    schema-on-read lane for ragged JSON where from_json's fixed schema
+    doesn't fit. Aggregates over the extracted field match DuckDB's
+    json_extract on the same strings."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
