@@ -326,3 +326,57 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(parsed).alias("back_to_json"),
         F.json_tuple("props", "k").alias("k_str"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+SELECT o_orderkey,
+       'base=' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         || ',dbl=' || CAST(CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS VARCHAR) AS entries,
+       2 AS n_entries,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            + CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS DOUBLE) AS total_all
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a map, transform_values (tax
+    uplift), map_filter, aggregate over map_values, and a sorted
+    entries-string render (maps hash unordered, so the oracle-facing
+    form is the canonical string). DuckDB lacks Spark's map HOFs — the
+    oracle states the expected RESULT arithmetic directly."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    # decimal(18,2) casts and a *2 multiplier: ROUND on doubles and even
+    # double→decimal conversion diverge across engines when a derived
+    # value lands exactly on a half-cent (465799.5 × 1.07 = 498405.465
+    # did, at sf0.001) — doubling is exact in binary, so no value ever
+    # needs a rounding decision and the hash is safe at any SF.
+    m = F.create_map(
+        F.lit("base"), F.col("o_totalprice").cast("decimal(18,2)"),
+        F.lit("dbl"), (F.col("o_totalprice") * 2).cast("decimal(18,2)"),
+    )
+    # transform_keys exercised as identity-with-prefix then stripped by
+    # the render; map_filter keeps everything (predicate on value > 0) —
+    # both run, neither changes the canonical result.
+    m2 = F.map_filter(m, lambda k, v: v > 0)
+    entries = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(m2)),
+            lambda e: F.concat_ws("=", e.getField("key"), e.getField("value").cast("string")),
+        ),
+        ",",
+    )
+    total = F.aggregate(
+        F.map_values(m2),
+        F.lit(0).cast("decimal(28,2)"),
+        # re-cast: decimal + decimal widens to (29,2), which would stop
+        # matching the accumulator type HOF aggregation requires
+        lambda acc, v: (acc + v.cast("decimal(28,2)")).cast("decimal(28,2)"),
+    )
+    return o.select(
+        "o_orderkey",
+        entries.alias("entries"),
+        F.size(m2).alias("n_entries"),
+        total.cast("double").alias("total_all"),
+    )

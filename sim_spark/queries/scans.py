@@ -133,3 +133,30 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+SELECT CAST(range AS BIGINT) AS event_id,
+       CAST(range % 97 AS BIGINT) AS user_id,
+       ROUND((range * 31 % 1000) / 10.0, 1) AS amount
+FROM range(5000)
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Spark 4 Python Data Source API
+    (sources/pyds.py): declared schema, option handling, and explicit
+    partition planning — 8 input partitions read in parallel, the same
+    machinery a connector to a sharded external system uses. The
+    generator is deterministic integer arithmetic so DuckDB's range()
+    reproduces it exactly."""
+    from sim_spark.sources.pyds import register
+
+    register(spark)
+    return (
+        spark.read.format("range_events")
+        .option("n", 5000)
+        .option("parts", 8)
+        .load()
+    )

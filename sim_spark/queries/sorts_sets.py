@@ -116,3 +116,33 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies, which is bag semantics, not EXCEPT.
     """
     return _segment_custs(spark, sf_dir).subtract(_urgent_custs(spark, sf_dir))
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+SELECT o_orderkey AS k, o_totalprice AS amount, 'order' AS src FROM orders
+WHERE o_totalprice > 400000
+UNION ALL
+SELECT l_orderkey AS k, l_extendedprice AS amount, 'line' AS src FROM lineitem
+WHERE l_extendedprice > 90000
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema alignment by column NAME, not position — the
+    two inputs deliberately project their columns in different orders,
+    which positional unionAll would silently scramble (k would land in
+    amount). The guard every multi-source ingest union needs."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    b = li.filter(F.col("l_extendedprice") > 90000).select(
+        F.lit("line").alias("src"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_orderkey").alias("k"),
+    )
+    return a.unionByName(b)

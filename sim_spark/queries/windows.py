@@ -201,3 +201,45 @@ def win_analytic_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w_full).alias("last_key"),
     )
+
+
+@query(
+    "win_gap_fill_locf",
+    oracle="""
+SELECT user_id, event_id,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM (SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events)
+""",
+)
+def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): clicks' values
+    are masked to NULL, then every row takes the most recent non-null
+    value in its user's timeline — ``F.last(..., ignorenulls=True)``
+    over a running frame. THE standard sensor/time-series gap-fill; at
+    scale it is one keyed window (shuffle on user_id, in-partition
+    scan), never a self-join."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
