@@ -160,3 +160,36 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", 8)
         .load()
     )
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+SELECT CAST(range % 97 AS BIGINT) AS user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(range AS BIGINT)) AS BIGINT) AS sum_ids
+FROM range(2000) GROUP BY range % 97
+""",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING face (Python Data Source
+    SimpleDataSourceStreamReader): offset-tracked micro-batches drained
+    to idle under a running trigger into a memory sink, then aggregated. Deterministic
+    generator ⇒ the streaming pipeline's total output is SQL-oracle-
+    checkable — same rows whether read as a batch or as 20 micro-
+    batches, which is exactly the exactly-once claim."""
+    from sim_spark.sources.pyds import register
+    from sim_spark.streaming import mounts
+
+    register(spark)
+    stream = (
+        spark.readStream.format("range_events")
+        .option("n", 2000)
+        .option("batch", 100)
+        .load()
+    )
+    sink = mounts.run_streaming_until_idle(stream, "append")
+    return sink.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )

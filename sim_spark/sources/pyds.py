@@ -13,7 +13,12 @@ partition per shard/day/offset-range of the remote system.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _Slice(InputPartition):
@@ -50,6 +55,37 @@ class RangeEventsDataSource(DataSource):
 
     def reader(self, schema) -> RangeEventsReader:
         return RangeEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RangeEventsStreamReader":
+        return RangeEventsStreamReader(self.options)
+
+
+class RangeEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming face of the same source: offsets are row
+    positions, each poll serves up to ``batch`` rows and advances the
+    offset; ``readBetweenOffsets`` replays a committed range exactly
+    (the recovery contract checkpointed streams rely on). A real
+    connector maps offsets to its log positions (Kafka offsets, change
+    streams); the arithmetic rows keep this one oracle-checkable."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    @staticmethod
+    def _rows(start: int, end: int):
+        return [(i, i % 97, round((i * 31 % 1000) / 10.0, 1)) for i in range(start, end)]
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
 
 
 def register(spark) -> None:

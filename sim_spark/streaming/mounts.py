@@ -97,6 +97,50 @@ def run_streaming_to_memory(
     return spark.table(name)
 
 
+def run_streaming_until_idle(
+    out: DataFrame, output_mode: str, await_seconds: int = 300
+) -> DataFrame:
+    """Run a continuous-trigger stream until the source reports idle
+    (two consecutive empty triggers with no data available), then stop
+    and return the memory-sink table.
+
+    availableNow snapshots only what the source has ALREADY prefetched —
+    for a poll-driven custom reader (sources/pyds.py) that is one
+    micro-batch, so draining needs a running trigger plus an idle
+    detector, the same loop a test harness uses against any poll-based
+    connector."""
+    import time
+
+    name = "sink_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + await_seconds
+    idle_polls = 0
+    seen_any = False
+    while time.time() < deadline and idle_polls < 3:
+        time.sleep(0.3)
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] > 0:
+            seen_any = True
+        s = q.status
+        # An exhausted source stops emitting progress entries entirely —
+        # idle must be read from status, and only counts once data has
+        # flowed (the prefetch race at start otherwise looks idle).
+        if seen_any and not s["isDataAvailable"] and not s["isTriggerActive"]:
+            idle_polls += 1
+        else:
+            idle_polls = 0
+    q.stop()
+    q.awaitTermination(30)
+    spark = out.sparkSession
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Shared transformations — each takes an events DataFrame (batch OR stream)
 # so the two sides of the parity test run literally the same code.
