@@ -276,3 +276,46 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_global"),
     )
     return merged.crossJoin(direct)
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM (SELECT l_returnflag,
+             CASE WHEN l_returnflag = 'R' THEN l_quantity * 2 ELSE l_quantity END AS l_quantity
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert on a plain parquet lake:
+    ``partitionOverwriteMode=dynamic`` rewrites ONLY the partitions
+    present in the incoming batch (here: the 'R' slice with doubled
+    quantities) and leaves sibling partitions untouched — the daily
+    reprocess/backfill primitive at 100 TB, where STATIC overwrite mode
+    would silently delete every other partition. Read-back proves 'A'/'N'
+    survived and 'R' was replaced."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="sim_spark_dpo_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        reprocessed = li.filter(F.col("l_returnflag") == "R").withColumn(
+            "l_quantity", F.col("l_quantity") * 2
+        )
+        reprocessed.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        back = (
+            spark.read.parquet(tmp)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+            .orderBy("l_returnflag")
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -241,3 +241,51 @@ def udf_numpy_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     out = e.select("vec_id", _vector_norms("embedding").alias("s"))
     return out.select("vec_id", "s.l2_norm", "s.l1_norm", "s.n_dims")
+
+
+# --- polymorphic UDTF (Spark 4 analyze()) -----------------------------------
+
+
+class _FirstWords:
+    """Output schema decided at ANALYSIS time from the literal n —
+    word_1..word_n columns. The polymorphic-UDTF contract: analyze()
+    runs on the driver during planning with the argument metadata,
+    eval() streams rows on executors."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.udtf import AnalyzeResult
+
+        k = int(n.value)
+        return AnalyzeResult(
+            T.StructType(
+                [T.StructField(f"word_{i + 1}", T.StringType()) for i in range(k)]
+            )
+        )
+
+    def eval(self, text: str, n: int):
+        ws = (text or "").split()
+        yield tuple(ws[i] if i < len(ws) else None for i in range(n))
+
+
+@query(
+    "udtf_polymorphic_words",
+    oracle="""
+SELECT doc_id,
+       str_split(text, ' ')[1] AS word_1,
+       str_split(text, ' ')[2] AS word_2,
+       str_split(text, ' ')[3] AS word_3
+FROM documents
+""",
+)
+def udtf_polymorphic_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: ``first_words(text, 3)`` produces 3
+    word columns because analyze() computed the schema from the literal
+    — change the 3 and the SCHEMA changes, which no fixed-returnType
+    UDTF can express. NULL-padded beyond the word count, matching
+    DuckDB's out-of-bounds list semantics."""
+    register_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("first_words", udtf(_FirstWords))
+    return spark.sql(
+        "SELECT d.doc_id, fw.* FROM documents d, LATERAL first_words(d.text, 3) fw"
+    )
