@@ -28,6 +28,10 @@ def connected_components(
 ) -> DataFrame:
     """(node_col) + (src,dst) → (node_col, component) with component =
     min node id reachable. Isolated nodes keep their own id."""
+    # The symmetrizing union references `edges` twice; both branches
+    # evaluate in ONE job, in parallel. (Caching `edges` first was
+    # measured SLOWER — it serializes the two branches behind the cache
+    # materialization and nests InMemoryRelations for no win.)
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))

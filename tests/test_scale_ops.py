@@ -137,6 +137,35 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruningexpression" in plan, plan
 
 
+def test_runtime_bloom_filter_injection(spark):
+    """With runtime bloom filters on, a selective filter on one join
+    side injects a bloom_filter_agg + might_contain probe on the other —
+    shuffle input shrinks before the exchange. Pins the conf recipe that
+    activates it (broadcast disabled: bloom filters target shuffle
+    joins; scan-size threshold floored for the small fixture)."""
+    from sim_spark.io import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF, "lineitem")
+        o = table(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_hll_sketch_merge_invariants(spark):
     """Union of per-group sketches must estimate the same as one global
     sketch (mergeability), and within 5% of the exact distinct count."""
