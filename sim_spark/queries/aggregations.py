@@ -258,3 +258,32 @@ def agg_filtered_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT n_name AS nation,
+       string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+       COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n_name ORDER BY nation
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    concatenation per group ≡ DuckDB's string_agg(ORDER BY). The
+    explicit ORDER BY is what makes a concatenation aggregate hashable
+    at all — unordered listagg is partition-order nondeterministic."""
+    from sim_spark.io import register_views
+
+    register_views(spark, sf_dir, ["supplier", "nation"])
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS suppliers,
+               COUNT(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY nation
+        """
+    )
