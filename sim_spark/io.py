@@ -134,12 +134,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     normalize(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        # Scope the legacy conf to this one read: the scan relation
+        # captures the conf at build time (verified: execution after
+        # restore still decodes correctly), so restoring immediately
+        # keeps later TIMESTAMP(NANOS) reads in the session loud.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(conf_key)
+        except Exception:
+            prev = None
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

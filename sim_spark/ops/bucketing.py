@@ -13,12 +13,26 @@ because of ``sortBy``).
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 _DB = "sim_spark_buckets"
+# Per-process private location + table-name token: concurrent sessions
+# on the same host never share a path (no DROP/rmtree races, no
+# predictable-/tmp-path squatting; mkdtemp is 0700).
+_LOCATION: str | None = None
+
+
+def _location() -> str:
+    global _LOCATION
+    if _LOCATION is None:
+        _LOCATION = tempfile.mkdtemp(prefix="sim_spark_buckets_")
+        atexit.register(shutil.rmtree, _LOCATION, ignore_errors=True)
+    return _LOCATION
 
 
 def write_bucketed(
@@ -27,14 +41,18 @@ def write_bucketed(
     name: str,
     key: str,
     n_buckets: int = 8,
-    location: str = "/tmp/sim_spark_buckets",
+    location: str | None = None,
 ) -> DataFrame:
     """Persist ``df`` as a bucketed+sorted catalog table; return a reader.
 
     Uses a dedicated database with an explicit LOCATION so this works
     under any warehouse conf and any catalog implementation (in-memory
     or Hive) — bucketing metadata lives in the session catalog either
-    way. Overwrites on re-run."""
+    way. Overwrites on re-run. Location defaults to a per-process
+    mkdtemp; the table name carries a per-process token so two runs
+    can't collide in the catalog either."""
+    location = location or _location()
+    name = f"{name}_{os.getpid()}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DB} LOCATION '{location}'")
     # The catalog is session-scoped but the location persists: a fresh
     # session won't know the table exists, and saveAsTable refuses to

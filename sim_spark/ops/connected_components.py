@@ -14,6 +14,8 @@ partitioning or executor count.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,28 +43,38 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("id"), F.col(node_col).alias("comp")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         cand = (
             sym.join(labels, sym.s == labels.id)
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        # The changed flag rides in the SAME checkpointed frame as the
+        # new labels: convergence detection costs one count over the
+        # already-materialized blocks instead of a second shuffle join
+        # of new-vs-old labels (halves the per-iteration job count).
+        stepped = (
             labels.join(cand, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                (F.coalesce("ncomp", "comp") < F.col("comp")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("id", "comp")
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} reached before the "
+            "fixpoint (graph diameter exceeds the iteration budget); labels "
+            "may violate the component = min-reachable-id contract",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias(node_col), F.col("comp").alias("component"))

@@ -61,7 +61,6 @@ def kmeans_lloyd(
         )
     ]
     inertia: list[float] = []
-    assigned = _assign(base, centroids)
     for _ in range(n_iter):
         assigned = _assign(base, centroids)
         stats = (
@@ -77,8 +76,11 @@ def kmeans_lloyd(
             .collect()
         )
         inertia.append(round(sum(r["sse"] for r in stats), 4))
-        centroids = [
-            (r["cluster"], [r[f"s{i}"] / r["n"] for i in range(dim)]) for r in stats
-        ]
-        centroids.sort(key=lambda c: c[0])
+        # A cluster that captured no vectors keeps its previous centroid
+        # (k never silently shrinks; the empty cluster may re-acquire
+        # points in a later iteration — standard Lloyd's handling).
+        refreshed = {
+            r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in stats
+        }
+        centroids = [(cid, refreshed.get(cid, emb)) for cid, emb in centroids]
     return _assign(base, centroids), inertia

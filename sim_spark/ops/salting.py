@@ -30,7 +30,18 @@ def salted_join(
     ``left_unique`` names a column whose hash spreads left rows across
     salts (defaults to a random-ish spread via the whole row hash of the
     key plus monotonically varying partition data is NOT used — pass a
-    unique id column for deterministic output)."""
+    unique id column for deterministic output).
+
+    Only inner/left/semi/anti are supported: the right side is
+    replicated ``n_salts`` ways, so right/full/outer would emit each
+    unmatched right row once per replica — not row-identical to the
+    plain join. Rejected loudly rather than silently wrong."""
+    norm_how = how.lower().replace("_", "")
+    if norm_how not in {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported (right-side replication "
+            "would duplicate unmatched right rows; use inner/left/semi/anti)"
+        )
     spread = F.col(left_unique) if left_unique else F.spark_partition_id()
     l_salted = left.withColumn(_SALT, F.pmod(F.hash(spread), F.lit(n_salts)))
     r_salted = right.withColumn(

@@ -60,8 +60,12 @@ def jaccard_join_prefix(
     # exactly-at-threshold pair being dropped).
     min_overlap = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
     prefix_len = F.col("n") - min_overlap + 1
+    # No forced broadcast: df_counts is vocabulary-sized (data-dependent).
+    # AQE broadcasts it when it measures small; at billions of docs the
+    # join degrades gracefully to a shuffle on the token hash instead of
+    # OOMing an executor with the vocabulary.
     exploded = hashed.select("id", "n", F.explode("hs").alias("h")).join(
-        F.broadcast(df_counts), "h"
+        df_counts, "h"
     )
     prefixes = (
         exploded.groupBy("id", "n")
@@ -86,14 +90,18 @@ def jaccard_join_prefix(
         .distinct()
     )
 
-    # Exact refine: whole hashed sets ride in as broadcast arrays; the
-    # intersection is computed in-row (elements are distinct by contract).
+    # Exact refine: the SMALL candidate-pair set joins the corpus keyed
+    # on id — a plain shuffle join whose cost scales with the candidates
+    # (118k rows at sf0.1), not the corpus. Never force-broadcast the
+    # corpus relation: one row per document is fine at sf, impossible at
+    # billions of docs; AQE still broadcasts when it measures small.
+    # The intersection is computed in-row (elements distinct by contract).
     full = hashed.select("id", "hs", "n")
     cand_full = cand.join(
-        F.broadcast(full.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))),
+        full.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")),
         "id_a",
     ).join(
-        F.broadcast(full.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))),
+        full.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")),
         "id_b",
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

@@ -9,9 +9,6 @@ sink).
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,6 +16,7 @@ from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import table
 from sim_spark.ops.bucketing import bucketed_join
 from sim_spark.registry import query
+from sim_spark.scratch import scratch_dir
 
 
 @query(
@@ -68,29 +66,26 @@ def sink_sorted_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes whole files from parquet footer stats alone — the layout that
     makes a 100 TB time-series table queryable. Values verified against
     the source; the disjoint-range property against the file footers in
-    tests/test_scale_ops.py."""
+    tests/test_scale_ops.py. Lazy read-back from a per-process scratch
+    dir — no driver-side materialization."""
     li = table(spark, sf_dir, "lineitem")
-    tmp = tempfile.mkdtemp(prefix="sim_spark_ranges_")
-    try:
-        (
-            li.repartitionByRange(8, "l_shipdate")
-            .sortWithinPartitions("l_shipdate")
-            .write.mode("overwrite")
-            .parquet(tmp)
+    out = scratch_dir("sink_sorted_ranges")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            ts_str(F.min("l_shipdate")).alias("first_ship"),
+            ts_str(F.max("l_shipdate")).alias("last_ship"),
         )
-        back = (
-            spark.read.parquet(tmp)
-            .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
-            .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                ts_str(F.min("l_shipdate")).alias("first_ship"),
-                ts_str(F.max("l_shipdate")).alias("last_ship"),
-            )
-            .orderBy("ship_year")
-        )
-        return spark.createDataFrame(back.collect(), schema=back.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        .orderBy("ship_year")
+    )
 
 
 @query(
@@ -220,38 +215,34 @@ def join_partition_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake when the pruning values are only known at run time."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="sim_spark_dpp_")
-    try:
-        (
-            li.select(
-                F.year("l_shipdate").cast("bigint").alias("ship_year"),
-                "l_extendedprice",
-            )
-            .write.mode("overwrite")
-            .partitionBy("ship_year")
-            .parquet(tmp)
+    lake = scratch_dir("dpp_fact")
+    (
+        li.select(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            "l_extendedprice",
         )
-        fact = spark.read.parquet(tmp)
-        dim = (
-            o.filter(
-                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            )
-            .select(F.year("o_orderdate").cast("bigint").alias("ship_year"))
-            .distinct()
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(lake)
+    )
+    fact = spark.read.parquet(lake)
+    dim = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        out = (
-            fact.join(F.broadcast(dim), "ship_year")
-            .groupBy("ship_year")
-            .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                dsum("l_extendedprice").alias("sum_price"),
-            )
-            .orderBy("ship_year")
+        .select(F.year("o_orderdate").cast("bigint").alias("ship_year"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        .orderBy("ship_year")
+    )
 
 
 @query("sketch_hll_mergeable")  # rows-only: sketch estimates aren't SQL-derivable
@@ -300,22 +291,20 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     li = table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_returnflag"
     )
-    tmp = tempfile.mkdtemp(prefix="sim_spark_dpo_")
+    lake = scratch_dir("dpo_lake")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
-        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(lake)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         reprocessed = li.filter(F.col("l_returnflag") == "R").withColumn(
             "l_quantity", F.col("l_quantity") * 2
         )
-        reprocessed.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
-        back = (
-            spark.read.parquet(tmp)
-            .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
-            .orderBy("l_returnflag")
-        )
-        return spark.createDataFrame(back.collect(), schema=back.schema)
+        reprocessed.write.mode("overwrite").partitionBy("l_returnflag").parquet(lake)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(lake)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )

@@ -9,8 +9,6 @@ tests/test_plans.py) — at 100 TB those are the difference between reading
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +17,7 @@ from pyspark.sql import functions as F
 from sim_spark.exprs import ts_str
 from sim_spark.io import SCHEMAS, TABLES, table
 from sim_spark.registry import query
+from sim_spark.scratch import scratch_dir
 
 _COUNT_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{t}' AS tbl, COUNT(*) AS n FROM {t}" for t in TABLES
@@ -67,37 +66,31 @@ def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region → CSV with header → read back with the pinned explicit schema.
 
-    Round-trips through a temp dir; the read uses SCHEMAS['region'] rather
-    than inference, so types survive the text format.
+    Round-trips through a per-process scratch dir that outlives the
+    query (the driver re-executes the returned frame), so the read-back
+    stays lazy — no driver-side materialization. The read uses
+    SCHEMAS['region'] rather than inference, so types survive the text
+    format.
     """
-    tmp = tempfile.mkdtemp(prefix="sim_spark_csv_")
-    try:
-        table(spark, sf_dir, "region").write.mode("overwrite").option(
-            "header", True
-        ).csv(tmp)
-        back = spark.read.schema(SCHEMAS["region"]).option("header", True).csv(tmp)
-        # Materialize before the temp dir disappears.
-        out = spark.createDataFrame(back.collect(), schema=SCHEMAS["region"])
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    out = scratch_dir("csv_region")
+    table(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema(SCHEMAS["region"]).option("header", True).csv(out)
 
 
 @query("scan_json_roundtrip", oracle="SELECT * FROM nation")
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → JSON lines → read back with schema INFERENCE, then cast to
-    the pinned schema (JSON infers integers as bigint)."""
-    tmp = tempfile.mkdtemp(prefix="sim_spark_json_")
-    try:
-        table(spark, sf_dir, "nation").write.mode("overwrite").json(tmp)
-        back = spark.read.json(tmp).select(
-            F.col("n_nationkey").cast("int"),
-            F.col("n_name"),
-            F.col("n_regionkey").cast("int"),
-        )
-        return spark.createDataFrame(back.collect(), schema=SCHEMAS["nation"])
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    the pinned schema (JSON infers integers as bigint). Lazy read-back
+    from a per-process scratch dir — no driver-side materialization."""
+    out = scratch_dir("json_nation")
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return spark.read.json(out).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
 
 
 @query(
@@ -113,26 +106,23 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem partitioned by l_returnflag, read it back, aggregate per
     partition value. Static partition pruning applies on the re-read; at
     100 TB `partitionBy` on a low-cardinality key is the layout that makes
-    downstream scans prune."""
-    tmp = tempfile.mkdtemp(prefix="sim_spark_sink_")
-    try:
-        li = table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_returnflag"
+    downstream scans prune. Lazy read-back from a per-process scratch
+    dir — no driver-side materialization."""
+    out = scratch_dir("sink_partitioned")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
-        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
-        back = (
-            spark.read.parquet(tmp)
-            .groupBy("l_returnflag")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("l_quantity").cast("decimal(30,6)"))
-                .cast("double")
-                .alias("sum_qty"),
-            )
-        )
-        return spark.createDataFrame(back.collect(), schema=back.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
 
 
 @query(

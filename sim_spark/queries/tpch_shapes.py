@@ -8,15 +8,13 @@ priority), Q7 (nation-pair volume via supplier/customer nations), Q10
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import table
 from sim_spark.registry import query
+from sim_spark.scratch import scratch_dir
 
 
 @query(
@@ -143,12 +141,9 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("scan_orc_roundtrip", oracle="SELECT * FROM supplier")
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier → ORC → read back (Spark's second first-class columnar
-    format; DuckDB can't read ORC, so the oracle is the source table)."""
-    tmp = tempfile.mkdtemp(prefix="sim_spark_orc_")
-    try:
-        src = table(spark, sf_dir, "supplier")
-        src.write.mode("overwrite").orc(tmp)
-        back = spark.read.orc(tmp)
-        return spark.createDataFrame(back.collect(), schema=back.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    format; DuckDB can't read ORC, so the oracle is the source table).
+    Lazy read-back from a per-process scratch dir — no driver-side
+    materialization."""
+    out = scratch_dir("orc_supplier")
+    table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

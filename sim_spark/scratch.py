@@ -1,0 +1,32 @@
+"""Per-process scratch directories for sink/roundtrip queries.
+
+The driver contract re-executes the DataFrame a query returns (it calls
+``.collect()``/``.toPandas()`` itself), so a sink query must NOT delete
+its output directory before returning — and must NOT work around that by
+collecting results through the driver (``spark.createDataFrame(
+back.collect())`` is a full-result driver materialization: fine for a
+5-row aggregate, a trap for anyone copying the pattern for a raw sink).
+
+Instead every sink writes under one per-process mkdtemp root that
+outlives the query and is removed at interpreter exit. Each query gets a
+stable named subdir, so re-runs overwrite in place and the returned
+read-back stays lazy end-to-end.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+_ROOT: str | None = None
+
+
+def scratch_dir(name: str) -> str:
+    """Stable scratch path for ``name``; created lazily, removed at exit."""
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="sim_spark_scratch_")
+        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+    return os.path.join(_ROOT, name)
