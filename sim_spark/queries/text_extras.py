@@ -255,19 +255,43 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: hamming(simhash_a, simhash_b) ≤ 5.
-
-    Here a self-join on the (small) fingerprint table; the 100 TB version
-    splits the 32 bits into 4 bands and equi-joins on band values —
-    identical candidates, no quadratic scan (SCALE.md)."""
+    """Candidate near-dup pairs: hamming(simhash_a, simhash_b) ≤ 5, via
+    a banded EQUI-join (no quadratic scan): the 32 bits split into 6
+    bands (6,6,5,5,5,5 bits). Pigeonhole: ≤5 differing bits touch at
+    most 5 of the 6 bands, so every qualifying pair agrees on ≥1 whole
+    band — an equi-join on (band_no, band_val) produces a candidate
+    superset, refined by the exact bit_count(xor) ≤ 5 predicate. Same
+    rows as the all-pairs formulation (the oracle is the all-pairs SQL);
+    at 100 TB the band join shuffles on short keys instead of scanning
+    n² fingerprint pairs."""
     fp = dedup_simhash(spark, sf_dir)
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    bands, off = [], 0
+    for i, width in enumerate((6, 6, 5, 5, 5, 5)):
+        bands.append(
+            F.struct(
+                F.lit(i).alias("bno"),
+                F.shiftright("simhash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+        )
+        off += width
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", "b.bno", "b.bval")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "bno", "bval"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "bno", "bval"
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["bno", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 5)
+        .distinct()  # a pair may collide in several bands
     )
 
 
