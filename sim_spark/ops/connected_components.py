@@ -1,23 +1,63 @@
-"""Connected components over an edge list by iterative min-label
-propagation — the grouping step real dedup pipelines need (one-hop
-canonical ids under-merge: A~B, B~C must land A,B,C in ONE group).
+"""Connected components over an edge list — the grouping step real dedup
+pipelines need (one-hop canonical ids under-merge: A~B, B~C must land
+A,B,C in ONE group).
 
-Spark-first shape: the edge list is symmetrized once and cached (it is
-the small derived artifact, not the corpus); each iteration is one
-grouped min over edges joined to current labels, followed by
-``localCheckpoint`` to truncate lineage so N iterations don't build an
-N-deep plan. Convergence needs at most graph-diameter iterations; dedup
-graphs are near-cliques, so 2-3 rounds in practice. Deterministic:
-labels are ids, min is order-independent — same fixpoint at any
-partitioning or executor count.
+Spark-first shape: partition-local contraction (the "filtering"
+MapReduce-CC family, cf. Kiveris et al., *Connected Components in
+MapReduce and Beyond*). Each round runs an in-memory union-find over
+every edge PARTITION (`mapInPandas` — sequential pointer ops at C-dict
+speed, no per-hop rounds), takes the per-node min root globally, and
+rewrites the edge list onto the contracted representatives. Cross-
+partition chains shrink by the whole partition-local reach every round,
+so the round count is driven by the partition fanout (2-3 in practice,
+O(log n) worst case) and is INDEPENDENT of graph diameter — a 100-node
+path converges as fast as a clique. Per round: one checkpointed mapping
++ one checkpointed contracted edge list; lineage never deepens.
+
+Deterministic: union is by min id, so every set's root is its minimum;
+the final representative of a component is its global minimum regardless
+of partitioning or executor count (intermediate contractions differ,
+the fixpoint doesn't).
 """
 
 from __future__ import annotations
 
 import warnings
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _contract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Union-find over each Arrow batch's edges → (node, root) with
+    root = min id of the batch-local set (union-by-min + path
+    compression; a batch is a refinement of the partition, which only
+    means slightly less contraction per round, never wrong output)."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(pdf["s"], pdf["d"]):
+            s, d = int(s), int(d)
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "root": [find(n) for n in nodes]}
+        ).astype("int64")
 
 
 def connected_components(
@@ -30,51 +70,53 @@ def connected_components(
 ) -> DataFrame:
     """(node_col) + (src,dst) → (node_col, component) with component =
     min node id reachable. Isolated nodes keep their own id."""
-    # The symmetrizing union references `edges` twice; both branches
-    # evaluate in ONE job, in parallel. (Caching `edges` first was
-    # measured SLOWER — it serializes the two branches behind the cache
-    # materialization and nests InMemoryRelations for no win.)
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .cache()
-    )
-    labels = nodes.select(
-        F.col(node_col).alias("id"), F.col(node_col).alias("comp")
-    ).localCheckpoint()
+    # Checkpoint the (small, derived) edge list once so the upstream
+    # pair-generation pipeline is evaluated exactly once, not once per
+    # reference in the round's two-sided rewrite join.
+    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    mappings: list[DataFrame] = []
     converged = False
     for _ in range(max_iter):
-        cand = (
-            sym.join(labels, sym.s == labels.id)
-            .groupBy(F.col("d").alias("id"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        # The changed flag rides in the SAME checkpointed frame as the
-        # new labels: convergence detection costs one count over the
-        # already-materialized blocks instead of a second shuffle join
-        # of new-vs-old labels (halves the per-iteration job count).
-        stepped = (
-            labels.join(cand, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-                (F.coalesce("ncomp", "comp") < F.col("comp")).alias("chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = stepped.filter("chg").count()
-        labels = stepped.select("id", "comp")
-        if changed == 0:
+        if cur.isEmpty():
             converged = True
             break
-    sym.unpersist()
+        local = cur.mapInPandas(_contract_partition, schema="node long, root long")
+        m = (
+            local.groupBy("node")
+            .agg(F.min("root").alias("root"))
+            .localCheckpoint()
+        )
+        mappings.append(m)
+        ms = m.select(F.col("node").alias("s"), F.col("root").alias("rs"))
+        md = m.select(F.col("node").alias("d"), F.col("root").alias("rd"))
+        # Contract: every edge becomes an edge between representatives;
+        # intra-set edges vanish. Connectivity is preserved because set
+        # membership only ever arises from edges.
+        cur = (
+            cur.join(ms, "s")
+            .join(md, "d")
+            .filter(F.col("rs") != F.col("rd"))
+            .select(
+                F.least("rs", "rd").alias("s"), F.greatest("rs", "rd").alias("d")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
     if not converged:
         warnings.warn(
             f"connected_components: max_iter={max_iter} reached before the "
-            "fixpoint (graph diameter exceeds the iteration budget); labels "
-            "may violate the component = min-reachable-id contract",
+            "fixpoint (contracted edges remain); labels may violate the "
+            "component = min-reachable-id contract",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("id").alias(node_col), F.col("comp").alias("component"))
+    # Compose the per-round mappings lazily: comp = m_k(...m_1(id)...),
+    # identity where a level has no entry. Each m is checkpointed and
+    # shrinks geometrically; AQE broadcasts the join sides.
+    out = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("comp"))
+    for i, m in enumerate(mappings):
+        mm = m.select(F.col("node").alias(f"n{i}"), F.col("root").alias(f"r{i}"))
+        out = out.join(mm, out.comp == mm[f"n{i}"], "left").select(
+            "id", F.coalesce(f"r{i}", "comp").alias("comp")
+        )
+    return out.select(F.col("id").alias(node_col), F.col("comp").alias("component"))

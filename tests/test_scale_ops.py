@@ -192,6 +192,27 @@ def test_cosine_ops_handle_empty_inputs(spark):
     assert exact_topk_cosine(c, q0, k=5).count() == 0
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 100-node path graph (diameter 99) must converge inside the
+    default max_iter=20 budget — pointer jumping makes rounds O(log d);
+    plain min-label propagation would need ~99 rounds and warn."""
+    import warnings
+
+    from sim_spark.ops.connected_components import connected_components
+
+    n = 100
+    nodes = spark.range(n).withColumnRenamed("id", "nid")
+    edges = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a max_iter warning fails the test
+        cc = connected_components(nodes, edges, node_col="nid").collect()
+    assert len(cc) == n
+    assert {r["component"] for r in cc} == {0}
+
+
 def test_connected_components_is_a_fixpoint(spark):
     """CC labels are stable under one more propagation round (true
     fixpoint), components are min-labeled, and CC refines the one-hop
