@@ -46,7 +46,9 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     within its conversion window (the ordering+window is the whole
     point — an unordered distinct-type count overstates conversion;
     windows sized so the fixture shows real drop-off). Three grouped passes, each joined back
-    broadcast-style on the shrinking qualified-user set; at 100 TB the
+    on the shrinking qualified-user set (no forced broadcast: per-user
+    aggregates are billions of rows at 100 TB, so AQE picks the
+    strategy from observed sizes); the
     events scan happens three times but the per-user state is tiny —
     the alternative single-pass window sort pays an events-wide
     shuffle+sort instead; pick by stage count × scan cost."""
@@ -58,7 +60,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         e.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(
             (F.col("ts") > F.col("t1"))
             & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
@@ -68,7 +70,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(
             (F.col("ts") > F.col("t2"))
             & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 6 HOURS"))
@@ -113,7 +115,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        e.join(F.broadcast(first_week), "user_id")
+        e.join(first_week, "user_id")
         .select(
             "user_id",
             "cohort_week",
