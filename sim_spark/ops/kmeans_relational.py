@@ -47,12 +47,14 @@ def _assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> Dat
     )
 
 
-def kmeans_lloyd(
+def kmeans_fit(
     vectors: DataFrame, k: int = 10, n_iter: int = 5, dim: int = 64
-) -> tuple[DataFrame, list[float]]:
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[float]]:
     """Run ``n_iter`` Lloyd iterations from the deterministic init (the k
-    lowest vec_ids). Returns (final assignment DataFrame, per-iteration
-    inertia list — must be monotonically non-increasing)."""
+    lowest vec_ids). Returns (cached base frame, final centroids,
+    per-iteration inertia list). Only k x dim doubles ever reach the
+    driver — the centroids ARE the model, and downstream consumers (the
+    IVF coarse quantizer) need them as literals anyway."""
     base = vectors.select("vec_id", "embedding").cache()
     centroids = [
         (i, list(map(float, r["embedding"])))
@@ -83,4 +85,14 @@ def kmeans_lloyd(
             r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in stats
         }
         centroids = [(cid, refreshed.get(cid, emb)) for cid, emb in centroids]
+    return base, centroids, inertia
+
+
+def kmeans_lloyd(
+    vectors: DataFrame, k: int = 10, n_iter: int = 5, dim: int = 64
+) -> tuple[DataFrame, list[float]]:
+    """Run ``n_iter`` Lloyd iterations; returns (final assignment
+    DataFrame, per-iteration inertia list — must be monotonically
+    non-increasing)."""
+    base, centroids, inertia = kmeans_fit(vectors, k, n_iter, dim)
     return _assign(base, centroids), inertia

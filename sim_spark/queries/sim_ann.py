@@ -1,15 +1,16 @@
 """Approximate similarity search: IVF-style bucketed top-k (driver
 mandate: the scale path beside brute force).
 
-Coarse quantizer: the deterministic fixed centroids (first 10 vectors,
-same as ml_kmeans_assign_fixed). Every vector is assigned to its nearest
+Coarse quantizer: KMeans centroids learned on a seeded sample (the
+scale-honest choice — fixed "first k vectors" centroids are fixture-
+lucky at real data distributions). Every vector is assigned to its nearest
 centroid (its *cell*); a query searches only the ``nprobe`` cells whose
 centroids score highest — an equi-join on cell id instead of a full cross
 join. Recall vs the exact sim_topk_cosine is asserted in
 tests/test_invariants.py (rows-only key: recall-bounded output, not
 bit-equal to the exact answer by construction).
 
-At 100 TB: centroids come from KMeans on a sample, cells become the
+At 100 TB: the same sample-fit centroids, cells become the
 partitioning key of the vector table, and the probe join prunes entire
 partitions — the same plan shape as here.
 """
@@ -25,6 +26,7 @@ from sim_spark.registry import query
 NPROBE = 4
 TOP_K = 5
 N_QUERIES = 50
+N_CELLS = 10
 
 
 def _dot(a: str, b: str):
@@ -36,10 +38,22 @@ def _dot(a: str, b: str):
 
 
 def _cells(spark: SparkSession, sf_dir: str):
-    """(vectors with cell assignment, centroid table)."""
+    """(vectors with cell assignment, centroid table).
+
+    Coarse quantizer: Lloyd KMeans on a seeded 30% sample
+    (ops/kmeans_relational.kmeans_fit — deterministic init, fixed
+    iteration count, seed-stable sample), so cells track the actual
+    data distribution instead of whichever vectors happen to carry the
+    lowest ids. Only k x dim centroid doubles reach the driver."""
+    from sim_spark.ops.kmeans_relational import kmeans_fit
+
     e = table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    sample = e.sample(fraction=0.3, seed=42)
+    base, cent_list, _ = kmeans_fit(sample, k=N_CELLS, n_iter=5, dim=64)
+    base.unpersist()
+    cents = spark.createDataFrame(
+        [(cid, emb) for cid, emb in cent_list],
+        "cid int, c_emb array<double>",
     )
     scored = (
         e.crossJoin(F.broadcast(cents))
