@@ -308,3 +308,45 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+WITH dim AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN e.ts = d.first_ts THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first_events
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-scattered fact⋈dim join (ops/salting.py): events joined to a
+    per-user dimension on the hot ``user_id`` key with an 8-way salt —
+    left rows scatter by hash(event_id), the dim side replicates to all
+    salts, and the shuffle key becomes (user_id, __salt), so one hot
+    user's rows land on 8 reducers instead of one. Row-identical to the
+    plain join (the oracle IS the plain join); the salt's presence in
+    the exchange keys is plan-asserted in tests/test_plans.py. This is
+    the manual fallback for skew past what AQE's skew-join splitting
+    handles (AQE only splits sort-merge partitions, not hash-aggregated
+    broadcast cases, and never helps a skewed *aggregation* upstream)."""
+    from sim_spark.ops.salting import salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = salted_join(e, dim, "user_id", n_salts=8, left_unique="event_id")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(F.col("ts") == F.col("first_ts"), 1).otherwise(0)
+            ).cast("bigint").alias("n_first_events"),
+        )
+        .orderBy("event_type")
+    )

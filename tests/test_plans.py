@@ -97,3 +97,21 @@ def test_sort_multi_nulls_order_is_applied(spark):
             seen_non_null = True
         else:
             assert not seen_non_null, "NULLS FIRST violated"
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """The skew scatter must actually reach the physical shuffle. At
+    fixture scale the dim side broadcasts (fine — salt rides the join
+    keys); the salted plan only matters when both sides shuffle, so pin
+    the 100 TB shape by disabling auto-broadcast and assert the salt is
+    a shuffle partitioning key."""
+    p = plan(spark, "join_skew_salted")
+    assert re.search(r"Left keys.*__salt", p), p
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(spark, "join_skew_salted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert re.search(r"hashpartitioning\([^)]*__salt", p), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
