@@ -139,3 +139,32 @@ def resize_dims(df: DataFrame, w_col: str = "width", h_col: str = "height") -> D
     return df.withColumn("out_w", _scaled(F.col(w_col), F.col(h_col))).withColumn(
         "out_h", _scaled(F.col(h_col), F.col(w_col))
     )
+
+
+def write_payload_dir(df: DataFrame, out_dir: str) -> None:
+    """Materialize a (doc_id, payload: binary) frame as one opaque file
+    per document under ``out_dir`` — executor-side (each task writes its
+    own partition's files; nothing routes through the driver), the
+    ingest half of the `binaryFile` source round-trip. On a cluster
+    ``out_dir`` is a shared filesystem/object-store path; here it is the
+    per-process scratch root."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with open(os.path.join(out_dir, f"{int(doc_id)}.bin"), "wb") as f:
+                    f.write(bytes(payload))
+            n += len(pdf)
+        yield pd.DataFrame({"n_written": [n]})
+
+    (
+        df.select("doc_id", "payload")
+        .mapInPandas(_write, "n_written long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )

@@ -309,13 +309,36 @@ FROM documents
 """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via the ops.multimodal mapInPandas
-    plumbing: documents' text encoded to an opaque binary payload (the
-    stand-in for image/audio bytes — fixture text is pure ASCII so
-    byte_len ≡ n_chars), then per-batch metadata extraction. The decode
-    step itself is a clearly-marked stub (ops/multimodal.py)."""
+    """Binary-column feature extraction over a REAL ``binaryFile``
+    directory source: documents' text encoded to opaque per-doc payload
+    files (executor-side write, the stand-in for an image/audio landing
+    zone — fixture text is pure ASCII so byte_len ≡ n_chars), read back
+    with ``spark.read.format("binaryFile")`` (path/length/content
+    columns), doc_id recovered from the file path, then per-batch
+    metadata extraction via the ops.multimodal mapInPandas plumbing.
+    The decode step itself is a clearly-marked stub (ops/multimodal.py).
+    Per-sf payload dirs so different scale factors never cross-read."""
+    import os
+
+    from sim_spark.ops.multimodal import write_payload_dir
+    from sim_spark.scratch import scratch_dir
+
     d = table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    payload_root = scratch_dir(f"binary_payloads_{sf_tag}")
+    write_payload_dir(
+        d.select("doc_id", F.encode("text", "utf-8").alias("payload")), payload_root
+    )
+    payloads = (
+        spark.read.format("binaryFile")
+        .load(payload_root)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
     return binary_features(payloads)
 
 
