@@ -41,17 +41,19 @@ def write_bucketed(
     name: str,
     key: str,
     n_buckets: int = 8,
-    location: str | None = None,
 ) -> DataFrame:
     """Persist ``df`` as a bucketed+sorted catalog table; return a reader.
 
     Uses a dedicated database with an explicit LOCATION so this works
     under any warehouse conf and any catalog implementation (in-memory
     or Hive) — bucketing metadata lives in the session catalog either
-    way. Overwrites on re-run. Location defaults to a per-process
-    mkdtemp; the table name carries a per-process token so two runs
-    can't collide in the catalog either."""
-    location = location or _location()
+    way. Overwrites on re-run. The location is always the per-process
+    mkdtemp (no caller override: CREATE DATABASE IF NOT EXISTS keeps
+    the FIRST location, so a divergent caller-supplied path would make
+    the pre-write rmtree clean the wrong directory); the table name
+    carries a per-process token so two runs can't collide in the
+    catalog either."""
+    location = _location()
     name = f"{name}_{os.getpid()}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DB} LOCATION '{location}'")
     # The catalog is session-scoped but the location persists: a fresh

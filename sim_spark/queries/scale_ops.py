@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import table
-from sim_spark.ops.bucketing import bucketed_join
+from sim_spark.ops.bucketing import write_bucketed
 from sim_spark.registry import query
 from sim_spark.scratch import scratch_dir
 
@@ -33,12 +33,37 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem⋈orders with both sides pre-bucketed on the order key:
     the join itself needs no Exchange and no Sort (bucketBy+sortBy at
     write time). At 100 TB this amortizes the fact-table shuffle across
-    every downstream query on the same key."""
+    every downstream query on the same key. bench.py times the two legs
+    separately (`..._write` / `..._read`): the write is the pay-once
+    ingest cost, the Exchange-free read is what every later query pays."""
+    lt, rt = bucketed_layout(spark, sf_dir)
+    return bucketed_join_read(spark, sf_dir)
+
+
+_BUCKETED_SIDES: tuple[DataFrame, DataFrame] | None = None
+
+
+def bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The WRITE leg: persist both join sides bucketed+sorted on the
+    order key (the pay-shuffle-once ingest step); returns the catalog
+    table handles and caches them for the read leg."""
+    global _BUCKETED_SIDES
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    j = bucketed_join(spark, li, o, "l_orderkey", "o_orderkey", "lio", n_buckets=8)
+    lt = write_bucketed(spark, li, "lio_l", "l_orderkey", n_buckets=8)
+    rt = write_bucketed(spark, o, "lio_r", "o_orderkey", n_buckets=8)
+    _BUCKETED_SIDES = (lt, rt)
+    return _BUCKETED_SIDES
+
+
+def bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ leg: join + aggregate over the already-written bucketed
+    tables — zero Exchange (plan-asserted in tests/test_scale_ops.py).
+    Writes the layout first if this process hasn't yet."""
+    lt, rt = _BUCKETED_SIDES or bucketed_layout(spark, sf_dir)
+    j = lt.hint("merge").join(rt, lt["l_orderkey"] == rt["o_orderkey"])
     return (
         j.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(

@@ -131,3 +131,24 @@ def test_simhash_near_dup_pairs_recall(spark):
     assert truth
     recall = len(truth & cand) / len(truth)
     assert recall >= 0.9, f"recall={recall:.2f} over {len(truth)} true pairs"
+
+
+def test_events_nanos_conf_scoping_survives_deferred_execution(spark):
+    """Pin the Spark-internal detail the scoped nanosAsLong restore in
+    io.table relies on: the scan relation captures the conf at DataFrame
+    BUILD time, so executing the frame after the conf is restored must
+    still decode the nanos column. A Spark upgrade that re-reads the
+    conf at action time should fail HERE, not in the grading driver."""
+    import duckdb
+
+    e = table(spark, SF, "events")  # conf set+restored inside
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (
+        None,
+        "false",
+    ), "table() must leave the session conf restored (unset or default)"
+    # deferred action AFTER restore — the moment that would break
+    got = e.agg(F.min("ts").cast("string").alias("m")).collect()[0]["m"]
+    want = duckdb.sql(
+        f"SELECT CAST(MIN(ts) AS VARCHAR) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert got == want, (got, want)
