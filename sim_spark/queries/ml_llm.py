@@ -384,14 +384,15 @@ SELECT qid, cid, score, rn FROM (
 """,
 )
 def sim_topk_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same exact top-5 via the GEMM physical strategy (one numpy
-    matmul per Arrow batch + guard-band exact re-rank,
-    ops/cosine_blas.py) — same oracle as `sim_topk_cosine` proves the
-    two plans equivalent. Measured crossover: at 50 queries the JVM
-    broadcast-HOF plan wins (1.0 s vs 1.4 s at sf0.1 — Arrow transfer +
-    two windows dominate); past ~10³ queries the per-pair HOF cost grows
-    linearly while GEMM stays one matmul, and this path wins — pick per
-    workload."""
+    """The same exact top-5 via the block-partitioned GEMM physical
+    strategy (one numpy matmul per corpus block against the replicated
+    query set, cogrouped applyInPandas + guard-band exact re-rank,
+    ops/cosine_blas.py — nothing reaches the driver) — same oracle as
+    `sim_topk_cosine` proves the two plans equivalent. Crossover: at 50
+    queries the JVM broadcast-HOF plan wins (Arrow transfer + two
+    windows dominate); past ~10³ queries the per-pair HOF cost grows
+    linearly while GEMM stays one matmul per block, and this path wins —
+    pick per workload."""
     from sim_spark.ops.cosine_blas import exact_topk_cosine
 
     e = table(spark, sf_dir, "embeddings")
