@@ -139,3 +139,68 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_sessionize_batch",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands shape every event
+    warehouse serves: a new session starts where the per-user gap
+    exceeds 30 minutes (timestamp comparison against lag+interval, so
+    µs-exact and engine-agnostic), session ids via running sum of
+    session starts. ONE shuffle: the lag window, the running-sum window,
+    and the per-(user, session) aggregate all cluster on user_id, so
+    Catalyst reuses the window partitioning for the final group-by.
+    The streaming twin is `stream_session_30m` (session_window); at
+    100 TB the batch form backfills history while the stream serves
+    the live edge — same session semantics both sides."""
+    from pyspark.sql.window import Window as W
+
+    from sim_spark.exprs import ts_str
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
+        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ts_str(F.min("ts")).alias("session_start"),
+            ts_str(F.max("ts")).alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )

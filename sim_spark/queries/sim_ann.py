@@ -37,8 +37,10 @@ def _dot(a: str, b: str):
     )
 
 
-def _cells(spark: SparkSession, sf_dir: str):
-    """(vectors with cell assignment, centroid table).
+def _cells(spark: SparkSession, sf_dir: str, n_assign: int = 1):
+    """(vectors with cell assignment, centroid table). ``n_assign > 1``
+    multi-assigns each vector to its top-n cells (recall knob for the
+    dedup path; queries still probe NPROBE cells).
 
     Coarse quantizer: Lloyd KMeans on a seeded 30% sample
     (ops/kmeans_relational.kmeans_fit — deterministic init, fixed
@@ -67,7 +69,7 @@ def _cells(spark: SparkSession, sf_dir: str):
     w = W.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cid"))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_assign)
         .select("vec_id", "embedding", F.col("cid").alias("cell"))
     )
     return assigned, cents
@@ -103,3 +105,39 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= TOP_K)
+
+
+@query("dedup_embedding_ann")  # rows-only: ANN candidates are approximate by design
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup dedup: candidate pairs come
+    from the IVF cells (same-cell vectors only, each vector multi-
+    assigned to its top-2 cells — an equi-join on cell id,
+    never a quadratic self-join), refined with the exact rounded dot
+    > 0.4, then the same one-hop min-canonical semantics as
+    `dedup_embedding_cosine`. Precision is exact (every emitted pair is
+    re-checked); recall is bounded by same-cell co-residence and
+    asserted against the exact-pair oracle in tests/test_invariants.py.
+    At 100 TB the cell id doubles as the vector table's partition key,
+    so the candidate join is partition-local."""
+    assigned, _ = _cells(spark, sf_dir, n_assign=2)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb")
+    )
+    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    pairs = cand.select(
+        "id_a", "id_b", F.round(_dot("a_emb", "b_emb"), 6).alias("score")
+    ).filter(F.col("score") > 0.4)
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.join(pairs, e.vec_id == pairs.id_b, "left")
+        .groupBy("vec_id")
+        .agg(F.min("id_a").alias("__min_n"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.coalesce("__min_n", "vec_id").alias("canonical_id"),
+            F.col("__min_n").isNotNull().alias("is_near_dup"),
+        )
+    )

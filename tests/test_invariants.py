@@ -152,3 +152,27 @@ def test_events_nanos_conf_scoping_survives_deferred_execution(spark):
         f"SELECT CAST(MIN(ts) AS VARCHAR) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert got == want, (got, want)
+
+
+def test_dedup_embedding_ann_precision_and_recall(spark):
+    """ANN dedup is exact-precision (every flagged doc is a true one-hop
+    near-dup with the same canonical id) and recall-bounded vs the exact
+    quadratic formulation."""
+    exact = {
+        (r["doc_id"], r["canonical_id"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, SF).collect()
+        if r["is_near_dup"]
+    }
+    ann_rows = QUERIES["dedup_embedding_ann"](spark, SF).collect()
+    ann = {(r["doc_id"], r["canonical_id"]) for r in ann_rows if r["is_near_dup"]}
+    exact_docs = {d for d, _ in exact}
+    # precision: a doc the ANN path flags must be a truly-near-dup doc
+    # (its canonical may be a later near neighbor if the exact-min pair
+    # crosses cells, so compare doc membership, not pair identity)
+    assert {d for d, _ in ann} <= exact_docs
+    # recall over flagged docs
+    recall = len({d for d, _ in ann}) / max(1, len(exact_docs))
+    assert recall >= 0.5, f"recall={recall:.2f} over {len(exact_docs)} true dups"
+    # exact-pair agreement where both sides flagged
+    agree = len(ann & exact) / max(1, len(ann))
+    assert agree >= 0.8, f"canonical agreement={agree:.2f}"
