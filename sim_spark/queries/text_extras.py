@@ -425,3 +425,49 @@ def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 22)
         .select("id_a", "id_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "text_boilerplate_topk_filter",
+    oracle="""
+WITH tokens AS (
+  SELECT unnest(str_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT word, COUNT(*) AS tf FROM tokens GROUP BY word),
+top AS (SELECT word FROM tf ORDER BY tf DESC, word ASC LIMIT 10),
+stop AS (SELECT COALESCE(list(word ORDER BY word), []) AS stop_arr FROM top)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list_filter(str_split(text, ' '), w -> NOT list_contains(stop_arr, w)),
+         ' '), '') AS clean_text,
+       CAST(len(str_split(text, ' '))
+            - len(list_filter(str_split(text, ' '),
+                              w -> NOT list_contains(stop_arr, w))) AS BIGINT)
+         AS n_removed
+FROM documents, stop
+""",
+)
+def text_boilerplate_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven boilerplate removal (the C4/CCNet-style cleaning
+    step): the k=10 highest corpus-frequency words are boilerplate;
+    strip them from every document IN ORDER (array filter HOF —
+    order-preserving, no explode/reassemble shuffle). The derived
+    stoplist is intrinsically tiny (k rows), so it rides a 1-row
+    broadcast into the HOF — corpus-sized data never reshuffles and
+    nothing touches the driver. Deterministic: (tf DESC, word ASC)
+    tie-break + sorted stoplist. (A DF>threshold variant is the same
+    plan; on this fixture's 31-word vocabulary any DF cut is
+    degenerate — nearly every word is near-universal — so the top-k
+    form is the non-vacuous one.)"""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    top = tf.orderBy(F.desc("tf"), F.asc("word")).limit(10)
+    stop_arr = top.agg(F.array_sort(F.collect_list("word")).alias("stop_arr"))
+    toks = F.split("text", " ")
+    kept = F.filter(toks, lambda w: ~F.array_contains(F.col("stop_arr"), w))
+    return d.crossJoin(F.broadcast(stop_arr)).select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
