@@ -165,3 +165,107 @@ def test_interval_join_rejects_empty_window(spark):
     with pytest.raises(ValueError, match="empty interval"):
         interval_join(df, df.withColumnRenamed("ts", "ts2").withColumnRenamed("id", "id2"),
                       "ts", "ts2", 5, 5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_blocked_gemm_pairs_match_naive(spark, seed):
+    """Block-partitioned GEMM candidate pairs + exact refine must equal
+    the naive all-pairs rounded-dot threshold on random unit vectors —
+    for every block count (1 block = single GEMM, 8 = fixture default,
+    37 > n_rows = degenerate blocks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sim_spark.ops.cosine_blas import cosine_candidate_pairs, exact_cosine_pairs
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(60, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    thr = 0.3
+    naive = {
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if round(float(np.dot(mat[a], mat[b])), 6) > thr
+    }
+    assert naive, "seeded fixture must produce true pairs"
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in exact_cosine_pairs(e, thr).collect()
+    }
+    assert got == naive
+    for n_blocks in (1, 8, 37):
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_candidate_pairs(e, thr, n_blocks=n_blocks).collect()
+        }
+        assert naive <= cand, f"n_blocks={n_blocks} dropped true pairs"
+        # candidate set is duplicate-free by construction
+        rows = cosine_candidate_pairs(e, thr, n_blocks=n_blocks).collect()
+        assert len(rows) == len(set((r["id_a"], r["id_b"]) for r in rows))
+
+
+def test_banded_simhash_join_is_candidate_exact(spark):
+    """Pigeonhole property on random 32-bit fingerprints: the 6-band
+    equi-join + hamming refine equals the all-pairs formulation."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(7)
+    base = rng.getrandbits(32)
+    fps = [base]
+    for _ in range(40):
+        # half near-dups (flip <=5 bits of some existing fp), half random
+        if rng.random() < 0.5:
+            src = rng.choice(fps)
+            for _ in range(rng.randrange(0, 6)):
+                src ^= 1 << rng.randrange(32)
+            fps.append(src)
+        else:
+            fps.append(rng.getrandbits(32))
+    naive = {
+        (i, j)
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= 5
+    }
+    assert naive, "fixture must contain close pairs"
+    fp_df = spark.createDataFrame(
+        list(enumerate(fps)), "doc_id long, simhash long"
+    )
+    bands, off = [], 0
+    for i, width in enumerate((6, 6, 5, 5, 5, 5)):
+        bands.append(
+            F.struct(
+                F.lit(i).alias("bno"),
+                F.shiftright("simhash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+        )
+        off += width
+    banded = fp_df.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", "b.bno", "b.bval")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "bno", "bval"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "bno", "bval"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.join(b, ["bno", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 5)
+            .select("id_a", "id_b")
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == naive
