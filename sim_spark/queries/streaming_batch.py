@@ -238,3 +238,58 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_gap_us").alias("max_gap_us")
     )
+
+
+@query(
+    "stream_upsert_partitioned",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → lake partition upsert, the serving-table maintenance
+    pattern at 100 TB: an update-mode streaming aggregation feeds
+    ``foreachBatch``, which rewrites ONLY the partitions present in each
+    micro-batch (dynamic partition overwrite) — per-partition upsert on
+    a plain parquet lake, no table format required. Because update-mode
+    state carries cumulative per-key aggregates, the last write into
+    each partition holds the full-history value, so the final lake is
+    exactly the batch GROUP BY (the oracle). Two replay files → two
+    micro-batches → the second genuinely overwrites partitions the
+    first wrote. Decimal-summed values keep the totals order-independent
+    across micro-batching."""
+    import os
+
+    from sim_spark.exprs import dsum
+    from sim_spark.scratch import scratch_dir
+
+    replay = mounts.events_replay_dir(spark, sf_dir, n_files=2)
+    stream = mounts.stream_events(spark, replay, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    lake = scratch_dir(f"stream_upsert_lake_{sf_tag}")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").partitionBy("event_type").parquet(lake)
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(conf_key, prev)
+    return (
+        spark.read.parquet(lake)
+        .select("event_type", "n_events", "sum_value")
+        .orderBy("event_type")
+    )
