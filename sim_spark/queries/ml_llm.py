@@ -178,7 +178,9 @@ def text_tfidf_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; fixture-sized driver value, broadcast as literal
-    scored = tf.join(F.broadcast(df), "word").select(
+    # No forced broadcast: df is vocabulary-sized (can be huge at 100 TB
+    # with noisy tokens); AQE broadcasts it only when actually small.
+    scored = tf.join(df, "word").select(
         "doc_id",
         "word",
         F.round(

@@ -385,14 +385,19 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds, one for the probe, no per-row subquery."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    # Thresholds only for the brand's parts (semi-join pushdown): the
+    # aggregate shrinks from all partkeys to the filtered dim's, and no
+    # forced broadcast — at 100 TB the per-partkey aggregate is
+    # part-table-sized, so AQE picks the strategy from observed sizes.
     thresholds = (
-        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"), "semi")
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
     )
-    brand_parts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     j = (
         li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
     )
     return j.agg(F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
