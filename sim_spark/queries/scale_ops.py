@@ -375,3 +375,96 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "join_prefilter_bucketset",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+)
+def join_prefilter_bucketset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse semi-join reduction — the manual form of the runtime bloom
+    filter Spark injects into shuffle joins (separately plan-tested in
+    tests/test_scale_ops.py; the `bloom_filter_agg` expression itself is
+    optimizer-internal, not SQL-callable): hash the selective dim side's
+    keys into a small bucket set (a 1-hash bloom), broadcast it, and
+    semi-join the fact scan on the bucket BEFORE the real join — at
+    100 TB this drops most fact rows at the scan instead of carrying
+    them through the shuffle. Bucket collisions (false positives) are
+    removed by the exact join that follows, so the result is
+    bit-identical to the plain join (the oracle)."""
+    n_buckets = 8192
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    buckets = o.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).alias("kb")
+    ).distinct()
+    pruned = (
+        li.withColumn("kb", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets)))
+        .join(F.broadcast(buckets), "kb", "semi")
+        .drop("kb")
+    )
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1 ORDER BY lang NULLS FIRST
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a plain parquet lake: an early batch written
+    WITHOUT the ``lang`` column, a later batch WITH it, read back as one
+    table via ``mergeSchema`` — old rows surface NULL for the added
+    column (the additive-evolution contract every long-lived lake
+    needs). The oracle reconstructs the same NULL pattern from the
+    source table. mergeSchema reconciles footers at planning time; at
+    100 TB pin the merged schema in a catalog instead of re-deriving it
+    per query — the read semantics are identical."""
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    lake = scratch_dir(f"schema_evo_{sf_tag}")
+    (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "n_chars")
+        .write.mode("overwrite")
+        .parquet(lake)
+    )
+    (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "n_chars", "lang")
+        .write.mode("append")
+        .parquet(lake)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy(F.asc_nulls_first("lang"))
+    )
