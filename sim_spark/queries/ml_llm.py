@@ -616,3 +616,18 @@ def voxel_minmax_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_comp"),
         )
     )
+
+
+@query("ml_pca_power_iter")  # rows-only: sign/rotation of the eigvec isn't SQL-derivable
+def ml_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding corpus by
+    relational power iteration (ops/power_iteration.py) — the whitening/
+    decorrelation step of an embedding pipeline. Only dim-sized model
+    floats touch the driver; invariants (unit component, eigen-equation
+    residual, agreement with a direct eigensolver on the collected
+    fixture) are pinned in tests/test_invariants.py."""
+    from sim_spark.ops.power_iteration import power_iteration_top_component
+
+    e = table(spark, sf_dir, "embeddings")
+    _, _, scores = power_iteration_top_component(e, dim=64, n_iter=8)
+    return scores

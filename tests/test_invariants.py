@@ -176,3 +176,34 @@ def test_dedup_embedding_ann_precision_and_recall(spark):
     # exact-pair agreement where both sides flagged
     agree = len(ann & exact) / max(1, len(ann))
     assert agree >= 0.8, f"canonical agreement={agree:.2f}"
+
+
+def test_pca_power_iteration_certificates(spark):
+    """Power-iteration certificates on near-isotropic data (no spectral
+    gap, so agreement with THE eigenvector is not the contract): unit
+    component, non-decreasing Rayleigh estimates, variance capture above
+    the isotropic average and within the numpy top eigenvalue, and
+    projection scores consistent with the returned component."""
+    import numpy as np
+
+    from sim_spark.ops.power_iteration import power_iteration_top_component
+
+    e = table(spark, SF, "embeddings")
+    v, eig_hist, scores = power_iteration_top_component(e, dim=64, n_iter=8)
+    assert abs(sum(c * c for c in v) - 1.0) < 1e-9
+    assert all(b >= a - 1e-9 for a, b in zip(eig_hist, eig_hist[1:])), eig_hist
+    rows = sorted(e.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    centered = mat - mat.mean(axis=0)
+    cov = centered.T @ centered / len(mat)
+    w = np.linalg.eigvalsh(cov)
+    lam = eig_hist[-1]
+    assert lam > 1.5 * float(np.trace(cov)) / 64, "no better than isotropic"
+    assert lam <= float(w[-1]) * (1 + 1e-6), (lam, float(w[-1]))
+    # Rayleigh quotient of the returned v must equal (approach) the estimate
+    rq = float(np.array(v) @ cov @ np.array(v))
+    assert rq == pytest.approx(lam, rel=0.05)
+    got = {r["vec_id"]: r["pc1_score"] for r in scores.collect()}
+    proj = centered @ np.array(v)
+    for i, r in enumerate(rows):
+        assert got[r["vec_id"]] == pytest.approx(round(float(proj[i]), 6), abs=1e-6)
