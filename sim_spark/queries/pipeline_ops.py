@@ -1,0 +1,278 @@
+"""Training-data curation operators (SURVEY.md §2.11 extension): the
+dataset-assembly steps between "raw corpus" and "tokens in the trainer"
+that a 100 TB pipeline runs after dedup/quality filtering.
+
+Scale designs:
+- split_train_val_test: pure narrow map — a deterministic hash of the
+  stable document key decides the split, so membership is reproducible
+  across runs/clusters and never needs a shuffle or a stored assignment
+  table. Lexicographic thresholds on the md5 hex prefix (not modulo on
+  a parsed int) keep the expression engine-portable.
+- decontam_ngram_overlap: benchmark-contamination check as a shingle
+  equi-join (the bucket-then-refine shape yet again): explode documents
+  into word 5-grams, LEFT SEMI JOIN against the benchmark set's distinct
+  grams. The benchmark side is bounded (eval suites are ~10^6 grams) so
+  AQE broadcasts it; the corpus side streams map-side with no all-pairs
+  stage. Skewed grams (boilerplate) only fan out on the bounded side.
+- pack_token_budget: contiguous greedy packing = one window cumsum per
+  (source) stream, bin id from integer division — no per-bin shuffle,
+  no driver loop. At 100 TB the partition key is (source, shard) so no
+  single window partition exceeds an executor.
+- embed_quantize_int8: per-row symmetric int8 quantization entirely in
+  array HOFs (JVM codegen) — the standard "shrink the embedding store
+  4x" step; certificate columns (q_sum, max reconstruction error
+  <= scale/2) make it oracle-checkable without shipping float arrays.
+- mixture_weights_sqrt: temperature-based source reweighting
+  (w ~ n^0.5, the alpha=0.5 point of the sampling-temperature family).
+  sqrt, unlike pow, is IEEE-correctly-rounded, so DuckDB and the JVM
+  agree bit-for-bit before the display round.
+- sample_stratified_hash: deterministic per-stratum subsample — rank by
+  md5 within the stratum, keep the first ceil(f*n). Reproducible (no
+  RNG state), rank window shuffles once on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+_BUDGET = 512  # tokens per packed sequence bin
+
+# --------------------------------------------------------------------------
+# deterministic split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT lang, n_chars,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+GROUP BY split, lang
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 split by md5 of the document key, verified
+    by per-(split, lang) counts. The hex-prefix comparison ('cc' =
+    204/256 ~ 79.7%, 'e6' = 230/256 ~ 89.8%) is uniform because md5 is;
+    string thresholds sidestep engine-specific hex-to-int builtins."""
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle="""
+WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+grams AS (SELECT doc_id, source, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+          FROM (SELECT doc_id, source, w,
+                       unnest(generate_series(1, len(w) - 4)) AS i
+                FROM words)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT DISTINCT g.doc_id, g.source
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % 97 <> 0
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word 5-gram with the held-out benchmark set (stand-in:
+    doc_id % 97 == 0). LEFT SEMI against the benchmark's distinct grams
+    — the scaled version of GPT-3-style 13-gram decontamination; the
+    bounded benchmark side broadcasts under AQE."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 4),
+                lambda i: F.array_join(F.slice(words, i, 5), " "),
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pack_token_budget",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+              FROM documents),
+packed AS (SELECT source, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) - n_tok
+                             AS DOUBLE) / {_BUDGET}) AS BIGINT) AS bin
+           FROM toks)
+SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM packed GROUP BY source, bin
+""",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: stream each source's documents in key
+    order, open a new bin each time the running token count crosses a
+    512-token boundary (bin = floor(prefix_sum_before_doc / budget)).
+    One window cumsum, no driver loop; per-(source, bin) occupancy is
+    the packing manifest a tokenizer shard consumes."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    toks = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    cum = (
+        F.sum("n_tok")
+        .over(W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0))
+    )
+    packed = toks.select(
+        "source",
+        "n_tok",
+        F.floor(((cum - F.col("n_tok")).cast("double")) / _BUDGET).alias("bin"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding quantization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+           FROM embeddings)
+SELECT vec_id,
+       ROUND(scale, 8) AS scale_r,
+       CAST(list_sum(list_transform(embedding,
+              x -> round(CAST(x AS DOUBLE) / scale))) AS BIGINT) AS q_sum,
+       ROUND(list_max(list_transform(embedding,
+              x -> abs(round(CAST(x AS DOUBLE) / scale) * scale
+                       - CAST(x AS DOUBLE)))), 8) AS max_err
+FROM s
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    q = round(x/scale)), reported as oracle-checkable certificates:
+    rounded scale, integer sum of the quantized codes, and the max
+    reconstruction error (bounded by scale/2). All array HOFs — stays
+    in whole-stage codegen, no Python, no shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(absd) / F.lit(127.0)
+    q = F.transform("embedding", lambda x: F.round(x.cast("double") / scale, 0))
+    err = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            F.round(x.cast("double") / scale, 0) * scale - x.cast("double")
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 8).alias("scale_r"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + x).cast("bigint").alias("q_sum"),
+        F.round(F.array_max(err), 8).alias("max_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mixture weights
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mixture_weights_sqrt",
+    oracle="""
+WITH c AS (SELECT source, COUNT(*) AS n_docs, SQRT(COUNT(*)) AS w FROM documents
+           GROUP BY source)
+SELECT source, n_docs, ROUND(w / SUM(w) OVER (), 6) AS mix_weight
+FROM c
+""",
+)
+def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature source reweighting at alpha = 0.5:
+    mix_weight ~ sqrt(n_docs), normalized — the standard knob that
+    up-samples small sources in a training mixture. sqrt (not pow) so
+    both engines produce the identical IEEE value pre-round."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    return c.select(
+        "source",
+        "n_docs",
+        F.round(w / F.sum(w).over(W.partitionBy()), 6).alias("mix_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified deterministic sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+WITH r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= CEIL(0.2 * n)
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample per language: rank documents
+    inside each stratum by md5 of their key and keep the first
+    ceil(0.2 * n). No RNG — membership is stable across runs, resumable
+    shards included; one shuffle on the stratum key."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    win = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(win).alias("rk"),
+            F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.2 * F.col("n")))
+        .select("doc_id", "lang")
+    )
