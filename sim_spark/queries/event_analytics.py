@@ -204,3 +204,95 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       arg_min(value, concat(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                             lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, concat(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                             lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per event type — the
+    classic resample shape (metrics rollup / candle charts). One
+    hash-partitioned aggregate: open/close are min_by/max_by on a
+    sortable (ts, event_id) composite string, so ties and engine float
+    quirks cannot change the winner; no window, no second shuffle.
+    At 100 TB the group key (type, hour) is naturally bounded and
+    uniform, and the partial aggregation does the heavy lifting
+    map-side."""
+    e = table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, value,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd,
+         COUNT(*) OVER w AS n_hist
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, ROUND((value - mu) / sd, 6) AS zscore
+FROM r
+WHERE n_hist >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier detection: each event scored against the
+    trailing 20-event mean/stddev of its type (frame excludes the
+    current row — no self-contamination), flag |z| > 2.5 with a >= 10
+    history warm-up. One window shuffle on the type key; the trailing
+    frame keeps state O(frame) per partition, which is the streaming-
+    friendly formulation of monitoring-style anomaly detection."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5)
+        )
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )

@@ -631,3 +631,21 @@ def ml_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     _, _, scores = power_iteration_top_component(e, dim=64, n_iter=8)
     return scores
+
+
+@query("ml_logistic_gd")  # rows-only: iterative float model isn't SQL-derivable
+def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (ops/logistic_gd.py):
+    full-batch GD where each epoch is one dim+2-column SUM aggregation
+    (the gradient), only model floats on the driver — the relational
+    form of the classifier-training step a data-curation pipeline runs
+    (quality classifiers, lang-ID heads) over frozen embeddings.
+    Certificates (monotone non-increasing convex loss, finite weights,
+    below-chance-loss improvement) are pinned in tests/
+    test_invariants.py; the returned frame scores every vector."""
+    from sim_spark.ops.logistic_gd import logistic_gd
+
+    e = table(spark, sf_dir, "embeddings")
+    labeled = e.select("vec_id", "embedding", (F.col("label") == 2).cast("int").alias("y"))
+    _, _, _, preds = logistic_gd(labeled, label_col="y", dim=64, n_epochs=6)
+    return preds

@@ -468,3 +468,44 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("lang"))
     )
+
+
+@query(
+    "sink_compacted_files",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every 100 TB
+    lake schedules. Stage 1 simulates the problem: lineitem scattered
+    across 64 tiny files. Stage 2 is the fix: re-write through a single
+    round-robin repartition whose final partition count AQE coalesces to
+    the advisory size from OBSERVED bytes — no driver row count, no
+    hand-tuned file number, the same rewrite works at any scale.
+    Returned frame aggregates the compacted copy, so the oracle proves
+    the rewrite lost and duplicated nothing; the file-count drop itself
+    is pinned in tests/test_scale_ops.py."""
+    scattered = scratch_dir("compact_in")
+    compacted = scratch_dir("compact_out")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(scattered)
+    small = spark.read.parquet(scattered)
+    # REBALANCE = round-robin exchange whose post-shuffle (=file) count
+    # AQE sets from advisoryPartitionSizeInBytes — file sizing from
+    # observed bytes, usable at any scale.
+    small.hint("rebalance").write.mode("overwrite").parquet(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

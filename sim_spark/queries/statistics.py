@@ -98,3 +98,45 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vocab").cast("bigint").alias("n_vocab"),
         F.size("long_words").cast("bigint").alias("n_long"),
     )
+
+
+@query(
+    "stats_chi_square",
+    oracle="""
+WITH c AS (SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+t AS (SELECT SUM(n_obs) AS total FROM c),
+m AS (SELECT lang, SUM(n_obs) AS row_n FROM c GROUP BY 1),
+s AS (SELECT source, SUM(n_obs) AS col_n FROM c GROUP BY 1)
+SELECT c.lang, c.source, n_obs,
+       ROUND(CAST(row_n * col_n AS DOUBLE) / total, 6) AS expected,
+       ROUND(POWER(n_obs - CAST(row_n * col_n AS DOUBLE) / total, 2)
+             / (CAST(row_n * col_n AS DOUBLE) / total), 6) AS contrib
+FROM c JOIN m USING (lang) JOIN s USING (source) JOIN t ON true
+""",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for lang x source independence: per
+    cell the observed count, expected count under independence, and the
+    (obs-exp)^2/exp contribution. Emitted per cell (not globally
+    summed) so every float is derived from exact integer counts in a
+    fixed per-row order — deterministic across engines and partition
+    schedules; the caller sums contribs for the statistic. The
+    marginals are tiny aggregates AQE broadcasts back onto the cells."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("total"))
+    m = c.groupBy("lang").agg(F.sum("n_obs").alias("row_n"))
+    s = c.groupBy("source").agg(F.sum("n_obs").alias("col_n"))
+    exp = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total")
+    return (
+        c.join(m, "lang")
+        .join(s, "source")
+        .crossJoin(t)
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("n_obs") - exp, 2) / exp, 6).alias("contrib"),
+        )
+    )

@@ -471,3 +471,42 @@ def text_boilerplate_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("clean_text"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(ws) AS n_words,
+       len(list_distinct(ws)) AS n_distinct,
+       ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS distinct_ratio,
+       ROUND(CAST(list_max(list_transform(list_distinct(ws),
+                x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / len(ws), 6)
+         AS top_word_frac
+FROM w
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio
+    and the corpus-frequency share of the single most repeated word —
+    the filters that drop keyword-stuffed / looping generations from a
+    training corpus. Entirely array HOFs over the in-row token list
+    (distinct is O(n), top-frequency O(distinct x n) with ~30-word
+    docs): a narrow map, no shuffle, no Python."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    nd = F.size(F.array_distinct(ws))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda x: F.size(F.filter(ws, lambda y: y == x)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.round(nd.cast("double") / F.size(ws), 6).alias("distinct_ratio"),
+        F.round(top.cast("double") / F.size(ws), 6).alias("top_word_frac"),
+    )

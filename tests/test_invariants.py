@@ -207,3 +207,34 @@ def test_pca_power_iteration_certificates(spark):
     proj = centered @ np.array(v)
     for i, r in enumerate(rows):
         assert got[r["vec_id"]] == pytest.approx(round(float(proj[i]), 6), abs=1e-6)
+
+
+def test_logistic_gd_certificates(spark):
+    """Convex full-batch GD certificates: non-increasing loss history
+    (lr inside the monotone region), strict improvement over the
+    zero-model (chance) loss log(2), finite model, and the returned
+    margins consistent with a numpy re-evaluation of the final model."""
+    import math
+
+    import numpy as np
+
+    from sim_spark.ops.logistic_gd import logistic_gd
+
+    e = table(spark, SF, "embeddings")
+    labeled = e.select(
+        "vec_id", "embedding", (F.col("label") == 2).cast("int").alias("y")
+    )
+    w, b, hist, preds = logistic_gd(labeled, label_col="y", dim=64, n_epochs=6)
+    assert len(hist) == 7
+    assert all(later <= earlier + 1e-12 for earlier, later in zip(hist, hist[1:])), hist
+    assert hist[0] == pytest.approx(math.log(2.0), rel=1e-9)  # zero model
+    assert hist[-1] < hist[0]
+    rows = sorted(labeled.collect(), key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    margins = mat @ np.array(w) + b
+    got = {r["vec_id"]: (r["margin"], r["pred"]) for r in preds.collect()}
+    assert len(got) == len(rows)
+    for i, r in enumerate(rows):
+        m, p = got[r["vec_id"]]
+        assert m == pytest.approx(round(float(margins[i]), 6), abs=1e-6)
+        assert p == int(margins[i] > 0)

@@ -242,3 +242,24 @@ def test_connected_components_is_a_fixpoint(spark):
         assert straddle == 0
     finally:
         cc.unpersist()
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compacted_files: the rebalance rewrite must produce far fewer
+    parquet files than the 64-way scattered input while preserving the
+    row count (content parity is the key's oracle)."""
+    import glob
+    import os
+
+    from sim_spark.io import table
+    from sim_spark.registry import QUERIES
+    from sim_spark.scratch import scratch_dir
+
+    out = QUERIES["sink_compacted_files"](spark, SF)
+    n_rows = out.agg(F.sum("n")).collect()[0][0]
+    n_in = table(spark, SF, "lineitem").count()
+    assert n_rows == n_in
+    scattered = glob.glob(os.path.join(scratch_dir("compact_in"), "*.parquet"))
+    compacted = glob.glob(os.path.join(scratch_dir("compact_out"), "*.parquet"))
+    assert len(scattered) == 64
+    assert 0 < len(compacted) <= 4, len(compacted)
