@@ -296,3 +296,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev, event_type AS cur, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY prev), 6) AS p
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag() pairs each event with its predecessor (deterministic
+    (ts, event_id) order), then one aggregate counts each (prev, cur)
+    edge and normalizes rows into transition probabilities. Two
+    shuffles total — the lag window on user_id and the k x k count —
+    and the matrix itself is event-type-bounded (tiny) no matter the
+    corpus size, so the normalization window is effectively free."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    counts = s.groupBy("prev", F.col("event_type").alias("cur")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = W.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )

@@ -1,0 +1,88 @@
+"""Graph and sketch operators (SURVEY.md §2.13 extension): PageRank
+over the user↔event-type interaction graph and a count-min sketch for
+heavy hitters — both rows-only keys (iterative float ranks and hashed
+counters aren't SQL-derivable) with certificates in
+tests/test_invariants.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+@query("graph_pagerank")  # rows-only: iterative float ranks aren't SQL-derivable
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (ops/pagerank.py) over the bipartite user↔event-type
+    graph (an edge each way per distinct interaction, so no dangling
+    mass and rank flows both directions). Per iteration: one equi-join
+    shuffle + one sum — the relational power method; 10 damped rounds
+    give a ~0.2 % geometric tail regardless of graph size. Returns the
+    top 50 nodes by rank; certificates (Σ rank = 1, positivity,
+    determinism, degree monotonicity on the type side) are pinned in
+    tests/test_invariants.py."""
+    from sim_spark.ops.pagerank import pagerank
+
+    e = table(spark, sf_dir, "events")
+    pairs = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("t").alias("dst")).unionAll(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("id"))
+        .unionAll(pairs.select(F.col("t").alias("id")))
+        .distinct()
+    )
+    pr = pagerank(nodes, edges, node_col="id", n_iter=10)
+    return (
+        pr.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(50)
+    )
+
+
+@query("sketch_cms_topk")  # rows-only: hashed-counter estimates aren't SQL-derivable
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the corpus word stream: each
+    word increments DEPTH hashed counters (one explode + ONE
+    (row, col)-keyed count — the sketch build is a single shuffle of
+    bounded width DEPTH x WIDTH no matter the corpus size, and the
+    counters are sums, so partial aggregation merges shards for free).
+    A word's estimate is the min of its DEPTH counters (never below the
+    true count); the key reports the top 20 estimated words. The
+    overcount bound and est >= exact are pinned in
+    tests/test_invariants.py."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64("word", F.lit(r)), F.lit(CMS_WIDTH)).alias("c"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    cms = (
+        words.select(F.explode(cells).alias("cell"))
+        .groupBy("cell.r", "cell.c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.distinct().select(
+        "word", F.explode(cells).alias("cell")
+    ).select("word", "cell.r", "cell.c")
+    est = (
+        vocab.join(cms, ["r", "c"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.orderBy(F.desc("est"), "word").limit(20)

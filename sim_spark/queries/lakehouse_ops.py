@@ -1,0 +1,116 @@
+"""Lakehouse table-maintenance operators (SURVEY.md §2.1/§2.13
+extension): the MERGE / slowly-changing-dimension surface every
+warehouse feeding a training pipeline runs nightly.
+
+Scale designs:
+- merge_upsert_scd1: MERGE INTO semantics (update matched, insert
+  unmatched) as ONE full-outer join on the key + coalesce per column —
+  the shuffle is key-partitioned on both sides, so the plan is the
+  minimum possible data movement for a keyed merge at any scale; AQE
+  broadcasts the delta side when it is small (the common CDC case).
+  No row ever reaches the driver.
+- scd2_validity_ranges: type-2 history build — each change event
+  becomes a version row with [valid_from, valid_to) derived from
+  `lead()` over the per-key change stream. One window shuffle on the
+  business key; at 100 TB the key cardinality (customers) dwarfs the
+  executor count, so partitions stay balanced without salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+
+@query(
+    "merge_upsert_scd1",
+    oracle="""
+WITH delta AS (
+  SELECT c_custkey AS k,
+         CAST(c_acctbal AS DECIMAL(15,2)) + 100 AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS k, CAST(0.00 AS DECIMAL(15,2)) AS new_bal
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT COALESCE(t.c_custkey, d.k) AS c_custkey,
+       CAST(COALESCE(d.new_bal, t.c_acctbal) AS DOUBLE) AS acctbal,
+       CASE WHEN t.c_custkey IS NULL THEN 'insert'
+            WHEN d.k IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM customer t FULL OUTER JOIN delta d ON t.c_custkey = d.k
+""",
+)
+def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD type 1) over the customer dimension: a CDC delta
+    (updated balances for custkey % 7, brand-new keys for custkey % 13
+    shifted by 1e6) upserts into the target in one full-outer join —
+    matched rows take the delta's value, unmatched target rows pass
+    through, unmatched delta rows insert. Per-row `action` makes the
+    merge decision itself oracle-checkable, not just the end state."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(15,2)")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"), (bal + 100).alias("new_bal")
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("0.00").cast("decimal(15,2)").alias("new_bal"),
+    )
+    delta = updates.unionAll(inserts)
+    t = c.select("c_custkey", bal.alias("c_acctbal"))
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("k").isNull(), "keep")
+        .otherwise("update")
+    )
+    return t.join(delta, t.c_custkey == delta.k, "full_outer").select(
+        F.coalesce("c_custkey", "k").alias("c_custkey"),
+        F.coalesce("new_bal", "c_acctbal").cast("double").alias("acctbal"),
+        action.alias("action"),
+    )
+
+
+@query(
+    "scd2_validity_ranges",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS version,
+         CAST(o_totalprice AS DOUBLE) AS attr
+  FROM orders
+)
+SELECT o_custkey AS custkey, version, valid_from, valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current, attr
+FROM v WHERE o_custkey % 50 = 0
+""",
+)
+def scd2_validity_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: each order is a change event for its
+    customer; versions get [valid_from, valid_to) ranges via `lead()`
+    over the per-key change stream and the open-ended latest row is
+    flagged current. The %50 key filter keeps the oracle frame small
+    while the window plan is identical for the full key space."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_totalprice").cast("double").alias("attr"),
+    )
+    return v.filter(F.col("custkey") % 50 == 0).select(
+        "custkey",
+        "version",
+        "valid_from",
+        "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+        "attr",
+    )

@@ -276,3 +276,96 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.ceil(0.2 * F.col("n")))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# bag-of-words canonical dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_bow_canonical",
+    oracle="""
+WITH sig AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS sig
+  FROM documents
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY sig) AS keep_id,
+       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sig)
+            THEN 0 ELSE 1 END AS is_dup,
+       COUNT(*) OVER (PARTITION BY sig) AS group_size
+FROM sig
+""",
+)
+def dedup_bow_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup: two documents are duplicates when their
+    word MULTISETS match (md5 of the sorted token list), catching
+    shuffled/reordered copies exact-hash dedup misses. One window
+    shuffle on the 128-bit signature assigns each group's minimum
+    doc_id as the keeper. Signatures are uniform hashes, so the
+    partitioning is skew-free at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    sig = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    w = W.partitionBy("sig")
+    return (
+        d.select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keep_id"),
+            F.when(F.col("doc_id") == F.min("doc_id").over(w), 0)
+            .otherwise(1)
+            .alias("is_dup"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted reservoir sampling (Efraimidis–Spirakis A-ES, derandomized)
+# --------------------------------------------------------------------------
+
+_HEXVAL = " + ".join(
+    "(strpos('0123456789abcdef', substring(h, %d, 1)) - 1) * %d" % (i + 1, 16 ** (7 - i))
+    for i in range(8)
+)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((({_HEXVAL}) + 0.5) / 4294967296.0) / n_chars AS k
+  FROM u
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed ORDER BY k DESC, doc_id LIMIT 100
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each document draws u = md5-uniform(0,1) and competes with key
+    u^(1/weight) — equivalently ln(u)/weight — so selection probability
+    is proportional to weight (n_chars) and the winner set is the top-k
+    by key. md5 replaces the RNG, making the sample reproducible across
+    engines, runs, and partitionings; top-k is a TakeOrdered (per-
+    partition heap + driver merge of k), never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )

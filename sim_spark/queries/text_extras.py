@@ -510,3 +510,50 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nd.cast("double") / F.size(ws), 6).alias("distinct_ratio"),
         F.round(top.cast("double") / F.size(ws), 6).alias("top_word_frac"),
     )
+
+
+@query(
+    "text_entropy_score",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, len(ws) AS n,
+        list_transform(list_sort(list_distinct(ws)),
+                       x -> len(list_filter(ws, y -> y = x))) AS cnts
+      FROM w)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       ROUND(-list_sum(list_transform(cnts,
+               c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))), 6)
+         AS entropy_nats,
+       ROUND(1.0 - list_sum(list_transform(cnts,
+               c -> (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))), 6)
+         AS gini_diversity
+FROM c
+""",
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: Shannon entropy (nats) and
+    Gini-Simpson diversity of each document's word distribution — low
+    entropy flags degenerate/looping text a curation pass drops. The
+    per-word term list is materialized in SORTED word order on both
+    engines so the float summation order is pinned (sum order is the
+    only cross-engine hazard; the terms themselves are IEEE-identical).
+    Pure array HOFs over the in-row token list: narrow map, no shuffle,
+    no Python — scales as a single scan."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    cnts = F.transform(
+        F.array_sort(F.array_distinct(ws)),
+        lambda x: F.size(F.filter(ws, lambda y: y == x)),
+    )
+    p = lambda c: c.cast("double") / n  # noqa: E731
+    ent = F.aggregate(
+        cnts, F.lit(0.0), lambda acc, c: acc + p(c) * F.log(p(c))
+    )
+    gini = F.aggregate(cnts, F.lit(0.0), lambda acc, c: acc + p(c) * p(c))
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(-ent, 6).alias("entropy_nats"),
+        F.round(F.lit(1.0) - gini, 6).alias("gini_diversity"),
+    )

@@ -238,3 +238,73 @@ def test_logistic_gd_certificates(spark):
         m, p = got[r["vec_id"]]
         assert m == pytest.approx(round(float(margins[i]), 6), abs=1e-6)
         assert p == int(margins[i] > 0)
+
+
+def test_pagerank_certificates(spark):
+    """Power-method certificates: full rank vector sums to 1, all ranks
+    positive, a rerun is bit-identical (no RNG anywhere), and on the
+    type side rank is monotone with degree at the extremes (the most-
+    connected event type outranks the least-connected)."""
+    from sim_spark.ops.pagerank import pagerank
+
+    e = table(spark, SF, "events")
+    pairs = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("t").alias("dst")).unionAll(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("id"))
+        .unionAll(pairs.select(F.col("t").alias("id")))
+        .distinct()
+    )
+    pr = pagerank(nodes, edges, node_col="id", n_iter=10)
+    rows = pr.collect()
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    assert all(r["rank"] > 0 for r in rows)
+    assert len(rows) == nodes.count()
+
+    t_rank = {r["id"]: r["rank"] for r in rows if r["id"].startswith("t:")}
+    deg = {
+        r["t"]: r["n"]
+        for r in pairs.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hi = max(deg, key=lambda k: (deg[k], k))
+    lo = min(deg, key=lambda k: (deg[k], k))
+    if deg[hi] > deg[lo]:
+        assert t_rank[hi] > t_rank[lo], (hi, lo, deg, t_rank)
+
+    top = QUERIES["graph_pagerank"](spark, SF)
+    a = [(r["id"], r["rank"]) for r in top.collect()]
+    b = [(r["id"], r["rank"]) for r in QUERIES["graph_pagerank"](spark, SF).collect()]
+    assert a == b
+    assert len(a) == min(50, len(rows))
+
+
+def test_cms_estimates_bound_exact_counts(spark):
+    """CMS certificates: every reported estimate >= the exact count of
+    that word (count-min never undercounts), the overcount is within
+    the e*N/width bound, and the reported top-1 matches the exact
+    top-1 (collision-free at this vocab/width ratio)."""
+    import math
+
+    from sim_spark.queries.graph_sketch import CMS_WIDTH
+
+    got = {r["word"]: r["est"] for r in QUERIES["sketch_cms_topk"](spark, SF).collect()}
+    d = table(spark, SF, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    exact = {
+        r["word"]: r["n"]
+        for r in words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_stream = sum(exact.values())
+    bound = math.e * n_stream / CMS_WIDTH
+    for w, est in got.items():
+        assert est >= exact[w], (w, est, exact[w])
+        assert est - exact[w] <= bound, (w, est, exact[w], bound)
+    true_top = max(exact, key=lambda k: (exact[k], k))
+    rep_top = max(got, key=lambda k: (got[k], k))
+    assert true_top == rep_top
