@@ -339,3 +339,83 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+@query(
+    "events_sliding_distinct",
+    oracle="""
+SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                               - k.k * 900000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+GROUP BY 1
+""",
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per 1-hour window sliding every 15 minutes —
+    the concurrent-actives metric. Spark's window() explodes each event
+    into its 4 covering windows, then one hash aggregate does the exact
+    distinct (expand + two-phase count-distinct rewrite); the oracle
+    enumerates the same windows by bucket arithmetic. At 100 TB the
+    sketch twin (sketch_hll_mergeable) replaces exact distinct; this key
+    pins the exact semantics the sketch approximates."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_pattern_funnel_regex",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS n_events,
+       CAST((length(journey) - length(replace(journey, 'vcp', ''))) / 3 AS BIGINT)
+         AS n_vcp_runs,
+       CASE WHEN journey LIKE '%vcp%' THEN 1 ELSE 0 END AS has_funnel
+FROM j
+""",
+)
+def events_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style contiguous pattern detection: each user's
+    event stream collapses to an ordered initial-letter journey string
+    (event types have unique initials), and view→click→purchase runs
+    are counted by contiguous 'vcp' matches — the sequence-mining shape
+    (funnel with STRICT adjacency, unlike events_funnel_steps' ordered-
+    existence form). One ordered listagg shuffle per user; journeys are
+    per-user-bounded so string ops stay O(events) total."""
+    from sim_spark.io import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH j AS (
+          SELECT user_id,
+                 listagg(substring(event_type, 1, 1))
+                   WITHIN GROUP (ORDER BY ts, event_id) AS journey
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(journey) AS BIGINT) AS n_events,
+               CAST((length(journey) - length(replace(journey, 'vcp', ''))) / 3
+                    AS BIGINT) AS n_vcp_runs,
+               CASE WHEN journey LIKE '%vcp%' THEN 1 ELSE 0 END AS has_funnel
+        FROM j
+        """
+    )

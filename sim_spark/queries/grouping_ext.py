@@ -136,3 +136,43 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang, source GROUPING SETS ((lang), (source), ())
         """
     )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag,
+         COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s_qty,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(SUM(n) AS BIGINT) AS n_items,
+       CAST(SUM(s_qty) AS DOUBLE) AS sum_qty,
+       ROUND(CAST(SUM(s_price) AS DOUBLE) / SUM(n), 6) AS avg_price
+FROM daily GROUP BY l_returnflag
+""",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup from stored partials: stage 1 materializes
+    per-(day, flag) partial states (count + decimal sums — the
+    algebraic decomposition that makes avg mergeable), stage 2 merges
+    partials into the final per-flag answer WITHOUT re-scanning raw
+    rows. This is the nightly-rollup contract at 100 TB: day partials
+    are computed once per ingest window and every wider rollup is a
+    merge over ~10^3 tiny states. The oracle proves merge-of-partials
+    equals a direct aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day"), "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("s_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("s_price"),
+    )
+    return daily.groupBy("l_returnflag").agg(
+        F.sum("n").cast("bigint").alias("n_items"),
+        F.sum("s_qty").cast("double").alias("sum_qty"),
+        F.round(F.sum("s_price").cast("double") / F.sum("n"), 6).alias("avg_price"),
+    )

@@ -86,6 +86,32 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ohlc_1h",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{_FMT}') AS window_start,
+       event_type,
+       arg_min(value, concat(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                             lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, concat(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                             lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def stream_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling as a streaming operator (epoch-aligned
+    tumbling window + tie-stable min_by/max_by open/close). Batch and
+    stream share mounts.ohlc_1h; micro-batched equality is pinned in
+    tests/test_stream_parity.py — cross-batch stability of the
+    first/last picks is exactly what the sortable composite key
+    guarantees."""
+    return mounts.ohlc_1h(table(spark, sf_dir, "events"))
+
+
+@query(
     "stream_dedup_ids",
     oracle=f"""
 SELECT event_id,

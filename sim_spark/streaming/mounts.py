@@ -191,6 +191,37 @@ def session_30m(ev: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_1h(ev: DataFrame) -> DataFrame:
+    """Hourly OHLC bars per event type — the streaming-downsample shape.
+    open/close are min_by/max_by on a sortable (ts, event_id) composite
+    string, so the winner is tie-stable across micro-batch boundaries
+    (the same contract events_ohlc_bars pins in batch)."""
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def dedup_ids_stream(ev: DataFrame) -> DataFrame:
     """Streaming exact dedup: watermark bounds the id-set state."""
     return ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])

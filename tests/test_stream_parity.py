@@ -36,8 +36,9 @@ def _assert_same(batch_df, stream_df, label):
 
 
 @pytest.mark.parametrize(
-    "xform", [mounts.tumbling_1h, mounts.sliding_1h_15m, mounts.session_30m],
-    ids=["tumbling", "sliding", "session"],
+    "xform",
+    [mounts.tumbling_1h, mounts.sliding_1h_15m, mounts.session_30m, mounts.ohlc_1h],
+    ids=["tumbling", "sliding", "session", "ohlc"],
 )
 def test_windowed_aggs_stream_equals_batch(spark, replay, xform):
     batch = xform(table(spark, SF, "events"))
