@@ -86,3 +86,18 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
     )
     return est.orderBy(F.desc("est"), "word").limit(20)
+
+
+@query("embed_pq_codes")  # rows-only: learned codebooks aren't SQL-derivable
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (ops/product_quant.py): 64-dim
+    float vectors compressed to 8 sub-space code ids (16-way codebooks
+    learned on a deterministic hash sample via relational Lloyd's) plus
+    the per-vector squared reconstruction error. Certificates — code
+    range, determinism, and reconstruction beating the 1-centroid
+    baseline per subspace — are pinned in tests/test_invariants.py."""
+    from sim_spark.ops.product_quant import pq_encode, pq_fit_codebooks
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_fit_codebooks(e, m=8, k=16, dim=64, n_iter=4)
+    return pq_encode(e, books, dim=64).orderBy("vec_id")

@@ -308,3 +308,32 @@ def test_cms_estimates_bound_exact_counts(spark):
     true_top = max(exact, key=lambda k: (exact[k], k))
     rep_top = max(got, key=lambda k: (got[k], k))
     assert true_top == rep_top
+
+
+def test_pq_codes_certificates(spark):
+    """PQ certificates: every vector encoded, codes within [0, k),
+    deterministic re-run, and mean squared reconstruction error strictly
+    better than the rank-1 quantizer (every subspace collapsed to its
+    single Lloyd centroid, i.e. k=1) — compression must buy accuracy."""
+    from sim_spark.ops.product_quant import pq_encode, pq_fit_codebooks
+
+    e = table(spark, SF, "embeddings")
+    n = e.count()
+    books = pq_fit_codebooks(e, m=8, k=16, dim=64, n_iter=4)
+    enc = pq_encode(e, books, dim=64)
+    rows = enc.collect()
+    assert len(rows) == n
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    again = pq_encode(e, books, dim=64).collect()
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in rows) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in again
+    )
+    mean_err = sum(r["err"] for r in rows) / n
+
+    books1 = pq_fit_codebooks(e, m=8, k=1, dim=64, n_iter=4)
+    enc1 = pq_encode(e, books1, dim=64)
+    mean_err1 = sum(r["err"] for r in enc1.collect()) / n
+    assert mean_err < mean_err1, (mean_err, mean_err1)
+
+    out = QUERIES["embed_pq_codes"](spark, SF)
+    assert out.count() == n
