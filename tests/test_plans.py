@@ -115,3 +115,38 @@ def test_salted_join_shuffles_on_salt(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert re.search(r"hashpartitioning\([^)]*__salt", p), p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    """A-ES top-k must plan as TakeOrderedAndProject (per-partition heap
+    + driver k-merge), never a global Sort — the difference between a
+    k-row and corpus-row shuffle at 100 TB."""
+    p = plan(spark, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_scd2_filter_below_window_shuffle(spark):
+    """The custkey predicate must sit BELOW the window's Exchange (the
+    query filters pre-window since Catalyst won't push a modulo
+    predicate through a Window) — at 100 TB that's a 50x smaller
+    shuffle."""
+    p = plan(spark, "scd2_validity_ranges")
+    ids = {
+        name: int(num)
+        for name, num in re.findall(r"(Filter|Exchange|Window) \((\d+)\)", p)
+    }
+    assert {"Filter", "Exchange", "Window"} <= ids.keys(), p
+    assert ids["Filter"] < ids["Exchange"] < ids["Window"], p
+
+
+def test_pattern_funnel_single_shuffle(spark):
+    """Ordered listagg per user = exactly one exchange (on user_id)."""
+    p = plan(spark, "events_pattern_funnel_regex")
+    assert p.count("Exchange") <= 2, p  # hash agg may add a final-merge exchange
+
+
+def test_markov_transitions_no_extra_shuffle(spark):
+    """Transition matrix: lag window + count + tiny normalization window
+    — the count shuffle must be on (prev, cur), never on raw events."""
+    p = plan(spark, "events_markov_transitions")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
