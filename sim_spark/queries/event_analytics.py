@@ -419,3 +419,51 @@ def events_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM j
         """
     )
+
+
+@query(
+    "events_max_concurrency",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 10 MINUTE AS t, -1 AS d FROM events
+),
+sweep AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type
+                      ORDER BY t, d DESC
+                      ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts
+)
+SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM sweep GROUP BY event_type
+""",
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval overlap per event type: each event opens a
+    10-minute activity interval; the classic +1/-1 boundary sweep with
+    a running sum finds the maximum number of simultaneously-open
+    intervals. Tie rule: at an identical instant the +1 sorts first
+    (d DESC), so touching intervals count as overlapping — pinned the
+    same way in both engines. One partitioned window per type key; no
+    global order, so the sweep shards across the cluster."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        e.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("t"), F.desc("d"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sweep = pts.select("event_type", F.sum("d").over(w).alias("live"))
+    return sweep.groupBy("event_type").agg(
+        F.max("live").cast("bigint").alias("max_concurrent")
+    )

@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sim_spark.io import table
@@ -139,4 +139,88 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exp, 6).alias("expected"),
             F.round(F.pow(F.col("n_obs") - exp, 2) / exp, 6).alias("contrib"),
         )
+    )
+
+
+@query(
+    "stats_ks_binned",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE event_type IN ('view', 'purchase')
+),
+rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
+b AS (
+  SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 512.0)) AS BIGINT), 511)
+           AS bucket,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2
+  FROM v CROSS JOIN rng GROUP BY 1
+),
+c AS (
+  SELECT bucket,
+         SUM(n1) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(n2) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c2,
+         SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2
+  FROM b
+)
+SELECT CAST(MAX(t1) AS BIGINT) AS n_view,
+       CAST(MAX(t2) AS BIGINT) AS n_purchase,
+       ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6)
+         AS ks_binned
+FROM c
+""",
+)
+def stats_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the view and
+    purchase value distributions, binned to 512 equal-width buckets:
+    D = max |ECDF1 - ECDF2| evaluated at bucket boundaries (a lower
+    bound of exact KS that converges as bins shrink — the drift-
+    detection statistic data-quality monitors run). Everything is
+    integer counts and exact ratios — no transcendentals, so engines
+    agree bit-for-bit. Scale shape: one bounded 512-row aggregate after
+    a map-side bucket assignment; the cumulative pass runs over 512
+    rows, never the corpus — unlike exact KS, which needs a global
+    sort."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    rng = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(512.0)
+    b = (
+        e.crossJoin(rng)
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+                F.lit(511).cast("bigint"),
+            ).alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy()
+    c = b.select(
+        F.sum("n1").over(wc).alias("c1"),
+        F.sum("n2").over(wc).alias("c2"),
+        F.sum("n1").over(wt).alias("t1"),
+        F.sum("n2").over(wt).alias("t2"),
+    )
+    return c.agg(
+        F.max("t1").cast("bigint").alias("n_view"),
+        F.max("t2").cast("bigint").alias("n_purchase"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("t1")
+                    - F.col("c2").cast("double") / F.col("t2")
+                )
+            ),
+            6,
+        ).alias("ks_binned"),
     )
