@@ -467,3 +467,51 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep.groupBy("event_type").agg(
         F.max("live").cast("bigint").alias("max_concurrent")
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         CAST(day - INTERVAL (DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day))
+                    DAY AS DATE) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+""",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric, solved with the day-minus-dense_rank
+    gaps-and-islands trick (consecutive days share one island id, so
+    streaks become plain group counts). Distinct-day reduction first
+    (events per user per day collapse map-side), then every window and
+    aggregate clusters on user_id: one shuffle end to end."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.dense_rank().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )

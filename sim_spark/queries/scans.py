@@ -183,3 +183,26 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+@query("scan_xml_roundtrip", oracle="SELECT * FROM supplier")
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML (Spark 4 native format) → read back with the
+    pinned explicit schema (XML is text, so types only survive via the
+    schema, like the CSV leg). Lazy read-back from the per-process
+    scratch dir; the oracle proves a full-fidelity round trip including
+    decimals and free-text comment fields (XML-escaped and restored)."""
+    out = scratch_dir("xml_supplier")
+    (
+        table(spark, sf_dir, "supplier")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .save(out)
+    )
+    return (
+        spark.read.schema(SCHEMAS["supplier"])
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )

@@ -224,3 +224,58 @@ def stats_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_binned"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(l_quantity AS DECIMAL(30,6)) AS wt
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, v,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS DOUBLE) AS wmedian,
+       CAST(MAX(tw) AS DOUBLE) AS total_weight
+FROM c GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: sort within the
+    group, exact DECIMAL cumulative weights, and the median is the
+    first value whose doubled cumulative weight crosses the total
+    (2*cw >= tw avoids a lossy division). All arithmetic is exact
+    decimals, so the crossing row — and therefore the answer — is
+    identical on any engine and partitioning, even with duplicate
+    values straddling the boundary. One keyed window shuffle; the
+    approx twin at 100 TB is a per-group weighted t-digest, this key
+    pins the exact semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(30,6)").alias("wt"),
+    )
+    wc = W.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt_ = W.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("double")
+        .alias("wmedian"),
+        F.max("tw").cast("double").alias("total_weight"),
+    )

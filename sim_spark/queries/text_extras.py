@@ -557,3 +557,75 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-ent, 6).alias("entropy_nats"),
         F.round(F.lit(1.0) - gini, 6).alias("gini_diversity"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+        FROM documents)
+),
+df AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 50),
+gf AS (SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM gf GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C(A,B) = |grams(A) ∩ grams(B)| /
+    min(|A|,|B|) over distinct word 3-grams — the asymmetric measure
+    that catches a document EMBEDDED in a larger one, where Jaccard
+    dilutes below threshold. Skew control: grams occurring in > 50
+    documents (boilerplate) are dropped BEFORE the gram self-join, so
+    no shuffle key fans out quadratically — the same df-cap trick
+    production SSJoins use; the threshold filter keeps the candidate
+    count ~linear. One gram-keyed join + two tiny size joins (AQE
+    broadcasts the size side)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 2),
+                    lambda i: F.array_join(F.slice(ws, i, 3), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_ok = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    gf = g.join(df_ok.select("gram"), "gram")
+    sz = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = gf.select(F.col("doc_id").alias("id_a"), "gram")
+    b = gf.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.col("n_shared").cast("double") / F.least("na", "nb")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= 0.8)
+        .select("id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment"))
+    )
