@@ -509,3 +509,46 @@ def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "sketch_bitmap_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+UNION ALL
+SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS n_users FROM events
+""",
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via Spark's bitmap aggregates:
+    user ids hash into (bucket, bit) positions, one 4 KB bitmap per
+    (event_type, bucket) built with bitmap_construct_agg, counts are
+    sums of bitmap_count per bucket, and the GLOBAL distinct comes from
+    bitmap_or_agg over the per-type bitmaps — merge without re-scan,
+    like the HLL key but exact (bitmap size scales with the id domain,
+    HLL with the error budget: that is the 100 TB trade). The oracle is
+    plain COUNT(DISTINCT) per type plus the global roll-up."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ev_bitmap_src")
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bucket,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM ev_bitmap_src GROUP BY 1, 2
+        ),
+        per_type AS (
+          SELECT event_type, SUM(bitmap_count(bm)) AS n_users FROM buckets GROUP BY 1
+        ),
+        merged AS (
+          SELECT bucket, bitmap_or_agg(bm) AS bm FROM buckets GROUP BY bucket
+        ),
+        global_row AS (
+          SELECT '__all__' AS event_type, SUM(bitmap_count(bm)) AS n_users FROM merged
+        )
+        SELECT event_type, CAST(n_users AS BIGINT) AS n_users FROM per_type
+        UNION ALL
+        SELECT event_type, CAST(n_users AS BIGINT) AS n_users FROM global_row
+        """
+    )

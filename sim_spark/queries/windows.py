@@ -243,3 +243,58 @@ def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "win_ewma_trailing",
+    oracle="""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS hist
+  FROM events
+)
+SELECT event_id, event_type,
+       ROUND(list_sum(list_transform(hist,
+               (x, i) -> x * power(0.5, len(hist) - i)))
+             / list_sum(list_transform(hist,
+               (x, i) -> power(0.5, len(hist) - i))), 6) AS ewma
+FROM w
+""",
+)
+def win_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (decay 0.5, last
+    16 events) per event type — the smoothing pass monitoring pipelines
+    run. The trailing frame materializes as an in-row list and the
+    weighted sum is an indexed HOF; decay 0.5 makes every weight an
+    exact binary fraction, so both engines produce identical IEEE sums
+    in the same (frame) order. One keyed window shuffle, frame state is
+    O(16) per row; the infinite-history EWMA recurrence is inherently
+    sequential — truncation is what makes it parallel, with error
+    2^-16. Index-base note: DuckDB's (x, i) lambda is 1-based, Spark's
+    0-based, so the two weight vectors differ by one constant factor of
+    0.5 — which cancels exactly in the normalized ratio."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    hist = F.collect_list("value").over(w)
+    n = F.size("hist")
+    wsum = F.aggregate(
+        F.transform("hist", lambda x, i: x * F.pow(F.lit(0.5), n - i)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wtot = F.aggregate(
+        F.transform("hist", lambda x, i: F.pow(F.lit(0.5), n - i)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        e.select("event_id", "event_type", hist.alias("hist"))
+        .select("event_id", "event_type", F.round(wsum / wtot, 6).alias("ewma"))
+    )
