@@ -32,10 +32,16 @@ def asof_join_backward(
     right_ts: str,
     payload_cols: list[str],
     right_order: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row (same ``key``) with
     ``right_ts`` <= ``left_ts``; payload columns are NULL when no such row
-    exists (left-outer semantics)."""
+    exists (left-outer semantics).
+
+    ``direction='forward'`` flips the scan: the EARLIEST right row with
+    ``right_ts`` >= ``left_ts`` (ties to the smallest ``right_order``,
+    matching ORDER BY ts ASC, order ASC LIMIT 1) — same single
+    shuffle+sort, just a descending window order."""
     lcols = left.columns
     l_tag = left.withColumn(_IS_RIGHT, F.lit(0)).withColumn(_PAYLOAD, F.lit(None).cast(
         "struct<" + ",".join(f"{c}:string" for c in payload_cols) + ">"
@@ -57,15 +63,25 @@ def asof_join_backward(
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    # Right rows sort before left rows at equal ts (<= semantics); among
-    # right ties the greatest right_order wins because last() sees it last.
-    w = (
-        W.partitionBy(key)
-        .orderBy(
+    # Right rows sort before left rows at equal ts (<=/>= include the
+    # boundary); among right ties, last() keeps whichever it sees last:
+    # backward wants the greatest right_order (asc order), forward the
+    # smallest (desc order).
+    if direction == "forward":
+        order = [
+            F.col(left_ts).desc(),
+            F.col(_IS_RIGHT).desc(),
+            F.col("__asof_order").desc_nulls_first(),
+        ]
+    else:
+        order = [
             F.col(left_ts).asc(),
             F.col(_IS_RIGHT).desc(),
             F.col("__asof_order").asc_nulls_first(),
-        )
+        ]
+    w = (
+        W.partitionBy(key)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))

@@ -515,3 +515,89 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("n_active_days"),
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS now FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', MAX(ts), (SELECT now FROM mx)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                  AS DECIMAL(30,6))) AS monetary
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, frequency,
+         CAST(monetary AS DOUBLE) AS monetary,
+         NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM per_user
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, ROUND(monetary, 6) AS monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    event, anchored to the corpus max so the key is reproducible),
+    frequency, and purchase monetary value, each quartiled with
+    NTILE(4) under a pinned user_id tie-break, then bucketed into
+    champion/at-risk/regular. The per-user aggregate is the only
+    corpus-scale shuffle; the ntile windows run over one row per user.
+    At 100 TB the unpartitioned ntile would become a percentile-bucket
+    join (approx quantiles of the metric), same output contract."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now"))
+    per_user = (
+        e.crossJoin(mx)
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("now"), F.max("ts")).cast("bigint").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                ).cast("decimal(30,6)")
+            ).alias("monetary"),
+        )
+    )
+    r_w = W.orderBy(F.asc("recency_days"), "user_id")
+    f_w = W.orderBy(F.desc("frequency"), "user_id")
+    m_w = W.orderBy(F.desc(F.col("monetary").cast("double")), "user_id")
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

@@ -103,3 +103,49 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("p_ts").cast("timestamp"))
          - F.unix_micros(F.col("e_ts").cast("timestamp"))).alias("gap_us"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT v.event_id,
+       v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       (SELECT p.event_id FROM events p
+        WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+          AND p.ts >= v.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id
+FROM events v
+WHERE v.event_type = 'view'
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every view, the user's NEXT purchase at-or-after it (forward
+    as-of — the time-to-conversion attribution shape; NULL when the
+    user never converts). Same union-tag + one keyed window machinery
+    as the backward key, scanned in descending time order
+    (ops/asof.py direction='forward'); the oracle is the equivalent
+    correlated ORDER BY ts ASC LIMIT 1 subquery."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_backward(
+        views.withColumnRenamed("event_id", "v_event_id"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id"],
+        right_order="event_id",
+        direction="forward",
+    )
+    return out.select(
+        F.col("v_event_id").alias("event_id"),
+        "user_id",
+        ts_str("ts").alias("view_ts"),
+        F.col("asof_event_id").cast("long").alias("next_purchase_id"),
+    )

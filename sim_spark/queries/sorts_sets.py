@@ -146,3 +146,40 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"),
     )
     return a.unionByName(b)
+
+
+@query(
+    "set_except_intersect_all",
+    oracle="""
+WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+SELECT 'except_all' AS op, k, COUNT(*) AS n FROM ex GROUP BY k
+UNION ALL
+SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM ia GROUP BY k
+""",
+)
+def set_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL keeps max(n_a - n_b, 0)
+    copies per value, INTERSECT ALL min(n_a, n_b) — the semantics that
+    preserve multiplicity for reconciliation workloads (row-count
+    deltas between two loads). Spark plans both as a single aggregate
+    computing per-value counts on each side, no join; output is grouped
+    (value, copies) so the multiset is hash-comparable."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    ex = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionAll(ia)

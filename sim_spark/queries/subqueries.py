@@ -118,3 +118,38 @@ def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "subq_correlated_scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       (SELECT strftime(MAX(l_shipdate), '%Y-%m-%d') FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS last_ship,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 40) AS n_bulk_lines
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
+def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row correlated scalar subqueries (two of them, one nullable):
+    each order's latest lineitem ship date and its count of bulk lines.
+    Catalyst decorrelates both into left-outer aggregate joins — the
+    plan a hand-written rewrite would build — so the subquery form
+    costs nothing at scale; COUNT(*) on an empty group must surface as
+    0, not NULL (the classic decorrelation bug, pinned here)."""
+    from sim_spark.io import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               (SELECT date_format(MAX(l_shipdate), 'yyyy-MM-dd') FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS last_ship,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_quantity > 40) AS n_bulk_lines
+        FROM orders WHERE o_orderkey % 100 = 0
+        """
+    )
