@@ -127,36 +127,59 @@ SCHEMAS: dict[str, T.StructType] = {
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy; no driver-side data).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
-    outright (PARQUET_TYPE_ILLEGAL). We read it as a nanos long (legacy
-    conf) and floor-divide to microseconds — bit-identical to DuckDB's own
-    ns→µs truncation on read, so oracle comparisons of raw ts agree.
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: parquet TIMESTAMP(MICROS) (reads directly) and
+    TIMESTAMP(NANOS), which Spark 4.x rejects outright
+    (PARQUET_TYPE_ILLEGAL) — for the latter we read it as a nanos long
+    (legacy conf) and floor-divide to microseconds, bit-identical to
+    DuckDB's own ns→µs truncation on read, so oracle comparisons of raw
+    ts agree. Either way the column is normalized to session-TZ
+    TimestampType (session TZ pinned UTC) so downstream queries see one
+    stable type.
     """
     normalize(spark)
     if name == "events":
-        from pyspark.sql import functions as F
-
-        # Scope the legacy conf to this one read: the scan relation
-        # captures the conf at build time (verified: execution after
-        # restore still decodes correctly), so restoring immediately
-        # keeps later TIMESTAMP(NANOS) reads in the session loud.
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            prev = spark.conf.get(conf_key)
-        except Exception:
-            prev = None
-        spark.conf.set(conf_key, "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
-        return df
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+    except Exception:
+        df = None
+        ts_type = None
+    if df is not None and isinstance(ts_type, T.TimestampType):
+        return df
+    if df is not None and isinstance(ts_type, T.TimestampNTZType):
+        # µs fixtures read as NTZ; session TZ is UTC, so the cast is a
+        # pure relabel (identical wall-clock values, oracle-compatible).
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    # Legacy TIMESTAMP(NANOS) layout: scope the legacy conf to this one
+    # read — the scan relation captures the conf at build time
+    # (verified: execution after restore still decodes correctly), so
+    # restoring immediately keeps later TIMESTAMP(NANOS) reads in the
+    # session loud.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -103,6 +103,10 @@ def connected_components(
             .localCheckpoint()
         )
     if not converged:
+        # The edge list may have emptied exactly on the last allowed
+        # iteration — that IS the fixpoint, not a truncation.
+        converged = cur.isEmpty()
+    if not converged:
         warnings.warn(
             f"connected_components: max_iter={max_iter} reached before the "
             "fixpoint (contracted edges remain); labels may violate the "

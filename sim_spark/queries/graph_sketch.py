@@ -100,4 +100,12 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     books = pq_fit_codebooks(e, m=8, k=16, dim=64, n_iter=4)
-    return pq_encode(e, books, dim=64).orderBy("vec_id")
+    enc = pq_encode(e, books, dim=64)
+    # The driver's canonicalizer hashes column values via pandas, which
+    # cannot hash a raw list — emit the code vector as a sortable
+    # comma-joined scalar instead of array<int>.
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        "err",
+    ).orderBy("vec_id")

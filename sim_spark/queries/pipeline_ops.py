@@ -105,14 +105,17 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded benchmark side broadcasts under AQE."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # sequence(1, n-4) DESCENDS when n < 5 (Spark auto-steps -1), so a
+    # short doc would feed slice() a 0/negative start and crash; guard
+    # to an empty gram list like the oracle's generate_series.
+    starts = F.when(
+        F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
+    ).otherwise(F.array().cast("array<int>"))
     grams = d.select(
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - 4),
-                lambda i: F.array_join(F.slice(words, i, 5), " "),
-            )
+            F.transform(starts, lambda i: F.array_join(F.slice(words, i, 5), " "))
         ).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()

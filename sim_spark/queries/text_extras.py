@@ -600,7 +600,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 2),
+                    # Guard: sequence(1, n-2) descends for n < 3 and
+                    # slice(ws, 0, 3) throws — short docs get no grams.
+                    F.when(
+                        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
+                    ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.array_join(F.slice(ws, i, 3), " "),
                 )
             ).alias("gram"),
