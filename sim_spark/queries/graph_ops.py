@@ -1,0 +1,125 @@
+"""Relational graph analytics over a derived co-purchase graph.
+
+Graph = parts as nodes, an undirected edge between two parts iff some
+order contains both (the classic co-occurrence projection of the
+bipartite order→part relation). Built entirely from `lineitem`, so both
+engines derive the identical edge multiset.
+
+Scale notes (100 TB): the pair-generation fanout is bounded by
+lines-per-order (TPC-H ≤ 7 → ≤ 21 pairs per order), so the self-join on
+`l_orderkey` is a linear-size shuffle, not a quadratic blowup. Triangle
+counting uses DEGREE ORIENTATION (each undirected edge directed from its
+(degree, id)-smaller endpoint to the larger): the oriented out-degree is
+O(sqrt(m)) for any graph, which bounds the wedge join at O(m^1.5) total
+work — the MapReduce-standard trick (cf. Suri & Vassilvitskii,
+"Counting Triangles and the Curse of the Last Reducer", WWW'11). The
+DuckDB oracle runs the naive a<b<c 3-way join instead; the triangle
+COUNT is identical, which is exactly what makes this an oracle-checkable
+pair of different physical strategies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+_EDGES_CTE = """
+WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (u < v) of the co-purchase graph."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_EDGES_CTE
+    + """
+SELECT (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*)
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count via degree-oriented wedge join (O(m^1.5));
+    oracle does the naive ordered 3-way join — same count."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient each edge from the (deg, id)-smaller endpoint: a total
+    # order, so the oriented graph is a DAG with out-degree O(sqrt(m)).
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        o3, (F.col("a") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst"))
+    )
+    n_nodes = e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n"))
+    ).agg(F.countDistinct("n").alias("n_nodes"))
+    return (
+        n_nodes.crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+@query(
+    "graph_degree_hist",
+    oracle=_EDGES_CTE
+    + """
+, deg AS (SELECT n, count(*) AS degree
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+          GROUP BY n)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — two partial+final
+    hash aggregations, the plan any 100 TB degree profile wants."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
+    )

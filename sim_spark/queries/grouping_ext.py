@@ -7,7 +7,7 @@ path is exercised alongside the DataFrame builder.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sim_spark.exprs import dsum, sql_dsum
@@ -175,4 +175,37 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_items"),
         F.sum("s_qty").cast("double").alias("sum_qty"),
         F.round(F.sum("s_price").cast("double") / F.sum("n"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT status, priority AS mode_priority, n FROM counts WHERE rn = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken by
+    smallest value) — count + windowed top-1 rather than the engine's
+    native mode(), whose tie behavior is engine-defined. Two shuffles:
+    the count aggregation, then a window over the (tiny) per-group count
+    table — the count table has |groups|x|values| rows, so the window
+    stage is negligible at any scale."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("status").orderBy(F.desc("n"), F.asc("priority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("status", F.col("priority").alias("mode_priority"), "n")
     )

@@ -9,6 +9,8 @@ sink).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,29 +42,33 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_join_read(spark, sf_dir)
 
 
-_BUCKETED_SIDES: tuple[DataFrame, DataFrame] | None = None
+_BUCKETED_SIDES: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
 def bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The WRITE leg: persist both join sides bucketed+sorted on the
     order key (the pay-shuffle-once ingest step); returns the catalog
-    table handles and caches them for the read leg."""
-    global _BUCKETED_SIDES
+    table handles and caches them per sf_dir for the read leg."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    lt = write_bucketed(spark, li, "lio_l", "l_orderkey", n_buckets=8)
-    rt = write_bucketed(spark, o, "lio_r", "o_orderkey", n_buckets=8)
-    _BUCKETED_SIDES = (lt, rt)
-    return _BUCKETED_SIDES
+    # Tag the catalog table names with the sf_dir so layouts for two
+    # scale factors written in one process never overwrite each other.
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    lt = write_bucketed(spark, li, f"lio_l_{tag}", "l_orderkey", n_buckets=8)
+    rt = write_bucketed(spark, o, f"lio_r_{tag}", "o_orderkey", n_buckets=8)
+    _BUCKETED_SIDES[sf_dir] = (lt, rt)
+    return _BUCKETED_SIDES[sf_dir]
 
 
 def bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The READ leg: join + aggregate over the already-written bucketed
     tables — zero Exchange (plan-asserted in tests/test_scale_ops.py).
-    Writes the layout first if this process hasn't yet."""
-    lt, rt = _BUCKETED_SIDES or bucketed_layout(spark, sf_dir)
+    Writes the layout first if this process hasn't written this sf_dir;
+    the cache is keyed by sf_dir so mixed-scale calls never read a
+    stale layout."""
+    lt, rt = _BUCKETED_SIDES.get(sf_dir) or bucketed_layout(spark, sf_dir)
     j = lt.hint("merge").join(rt, lt["l_orderkey"] == rt["o_orderkey"])
     return (
         j.groupBy(F.col("o_orderstatus").alias("status"))
@@ -551,4 +557,61 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT event_type, CAST(n_users AS BIGINT) AS n_users FROM global_row
         """
+    )
+
+
+def _morton_sql(xcol: str, ycol: str, bits: int = 8) -> str:
+    """DuckDB-dialect bit-interleave expression (x -> even bits, y -> odd)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_col(x, y, bits: int = 8):
+    """Spark twin of :func:`_morton_sql` — same interleave, same bits."""
+    code = F.lit(0)
+    for i in range(bits):
+        code = code + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        code = code + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return code
+
+
+@query(
+    "sort_zorder_morton",
+    oracle=f"""
+WITH coded AS (
+  SELECT p_partkey,
+         p_size & 255 AS x,
+         CAST(floor(p_retailprice) AS INTEGER) & 255 AS y
+  FROM part
+)
+SELECT p_partkey, x, y, {_morton_sql('x', 'y')} AS morton
+FROM coded ORDER BY morton, p_partkey LIMIT 200
+""",
+)
+def sort_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions (p_size x
+    price bucket) — the multi-dimensional data-skipping layout: sorting
+    a table by the interleaved code before writing parquet gives every
+    file a tight min/max envelope on BOTH columns, so scans filtered on
+    either dimension prune files (one-dimensional sort only prunes its
+    own column). The code is pure integer bit arithmetic inside codegen;
+    at 100 TB this is `repartitionByRange(morton).sortWithinPartitions`
+    ahead of the sink — one range shuffle, the same price as any sorted
+    write. Output is the coded top-200 by (morton, key): a total order,
+    so the LIMIT is deterministic."""
+    p = table(spark, sf_dir, "part")
+    coded = p.select(
+        "p_partkey",
+        F.col("p_size").bitwiseAND(F.lit(255)).alias("x"),
+        F.floor("p_retailprice").cast("int").bitwiseAND(F.lit(255)).alias("y"),
+    )
+    return (
+        coded.select(
+            "p_partkey", "x", "y", _morton_col(F.col("x"), F.col("y")).alias("morton")
+        )
+        .orderBy("morton", "p_partkey")
+        .limit(200)
     )

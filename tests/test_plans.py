@@ -150,3 +150,31 @@ def test_markov_transitions_no_extra_shuffle(spark):
     — the count shuffle must be on (prev, cur), never on raw events."""
     p = plan(spark, "events_markov_transitions")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_triangle_count_joins_are_hash_not_cartesian(spark):
+    """Degree-oriented triangle counting must be equi-joins end to end —
+    no CartesianProduct anywhere; the BNLJ allowance is only the final
+    1-row count assembly."""
+    p = plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)) >= 3, p
+
+
+def test_nb_scoring_grid_is_broadcast(spark):
+    """The (word x lang) log-prob grid is vocab-bounded — the token-side
+    scoring join must broadcast it, never shuffle the token table twice."""
+    p = plan(spark, "ml_naive_bayes_lang")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_zorder_topk_is_take_ordered(spark):
+    p = plan(spark, "sort_zorder_morton")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quality_filter_is_single_partial_final_agg(spark):
+    """One scan, one partial+final aggregate — no joins, no window."""
+    p = plan(spark, "quality_ensemble_filter")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert not re.search(r"Join", p), p
