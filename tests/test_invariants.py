@@ -337,3 +337,14 @@ def test_pq_codes_certificates(spark):
 
     out = QUERIES["embed_pq_codes"](spark, SF)
     assert out.count() == n
+
+
+def test_minhash_exactperm_recall_vs_exact_jaccard(spark):
+    """The oracled MinHash twin must also recover >=90% of the exact
+    Jaccard>=0.8 ground truth (4 bands x 4 rows targets t ~ 0.71, so
+    near-dups at 0.8 collide in some band with high probability)."""
+    truth = _pair_set(QUERIES["dedup_jaccard_shingles"](spark, SF))
+    approx = _pair_set(QUERIES["dedup_minhash_exactperm"](spark, SF))
+    assert truth, "fixtures should contain planted near-dup pairs"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall={recall:.2f} over {len(truth)} true pairs"

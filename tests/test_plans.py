@@ -178,3 +178,11 @@ def test_quality_filter_is_single_partial_final_agg(spark):
     p = plan(spark, "quality_ensemble_filter")
     assert len(re.findall(r"HashAggregate", p)) >= 2, p
     assert not re.search(r"Join", p), p
+
+
+def test_minhash_band_join_is_equi_not_cartesian(spark):
+    """LSH banding exists to make candidate generation an equi-join on
+    (band_no, band_value) — a cartesian/BNLJ here would defeat it."""
+    p = plan(spark, "dedup_minhash_exactperm")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
