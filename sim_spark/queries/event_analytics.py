@@ -601,3 +601,65 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+@query(
+    "events_time_to_conversion",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id,
+         CAST(date_diff('second', first_view, first_purchase) AS BIGINT) AS delta_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+),
+bucketed AS (
+  SELECT CASE WHEN delta_s < 3600 THEN '0_under_1h'
+              WHEN delta_s < 86400 THEN '1_under_1d'
+              WHEN delta_s < 604800 THEN '2_under_1w'
+              ELSE '3_over_1w' END AS bucket
+  FROM conv
+)
+SELECT bucket, count(*) AS n_users FROM bucketed GROUP BY bucket
+""",
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, seconds from first 'view' to first
+    'purchase' (only when the purchase follows), bucketed into integer
+    time bands. One conditional-min aggregation clustered on user_id —
+    no join, no window — then a tiny bucket rollup: the minimal-shuffle
+    formulation of time-to-conversion at any scale. Bucket edges and the
+    delta are integer seconds, so band membership is engine-exact."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("delta_s")
+    )
+    bucket = (
+        F.when(F.col("delta_s") < 3600, "0_under_1h")
+        .when(F.col("delta_s") < 86400, "1_under_1d")
+        .when(F.col("delta_s") < 604800, "2_under_1w")
+        .otherwise("3_over_1w")
+    )
+    return (
+        conv.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

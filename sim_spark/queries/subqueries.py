@@ -10,8 +10,9 @@ them honest (no per-row re-execution of subqueries anywhere).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from sim_spark.io import register_views
+from sim_spark.io import register_views, table
 from sim_spark.registry import query
 
 
@@ -139,7 +140,7 @@ def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan a hand-written rewrite would build — so the subquery form
     costs nothing at scale; COUNT(*) on an empty group must surface as
     0, not NULL (the classic decorrelation bug, pinned here)."""
-    from sim_spark.io import register_views
+    from sim_spark.io import register_views, table
 
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(
@@ -152,4 +153,56 @@ def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE l_orderkey = o_orderkey AND l_quantity > 40) AS n_bulk_lines
         FROM orders WHERE o_orderkey % 100 = 0
         """
+    )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', count(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'orders->customer', count(*)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation', count(*)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier->nation', count(*)
+FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'nation->region', count(*)
+FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+""",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every declared FK
+    edge, as one unioned report — the data-quality gate run before any
+    pipeline promotes a snapshot. Each leg is a LEFT ANTI join; the dim
+    sides broadcast (or AQE decides at real scale), the fact side
+    streams — never a full shuffle of both sides just to count misses."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+
+    def leg(name, fact, dim, fk, pk):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        leg("lineitem->orders", li, o, "l_orderkey", "o_orderkey")
+        .unionAll(leg("lineitem->part", li, table(spark, sf_dir, "part"), "l_partkey", "p_partkey"))
+        .unionAll(leg("orders->customer", o, c, "o_custkey", "c_custkey"))
+        .unionAll(leg("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+        .unionAll(leg("supplier->nation", s, n, "s_nationkey", "n_nationkey"))
+        .unionAll(leg("nation->region", n, r, "n_regionkey", "r_regionkey"))
     )

@@ -298,3 +298,43 @@ def win_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", "event_type", hist.alias("hist"))
         .select("event_id", "event_type", F.round(wsum / wtot, 6).alias("ewma"))
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+SELECT o_custkey % 10 AS g, o_orderkey,
+       ROUND(median(o_totalprice) OVER (PARTITION BY o_custkey % 10
+                                        ORDER BY o_orderkey
+                                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+             6) AS med
+FROM orders
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a 6-row trailing frame. Spark rejects
+    median() with a window frame, so the frame is materialized with
+    collect_list (bounded: <= 6 doubles per row), sorted in-row, and the
+    midpoint interpolated — the standard exact-order-statistic recipe
+    for SMALL frames. The frame array is O(frame) per row, so cost is
+    linear in rows x frame, one window shuffle on the partition key;
+    for large frames the right tool is the binned-ECDF sketch
+    (stats_ks_binned's machinery), not this."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy(F.col("o_custkey") % 10)
+        .orderBy("o_orderkey")
+        .rowsBetween(-5, 0)
+    )
+    arr = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    mid_hi = ((n + 1) / 2).cast("int")
+    lo = (n / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(arr, mid_hi)).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / 2.0
+    )
+    return o.select(
+        (F.col("o_custkey") % 10).alias("g"),
+        "o_orderkey",
+        F.round(med, 6).alias("med"),
+    )
