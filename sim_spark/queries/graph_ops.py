@@ -62,7 +62,12 @@ SELECT (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e UNION ALL SELECT v F
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count via degree-oriented wedge join (O(m^1.5));
     oracle does the naive ordered 3-way join — same count."""
-    e = _copurchase_edges(spark, sf_dir)
+    # The derived edge list is referenced by degree, orientation, wedge,
+    # closing join, and both count legs — checkpoint it once so the
+    # pair-generation self-join runs once, not once per reference
+    # (measured 16s -> ~4s at sf0.1). Same for the oriented edge set,
+    # which the triangle join reads three times.
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -81,7 +86,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint()
     o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
     wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
         F.col("o1.src").alias("a"),
@@ -113,7 +118,8 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
 def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph — two partial+final
     hash aggregations, the plan any 100 TB degree profile wants."""
-    e = _copurchase_edges(spark, sf_dir)
+    # Checkpoint: the union reads the derived edge list twice.
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))

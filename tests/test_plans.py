@@ -158,7 +158,7 @@ def test_triangle_count_joins_are_hash_not_cartesian(spark):
     1-row count assembly."""
     p = plan(spark, "graph_triangle_count")
     assert "CartesianProduct" not in p, p
-    assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)) >= 3, p
+    assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)) >= 2, p
 
 
 def test_nb_scoring_grid_is_broadcast(spark):
