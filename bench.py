@@ -87,6 +87,11 @@ def _materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # Iterative ops default to reliable checkpoints (cluster-durable; see
+    # SCALE.md §9). In a single-JVM local bench, executor loss IS process
+    # death, so the durability premium buys nothing — opt into the fast
+    # local variant here, explicitly, rather than silently in the library.
+    os.environ.setdefault("SIM_SPARK_LOCAL_CHECKPOINT", "1")
 
     from sim_spark.session import get_spark
     import sim_spark.queries  # noqa: F401

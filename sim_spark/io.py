@@ -150,7 +150,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
-    except Exception:
+    except Exception as e:
+        # Only the TIMESTAMP(NANOS) schema rejection should fall through to
+        # the legacy nanosAsLong path; a missing/corrupt file must fail loud
+        # here, not with a misleading error from the legacy branch.
+        msg = str(e)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "TIMESTAMP(NANOS" not in msg:
+            raise
         df = None
         ts_type = None
     if df is not None and isinstance(ts_type, T.TimestampType):

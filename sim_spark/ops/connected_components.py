@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sim_spark.ops.materialize import materialize
+
 
 def _contract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Union-find over each Arrow batch's edges → (node, root) with
@@ -73,7 +75,7 @@ def connected_components(
     # Checkpoint the (small, derived) edge list once so the upstream
     # pair-generation pipeline is evaluated exactly once, not once per
     # reference in the round's two-sided rewrite join.
-    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(materialize)
     mappings: list[DataFrame] = []
     converged = False
     for _ in range(max_iter):
@@ -84,7 +86,7 @@ def connected_components(
         m = (
             local.groupBy("node")
             .agg(F.min("root").alias("root"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         mappings.append(m)
         ms = m.select(F.col("node").alias("s"), F.col("root").alias("rs"))
@@ -100,7 +102,7 @@ def connected_components(
                 F.least("rs", "rd").alias("s"), F.greatest("rs", "rd").alias("d")
             )
             .distinct()
-            .localCheckpoint()
+            .transform(materialize)
         )
     if not converged:
         # The edge list may have emptied exactly on the last allowed

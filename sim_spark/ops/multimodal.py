@@ -1,12 +1,14 @@
 """Multimodal (binary) column plumbing (driver mandate: multimodal columns).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-alongside. The Spark-side machinery here is real — schema, Arrow
-batching, mapInPandas signature, partition behavior — while the actual
-media decoding is STUBBED (`NotImplementedError`): the decode libraries
-(PIL/ffmpeg/etc.) are not in this container, and nothing in the engine's
-planning depends on them. Swap `decode_stub` for a real decoder and the
-pipeline shape is unchanged.
+alongside. The Spark-side machinery — schema, Arrow batching,
+mapInPandas signature, partition behavior — is real, and since round 5
+so is the decode for uncompressed containers: WAV (RIFF PCM16) and BMP
+(24bpp) are parsed with dependency-free ``struct`` code below and their
+decoded features are hash-oracled against DuckDB. Only compressed
+codecs (JPEG/PNG/MP3) remain behind ``NotImplementedError`` — those
+libraries are absent in this container, and :func:`decode` makes that
+boundary explicit.
 
 At 100 TB: binary payloads ride in parquet with the metadata columns;
 `mapInPandas` processes one Arrow batch at a time so executor memory is
@@ -35,16 +37,130 @@ BINARY_FEATURES_SCHEMA = T.StructType(
 CHUNK = 4096
 
 
-def decode_stub(payload: bytes) -> None:
-    """STUB for the media decode step (image/audio/video → tensor).
+def decode(payload: bytes) -> dict:
+    """Media decode dispatch by magic bytes.
 
-    Deliberately unimplemented: decode libraries are absent here. The
-    surrounding plumbing (schema, batching, UDF signature) is the real,
-    tested part."""
+    Uncompressed containers (RIFF/WAVE PCM16, BMP 24bpp) are decoded for
+    real with the dependency-free ``struct`` parsers below. Compressed
+    formats (JPEG/PNG/…) still raise: their codecs are not in this
+    environment, and faking them would be dishonest — the dispatch makes
+    the boundary explicit."""
+    if payload[:2] == b"BM":
+        w, h, px = decode_bmp(payload)
+        return {"kind": "bmp", "width": w, "height": h, "pixels": px}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, samples = decode_wav(payload)
+        return {"kind": "wav", "sample_rate": rate, "samples": samples}
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "environment; plug a decoder in here — the Spark plumbing is ready"
+        "compressed media decode (JPEG/PNG/MP3/…) requires codec libraries "
+        "not present in this environment; BMP and WAV decode is real"
     )
+
+
+# --- real decoders: RIFF/WAVE PCM16 and BMP 24bpp (struct-only) -------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV: canonical 44-byte RIFF header + data chunk."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + len(data),
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            sample_rate,
+            byte_rate,
+            2,  # block align
+            16,  # bits/sample
+            b"data",
+            len(data),
+        )
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Chunk-walking RIFF parser → (sample_rate, int16 sample array).
+
+    Walks fmt/data chunks in any order, skipping unknown chunks (LIST,
+    fact, …) with odd-size pad bytes per the RIFF spec — a real parser,
+    not a fixed-offset slice."""
+    import struct
+
+    import numpy as np
+
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={fmt} ch={channels} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bpp uncompressed BMP. ``pixels`` is row-major TOP-DOWN, 3
+    bytes/pixel in stored (B,G,R) order; rows are written bottom-up with
+    4-byte padding, as the format requires."""
+    import struct
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    img = b"".join(
+        pixels[r * row_bytes : (r + 1) * row_bytes] + b"\x00" * (stride - row_bytes)
+        for r in range(height - 1, -1, -1)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + img
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bpp uncompressed BMP → (width, height, pixels) with
+    pixels row-major TOP-DOWN (un-doing bottom-up storage and stride
+    padding). Handles the top-down variant (negative height) too."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height_raw, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: hdr={hdr_size} bpp={bpp} comp={compression}")
+    height, bottom_up = abs(height_raw), height_raw > 0
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    rows = [
+        payload[data_off + r * stride : data_off + r * stride + row_bytes]
+        for r in range(height)
+    ]
+    if bottom_up:
+        rows.reverse()
+    return width, height, b"".join(rows)
 
 
 def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,8 +202,9 @@ _SIG_BYTES = 8
 def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """1→N row expansion per Arrow batch: every ``FRAME_STRIDE``-th
     fixed-size frame of each payload, signature = hex of its head bytes.
-    A real video pipeline swaps the signature for `decode_stub` output;
-    the fan-out shape, schema, and batch handling are what's tested."""
+    A real video pipeline swaps the signature for decoded-frame output
+    (cf. :func:`decode`); the fan-out shape, schema, and batch handling
+    are what's tested."""
     for pdf in batches:
         ids, frames, sigs = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -168,3 +285,106 @@ def write_payload_dir(df: DataFrame, out_dir: str) -> None:
         .format("noop")
         .save()
     )
+
+
+# --- decoded-media features (round 5: the decode step is REAL) --------------
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("max_abs", T.LongType()),
+        T.StructField("first_sample", T.LongType()),
+        T.StructField("last_sample", T.LongType()),
+    ]
+)
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("top_row_sum", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+    ]
+)
+
+
+def gen_wav_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic synthetic audio: mono PCM16, 64 + n_chars % 128
+    samples of ((doc_id*31 + i*17) % 65536) - 32768 at a doc-dependent
+    rate. Real WAV bytes (playable), and the formula is re-computable in
+    SQL, which is what lets the decoded features be hash-oracled."""
+    import numpy as np
+
+    n = 64 + (n_chars % 128)
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 17) % 65536) - 32768
+    return encode_wav(samples.astype("<i2"), 8000 + (doc_id % 3) * 4000)
+
+
+def gen_bmp_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic image: 24-bpp BMP, width 4 + doc_id % 13
+    (exercises non-multiple-of-4 stride padding), height 3 + doc_id % 7,
+    channel byte (r, c, ch) = (doc_id + 7r + 13c + 29ch) % 256."""
+    import numpy as np
+
+    w, h = 4 + (doc_id % 13), 3 + (doc_id % 7)
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    px = ((doc_id + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+    return encode_bmp(w, h, px.tobytes())
+
+
+def _wav_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, s = decode_wav(bytes(payload))
+            a = np.abs(s.astype(np.int64))
+            rows.append(
+                (int(doc_id), rate, len(s), int(a.sum()), int(a.max()),
+                 int(s[0]), int(s[-1]))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "n_samples", "sum_abs",
+                     "max_abs", "first_sample", "last_sample"],
+        ).astype("int64")
+
+
+def _bmp_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_bmp(bytes(payload))
+            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+            rows.append(
+                (int(doc_id), w, h, int(a.sum()), int(a[: w * 3].sum()), int(a.max()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "px_sum", "top_row_sum", "px_max"],
+        ).astype("int64")
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) → decoded-audio features via the real
+    RIFF parser. Arrow-batched mapInPandas: executor memory is bounded by
+    batch size × payload size, decode parallelism = partition count."""
+    return df.mapInPandas(_wav_feature_batches, WAV_FEATURES_SCHEMA)
+
+
+def bmp_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) → decoded-image features via the real
+    BMP parser (stride un-padding, bottom-up row reorder — top_row_sum is
+    wrong unless row order is decoded correctly)."""
+    return df.mapInPandas(_bmp_feature_batches, BMP_FEATURES_SCHEMA)

@@ -12,8 +12,9 @@ redistributed uniformly (the textbook stochastic-matrix fix).
 
 Scale shape: the join shuffles on the edge's src key and the sum on
 dst — both hash-partitioned and skew-tolerant under AQE; rank state is
-one (node, rank) row per node, localCheckpoint'ed per round so lineage
-stays flat over any iteration count. Convergence is geometric at rate
+one (node, rank) row per node, reliably checkpointed per round
+(ops/materialize.py) so lineage stays flat over any iteration count and
+an executor loss re-reads checkpoint files instead of killing the job. Convergence is geometric at rate
 d, so a fixed ~10 rounds gives ~d^10 ≈ 0.2 % error regardless of graph
 size — no data-dependent round count, unlike diameter-bound label
 propagation.
@@ -23,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sim_spark.ops.materialize import materialize
 
 
 def pagerank(
@@ -36,18 +39,18 @@ def pagerank(
 ) -> DataFrame:
     """(node_col) + (src, dst) → (node_col, rank), Σ rank = 1 exactly up
     to float associativity. Duplicate edges count as parallel edges."""
-    n = nodes.select(F.col(node_col).alias("id")).distinct().localCheckpoint()
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    n = nodes.select(F.col(node_col).alias("id")).distinct().transform(materialize)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(materialize)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Static per-node outdegree table; dangling nodes carry deg = null.
-    base = n.join(deg, n.id == deg.src, "left").select("id", "deg").localCheckpoint()
+    base = n.join(deg, n.id == deg.src, "left").select("id", "deg").transform(materialize)
     # Uniform start: 1/N via a 1-row aggregate cross-joined back (AQE
     # broadcasts it) — same no-driver-scalars pattern as the loop body.
     rank = (
         base.select("id")
         .crossJoin(base.agg(F.count(F.lit(1)).alias("n0")))
         .select("id", (F.lit(1.0) / F.col("n0")).alias("rank"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     d = damping
     for _ in range(n_iter):
@@ -82,6 +85,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     return rank.select(F.col("id").alias(node_col), "rank")

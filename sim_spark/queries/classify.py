@@ -153,11 +153,11 @@ WITH sig AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(len_ok) AS n_len_ok,
-       sum(words_ok) AS n_words_ok,
-       sum(stop_ok) AS n_stop_ok,
-       sum(div_ok) AS n_div_ok,
-       sum(len_ok * words_ok * stop_ok * div_ok) AS n_pass
+       CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+       CAST(sum(words_ok) AS BIGINT) AS n_words_ok,
+       CAST(sum(stop_ok) AS BIGINT) AS n_stop_ok,
+       CAST(sum(div_ok) AS BIGINT) AS n_div_ok,
+       CAST(sum(len_ok * words_ok * stop_ok * div_ok) AS BIGINT) AS n_pass
 FROM sig GROUP BY source
 """,
 )

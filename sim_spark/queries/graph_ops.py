@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sim_spark.ops.materialize import materialize
+
 from sim_spark.io import table
 from sim_spark.registry import query
 
@@ -67,7 +69,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-generation self-join runs once, not once per reference
     # (measured 16s -> ~4s at sf0.1). Same for the oriented edge set,
     # which the triangle join reads three times.
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -86,7 +88,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
+    ).transform(materialize)
     o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
     wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
         F.col("o1.src").alias("a"),
@@ -119,7 +121,7 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph — two partial+final
     hash aggregations, the plan any 100 TB degree profile wants."""
     # Checkpoint: the union reads the derived edge list twice.
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))

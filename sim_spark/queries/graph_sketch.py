@@ -17,16 +17,57 @@ CMS_DEPTH = 4
 CMS_WIDTH = 2048
 
 
-@query("graph_pagerank")  # rows-only: iterative float ranks aren't SQL-derivable
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Unrolled (not recursive) damped power method as chained CTEs —
+    deterministic arithmetic DuckDB can replay, which is what promotes
+    `graph_pagerank` from rows-only to hash-oracled (VERDICT r4 task #8).
+    Constants are written as the same IEEE expressions Spark evaluates
+    ((1.0 - 0.85), 0.85) so both engines use bit-identical coefficients;
+    the residual float noise is summation order, ~1e-16, absorbed by the
+    micro-unit rounding in the final select."""
+    ctes = [
+        "pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,"
+        " 't:' || event_type AS t FROM events)",
+        "e AS (SELECT u AS src, t AS dst FROM pairs"
+        " UNION ALL SELECT t AS src, u AS dst FROM pairs)",
+        "n AS (SELECT DISTINCT src AS id FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n_nodes FROM n)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n_nodes FROM nn) AS rank FROM n)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT n.id,
+         (1.0 - 0.85) / (SELECT n_nodes FROM nn)
+           + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, sum(r{k - 1}.rank / deg.deg) AS contrib
+    FROM e JOIN r{k - 1} ON e.src = r{k - 1}.id JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_micro
+FROM r{n_iter} ORDER BY rank_micro DESC, id LIMIT 50"""
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (ops/pagerank.py) over the bipartite user↔event-type
     graph (an edge each way per distinct interaction, so no dangling
     mass and rank flows both directions). Per iteration: one equi-join
     shuffle + one sum — the relational power method; 10 damped rounds
     give a ~0.2 % geometric tail regardless of graph size. Returns the
-    top 50 nodes by rank; certificates (Σ rank = 1, positivity,
-    determinism, degree monotonicity on the type side) are pinned in
-    tests/test_invariants.py."""
+    top 50 nodes by micro-unit rank (floor(rank·1e6 + 0.5) — integer
+    output so the value hash is immune to float rendering); both engines
+    order by the ROUNDED rank with id tiebreak so the top-50 cut is
+    identical. Certificates (Σ rank = 1, positivity, determinism, degree
+    monotonicity on the type side) remain in tests/test_invariants.py."""
     from sim_spark.ops.pagerank import pagerank
 
     e = table(spark, sf_dir, "events")
@@ -44,8 +85,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(nodes, edges, node_col="id", n_iter=10)
     return (
-        pr.select("id", F.round("rank", 9).alias("rank"))
-        .orderBy(F.desc("rank"), "id")
+        pr.select(
+            "id",
+            F.floor(F.col("rank") * 1000000 + 0.5).cast("long").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "id")
         .limit(50)
     )
 

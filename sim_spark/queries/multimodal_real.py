@@ -1,0 +1,121 @@
+"""Multimodal queries with a REAL decode step (round 5).
+
+The payloads are genuine media files — playable mono PCM16 WAV and
+viewable 24-bpp BMP — synthesized deterministically from ``doc_id`` /
+``n_chars`` by ops.multimodal's encoders, then decoded back by its
+struct-level parsers inside Arrow-batched ``mapInPandas``. Because the
+synthesis formula is integer arithmetic, DuckDB can recompute the
+decoded features independently (unnest(range(...))), so the whole
+encode → container bytes → parse → feature pipeline is hash-oracled:
+if the BMP parser mis-handled stride padding or bottom-up row order,
+``top_row_sum`` would mismatch; if the WAV chunk walk mis-read the data
+chunk, ``sum_abs``/``first_sample``/``last_sample`` would.
+
+100 TB shape: payload synthesis stands in for a parquet binary column
+scan; decode is per-row independent work in mapInPandas — executor
+memory bounded by Arrow batch size × payload size, parallelism =
+partition count, no shuffle until the (tiny) feature frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.ops.multimodal import (
+    bmp_features,
+    gen_bmp_payload,
+    gen_wav_payload,
+    wav_features,
+)
+from sim_spark.registry import query
+
+_PAYLOAD_SCHEMA = "doc_id long, payload binary"
+
+
+def _gen_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [
+                    gen_wav_payload(int(d), int(n))
+                    for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                ],
+            }
+        )
+
+
+def _gen_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [gen_bmp_payload(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+WITH p AS (SELECT doc_id, 64 + (n_chars % 128) AS n_samples FROM documents),
+s AS (SELECT doc_id, n_samples, unnest(range(0, n_samples)) AS i FROM p),
+v AS (SELECT doc_id, n_samples, i,
+             ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp
+      FROM s)
+SELECT doc_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(smp)) AS BIGINT) AS max_abs,
+       CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+       CAST(min(CASE WHEN i = n_samples - 1 THEN smp END) AS BIGINT) AS last_sample
+FROM v GROUP BY doc_id, n_samples
+""",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode end-to-end: synthesize real WAV containers, parse
+    them back with the chunk-walking RIFF parser, aggregate per-doc
+    amplitude features. The oracle recomputes the features from the
+    synthesis formula — it never sees the bytes, so a decode bug cannot
+    cancel out."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    payloads = d.mapInPandas(_gen_wav_batches, _PAYLOAD_SCHEMA)
+    return wav_features(payloads)
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, rr.r, cc.c, hh.ch,
+         (doc_id + 7 * rr.r + 13 * cc.c + 29 * hh.ch) % 256 AS val
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, 3)) AS ch) hh
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT) AS top_row_sum,
+       CAST(max(val) AS BIGINT) AS px_max
+FROM cells GROUP BY doc_id, w, h
+""",
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode end-to-end: synthesize real 24-bpp BMPs (widths
+    chosen to exercise 4-byte stride padding), parse them back, extract
+    pixel statistics. ``top_row_sum`` pins row ORDER: BMP stores rows
+    bottom-up, so a parser that skips the reorder matches ``px_sum`` but
+    fails this column."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
+    return bmp_features(payloads)

@@ -15,20 +15,34 @@ from sim_spark.registry import query
     "agg_correlation",
     oracle="""
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-       ROUND(covar_pop(l_discount, l_tax), 6) AS disc_tax_covar
+       ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_covar,
+       ROUND(covar_pop(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + sample/population covariance per group —
-    single-pass co-moment aggregation (partial+final like any agg)."""
+    single-pass co-moment aggregation (partial+final like any agg).
+
+    ``+ 0.0`` on every rounded column (both engines): DuckDB's ROUND
+    preserves the sign of a tiny negative (→ -0.0) while Spark's
+    BigDecimal HALF_UP round never emits negative zero, and the driver's
+    value hash renders "-0.0" != "0.0". IEEE -0.0 + 0.0 = +0.0 makes the
+    signed-zero choice identical on both sides (found by the strict
+    r5 canonicalization at sf0.01 — covar_pop of the N group)."""
     li = table(spark, sf_dir, "lineitem")
+    zero = F.lit(0.0)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + zero).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + zero).alias(
+            "qty_price_covar"
+        ),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + zero).alias(
+            "disc_tax_covar"
+        ),
     )
 
 

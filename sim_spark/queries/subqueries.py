@@ -140,7 +140,7 @@ def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan a hand-written rewrite would build — so the subquery form
     costs nothing at scale; COUNT(*) on an empty group must surface as
     0, not NULL (the classic decorrelation bug, pinned here)."""
-    from sim_spark.io import register_views, table
+    from sim_spark.io import register_views
 
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(

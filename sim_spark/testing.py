@@ -35,9 +35,11 @@ def _canon_cell(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 == 3 regardless of int/double column typing
-        return repr(v)
+        # Type-sensitive on purpose: the external driver hashes pandas cells
+        # as-is, so float 3.0 and int 3 hash differently there. Folding them
+        # here once masked a DuckDB HUGEINT->float oracle-typing bug
+        # (quality_ensemble_filter, round 4). Floats must stay floats.
+        return repr(float(v))
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, int):

@@ -113,11 +113,13 @@ def test_seeded_sample_stable_and_sized(spark):
     assert 0.07 <= frac <= 0.13, frac
 
 
-def test_multimodal_decode_stub_raises(spark):
-    from sim_spark.ops.multimodal import decode_stub
+def test_multimodal_decode_dispatch_boundary(spark):
+    """WAV/BMP decode is real (tests/test_multimodal_decode.py); the
+    compressed-codec boundary must stay loud, not silently fake."""
+    from sim_spark.ops.multimodal import decode
 
-    with pytest.raises(NotImplementedError, match="media decode"):
-        decode_stub(b"\x89PNG....")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode(b"\x89PNG....")
 
 
 def test_simhash_near_dup_pairs_recall(spark):
@@ -278,8 +280,11 @@ def test_pagerank_certificates(spark):
         assert t_rank[hi] > t_rank[lo], (hi, lo, deg, t_rank)
 
     top = QUERIES["graph_pagerank"](spark, SF)
-    a = [(r["id"], r["rank"]) for r in top.collect()]
-    b = [(r["id"], r["rank"]) for r in QUERIES["graph_pagerank"](spark, SF).collect()]
+    a = [(r["id"], r["rank_micro"]) for r in top.collect()]
+    b = [
+        (r["id"], r["rank_micro"])
+        for r in QUERIES["graph_pagerank"](spark, SF).collect()
+    ]
     assert a == b
     assert len(a) == min(50, len(rows))
 
