@@ -51,6 +51,8 @@ HEADLINE = [
     "join_bucketed_colocated_write",
     "join_bucketed_colocated_read",
     "dedup_connected_components",
+    "multimodal_wav_decode",
+    "text_unigram_surprisal",
 ]
 
 

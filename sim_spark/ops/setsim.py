@@ -81,6 +81,12 @@ def jaccard_join_prefix(
         )
     )
 
+    # Cached: both sides of the candidate self-join below are this same
+    # frame (alias-only difference defeats exchange reuse), so uncached
+    # the df-join + sort-aggregate prefix extraction runs twice. One
+    # prefix row per (doc, rare-token) — ~⌊0.2n⌋+1 rows/doc, smaller
+    # than the corpus explode. Measured −8% on the query at sf0.1.
+    prefixes = prefixes.cache()
     a = prefixes.select(F.col("id").alias("id_a"), "h")
     b = prefixes.select(F.col("id").alias("id_b"), "h").hint("shuffle_hash")
     cand = (

@@ -372,3 +372,162 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (round 5)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = r"[0-9]{7,}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call 55500' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+                 ELSE '' END AS t2
+  FROM documents
+),
+r AS (
+  SELECT source, t2,
+         regexp_replace(regexp_replace(t2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS red,
+         len(regexp_extract_all(t2, '{_EMAIL_RE}', 0)) AS ne,
+         len(regexp_extract_all(t2, '{_PHONE_RE}', 0)) AS np
+  FROM t
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(np) AS BIGINT) AS n_phones,
+       CAST(sum(len(t2) - len(red)) AS BIGINT) AS chars_delta
+FROM r GROUP BY source
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before anything ships. The synthetic corpus contains no PII, so
+    deterministic fake PII (an email for doc_id % 3 != 0, a 10-digit
+    phone for even doc_id) is injected in-plan from doc_id — both
+    engines replay the same injection, then the REAL redaction machinery
+    (regexp_replace global, regexp_extract_all counting) runs over it
+    and is hash-checked: per source, docs scanned, emails/phones
+    redacted, and characters removed.
+
+    Patterns use only character classes + counted repeats, the regex
+    subset where Java (Spark) and RE2 (DuckDB) agree; DuckDB needs the
+    explicit 'g' flag to match Spark's replace-all default. Pure
+    projection + one hash aggregate — codegen end-to-end, scan-bound at
+    100 TB."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 != 0,
+        F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" call 55500"),
+            F.lpad((did % 100000).cast("string"), 5, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t2 = F.concat(F.col("text"), email, phone)
+    red = F.regexp_replace(
+        F.regexp_replace(t2, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "source",
+            F.size(F.regexp_extract_all(t2, F.lit(_EMAIL_RE), F.lit(0))).alias("ne"),
+            F.size(F.regexp_extract_all(t2, F.lit(_PHONE_RE), F.lit(0))).alias("np"),
+            (F.length(t2) - F.length(red)).alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("delta").alias("chars_delta"),
+        )
+    )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+lm AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT count(*) AS t FROM tok),
+dc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
+terms AS (
+  SELECT dc.doc_id, dc.word,
+         dc.cnt * ln(CAST(lm.c AS DOUBLE) / t) AS term
+  FROM dc JOIN lm USING (word), tot
+),
+s AS (
+  SELECT doc_id, list_sum(list(term ORDER BY word)) AS logp_sum
+  FROM terms GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       ROUND(-s.logp_sum / len(w.ws), 6) AS mean_surprisal
+FROM w JOIN s ON w.doc_id = s.doc_id
+""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: per-document mean unigram
+    surprisal (-1/n Σ count_w · ln p(w)) under the corpus's own unigram
+    LM — the cheap perplexity proxy curation pipelines use to flag
+    gibberish (high) and boilerplate (low) before an expensive model
+    scores anything.
+
+    Cross-engine float discipline: each doc's log-prob terms are summed
+    in SORTED word order on both sides (Spark: F.aggregate over
+    sort_array(collect_list(struct(word, term))); DuckDB: list_sum of
+    list(term ORDER BY word)), so the only float hazard — summation
+    order — is pinned; the terms themselves are IEEE-identical.
+
+    Scale shape: the LM is a vocab-bounded aggregate (broadcast back),
+    the doc-side join runs on (doc, DISTINCT word) rows — bounded by
+    corpus tokens — and the per-doc reduce is one keyed aggregate. No
+    Python, no all-pairs anything."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    lm = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    dc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = (
+        dc.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("cnt") * F.log(F.col("c").cast("double") / F.col("t"))).alias(
+                "term"
+            ),
+        )
+    )
+    s = (
+        terms.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("word", "term"))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "ordered", F.lit(0.0), lambda acc, x: acc + x.getField("term")
+            ).alias("logp_sum"),
+        )
+    )
+    n = d.select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+    return n.join(s, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(-F.col("logp_sum") / F.col("n_words"), 6).alias("mean_surprisal"),
+    )

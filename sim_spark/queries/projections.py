@@ -104,3 +104,44 @@ def voxel_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above"
         ),
     )
+
+
+@query(
+    "voxel_mean_image",
+    oracle="""
+WITH px AS (
+  SELECT unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+SELECT CAST(pos - 1 AS BIGINT) AS pos,
+       count(*) AS n_vecs,
+       ROUND(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_intensity,
+       min(x) AS min_x,
+       max(x) AS max_x
+FROM px GROUP BY pos
+""",
+)
+def voxel_mean_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level voxel statistics: the element-wise mean/min/max across
+    every subject's intensity block — sim's across-images reduction (the
+    step after per-image maps like binarize/increment). posexplode +
+    per-position partial+final aggregate: the shuffle is bounded by
+    dim × partition count regardless of subject count, the map side
+    pre-aggregates, and the mean sums integer micro-units
+    (floor(x·1e6 + 0.5) of the exactly-widened float) so neither float
+    summation order nor cross-engine float→DECIMAL rounding (which DID
+    diverge: DuckDB casts FLOAT via its shortest decimal repr, the JVM
+    via the exact double) can drift the result."""
+    e = table(spark, sf_dir, "embeddings")
+    px = e.select(F.posexplode("embedding").alias("pos", "x"))
+    micro = F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("bigint")
+    return px.groupBy(F.col("pos").cast("long").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(micro).cast("double") / 1000000.0 / F.count(F.lit(1)), 6
+        ).alias("mean_intensity"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )

@@ -267,6 +267,30 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_enrich_static",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', e.ts), '{_FMT}') AS window_start,
+       n.n_name,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS sum_value
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1, 2
+""",
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events joined to the broadcast
+    nation dim (deterministic key user_id % 25) with an hourly rollup per
+    nation — the dimension-enrichment shape every streaming pipeline
+    needs. Batch and stream share mounts.enrich_static_nation; the
+    streaming side re-reads the static dim each micro-batch (Spark's
+    stream-static join semantics) and is proven batch-equal in
+    tests/test_stream_parity.py."""
+    return mounts.enrich_static_nation(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "nation")
+    )
+
+
+@query(
     "stream_upsert_partitioned",
     oracle=f"""
 SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value

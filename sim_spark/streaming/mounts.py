@@ -191,6 +191,33 @@ def session_30m(ev: DataFrame) -> DataFrame:
     )
 
 
+def enrich_static_nation(ev: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event maps to
+    a nation dim row (deterministic key: user_id % 25) and aggregates per
+    (hour, nation). The static side is broadcast — in a real stream the
+    dim is re-read per micro-batch, which is exactly Spark's stream-static
+    join semantics; state is only the windowed aggregate, the join itself
+    is stateless."""
+    dim = F.broadcast(
+        nation.select(F.col("n_nationkey").cast("long").alias("nk"), "n_name")
+    )
+    e = ev.withColumn("nk", (F.col("user_id") % 25).cast("long"))
+    return (
+        e.join(dim, "nk")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_name",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def ohlc_1h(ev: DataFrame) -> DataFrame:
     """Hourly OHLC bars per event type — the streaming-downsample shape.
     open/close are min_by/max_by on a sortable (ts, event_id) composite

@@ -186,3 +186,24 @@ def test_minhash_band_join_is_equi_not_cartesian(spark):
     p = plan(spark, "dedup_minhash_exactperm")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+@pytest.mark.parametrize(
+    "key", ["graph_bfs_layers", "graph_sssp_weighted", "graph_label_propagation"]
+)
+def test_traversal_rounds_are_equi_joins(spark, key):
+    """Every unrolled traversal round is a state⋈edges equi-join + keyed
+    aggregate — a cartesian/BNLJ anywhere means a broken relaxation join."""
+    p = plan(spark, key)
+    assert "CartesianProduct" not in p, f"{key}:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p, f"{key}:\n{p}"
+
+
+def test_pii_redact_is_single_partial_final_agg(spark):
+    """Injection + regex redaction are pure codegen projections; the only
+    shuffle is the final per-source partial+final aggregate."""
+    p = plan(spark, "text_pii_redact")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert not re.search(r"Join", p), p
+    # formatted explain lists each node twice (tree + numbered details)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

@@ -48,6 +48,19 @@ def test_windowed_aggs_stream_equals_batch(spark, replay, xform):
     _assert_same(batch, stream, xform.__name__)
 
 
+def test_enrich_static_stream_equals_batch(spark, replay):
+    """Stream-static join: the static nation dim is re-read per
+    micro-batch; the windowed rollup after the join must still equal the
+    batch formulation."""
+    nation = table(spark, SF, "nation")
+    batch = mounts.enrich_static_nation(table(spark, SF, "events"), nation)
+    stream = mounts.run_streaming_to_memory(
+        mounts.enrich_static_nation(mounts.stream_events(spark, replay), nation),
+        "complete",
+    )
+    _assert_same(batch, stream, "enrich_static_nation")
+
+
 def test_dedup_stream_drops_duplicates(spark, replay, tmp_path):
     # Duplicate the whole replay into a second set of files → every event
     # id arrives twice; streaming dropDuplicates must emit each id once.
