@@ -206,3 +206,34 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(leg("supplier->nation", s, n, "s_nationkey", "n_nationkey"))
         .unionAll(leg("nation->region", n, r, "n_regionkey", "r_regionkey"))
     )
+
+
+@query(
+    "subq_not_in_null_aware",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NULLIF(c_custkey % 9973, 5) NOT IN
+      (SELECT o_custkey % 9973 FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 480000)
+""",
+)
+def subq_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE probe column — SQL's three-valued-logic
+    trap. A NULL probe (here customers with c_custkey % 9973 = 5, via
+    NULLIF) compares UNKNOWN against any list and must be dropped, and
+    the planner cannot prove the subquery side non-null either, so
+    Catalyst plans its null-aware anti join instead of a plain anti —
+    the semantics a naive LEFT ANTI join gets wrong. The subquery is
+    restricted (high-value F orders) so the mod-9973 residue list is a
+    strict subset at every fixture scale and the result is non-degenerate."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NULLIF(c_custkey % 9973, 5) NOT IN
+              (SELECT o_custkey % 9973 FROM orders
+               WHERE o_orderstatus = 'F' AND o_totalprice > 480000)
+        """
+    )

@@ -207,3 +207,13 @@ def test_pii_redact_is_single_partial_final_agg(spark):
     assert not re.search(r"Join", p), p
     # formatted explain lists each node twice (tree + numbered details)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_not_in_is_null_aware_anti_join(spark):
+    """NOT IN over a nullable probe must plan Spark's null-aware anti
+    join (single-column NOT IN → BroadcastHashJoin LeftAnti with the
+    null-aware build), not a plain anti join that would return wrong
+    rows for NULL probes."""
+    p = plan(spark, "subq_not_in_null_aware")
+    assert re.search(r"LeftAnti", p), p
+    assert "NullAware" in p or re.search(r"if \(.*= 5\)\) null else", p), p

@@ -72,3 +72,51 @@ def test_session_window_equals_gaps_and_islands(spark, events):
         }
     )
     assert sessions_via_session_window(spark, pdf) == sessions_via_islands(spark, pdf)
+
+
+# --------------------------------------------------------------------------
+# Media container roundtrips (round 5): the struct parsers must invert the
+# encoders for ALL sizes — including the stride-padding edge cases (widths
+# that are/aren't multiples of 4) and odd/even sample counts.
+# --------------------------------------------------------------------------
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300
+    ),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from sim_spark.ops.multimodal import decode_wav, encode_wav
+
+    arr = np.array(samples, dtype="<i2")
+    got_rate, got = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(got, arr)
+
+
+@given(
+    width=st.integers(min_value=1, max_value=17),
+    height=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_property(width, height, data):
+    from sim_spark.ops.multimodal import decode_bmp, encode_bmp
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    w, h, out = decode_bmp(encode_bmp(width, height, pixels))
+    assert (w, h) == (width, height)
+    assert out == pixels
