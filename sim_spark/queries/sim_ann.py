@@ -141,3 +141,77 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__min_n").isNotNull().alias("is_near_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sign-bit hyperplane LSH (round 5): the fully ORACLED ANN variant
+# --------------------------------------------------------------------------
+
+SIGN_BITS = 8
+
+
+def _sign_cell_sql() -> str:
+    return " + ".join(
+        f"{1 << i} * (CASE WHEN embedding[{i + 1}] > 0 THEN 1 ELSE 0 END)"
+        for i in range(SIGN_BITS)
+    )
+
+
+@query(
+    "sim_ann_signlsh",
+    oracle=f"""
+WITH cells AS (
+  SELECT vec_id, embedding, {_sign_cell_sql()} AS cell FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS q_emb, cell
+      FROM cells WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.qid, c.vec_id AS cid, q.q_emb, c.embedding AS c_emb
+  FROM q JOIN cells c USING (cell) WHERE c.vec_id <> q.qid
+),
+prod AS (SELECT qid, cid, unnest(q_emb) AS qx, unnest(c_emb) AS cx FROM cand),
+dots AS (
+  SELECT qid, cid, ROUND(SUM(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)), 6) AS score
+  FROM prod GROUP BY qid, cid
+),
+r AS (SELECT qid, cid, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      FROM dots)
+SELECT qid, cid, score, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {TOP_K}
+""",
+)
+def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k: bucket every vector by the sign bits of its
+    first {SIGN_BITS} coordinates (axis-aligned random-hyperplane LSH
+    with FIXED hyperplanes), probe only the query's own bucket, exact
+    rounded-dot rank inside it. Unlike the KMeans-coarse IVF twin
+    (`sim_ann_ivf`, rows-only because its centroids are learned), every
+    step here is deterministic arithmetic, so the whole ANN pipeline —
+    bucketing, candidate equi-join, refine, per-query top-k — is
+    hash-checked against DuckDB. Recall improves by probing
+    hamming-adjacent cells; the semantics of the bucketed plan (an
+    equi-join on cell, never a cross join — at 100 TB the cell is the
+    vector table's partition key) are what this key pins."""
+    e = table(spark, sf_dir, "embeddings")
+    cell = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+            for i in range(SIGN_BITS)
+        ),
+        start=F.lit(0),
+    )
+    cells = e.select("vec_id", "embedding", cell.alias("cell"))
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), "cell"
+    )
+    cand = q.join(cells, "cell").filter(F.col("vec_id") != F.col("qid"))
+    dots = cand.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.round(_dot("q_emb", "embedding"), 6).alias("score"),
+    )
+    wk = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        dots.withColumn("rn", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )

@@ -5,10 +5,13 @@ Emits DRIVE_r{N}.json (same per-key fields as the driver's CORRECTNESS_r*.json)
 so every registered key has committed sf0.01 evidence each round, regardless of
 which 50 keys the external driver happens to sample.
 
-Usage: python tools/drive_driver.py [round_number]   (default: no JSON emitted)
+Usage: python tools/drive_driver.py [round_number] [sf_dir]
+(default sf_dir: /root/testdata/sf0.01 — the driver's grading scale; pass
+/root/testdata/sf0.1 for the 10x stress sweep, which tags the JSON name)
 Exit code is nonzero if any oracled key mismatches.
 """
 import json
+import os
 import sys
 import time
 
@@ -18,8 +21,9 @@ from sim_spark.session import get_spark
 from sim_spark.testing import canonicalize, duckdb_connect
 
 ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else None
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
-spark = get_spark("drive", cpus=8)
+spark = get_spark("drive", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 t0 = time.time()
 df = ep.entry(spark)
 rows = df.collect()
@@ -27,7 +31,7 @@ assert len(rows) > 0, "entry returned 0 rows"
 print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s schema={df.schema.simpleString()[:80]}")
 
 qs, os_ = ep.queries(), ep.oracle_sql()
-sf = "/root/testdata/sf0.01"
+sf = SF_DIR
 con = duckdb_connect(sf)
 results: dict[str, dict] = {}
 failed: list[str] = []
@@ -73,7 +77,8 @@ for k in sorted(qs):
     results[k] = rec
 
 if ROUND is not None:
-    out = f"/root/repo/DRIVE_r{ROUND:02d}.json"
+    tag = "" if sf.rstrip("/").endswith("sf0.01") else "_" + os.path.basename(sf.rstrip("/"))
+    out = f"/root/repo/DRIVE_r{ROUND:02d}{tag}.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
