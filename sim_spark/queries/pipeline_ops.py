@@ -469,16 +469,18 @@ lm AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
 tot AS (SELECT count(*) AS t FROM tok),
 dc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
 terms AS (
-  SELECT dc.doc_id, dc.word,
-         dc.cnt * ln(CAST(lm.c AS DOUBLE) / t) AS term
+  SELECT dc.doc_id,
+         CAST(floor(dc.cnt * ln(CAST(lm.c AS DOUBLE) / t)
+                    * 1000000000 + 0.5) AS BIGINT) AS nano
   FROM dc JOIN lm USING (word), tot
 ),
 s AS (
-  SELECT doc_id, list_sum(list(term ORDER BY word)) AS logp_sum
+  SELECT doc_id, CAST(sum(nano) AS BIGINT) AS nano_sum
   FROM terms GROUP BY doc_id
 )
 SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
-       ROUND(-s.logp_sum / len(w.ws), 6) AS mean_surprisal
+       ROUND(-(CAST(s.nano_sum AS DOUBLE) / 1000000000) / len(w.ws), 6)
+         AS mean_surprisal
 FROM w JOIN s ON w.doc_id = s.doc_id
 """,
 )
@@ -489,11 +491,13 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish (high) and boilerplate (low) before an expensive model
     scores anything.
 
-    Cross-engine float discipline: each doc's log-prob terms are summed
-    in SORTED word order on both sides (Spark: F.aggregate over
-    sort_array(collect_list(struct(word, term))); DuckDB: list_sum of
-    list(term ORDER BY word)), so the only float hazard — summation
-    order — is pinned; the terms themselves are IEEE-identical.
+    Cross-engine float discipline: each (doc, word) log-prob term —
+    IEEE-identical in both engines — is snapped to integer nano-units
+    (floor(term·1e9 + 0.5)) BEFORE the per-doc sum, so the sum is
+    associative and NO summation order can drift it (the round-5 stress
+    sweep caught exactly this failure mode in text_entropy_score; this
+    query is hardened the same way). A side benefit: the per-doc reduce
+    is a plain long SUM instead of a sort-pinned list fold.
 
     Scale shape: the LM is a vocab-bounded aggregate (broadcast back),
     the doc-side join runs on (doc, DISTINCT word) rows — bounded by
@@ -504,30 +508,21 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     tot = tok.agg(F.count(F.lit(1)).alias("t"))
     dc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    term = F.col("cnt") * F.log(F.col("c").cast("double") / F.col("t"))
     terms = (
         dc.join(F.broadcast(lm), "word")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            "word",
-            (F.col("cnt") * F.log(F.col("c").cast("double") / F.col("t"))).alias(
-                "term"
-            ),
+            F.floor(term * 1000000000 + 0.5).cast("long").alias("nano"),
         )
     )
-    s = (
-        terms.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("word", "term"))).alias("ordered"))
-        .select(
-            "doc_id",
-            F.aggregate(
-                "ordered", F.lit(0.0), lambda acc, x: acc + x.getField("term")
-            ).alias("logp_sum"),
-        )
-    )
+    s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
     n = d.select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
     return n.join(s, "doc_id").select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
-        F.round(-F.col("logp_sum") / F.col("n_words"), 6).alias("mean_surprisal"),
+        F.round(
+            -(F.col("nano_sum").cast("double") / 1000000000) / F.col("n_words"), 6
+        ).alias("mean_surprisal"),
     )

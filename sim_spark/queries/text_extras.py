@@ -521,22 +521,30 @@ c AS (SELECT doc_id, len(ws) AS n,
                        x -> len(list_filter(ws, y -> y = x))) AS cnts
       FROM w)
 SELECT doc_id, CAST(n AS BIGINT) AS n_words,
-       ROUND(-list_sum(list_transform(cnts,
-               c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))), 6)
-         AS entropy_nats,
-       ROUND(1.0 - list_sum(list_transform(cnts,
-               c -> (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))), 6)
-         AS gini_diversity
+       ROUND(-CAST(list_sum(list_transform(cnts,
+               c -> CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                               * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE)
+             / 1000000000, 6) AS entropy_nats,
+       ROUND(1.0 - CAST(list_sum(list_transform(cnts,
+               c -> CAST(floor((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)
+                               * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE)
+             / 1000000000, 6) AS gini_diversity
 FROM c
 """,
 )
 def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signals: Shannon entropy (nats) and
     Gini-Simpson diversity of each document's word distribution — low
-    entropy flags degenerate/looping text a curation pass drops. The
-    per-word term list is materialized in SORTED word order on both
-    engines so the float summation order is pinned (sum order is the
-    only cross-engine hazard; the terms themselves are IEEE-identical).
+    entropy flags degenerate/looping text a curation pass drops.
+
+    Each term is snapped to integer nano-units (floor(term·1e9 + 0.5))
+    BEFORE summing: the terms themselves are IEEE-identical in both
+    engines, but DuckDB's list_sum is not guaranteed strictly
+    left-to-right, and at sf0.1 one document of 5000 landed a
+    sum-order-dependent ulp exactly on a 6dp rounding boundary (gini
+    0.958437 vs 0.958438 — found by the round-5 stress sweep). Integer
+    sums are associative, so summation order can never matter again;
+    the 1e-9 quantization is three digits below the displayed 6dp.
     Pure array HOFs over the in-row token list: narrow map, no shuffle,
     no Python — scales as a single scan."""
     d = table(spark, sf_dir, "documents")
@@ -547,15 +555,22 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.size(F.filter(ws, lambda y: y == x)),
     )
     p = lambda c: c.cast("double") / n  # noqa: E731
+    nano = lambda term: F.floor(term * 1000000000 + 0.5).cast("long")  # noqa: E731
     ent = F.aggregate(
-        cnts, F.lit(0.0), lambda acc, c: acc + p(c) * F.log(p(c))
+        cnts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + nano(p(c) * F.log(p(c))),
     )
-    gini = F.aggregate(cnts, F.lit(0.0), lambda acc, c: acc + p(c) * p(c))
+    gini = F.aggregate(
+        cnts, F.lit(0).cast("long"), lambda acc, c: acc + nano(p(c) * p(c))
+    )
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
-        F.round(-ent, 6).alias("entropy_nats"),
-        F.round(F.lit(1.0) - gini, 6).alias("gini_diversity"),
+        F.round(-(ent.cast("double") / 1000000000), 6).alias("entropy_nats"),
+        F.round(F.lit(1.0) - gini.cast("double") / 1000000000, 6).alias(
+            "gini_diversity"
+        ),
     )
 
 
