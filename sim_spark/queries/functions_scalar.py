@@ -248,8 +248,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_hof",
     oracle="""
 SELECT vec_id,
-       ROUND(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+       CAST((CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             * 1000000000 + 0.5) AS BIGINT))) AS BIGINT)
+             + 500) // 1000 AS DOUBLE) / 1000000 AS sq_norm,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
        ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component
 FROM embeddings
@@ -258,14 +260,24 @@ FROM embeddings
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions over the embedding vector — transform /
     filter / aggregate run inside Tungsten (sim's per-voxel numpy map,
-    without leaving the JVM)."""
+    without leaving the JVM). The squared-norm terms are snapped to
+    integer nano-units before summing (associative — the stress-sweep
+    hardening from text_entropy_score: DuckDB's list_sum isn't strictly
+    left-to-right, so float folds can drift an ulp onto a rounding
+    boundary)."""
     e = table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq_nano = F.aggregate(
+        dbl,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x * x * 1000000000 + 0.5).cast("long"),
+    )
+    # integer-space final rounding: float ROUND after quantization lands
+    # on exact 6dp half-ties where the engines' ROUNDs disagree (measured)
+    sq_micro = ((sq_nano + 500) / 1000).cast("long")
     return e.select(
         "vec_id",
-        F.round(
-            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
-        ).alias("sq_norm"),
+        (sq_micro.cast("double") / 1000000).alias("sq_norm"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
     )

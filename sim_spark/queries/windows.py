@@ -255,10 +255,13 @@ WITH w AS (
   FROM events
 )
 SELECT event_id, event_type,
-       ROUND(list_sum(list_transform(hist,
-               (x, i) -> x * power(0.5, len(hist) - i)))
-             / list_sum(list_transform(hist,
-               (x, i) -> power(0.5, len(hist) - i))), 6) AS ewma
+       ROUND(CAST(list_sum(list_transform(hist,
+               (x, i) -> CAST(floor(x * power(0.5, len(hist) - i)
+                                    * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE)
+             / CAST(list_sum(list_transform(hist,
+               (x, i) -> CAST(floor(power(0.5, len(hist) - i)
+                                    * 1000000000 + 0.5) AS BIGINT))) AS DOUBLE),
+             6) AS ewma
 FROM w
 """,
 )
@@ -267,13 +270,18 @@ def win_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 events) per event type — the smoothing pass monitoring pipelines
     run. The trailing frame materializes as an in-row list and the
     weighted sum is an indexed HOF; decay 0.5 makes every weight an
-    exact binary fraction, so both engines produce identical IEEE sums
-    in the same (frame) order. One keyed window shuffle, frame state is
-    O(16) per row; the infinite-history EWMA recurrence is inherently
-    sequential — truncation is what makes it parallel, with error
-    2^-16. Index-base note: DuckDB's (x, i) lambda is 1-based, Spark's
-    0-based, so the two weight vectors differ by one constant factor of
-    0.5 — which cancels exactly in the normalized ratio."""
+    exact binary fraction, so the per-term products are IEEE-identical
+    in both engines. Terms are snapped to integer nano-units before
+    summing (the stress-sweep hardening: neither engine guarantees a
+    strict left-to-right float fold) and the output is the ratio of the
+    two nano sums — the 1e9 scale cancels. Weight exponents are aligned
+    EXPLICITLY across the engines' different lambda index bases
+    (DuckDB 1-based: len-i → L-1..0; Spark 0-based: n-1-i → L-1..0):
+    under per-term quantization a constant factor no longer cancels in
+    the ratio, so the old off-by-one-that-cancels trick would drift.
+    One keyed window shuffle, frame state is O(16) per row; the
+    infinite-history EWMA recurrence is inherently sequential —
+    truncation is what makes it parallel, with error 2^-16."""
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
@@ -284,19 +292,26 @@ def win_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = F.collect_list("value").over(w)
     n = F.size("hist")
+    nano = lambda t: F.floor(t * 1000000000 + 0.5).cast("long")  # noqa: E731
     wsum = F.aggregate(
-        F.transform("hist", lambda x, i: x * F.pow(F.lit(0.5), n - i)),
-        F.lit(0.0),
+        F.transform(
+            "hist", lambda x, i: nano(x * F.pow(F.lit(0.5), n - 1 - i))
+        ),
+        F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
     wtot = F.aggregate(
-        F.transform("hist", lambda x, i: F.pow(F.lit(0.5), n - i)),
-        F.lit(0.0),
+        F.transform("hist", lambda x, i: nano(F.pow(F.lit(0.5), n - 1 - i))),
+        F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
     return (
         e.select("event_id", "event_type", hist.alias("hist"))
-        .select("event_id", "event_type", F.round(wsum / wtot, 6).alias("ewma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(wsum.cast("double") / wtot.cast("double"), 6).alias("ewma"),
+        )
     )
 
 
