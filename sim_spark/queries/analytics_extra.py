@@ -1,0 +1,542 @@
+"""Round-6 analytics additions, all fully DuckDB-oracled (SURVEY.md §2.13).
+
+Three themes:
+
+- **Sketch promotion**: ``sketch_cms_exacthash`` is the oracle-checkable
+  twin of the rows-only ``sketch_cms_topk`` (graph_sketch.py) — the
+  xxhash64 family is Spark-private, so this twin swaps in md5-derived
+  bucket hashes both engines compute bit-identically (the
+  dedup_minhash_exactperm trick, minhash_oracle.py).
+- **Statistical tests as single-pass aggregates**: Welch's t, the
+  Mann-Whitney U, and a closed-form 2-feature OLS — each reduces the fact
+  table to a handful of exact decimal moments and then evaluates one
+  shared arithmetic formula. The formula TEXT is shared between the Spark
+  plan and the oracle (module constants), so both engines execute the
+  same IEEE expression over bit-identical inputs: no tolerance needed,
+  the 6-dp round is belt-and-braces.
+- **Time-series depth**: linear-interpolation gap fill (the companion to
+  ``win_gap_fill_locf``'s LOCF) and a CUSUM changepoint scan, both as
+  keyed windows with exact decimal accumulation.
+
+Scale notes per key in the docstrings; the common rule: per-group state
+is O(1) (moments) or O(grid) (gap fill), every shuffle is on a real key
+(user_id, event_type, value-bucket, CMS cell), and nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.exprs import DEC, dsum, sql_davg, sql_dsum
+from sim_spark.io import table
+from sim_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# sketch_cms_exacthash
+
+_CMS_DEPTH, _CMS_WIDTH = 3, 128
+
+
+def _sql_cms_cell(r: str, word: str) -> str:
+    return f"(('0x' || substr(md5({r}::VARCHAR || {word}), 1, 12))::BIGINT % {_CMS_WIDTH})"
+
+
+def _spark_cms_cell(r: int) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(str(r)), F.col("word"))), 1, 12), 16, 10)
+        .cast("long")
+        % _CMS_WIDTH
+    )
+
+
+@query(
+    "sketch_cms_exacthash",
+    oracle=f"""
+WITH words AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+rows_ AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS r),
+cells AS (SELECT word, r, {_sql_cms_cell('r', 'word')} AS c FROM words, rows_),
+cms AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT word FROM words),
+vcells AS (SELECT word, r, {_sql_cms_cell('r', 'word')} AS c FROM vocab, rows_),
+est AS (SELECT v.word, MIN(m.cnt) AS est
+        FROM vcells v JOIN cms m ON v.r = m.r AND v.c = m.c GROUP BY 1)
+SELECT word, CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, word LIMIT 20
+""",
+)
+def sketch_cms_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters with an ENGINE-SHARED hash family:
+    bucket = md5(depth_salt || word) → 48-bit int → mod width, so the
+    whole sketch (counters, estimates, top-20) is oracle-checkable —
+    unlike the xxhash64 twin ``sketch_cms_topk`` which is rows-only.
+
+    Scale shape is unchanged from the twin: the sketch build is ONE
+    (row, col)-keyed count of bounded width depth×width regardless of
+    corpus size (counters are sums → partial aggregation merges shards
+    map-side), and estimates join the distinct vocabulary against the
+    tiny sketch."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _spark_cms_cell(r).alias("c"))
+            for r in range(_CMS_DEPTH)
+        ]
+    )
+    cms = (
+        words.select(F.explode(cells).alias("cell"))
+        .groupBy("cell.r", "cell.c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        words.distinct()
+        .select("word", F.explode(cells).alias("cell"))
+        .select("word", "cell.r", "cell.c")
+    )
+    est = vocab.join(cms, ["r", "c"]).groupBy("word").agg(F.min("cnt").alias("est"))
+    return est.orderBy(F.desc("est"), "word").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# stats_welch_ttest — shared formula text, evaluated by both engines.
+
+_WELCH_FORMULAS = [
+    "CAST(n1 AS BIGINT) AS n_a",
+    "CAST(n2 AS BIGINT) AS n_b",
+    "ROUND(s1 / n1, 6) AS mean_a",
+    "ROUND(s2 / n2, 6) AS mean_b",
+    "ROUND((s1 / n1 - s2 / n2) / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+    " + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat",
+    "ROUND(power(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+    " + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2, 2)"
+    " / (power(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)"
+    " + power(((q2 - s2 * s2 / n2) / (n2 - 1)) / n2, 2) / (n2 - 1)), 6) AS df",
+]
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) FILTER (event_type = 'purchase') AS DOUBLE) AS n1,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(30,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS q1,
+         CAST(COUNT(*) FILTER (event_type = 'click') AS DOUBLE) AS n2,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) FILTER (event_type = 'click') AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value AS DECIMAL(30,6))) FILTER (event_type = 'click') AS DOUBLE) AS q2
+  FROM events WHERE event_type IN ('purchase', 'click')
+)
+SELECT {', '.join(_WELCH_FORMULAS)} FROM m
+""",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (purchase vs click event values):
+    one conditional-aggregate pass reduces the stream to six exact
+    decimal moments (n, Σx, Σx² per group), then the t statistic and
+    Welch–Satterthwaite df evaluate from the SAME formula text the
+    oracle runs — identical doubles in, identical doubles out.
+
+    Scale: O(1) state, partial+final aggregate, no shuffle beyond the
+    6-value reduce. This is how a 100 TB A/B readout should run."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_a = F.col("event_type") == "purchase"
+    v = F.col("value")
+    m = e.agg(
+        F.count(F.when(is_a, 1)).cast("double").alias("n1"),
+        F.sum(F.when(is_a, v).cast(DEC)).cast("double").alias("s1"),
+        F.sum(F.when(is_a, v * v).cast(DEC)).cast("double").alias("q1"),
+        F.count(F.when(~is_a, 1)).cast("double").alias("n2"),
+        F.sum(F.when(~is_a, v).cast(DEC)).cast("double").alias("s2"),
+        F.sum(F.when(~is_a, v * v).cast(DEC)).cast("double").alias("q2"),
+    )
+    return m.selectExpr(*_WELCH_FORMULAS)
+
+
+# ---------------------------------------------------------------------------
+# stats_mannwhitney_u — midranks via per-distinct-value aggregation.
+
+_MWU_FORMULAS = [
+    "CAST(n1 AS BIGINT) AS n_a",
+    "CAST(n2 AS BIGINT) AS n_b",
+    "ROUND(r1d / 2.0 - n1 * (n1 + 1) / 2.0, 6) AS u_stat",
+    "ROUND((r1d / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)"
+    " / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z_score",
+]
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle=f"""
+WITH pv AS (
+  SELECT value,
+         COUNT(*) FILTER (event_type = 'view') AS c1,
+         COUNT(*) AS ct
+  FROM events WHERE event_type IN ('view', 'error')
+  GROUP BY value
+),
+rk AS (
+  SELECT c1, ct,
+         COALESCE(SUM(ct) OVER (ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+  FROM pv
+),
+m AS (
+  SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+         CAST(SUM(ct - c1) AS DOUBLE) AS n2,
+         CAST(SUM(c1 * (2 * cum_less + ct + 1)) AS DOUBLE) AS r1d
+  FROM rk
+)
+SELECT {', '.join(_MWU_FORMULAS)} FROM m
+""",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (view vs error event values) without a global
+    per-row rank: aggregate to DISTINCT values first (c1, ct per value),
+    cumulative-count the ordered value groups, and recover the doubled
+    midrank sum as Σ c1·(2·cum_less + ct + 1) — all integers, so the
+    rank bookkeeping is exact in both engines; only the final U and
+    normal-approximation z touch floats, from the shared formula text.
+
+    Scale: the only ordered pass runs over DISTINCT values (already
+    reduced), not rows — the classic trick for rank statistics on big
+    data. The window is a single global cumsum; at 100 TB you'd
+    range-partition it, which Spark's window-on-sorted-exchange does."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "error"))
+    pv = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    rk = pv.select(
+        "c1",
+        "ct",
+        F.coalesce(F.sum("ct").over(w), F.lit(0)).alias("cum_less"),
+    )
+    m = rk.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("double").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum_less") + F.col("ct") + 1))
+        .cast("double")
+        .alias("r1d"),
+    )
+    return m.selectExpr(*_MWU_FORMULAS)
+
+
+# ---------------------------------------------------------------------------
+# ml_ols_normal_eq — closed-form 2-feature OLS via Cramer's rule.
+
+
+def _det3(
+    a: str, b: str, c: str, d: str, e: str, f: str, g: str, h: str, i: str
+) -> str:
+    return (
+        f"({a} * ({e} * {i} - {f} * {h}) - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+# Normal-equation matrix A = [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]],
+# rhs b = [sy, s1y, s2y]; Cramer columns replace A's k-th column with b.
+_DET_A = _det3("n", "sx1", "sx2", "sx1", "s11", "s12", "sx2", "s12", "s22")
+_DET_B0 = _det3("sy", "sx1", "sx2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+_DET_B1 = _det3("n", "sy", "sx2", "sx1", "s1y", "s12", "sx2", "s2y", "s22")
+_DET_B2 = _det3("n", "sx1", "sy", "sx1", "s11", "s1y", "sx2", "s12", "s2y")
+
+_OLS_FORMULAS = [
+    "CAST(n AS BIGINT) AS n",
+    f"ROUND({_DET_B0} / {_DET_A}, 6) AS beta0",
+    f"ROUND({_DET_B1} / {_DET_A}, 6) AS beta1",
+    f"ROUND({_DET_B2} / {_DET_A}, 6) AS beta2",
+]
+
+
+@query(
+    "ml_ols_normal_eq",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('l_quantity')} AS sx1,
+         {sql_dsum('l_discount')} AS sx2,
+         {sql_dsum('l_extendedprice')} AS sy,
+         {sql_dsum('l_quantity * l_quantity')} AS s11,
+         {sql_dsum('l_quantity * l_discount')} AS s12,
+         {sql_dsum('l_discount * l_discount')} AS s22,
+         {sql_dsum('l_quantity * l_extendedprice')} AS s1y,
+         {sql_dsum('l_discount * l_extendedprice')} AS s2y
+  FROM lineitem
+)
+SELECT {', '.join(_OLS_FORMULAS)} FROM m
+""",
+)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (price ~ quantity +
+    discount): ONE aggregate pass collects the nine normal-equation
+    moments as exact decimal sums, then Cramer's rule solves the 3×3
+    system in the shared formula text. The distributed part is a
+    partial+final reduce to nine numbers — the textbook way to fit a
+    linear model at 100 TB without MLlib's iterative solver.
+
+    Per-row products (quantity·price etc.) are IEEE double products of
+    bit-identical inputs, so each decimal term matches across engines
+    before the exact sum."""
+    li = table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sx1"),
+        dsum(d).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(q * q).alias("s11"),
+        dsum(q * d).alias("s12"),
+        dsum(d * d).alias("s22"),
+        dsum(q * y).alias("s1y"),
+        dsum(d * y).alias("s2y"),
+    )
+    return m.selectExpr(*_OLS_FORMULAS)
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_bigrams
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle="""
+WITH toks AS (SELECT str_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS word FROM toks),
+ucnt AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+big AS (
+  SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2
+  FROM (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS pair
+        FROM toks)
+),
+bcnt AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+nb AS (SELECT COUNT(*) AS n_big FROM big)
+SELECT b.w1, b.w2, CAST(b.cb AS BIGINT) AS pair_count,
+       ROUND(ln((CAST(b.cb AS DOUBLE) * nu.n_uni * nu.n_uni)
+                / (CAST(nb.n_big AS DOUBLE) * c1.c * c2.c)), 6) AS pmi
+FROM bcnt b
+JOIN ucnt c1 ON c1.word = b.w1
+JOIN ucnt c2 ON c2.word = b.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE b.cb >= 20
+ORDER BY pmi DESC, w1, w2 LIMIT 30
+""",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation detector every corpus-analysis pipeline runs. Counts are
+    integers (bigram, unigram, totals), PMI = ln(c12·Nu²/(Nb·c1·c2))
+    evaluates on identical doubles, 6-dp round.
+
+    Scale: two exploded counts shuffled on token keys, two scalar totals
+    broadcast back, unigram-count join is on the (bounded) vocabulary —
+    no all-pairs anything. The ≥20 support filter prunes the long tail
+    before the sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nb = big.agg(F.count(F.lit(1)).alias("n_big"))
+    c1 = ucnt.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    c2 = ucnt.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bcnt.filter(F.col("cb") >= 20)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_big").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_gap_fill_interp
+
+
+@query(
+    "win_gap_fill_interp",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, {sql_dsum('value')} AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+),
+g AS (
+  SELECT grid.user_id, grid.day, d.v
+  FROM grid LEFT JOIN daily d ON d.user_id = grid.user_id AND d.day = grid.day
+),
+n AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+         first_value(v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+  FROM g
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+       ROUND(COALESCE(v,
+             pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE)
+                            / CAST(date_diff('day', pd, nd) AS DOUBLE)), 6) + 0.0
+         AS filled
+FROM n ORDER BY user_id, day
+""",
+)
+def win_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over per-user daily purchase totals:
+    build each user's calendar grid (sequence + explode between observed
+    min/max day — endpoints always observed, so interior gaps always
+    have both neighbors), carry the nearest observed value/day from both
+    directions with ignore-nulls windows, and interpolate
+    pv + (nv-pv)·Δprev/Δspan. The LOCF companion is
+    ``win_gap_fill_locf``; this is the other gap-fill every time-series
+    store ships.
+
+    Scale: grid size is days×users (bounded by the time span, not the
+    event count), both windows are in-partition scans after ONE shuffle
+    on user_id. Daily totals are exact decimal sums, so the interpolated
+    doubles match the oracle bitwise before the 6-dp round; ``+ 0.0``
+    folds any -0.0 (statistics.py convention)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(dsum("value").alias("v"))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    g = grid.join(daily, ["user_id", "day"], "left")
+    w_prev = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    n = g.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("day"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    return n.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        (F.round(F.coalesce(F.col("v"), interp), 6) + F.lit(0.0)).alias("filled"),
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint_cusum
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+WITH mean_ AS (
+  SELECT event_type, {sql_davg('value')} AS m FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.event_type, e.ts, e.event_id,
+         SUM(CAST(e.value AS DECIMAL(30,6)) - CAST(m.m AS DECIMAL(30,6)))
+           OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM events e JOIN mean_ m ON m.event_type = e.event_type
+),
+r AS (
+  SELECT event_type, ts, cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum) DESC, ts, event_id) AS rn
+  FROM c
+)
+SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS changepoint_ts,
+       CAST(cusum AS DOUBLE) AS peak_cusum
+FROM r WHERE rn = 1 ORDER BY event_type
+""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: running sum of (value −
+    type mean) over the time-ordered stream; the |CUSUM| peak marks the
+    most likely level-shift point. The running sum accumulates exact
+    DECIMALs of per-row deviations from the 6-dp-rounded mean, so every
+    intermediate is identical across engines — no float fold anywhere.
+
+    Scale: one broadcast of the per-type means, one shuffle on
+    event_type, one in-partition ordered scan, one top-1-per-group
+    window. Monitoring pipelines run exactly this plan on full event
+    streams."""
+    e = table(spark, sf_dir, "events")
+    from sim_spark.exprs import davg
+
+    mean_ = e.groupBy("event_type").agg(davg("value").alias("m"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = (
+        e.join(F.broadcast(mean_), "event_type")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.sum(F.col("value").cast(DEC) - F.col("m").cast(DEC)).over(w).alias("cusum"),
+        )
+    )
+    w_rank = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "ts", "event_id"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("changepoint_ts"),
+            F.col("cusum").cast("double").alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
