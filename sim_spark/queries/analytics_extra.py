@@ -540,3 +540,113 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_unrolled — 2 full Lloyd iterations, fully oracle-checkable.
+
+_KM_K, _KM_DIM = 8, 64
+# Squared-distance terms snap to integer nano-units before the cross-dim
+# sum (neither engine guarantees a left-to-right float fold), so argmin
+# compares exact BIGINTs; recomputed centroids are 6-dp-rounded decimal
+# means, identical in both engines.
+_KM_TERM_SQL = "CAST(floor((vx - cx) * (vx - cx) * 1000000000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "ml_kmeans_unrolled",
+    oracle=f"""
+WITH vlong AS (
+  SELECT vec_id AS vid, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS vx
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {_KM_DIM})) AS i)
+),
+c1 AS (
+  SELECT vid AS cid, dim, vx AS cx FROM vlong WHERE vid < {_KM_K}
+),
+d1 AS (
+  SELECT v.vid, c.cid, SUM({_KM_TERM_SQL}) AS dist_nano
+  FROM vlong v JOIN c1 c ON c.dim = v.dim
+  GROUP BY v.vid, c.cid
+),
+a1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist_nano, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c2 AS (
+  SELECT a1.cid, v.dim,
+         ROUND(CAST(SUM(CAST(v.vx AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS cx
+  FROM vlong v JOIN a1 ON a1.vid = v.vid
+  GROUP BY a1.cid, v.dim
+),
+d2 AS (
+  SELECT v.vid, c.cid, SUM({_KM_TERM_SQL}) AS dist_nano
+  FROM vlong v JOIN c2 c ON c.dim = v.dim
+  GROUP BY v.vid, c.cid
+),
+a2 AS (
+  SELECT vid, cid, dist_nano FROM (
+    SELECT vid, cid, dist_nano,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist_nano, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid AS centroid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist_nano) AS BIGINT) AS sse_nano
+FROM a2 GROUP BY cid ORDER BY cid
+""",
+)
+def ml_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations (assign → recompute centroids → assign)
+    with every step exact: distances sum integer nano-unit terms (argmin
+    on BIGINTs — no float fold can flip it), recomputed centroids are
+    6-dp decimal means. This promotes the iterative half of k-means from
+    rows-only (``ml_kmeans_lloyd``) to a hash-matched oracle row — the
+    unrolling trick already used for ``graph_pagerank``.
+
+    Scale: the vector table lives in LONG form (vid, dim, value) — the
+    layout a 100 TB feature store uses — and each iteration is one
+    broadcast join on dim (k×dim rows) + one (vid, cid) partial+final
+    sum; centroid recompute is a (cid, dim) aggregate. No driver loop,
+    no collect: the whole 2-step refinement is a single Catalyst plan."""
+    e = table(spark, sf_dir, "embeddings")
+    vlong = e.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding")).alias("dim", "fx"),
+    ).select("vid", "dim", F.col("fx").cast("double").alias("vx"))
+
+    def term(cx_col: F.Column) -> F.Column:
+        d = F.col("vx") - cx_col
+        return F.floor(d * d * F.lit(1000000000) + F.lit(0.5)).cast("long")
+
+    def assign(cent_long: DataFrame) -> DataFrame:
+        d = (
+            vlong.join(F.broadcast(cent_long), "dim")
+            .groupBy("vid", "cid")
+            .agg(F.sum(term(F.col("cx"))).alias("dist_nano"))
+        )
+        w = W.partitionBy("vid").orderBy("dist_nano", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    c1 = vlong.filter(F.col("vid") < _KM_K).select(
+        F.col("vid").alias("cid"), "dim", F.col("vx").alias("cx")
+    )
+    a1 = assign(c1).select("vid", "cid")
+    c2 = (
+        vlong.join(a1, "vid")
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("vx").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("cx")
+        )
+    )
+    a2 = assign(c2)
+    return (
+        a2.groupBy(F.col("cid").alias("centroid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist_nano").alias("sse_nano"),
+        )
+        .orderBy("centroid")
+    )
