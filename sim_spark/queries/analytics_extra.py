@@ -650,3 +650,240 @@ def ml_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_pca_power_unrolled — 2 power-iteration steps, fully oracle-checkable.
+
+_PCA_DIM = 64
+# G·v terms and norm terms snap to nano-units before their cross-dim sums;
+# the single division / sqrt that follows is IEEE-exact in both engines.
+_NANO = "1000000000"
+
+
+@query(
+    "ml_pca_power_unrolled",
+    oracle=f"""
+WITH vlong AS (
+  SELECT vec_id AS vid, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS vx
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {_PCA_DIM})) AS i)
+),
+mu AS (
+  SELECT dim, ROUND(CAST(SUM(CAST(vx AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM vlong GROUP BY dim
+),
+cl AS (
+  SELECT v.vid, v.dim, v.vx - mu.m AS cx FROM vlong v JOIN mu ON mu.dim = v.dim
+),
+gram AS (
+  SELECT a.dim AS d1, b.dim AS d2,
+         ROUND(CAST(SUM(CAST(a.cx * b.cx AS DECIMAL(30,6))) AS DOUBLE)
+               / (SELECT COUNT(DISTINCT vid) FROM vlong), 6) AS g
+  FROM cl a JOIN cl b ON a.vid = b.vid
+  GROUP BY a.dim, b.dim
+),
+v0 AS (SELECT unnest(range(0, {_PCA_DIM})) AS dim, 0.125 AS v),
+u1 AS (
+  SELECT g.d1 AS dim,
+         CAST(SUM(CAST(floor(g.g * v0.v * {_NANO} + 0.5) AS BIGINT)) AS DOUBLE)
+           / {_NANO} AS u
+  FROM gram g JOIN v0 ON v0.dim = g.d2 GROUP BY g.d1
+),
+n1 AS (
+  SELECT sqrt(CAST(SUM(CAST(floor(u * u * {_NANO} + 0.5) AS BIGINT)) AS DOUBLE)
+              / {_NANO}) AS nrm FROM u1
+),
+v1 AS (SELECT dim, ROUND(u / (SELECT nrm FROM n1), 6) AS v FROM u1),
+u2 AS (
+  SELECT g.d1 AS dim,
+         CAST(SUM(CAST(floor(g.g * v1.v * {_NANO} + 0.5) AS BIGINT)) AS DOUBLE)
+           / {_NANO} AS u
+  FROM gram g JOIN v1 ON v1.dim = g.d2 GROUP BY g.d1
+),
+n2 AS (
+  SELECT sqrt(CAST(SUM(CAST(floor(u * u * {_NANO} + 0.5) AS BIGINT)) AS DOUBLE)
+              / {_NANO}) AS nrm FROM u2
+)
+SELECT dim, ROUND(u / (SELECT nrm FROM n2), 6) AS loading,
+       ROUND((SELECT nrm FROM n2), 6) AS eigenvalue_est
+FROM u2 ORDER BY dim
+""",
+)
+def ml_pca_power_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component by TWO unrolled power-iteration steps
+    over the exact 64×64 covariance matrix — the oracle-checkable twin
+    of the driver-looped ``ml_pca_power_iter``. Every cross-dim float
+    sum (Gram build, matvec, norm) goes through decimal or nano-unit
+    integer accumulation; the matvec/norm divisions and sqrt are single
+    IEEE-exact ops, so both engines emit identical loadings. ‖G·v‖ of
+    the unit iterate doubles as the Rayleigh-quotient eigenvalue
+    estimate.
+
+    Scale: the Gram matrix is a (dim², ) aggregate of per-row products —
+    one self-join on vid in LONG form, partial+final summed, output
+    bounded by dim² regardless of row count; each unrolled step is a
+    broadcast join against the 64-row iterate. No driver loop."""
+    e = table(spark, sf_dir, "embeddings")
+    vlong = e.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding")).alias("dim", "fx"),
+    ).select("vid", "dim", F.col("fx").cast("double").alias("vx"))
+    n_vec = e.select(F.count(F.lit(1)).alias("nv"))
+    mu = vlong.groupBy("dim").agg(
+        F.round(F.sum(F.col("vx").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("m")
+    )
+    cl = vlong.join(F.broadcast(mu), "dim").select(
+        "vid", "dim", (F.col("vx") - F.col("m")).alias("cx")
+    )
+    a = cl.select("vid", F.col("dim").alias("d1"), F.col("cx").alias("cxa"))
+    b = cl.select("vid", F.col("dim").alias("d2"), F.col("cx").alias("cxb"))
+    gram = (
+        a.join(b, "vid")
+        .groupBy("d1", "d2")
+        .agg(F.sum((F.col("cxa") * F.col("cxb")).cast(DEC)).alias("s"))
+        .join(F.broadcast(n_vec))
+        .select(
+            "d1", "d2", F.round(F.col("s").cast("double") / F.col("nv"), 6).alias("g")
+        )
+    )
+
+    nano = F.lit(1000000000)
+
+    def matvec(v: DataFrame) -> DataFrame:
+        return (
+            gram.join(F.broadcast(v), gram.d2 == v.dim)
+            .groupBy(F.col("d1").alias("dim"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("g") * F.col("v") * nano + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / nano
+                ).alias("u")
+            )
+        )
+
+    def normalize(u: DataFrame) -> DataFrame:
+        nrm = u.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(F.col("u") * F.col("u") * nano + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / nano
+            ).alias("nrm")
+        )
+        return u.join(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("u") / F.col("nrm"), 6).alias("v")
+        )
+
+    v0 = spark.range(_PCA_DIM).select(F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v"))
+    u1 = matvec(v0)
+    v1 = normalize(u1)
+    u2 = matvec(v1)
+    nrm2 = u2.agg(
+        F.sqrt(
+            F.sum(
+                F.floor(F.col("u") * F.col("u") * nano + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / nano
+        ).alias("nrm")
+    )
+    return (
+        u2.join(F.broadcast(nrm2))
+        .select(
+            "dim",
+            F.round(F.col("u") / F.col("nrm"), 6).alias("loading"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_pq_fixed_codebook — PQ encoding against fixed codebooks, oracled.
+
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8  # 8 subspaces × 8 dims, 16 codes each
+
+
+@query(
+    "embed_pq_fixed_codebook",
+    oracle=f"""
+WITH vlong AS (
+  SELECT vec_id AS vid, i // {_PQ_SUB} AS sub, i % {_PQ_SUB} AS sdim,
+         CAST(embedding[i + 1] AS DOUBLE) AS vx
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {_PQ_M * _PQ_SUB})) AS i)
+),
+books AS (
+  SELECT vid AS code, sub, sdim, vx AS cx FROM vlong WHERE vid < {_PQ_K}
+),
+d AS (
+  SELECT v.vid, v.sub, b.code,
+         SUM(CAST(floor((v.vx - b.cx) * (v.vx - b.cx) * {_NANO} + 0.5) AS BIGINT)) AS dn
+  FROM vlong v JOIN books b ON b.sub = v.sub AND b.sdim = v.sdim
+  GROUP BY v.vid, v.sub, b.code
+),
+enc AS (
+  SELECT vid, sub, code, dn FROM (
+    SELECT vid, sub, code, dn,
+           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dn, code) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT vid AS vec_id,
+       string_agg(code::VARCHAR, ',' ORDER BY sub) AS codes,
+       CAST(SUM(dn) AS BIGINT) AS err_nano
+FROM enc GROUP BY vid ORDER BY vec_id
+""",
+)
+def embed_pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODING against fixed codebooks (sub-blocks
+    of the first 16 vectors) — the oracle-checkable half of PQ, promoted
+    from the learned-codebook ``embed_pq_codes`` the way
+    ``ml_kmeans_assign_fixed`` splits Lloyd's. Each 64-dim vector maps
+    to 8 sub-space code ids by argmin over nano-unit integer distances;
+    the summed residual is the exact integer reconstruction error.
+
+    Scale: codebooks are m×k×(dim/m) = 1024 values — broadcast; encoding
+    is one join + one (vid, sub) partial+final sum over the long layout,
+    then a per-(vid, sub) top-1. This is how you compress a 100 TB
+    embedding store to 8 bytes/vector without moving the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    vlong = e.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding")).alias("i", "fx"),
+    ).select(
+        "vid",
+        (F.col("i") / _PQ_SUB).cast("int").alias("sub"),
+        (F.col("i") % _PQ_SUB).alias("sdim"),
+        F.col("fx").cast("double").alias("vx"),
+    )
+    books = vlong.filter(F.col("vid") < _PQ_K).select(
+        F.col("vid").alias("code"), "sub", "sdim", F.col("vx").alias("cx")
+    )
+    diff = F.col("vx") - F.col("cx")
+    d = (
+        vlong.join(F.broadcast(books), ["sub", "sdim"])
+        .groupBy("vid", "sub", "code")
+        .agg(
+            F.sum(
+                F.floor(diff * diff * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("dn")
+        )
+    )
+    w = W.partitionBy("vid", "sub").orderBy("dn", "code")
+    enc = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        enc.groupBy(F.col("vid").alias("vec_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.sum("dn").alias("err_nano"),
+        )
+        .orderBy("vec_id")
+    )
