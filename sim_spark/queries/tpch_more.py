@@ -4,7 +4,8 @@ The fixtures lack ``partsupp``, comment/phone columns, and
 ``l_commitdate``/``l_receiptdate`` (FIXTURES.md), so Q4/Q9/Q16 are
 reshaped onto available columns with the same operator skeleton
 (EXISTS-semi, profit-by-nation-year, distinct-count-with-exclusions);
-Q2/Q11/Q20/Q21/Q22 are not expressible and are intentionally absent.
+Q2/Q11/Q12/Q20/Q21/Q22 are reshaped the same way in tpch_complete.py,
+completing all 22 TPC-H operator skeletons.
 
 Scale notes per query are in each docstring; the common rules:
 dimension sides broadcast, the single fact shuffle is on the join or

@@ -217,3 +217,66 @@ def test_not_in_is_null_aware_anti_join(spark):
     p = plan(spark, "subq_not_in_null_aware")
     assert re.search(r"LeftAnti", p), p
     assert "NullAware" in p or re.search(r"if \(.*= 5\)\) null else", p), p
+
+
+@pytest.mark.parametrize(
+    # scalar=True marks queries that attach a 1-row aggregate (Q11's
+    # global cutoff, Q22's average balance) via a keyless broadcast —
+    # that compiles to exactly one BroadcastNestedLoopJoin whose build
+    # side is a single row, which is scale-safe; any OTHER nested loop
+    # (or any cartesian) means Catalyst failed to decorrelate.
+    ("key", "scalar"),
+    [
+        ("tpch_q2_min_cost_supplier", False),
+        ("tpch_q11_important_parts", True),
+        ("tpch_q20_excess_suppliers", False),
+        ("tpch_q21_waiting_suppliers", False),
+        ("tpch_q22_idle_customers", True),
+    ],
+)
+def test_tpch_completion_no_nested_loop(spark, key, scalar):
+    p = plan(spark, key)
+    assert "CartesianProduct" not in p, p
+    # Count tree nodes, not raw substrings — the formatted explain
+    # repeats every operator once in the tree and once in the details.
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert n_bnlj <= (1 if scalar else 0), p
+
+
+def test_q21_exists_branches_are_semi_anti(spark):
+    p = plan(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+
+
+def test_kmeans_unrolled_centroid_joins_are_broadcast(spark):
+    # Both assignment passes join the fact against k*dim centroid rows —
+    # they must broadcast (k*dim is tiny at any corpus scale), and the
+    # argmin is a windowed row_number, never a cartesian.
+    p = plan(spark, "ml_kmeans_unrolled")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_welch_ttest_single_partial_final_agg(spark):
+    # The whole test reduces in ONE partial+final aggregate: no joins,
+    # no window, no extra exchange beyond the single-row reduce.
+    p = plan(spark, "stats_welch_ttest")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert "Join" not in p, p
+
+
+def test_pmi_count_joins_are_broadcast(spark):
+    # Unigram counts and the two scalar totals join back as broadcasts;
+    # the only shuffles are the token-keyed counts.
+    p = plan(spark, "text_pmi_bigrams")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_gap_fill_interp_single_user_shuffle(spark):
+    # Grid build + both ignore-nulls windows partition by user_id; the
+    # plan must not introduce a global (unpartitioned) window.
+    p = plan(spark, "win_gap_fill_interp")
+    assert "CartesianProduct" not in p, p
+    assert "windowspecdefinition(user_id" in p, p
