@@ -887,3 +887,227 @@ def embed_pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# voxel_smooth_3x3 — stencil convolution over the 8x8 voxel grid.
+
+_VOX_SIDE = 8  # 64-element intensity block viewed as an 8x8 grid
+# 3x3 binomial (Gaussian-approximating) kernel, integer weights.
+_STENCIL = [
+    (-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+    (0, -1, 2), (0, 0, 4), (0, 1, 2),
+    (1, -1, 1), (1, 0, 2), (1, 1, 1),
+]
+_STENCIL_SQL = ", ".join(f"({dr}, {dc}, {w})" for dr, dc, w in _STENCIL)
+
+
+@query(
+    "voxel_smooth_3x3",
+    oracle=f"""
+WITH px AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {_VOX_SIDE} AS r,
+         (generate_subscripts(embedding, 1) - 1) % {_VOX_SIDE} AS c,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM embeddings
+),
+sten(dr, dc, w) AS (VALUES {_STENCIL_SQL}),
+contrib AS (
+  SELECT p.vec_id, p.r + s.dr AS tr, p.c + s.dc AS tc,
+         s.w * p.micro AS wm, s.w AS w
+  FROM px p CROSS JOIN sten s
+  WHERE p.r + s.dr BETWEEN 0 AND {_VOX_SIDE - 1}
+    AND p.c + s.dc BETWEEN 0 AND {_VOX_SIDE - 1}
+),
+sm AS (
+  SELECT vec_id, tr, tc,
+         CAST(floor((2.0 * SUM(wm) + SUM(w)) / (2.0 * SUM(w))) AS BIGINT) AS smooth_micro
+  FROM contrib GROUP BY vec_id, tr, tc
+)
+SELECT CAST(tr * {_VOX_SIDE} + tc AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(smooth_micro) AS BIGINT) AS sum_smooth_micro
+FROM sm GROUP BY tr, tc ORDER BY pos
+""",
+)
+def voxel_smooth_3x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 binomial smoothing of each subject's 8×8 voxel block — the
+    neighborhood-stencil convolution every imaging pipeline runs before
+    thresholding, expressed relationally: explode intensities to
+    (vec_id, row, col), scatter each voxel to its 9 stencil targets (a
+    bounded explode, not a join on coordinates), and re-aggregate with
+    integer weights. Edges renormalize by the sum of PRESENT weights.
+    Everything is integer micro-units — weighted sums are BIGINTs, the
+    smoothed value uses the sign-safe half-up floor((2s+w)/(2w)) from
+    ``voxel_mean_image`` — so both engines agree exactly.
+
+    Scale: per-subject work is dim×9 rows, the (vec_id, target) partial+
+    final aggregate is map-side combinable, and the final 64-row grid
+    reduction is trivially bounded. No Python, no windows, no driver."""
+    e = table(spark, sf_dir, "embeddings")
+    px = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") / _VOX_SIDE).cast("int").alias("r"),
+        (F.col("pos") % _VOX_SIDE).alias("c"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("micro"),
+    )
+    sten = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"), F.lit(w).alias("w"))
+            for dr, dc, w in _STENCIL
+        ]
+    )
+    contrib = (
+        px.select("vec_id", "r", "c", "micro", F.explode(sten).alias("s"))
+        .select(
+            "vec_id",
+            (F.col("r") + F.col("s.dr")).alias("tr"),
+            (F.col("c") + F.col("s.dc")).alias("tc"),
+            (F.col("s.w") * F.col("micro")).alias("wm"),
+            F.col("s.w").alias("w"),
+        )
+        .filter(
+            F.col("tr").between(0, _VOX_SIDE - 1) & F.col("tc").between(0, _VOX_SIDE - 1)
+        )
+    )
+    sm = contrib.groupBy("vec_id", "tr", "tc").agg(
+        F.floor(
+            (2.0 * F.sum("wm").cast("double") + F.sum("w")) / (2.0 * F.sum("w"))
+        )
+        .cast("long")
+        .alias("smooth_micro")
+    )
+    return (
+        sm.groupBy((F.col("tr") * _VOX_SIDE + F.col("tc")).cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("smooth_micro").alias("sum_smooth_micro"),
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hist_equidepth — 10-bucket equi-depth histogram without a global sort.
+
+_EQD_B = 10
+
+
+@query(
+    "agg_hist_equidepth",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_extendedprice AS v, COUNT(*) AS ct FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT v, ct,
+         COALESCE(SUM(ct) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         SUM(ct) OVER () AS n
+  FROM pv
+)
+SELECT CAST(cb * {_EQD_B} // n AS BIGINT) AS bucket,
+       CAST(SUM(ct) AS BIGINT) AS n_rows,
+       MIN(v) AS lo, MAX(v) AS hi
+FROM cum GROUP BY 1 ORDER BY bucket
+""",
+)
+def agg_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram — the optimizer-statistics
+    primitive — without ranking individual rows: aggregate to DISTINCT
+    values, cumulative-count the ordered value groups, and assign each
+    whole group to bucket ⌊cum_before·B/N⌋. Integer arithmetic end to
+    end, so bucket membership cannot drift between engines.
+
+    Scale: same shape as ``stats_mannwhitney_u`` — the ordered pass runs
+    over distinct values (already reduced), the per-row table is only
+    ever touched by one partial+final count. This is how ANALYZE
+    computes histograms on a warehouse fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = pv.select(
+        "v",
+        "ct",
+        F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cb"),
+        F.sum("ct").over(w_all).alias("n"),
+    )
+    return (
+        cum.groupBy(
+            F.floor(F.col("cb") * _EQD_B / F.col("n")).cast("long").alias("bucket")
+        )
+        .agg(
+            F.sum("ct").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_benford_digits — first-digit distribution vs Benford's law.
+
+_BENFORD_CHI = (
+    "ROUND(SUM(power(obs_frac - exp_frac, 2) / exp_frac) * 1.0, 6) AS chi2_stat"
+)
+
+
+@query(
+    "stats_benford_digits",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, COUNT(*) AS ct FROM d GROUP BY 1),
+t AS (SELECT SUM(ct) AS n FROM c),
+f AS (
+  SELECT c.digit, c.ct,
+         CAST(c.ct AS DOUBLE) / t.n AS obs_frac,
+         ln(1.0 + 1.0 / c.digit) / ln(10.0) AS exp_frac
+  FROM c CROSS JOIN t
+)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(ct AS BIGINT) AS n_orders,
+       ROUND(obs_frac, 6) AS obs_frac, ROUND(exp_frac, 6) AS benford_frac
+FROM f ORDER BY digit
+""",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the classic forensic data-quality audit. The digit
+    comes from the INTEGER part's string (floor → BIGINT → first char),
+    never from float formatting or log10 (both of which can disagree
+    across engines at power-of-ten boundaries); expected fractions use
+    ln ratios on identical doubles.
+
+    Scale: one partial+final 9-group count; the totals attach as a
+    1-row broadcast."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("ct"))
+    t = c.agg(F.sum("ct").alias("n"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("ct").alias("n_orders"),
+            F.round(F.col("ct").cast("double") / F.col("n"), 6).alias("obs_frac"),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
+            ).alias("benford_frac"),
+        )
+        .orderBy("digit")
+    )
