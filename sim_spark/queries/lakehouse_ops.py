@@ -118,3 +118,90 @@ def scd2_validity_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
         "attr",
     )
+
+
+@query(
+    "lakehouse_time_travel",
+    oracle="""
+WITH log AS (
+  SELECT 1 AS version, 'insert' AS op, c_custkey AS k,
+         CAST(c_acctbal AS DECIMAL(15,2)) AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 2, 'update', c_custkey,
+         CAST(c_acctbal AS DECIMAL(15,2)) + 50
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT 2, 'insert', c_custkey + 2000000,
+         CAST(c_acctbal AS DECIMAL(15,2))
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT 3, 'delete', c_custkey, NULL
+  FROM customer WHERE c_custkey % 9 = 0
+),
+snap AS (
+  SELECT version, op, k, bal,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM log WHERE version <= 2
+)
+SELECT k AS c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+       CAST(version AS BIGINT) AS from_version
+FROM snap WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (SELECT ... AS OF version 2) over an append-only
+    commit log — the Delta/Iceberg read path expressed relationally:
+    filter the log to versions ≤ the requested snapshot, keep each key's
+    LATEST entry (one window over the business key), and drop keys whose
+    latest entry is a delete. The v3 delete batch exists precisely so
+    the snapshot read must prove it ignores later versions.
+
+    Scale: the log is partitioned by key for the window (one shuffle);
+    a real table-format reader prunes files by version manifest first,
+    which this plan mirrors by filtering version BEFORE the shuffle —
+    the filter sits under the exchange (same discipline as the SCD2
+    plan audit)."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(15,2)")
+    log = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.lit(1).alias("version"),
+            F.lit("insert").alias("op"),
+            F.col("c_custkey").alias("k"),
+            bal.alias("bal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 6 == 0).select(
+                F.lit(2), F.lit("update"), F.col("c_custkey"), bal + 50
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 5 == 0).select(
+                F.lit(2),
+                F.lit("insert"),
+                F.col("c_custkey") + 2000000,
+                bal,
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 9 == 0).select(
+                F.lit(3),
+                F.lit("delete"),
+                F.col("c_custkey"),
+                F.lit(None).cast("decimal(15,2)"),
+            )
+        )
+    )
+    w = W.partitionBy("k").orderBy(F.desc("version"))
+    return (
+        log.filter(F.col("version") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("bal").cast("double").alias("acctbal"),
+            F.col("version").cast("long").alias("from_version"),
+        )
+    )
