@@ -1111,3 +1111,86 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_mad — rolling median-absolute-deviation outlier flags.
+
+
+def _arr_median(arr: F.Column) -> F.Column:
+    n = F.size(arr)
+    mid_hi = ((n + 1) / 2).cast("int")
+    lo = (n / 2).cast("int")
+    return F.when(n % 2 == 1, F.element_at(arr, mid_hi)).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / 2.0
+    )
+
+
+_SQL_MED = (
+    "CASE WHEN len({a}) % 2 = 1 THEN {a}[(len({a}) + 1) // 2] "
+    "ELSE ({a}[len({a}) // 2] + {a}[len({a}) // 2 + 1]) / 2.0 END"
+)
+
+
+@query(
+    "win_rolling_mad",
+    oracle=f"""
+WITH fr AS (
+  SELECT event_type, event_id, value,
+         list_sort(list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                     ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS h
+  FROM events
+),
+med AS (
+  SELECT event_type, event_id, value, h,
+         {_SQL_MED.format(a='h')} AS m
+  FROM fr
+),
+mad AS (
+  SELECT event_type, event_id, value, m,
+         {_SQL_MED.format(a='list_sort(list_transform(h, x -> abs(x - m)))')} AS d
+  FROM med
+)
+SELECT event_type, event_id,
+       ROUND(m, 6) AS roll_med, ROUND(d, 6) AS roll_mad,
+       CASE WHEN d > 0 AND abs(value - m) > 3 * d THEN 1 ELSE 0 END AS is_outlier
+FROM mad
+""",
+)
+def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust outlier detection: per event type, the trailing
+    12-event frame's median and median-absolute-deviation, flagging
+    |x − med| > 3·MAD — the monitoring-pipeline alternative to z-scores
+    that one spike cannot poison. Both medians are exact in-row order
+    statistics over the sorted frame array (the ``win_rolling_median``
+    recipe nested twice); no float accumulates across rows, so the only
+    doubles are single subtractions/halvings — identical in both
+    engines; the 3·MAD comparison happens on those identical doubles.
+
+    Scale: ONE window shuffle on event_type; per-row state is the
+    bounded frame array (12 doubles). The alert predicate is integer
+    0/1 so the boundary decision itself is hash-checked."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-11, 0)
+    )
+    h = F.array_sort(F.collect_list("value").over(w))
+    base = e.select("event_type", "event_id", "value", h.alias("h"))
+    med = base.withColumn("m", _arr_median(F.col("h")))
+    dev = F.array_sort(
+        F.transform(F.col("h"), lambda x: F.abs(x - F.col("m")))
+    )
+    mad = med.withColumn("d", _arr_median(dev))
+    return mad.select(
+        "event_type",
+        "event_id",
+        F.round("m", 6).alias("roll_med"),
+        F.round("d", 6).alias("roll_mad"),
+        F.when(
+            (F.col("d") > 0) & (F.abs(F.col("value") - F.col("m")) > 3 * F.col("d")), 1
+        )
+        .otherwise(0)
+        .alias("is_outlier"),
+    )
