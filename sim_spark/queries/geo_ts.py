@@ -1,0 +1,427 @@
+"""Geospatial joins and time-series statistics (extended surface).
+
+Entities get deterministic globe positions from the shared md5-48bit
+hash (micro-degree integers, so placement is bit-identical in both
+engines and no float geometry enters the join keys):
+
+- `geo_cell_neighbor_join` — the scale-safe spatial join: bucket both
+  sides into 3° grid cells, explode ONE side to its 3×3 neighborhood,
+  equi-join on cell, refine with an integer squared micro-degree
+  distance. This is exactly how a planet-scale point-radius join avoids
+  the all-pairs cross product: the shuffle key is the cell id, the
+  neighborhood fanout is a constant 9, and skew maps to dense cells
+  (where salting or finer cells apply). No trig in the hot path.
+- `geo_bbox_contains` — region containment as conditional aggregation:
+  one narrow scan, four CASE counters, no join at all (the broadcast
+  NLJ a naive box-join would plan is never built).
+- `geo_haversine_topk` — k-nearest neighbors to a bounded set of query
+  points by great-circle distance (the `sim_topk_cosine` shape on the
+  sphere): broadcast the 5 query points across the corpus, window
+  row_number per query. Distances are rounded to integer meters and
+  BOTH engines rank by (rounded meters, key), so libm trig tails
+  (~1e-10 m) cannot reorder the top-k cut.
+
+Time series over the hourly event stream (dense hour spine, so both
+engines see the same gap-free series; the spine length grows with the
+covered TIME RANGE, not the data volume, so the global-window stages
+stay bounded at 100 TB):
+
+- `ts_autocorr` — lag-1..6 autocorrelation of hourly counts computed
+  entirely in INTEGER space: with S = Σn and N = spine length, the
+  centered product Σ(N·n_t − S)(N·n_{t+k} − S) is exact int64
+  arithmetic, and r_k = num_k/num_0 is one IEEE division of identical
+  integers — no reduction-order float noise anywhere.
+- `ts_seasonal_hod` — classical decomposition seasonal indices: a
+  centered 24 h moving average detrends the series (again scaled by 24
+  to stay integer: 24·n_t − Σ₂₄n), full windows only, averaged per
+  hour-of-day as a ratio of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Deterministic placement: micro-degree integers from the shared 48-bit hash.
+# ---------------------------------------------------------------------------
+
+
+def _h48_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _h48_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
+
+
+def _place_spark(df: DataFrame, key: str) -> DataFrame:
+    k = F.col(key).cast("string")
+    return df.select(
+        F.col(key),
+        (_h48_spark(F.concat(F.lit("lat|"), k)) % 120000001 - 60000000).alias(
+            "lat_micro"
+        ),
+        (_h48_spark(F.concat(F.lit("lon|"), k)) % 360000000 - 180000000).alias(
+            "lon_micro"
+        ),
+    )
+
+
+def _place_sql(tbl: str, key: str) -> str:
+    k = f"CAST({key} AS VARCHAR)"
+    lat_in = "'lat|' || " + k
+    lon_in = "'lon|' || " + k
+    return (
+        f"SELECT {key}, "
+        f"{_h48_sql(lat_in)} % 120000001 - 60000000 AS lat_micro, "
+        f"{_h48_sql(lon_in)} % 360000000 - 180000000 AS lon_micro "
+        f"FROM {tbl}"
+    )
+
+
+_CELL = 3000000  # 3° cells, micro-degrees
+_R2 = _CELL * _CELL  # radius == one cell: neighbors guaranteed sufficient
+
+
+@query(
+    "geo_cell_neighbor_join",
+    oracle=f"""
+WITH cust AS ({_place_sql('customer', 'c_custkey')}),
+supp AS ({_place_sql('supplier', 's_suppkey')}),
+cgrid AS (
+  SELECT c_custkey, lat_micro, lon_micro,
+         (lon_micro + 180000000) // {_CELL} AS cx,
+         (lat_micro + 60000000) // {_CELL} AS cy
+  FROM cust
+),
+sgrid AS (
+  SELECT s_suppkey, lat_micro, lon_micro,
+         (lon_micro + 180000000) // {_CELL} + dx.x AS cx,
+         (lat_micro + 60000000) // {_CELL} + dy.x AS cy
+  FROM supp, range(-1, 2) dx(x), range(-1, 2) dy(x)
+)
+SELECT c.c_custkey, s.s_suppkey,
+       (c.lat_micro - s.lat_micro) * (c.lat_micro - s.lat_micro)
+       + (c.lon_micro - s.lon_micro) * (c.lon_micro - s.lon_micro) AS dist2
+FROM cgrid c JOIN sgrid s ON c.cx = s.cx AND c.cy = s.cy
+WHERE (c.lat_micro - s.lat_micro) * (c.lat_micro - s.lat_micro)
+      + (c.lon_micro - s.lon_micro) * (c.lon_micro - s.lon_micro) <= {_R2}
+ORDER BY c_custkey, s_suppkey
+""",
+)
+def geo_cell_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-radius spatial join via 3×3 neighbor-cell equi-join
+    (module docstring). The customer side keeps one row per point; only
+    the (much smaller) supplier side fans out 9×."""
+    cust = _place_spark(table(spark, sf_dir, "customer"), "c_custkey")
+    supp = _place_spark(table(spark, sf_dir, "supplier"), "s_suppkey")
+    cgrid = cust.select(
+        "c_custkey",
+        "lat_micro",
+        "lon_micro",
+        F.expr(f"(lon_micro + 180000000) div {_CELL}").alias("cx"),
+        F.expr(f"(lat_micro + 60000000) div {_CELL}").alias("cy"),
+    )
+    offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    sgrid = (
+        supp.withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            "s_suppkey",
+            F.col("lat_micro").alias("s_lat"),
+            F.col("lon_micro").alias("s_lon"),
+            (F.expr(f"(lon_micro + 180000000) div {_CELL}") + F.col("dx")).alias("cx"),
+            (F.expr(f"(lat_micro + 60000000) div {_CELL}") + F.col("dy")).alias("cy"),
+        )
+    )
+    dlat = F.col("lat_micro") - F.col("s_lat")
+    dlon = F.col("lon_micro") - F.col("s_lon")
+    dist2 = dlat * dlat + dlon * dlon
+    return (
+        cgrid.join(sgrid, ["cx", "cy"])
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= _R2)
+        .select("c_custkey", "s_suppkey", "dist2")
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+_BOXES = [
+    # (name, lat_lo, lat_hi, lon_lo, lon_hi) in micro-degrees
+    ("equatorial", -15000000, 15000000, -30000000, 60000000),
+    ("north_band", 30000000, 60000000, -80000000, 0),
+    ("se_quadrant", -10000000, 25000000, 90000000, 150000000),
+    ("west_pacific", -50000000, 10000000, 150000000, 180000000),
+]
+
+
+def _box_case_sql(name, lat_lo, lat_hi, lon_lo, lon_hi) -> str:
+    return (
+        f"CAST(sum(CASE WHEN lat_micro BETWEEN {lat_lo} AND {lat_hi} "
+        f"AND lon_micro BETWEEN {lon_lo} AND {lon_hi} THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+@query(
+    "geo_bbox_contains",
+    oracle=f"""
+WITH cust AS ({_place_sql('customer', 'c_custkey')}),
+agg AS (
+  SELECT {", ".join(f"{_box_case_sql(*b)} AS n_{b[0]}" for b in _BOXES)}
+  FROM cust
+)
+{" UNION ALL ".join(f"SELECT '{b[0]}' AS box, n_{b[0]} AS n_points FROM agg" for b in _BOXES)}
+ORDER BY box
+""",
+)
+def geo_bbox_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box containment counts as ONE conditional-aggregation
+    scan (module docstring) — the plan a naive box-table join would
+    turn into a broadcast nested loop is folded into CASE counters."""
+    cust = _place_spark(table(spark, sf_dir, "customer"), "c_custkey")
+    agg = cust.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("lat_micro").between(la, lb)
+                    & F.col("lon_micro").between(lo, lhi),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, la, lb, lo, lhi in _BOXES
+        ]
+    )
+    stack = ", ".join(f"'{b[0]}', n_{b[0]}" for b in _BOXES)
+    return (
+        agg.selectExpr(f"stack({len(_BOXES)}, {stack}) AS (box, n_points)")
+        .orderBy("box")
+    )
+
+
+_QPOINTS = [
+    # (name, lat_micro, lon_micro) — fixed literal probe points
+    ("reykjavik", 64146600, -21942600),
+    ("singapore", 1352100, 103819800),
+    ("sao_paulo", -23550500, -46633300),
+    ("sydney", -33868800, 151209300),
+    ("nairobi", -1292100, 36821900),
+]
+_TOPK = 3
+_EARTH_M = 6371000.0
+
+
+def _hav_sql(qlat: str, qlon: str) -> str:
+    return (
+        f"2.0 * {_EARTH_M} * asin(sqrt("
+        f"sin(radians(({qlat} - lat_micro) / 1000000.0) / 2)"
+        f" * sin(radians(({qlat} - lat_micro) / 1000000.0) / 2)"
+        f" + cos(radians({qlat} / 1000000.0)) * cos(radians(lat_micro / 1000000.0))"
+        f" * sin(radians(({qlon} - lon_micro) / 1000000.0) / 2)"
+        f" * sin(radians(({qlon} - lon_micro) / 1000000.0) / 2)))"
+    )
+
+
+@query(
+    "geo_haversine_topk",
+    oracle=f"""
+WITH cust AS ({_place_sql('customer', 'c_custkey')}),
+q(q_name, q_lat, q_lon) AS (
+  VALUES {", ".join(f"('{n}', {la}, {lo})" for n, la, lo in _QPOINTS)}
+),
+dists AS (
+  SELECT q.q_name, c.c_custkey,
+         CAST(floor({_hav_sql('q.q_lat', 'q.q_lon')} + 0.5) AS BIGINT) AS dist_m
+  FROM q CROSS JOIN cust c
+),
+ranked AS (
+  SELECT q_name, c_custkey, dist_m,
+         row_number() OVER (PARTITION BY q_name ORDER BY dist_m, c_custkey) AS rank
+  FROM dists
+)
+SELECT q_name, rank, c_custkey, dist_m FROM ranked
+WHERE rank <= {_TOPK}
+ORDER BY q_name, rank
+""",
+)
+def geo_haversine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle k-NN for 5 fixed probe points (module docstring).
+    Both engines rank by the METER-ROUNDED distance with a key
+    tiebreak, so the cut is identical despite libm trig tails."""
+    cust = _place_spark(table(spark, sf_dir, "customer"), "c_custkey")
+    q = spark.createDataFrame(_QPOINTS, ["q_name", "q_lat", "q_lon"])
+    dlat = (F.col("q_lat") - F.col("lat_micro")) / 1000000.0
+    dlon = (F.col("q_lon") - F.col("lon_micro")) / 1000000.0
+    hav = (
+        F.sin(F.radians(dlat) / 2) * F.sin(F.radians(dlat) / 2)
+        + F.cos(F.radians(F.col("q_lat") / 1000000.0))
+        * F.cos(F.radians(F.col("lat_micro") / 1000000.0))
+        * F.sin(F.radians(dlon) / 2)
+        * F.sin(F.radians(dlon) / 2)
+    )
+    dist_m = F.floor(2.0 * _EARTH_M * F.asin(F.sqrt(hav)) + 0.5).cast("long")
+    dists = F.broadcast(q).crossJoin(cust).select(
+        "q_name", "c_custkey", dist_m.alias("dist_m")
+    )
+    w = W.partitionBy("q_name").orderBy("dist_m", "c_custkey")
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("q_name", "rank", "c_custkey", "dist_m")
+        .orderBy("q_name", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series over the dense hourly spine
+# ---------------------------------------------------------------------------
+
+_HOUR_SPINE_SQL = """
+hours AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr, count(*) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hours),
+spine AS (
+  SELECT CAST(s.hr AS BIGINT) AS hr, COALESCE(h.n, 0) AS n
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM bounds) s
+  LEFT JOIN hours h ON h.hr = s.hr
+)
+"""
+
+
+def _hour_spine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hours = (
+        e.select(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600))
+            .cast("long")
+            .alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hours.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    return spine.join(hours, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+_MAX_LAG = 6
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+WITH {_HOUR_SPINE_SQL},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS s FROM spine),
+c AS (
+  SELECT hr, nn * n - s AS cdev,
+         {", ".join(f"lead(nn * n - s, {k}) OVER (ORDER BY hr) AS cdev_{k}" for k in range(1, _MAX_LAG + 1))}
+  FROM spine, tot
+),
+nums AS (
+  SELECT CAST(sum(cdev * cdev) AS BIGINT) AS num0,
+         {", ".join(f"CAST(sum(cdev * cdev_{k}) AS BIGINT) AS num{k}" for k in range(1, _MAX_LAG + 1))}
+  FROM c
+)
+{" UNION ALL ".join(f"SELECT {k} AS lag, round(num{k} * 1.0 / num0, 6) AS autocorr FROM nums" for k in range(1, _MAX_LAG + 1))}
+ORDER BY lag
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count autocorrelation at lags 1..6 in exact integer space
+    (module docstring): r_k = Σ cdev_t·cdev_{{t+k}} / Σ cdev_t² where
+    cdev = N·n − S is int64 — the only float op is the final division
+    of two exact integers, identical in any engine at any parallelism."""
+    spine = _hour_spine_spark(spark, sf_dir)
+    tot = spine.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("n").cast("long").alias("s"),
+    )
+    c = spine.crossJoin(F.broadcast(tot)).select(
+        "hr", (F.col("nn") * F.col("n") - F.col("s")).alias("cdev")
+    )
+    w = W.orderBy("hr")
+    leads = c.select(
+        "cdev",
+        *[F.lead("cdev", k).over(w).alias(f"cdev_{k}") for k in range(1, _MAX_LAG + 1)],
+    )
+    nums = leads.agg(
+        F.sum(F.col("cdev") * F.col("cdev")).cast("long").alias("num0"),
+        *[
+            F.sum(F.col("cdev") * F.col(f"cdev_{k}")).cast("long").alias(f"num{k}")
+            for k in range(1, _MAX_LAG + 1)
+        ],
+    )
+    lags = None
+    for k in range(1, _MAX_LAG + 1):
+        row = nums.select(
+            F.lit(k).alias("lag"),
+            F.round(F.col(f"num{k}") * F.lit(1.0) / F.col("num0"), 6).alias(
+                "autocorr"
+            ),
+        )
+        lags = row if lags is None else lags.unionAll(row)
+    return lags.orderBy("lag")
+
+
+@query(
+    "ts_seasonal_hod",
+    oracle=f"""
+WITH {_HOUR_SPINE_SQL},
+ma AS (
+  SELECT hr, n,
+         sum(n) OVER (ORDER BY hr RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sum24,
+         count(*) OVER (ORDER BY hr RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS cnt24
+  FROM spine
+),
+det AS (
+  SELECT hr % 24 AS hod, 24 * n - sum24 AS detrend24
+  FROM ma WHERE cnt24 = 24
+)
+SELECT CAST(hod AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(CAST(sum(detrend24) AS BIGINT) * 1.0 / (24 * count(*)), 6) AS seasonal_index
+FROM det GROUP BY hod ORDER BY hod
+""",
+)
+def ts_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal indices from a centered 24 h moving-average
+    detrend, all in integer space until one final exact division
+    (module docstring). Full windows only, so edges don't bias."""
+    spine = _hour_spine_spark(spark, sf_dir)
+    w = W.orderBy("hr").rangeBetween(-12, 11)
+    ma = spine.select(
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("sum24"),
+        F.count(F.lit(1)).over(w).alias("cnt24"),
+    )
+    det = ma.filter(F.col("cnt24") == 24).select(
+        (F.col("hr") % 24).alias("hod"),
+        (F.lit(24) * F.col("n") - F.col("sum24")).alias("detrend24"),
+    )
+    return (
+        det.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(
+                F.sum("detrend24").cast("long")
+                * F.lit(1.0)
+                / (F.lit(24) * F.count(F.lit(1))),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .select(F.col("hod").cast("long").alias("hod"), "n_hours", "seasonal_index")
+        .orderBy("hod")
+    )
