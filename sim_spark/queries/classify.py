@@ -194,3 +194,124 @@ def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("len_ok") * F.col("words_ok") * F.col("stop_ok") * F.col("div_ok")
         ).alias("n_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled unrolled logistic regression
+# ---------------------------------------------------------------------------
+#
+# The driver-loop twin (`ml_logistic_gd`, ml_llm.py) is rows-only: its
+# exp/log sigmoid rides each engine's libm, and float gradient sums are
+# reduction-order dependent. This key makes full-batch training itself
+# hash-oracle-checkable by removing BOTH sources of drift:
+#
+# - the link is the RATIONAL fast sigmoid s(z) = 0.5 + z/(2(1+|z|)) —
+#   add/mul/div/abs only, so identical input doubles give bit-identical
+#   outputs in any IEEE-754 engine (no libm involved);
+# - each per-row gradient term is quantized to integer NANO-units
+#   (floor(t·1e9 + 0.5)) and summed as int64 — exact, associative, and
+#   therefore immune to partitioning/reduction order at ANY cluster
+#   size. The weight update divides two exact integers once per
+#   iteration.
+#
+# The whole 3-iteration fit is ONE Catalyst plan: the 1-row weight
+# relation cross-joins (broadcast) back into the scan each round, so
+# unlike the driver-loop twin, not even the model visits the driver.
+
+_LGD_ITERS = 3
+_LGD_LR = 1.0
+_NANO = 1_000_000_000
+
+
+def _lgd_oracle() -> str:
+    feat = (
+        "feat AS (SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y, "
+        "1.0 AS x0, value / 100.0 AS x1, CAST(hour(ts) AS DOUBLE) / 24.0 AS x2 "
+        "FROM events)"
+    )
+    ctes = [feat, "n AS (SELECT count(*) AS n FROM feat)",
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for k in range(1, _LGD_ITERS + 1):
+        z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+        s = f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
+        grads = ", ".join(
+            f"max(w.w{j}) - {_LGD_LR} * (CAST(sum(CAST(floor(({s} - f.y) * f.x{j} * {_NANO}.0 + 0.5) AS BIGINT)) AS DOUBLE) / ({_NANO}.0 * max(n.n))) AS w{j}"
+            for j in range(3)
+        )
+        ctes.append(f"w{k} AS (SELECT {grads} FROM feat f CROSS JOIN w{k-1} w CROSS JOIN n)")
+    z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT round(max(w.w0), 6) AS w0, round(max(w.w1), 6) AS w1,
+       round(max(w.w2), 6) AS w2,
+       CAST(sum(CASE WHEN {z} >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       CAST(sum(CASE WHEN (CASE WHEN {z} >= 0.0 THEN 1.0 ELSE 0.0 END) = f.y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(max(n.n) AS BIGINT) AS n_rows
+FROM feat f CROSS JOIN w{_LGD_ITERS} w CROSS JOIN n"""
+    )
+
+
+@query("ml_logistic_unrolled", oracle=_lgd_oracle())
+def ml_logistic_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrolled 3-iteration logistic fit, hash-oracled (header comment):
+    rational sigmoid + nano-unit integer gradient sums make every
+    intermediate bit-identical across engines and cluster sizes; the
+    1-row weight relation broadcasts back into the scan per round, so
+    training is a single driver-free Catalyst plan."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts").cast("double") / 24.0).alias("x2"),
+    )
+    n = feat.agg(F.count(F.lit(1)).alias("n"))
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+
+    def z_expr():
+        return (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+
+    for _ in range(_LGD_ITERS):
+        z = z_expr()
+        s = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
+        joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
+        w = joined.agg(
+            *[
+                (
+                    F.max(f"w{j}")
+                    - _LGD_LR
+                    * (
+                        F.sum(
+                            F.floor(
+                                (s - F.col("y")) * F.col(f"x{j}") * _NANO + 0.5
+                            ).cast("long")
+                        ).cast("double")
+                        / (float(_NANO) * F.max("n"))
+                    )
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        )
+    z = z_expr()
+    final = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
+    return final.agg(
+        F.round(F.max("w0"), 6).alias("w0"),
+        F.round(F.max("w1"), 6).alias("w1"),
+        F.round(F.max("w2"), 6).alias("w2"),
+        F.sum(F.when(z >= 0.0, 1).otherwise(0)).cast("long").alias("n_pred_pos"),
+        F.sum(
+            F.when(
+                F.when(z >= 0.0, 1.0).otherwise(0.0) == F.col("y"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
