@@ -131,3 +131,71 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling rounds as chained CTEs (the PageRank/BFS
+    promotion trick): each round drops nodes whose degree in the
+    SURVIVING subgraph is < k and restricts the edge list to survivors.
+    All-integer, so the per-round (n_nodes, n_edges) trace hash-matches."""
+    ctes = [_EDGES_CTE.strip().removeprefix("WITH "), "e0 AS (SELECT u, v FROM e)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS (SELECT n, count(*) AS deg
+  FROM (SELECT u AS n FROM e{p} UNION ALL SELECT v AS n FROM e{p}) GROUP BY n),
+k{r} AS (SELECT n FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r} AS (SELECT e.u, e.v FROM e{p} e
+  JOIN k{r} a ON e.u = a.n JOIN k{r} b ON e.v = b.n)"""
+        )
+    rounds_sql = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT count(*) FROM k{r}) AS n_nodes, "
+        f"(SELECT count(*) FROM e{r}) AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS BIGINT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,"
+        f" CAST(n_edges AS BIGINT) AS n_edges FROM ({rounds_sql}) ORDER BY round"
+    )
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 3 unrolled rounds) over the
+    co-purchase graph: per round, one degree aggregate + two semi-joins
+    restrict edges to nodes still holding ≥ k neighbors — the trace
+    (survivor nodes, surviving edges per round) is the output. Fixpoint
+    k-core is this loop run until stable; the bounded form keeps it
+    SQL-oracle-checkable while exercising the identical per-round plan.
+    Edges are durably materialized each round (ops/materialize.py):
+    every round references the previous edge frame THREE times (degree
+    count + two endpoint semi-joins), so uncut lineage would grow 3^K."""
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
+    out = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .transform(materialize)
+        )
+        row = (
+            keep.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")

@@ -532,3 +532,51 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("bigint").alias("n_words"),
         (micro.cast("double") / 1000000).alias("mean_surprisal"),
     )
+
+
+_DOMAIN_CAP = 50
+
+
+@query(
+    "curate_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM ranked GROUP BY source ORDER BY source
+""",
+)
+def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap for a training mix: every source keeps
+    at most N documents, chosen by a DETERMINISTIC md5 priority (a seeded
+    shuffle both engines replay — no stored sample table, no RNG), the
+    standard guard against one crawl domain dominating the mixture. One
+    window shuffle keyed on source; the kept-id checksum pins the exact
+    selection, not just its size. At 100 TB the same plan holds — the
+    window partitions by source, and a heavily skewed source is bounded
+    by the cap itself on output."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_checksum"),
+        )
+        .orderBy("source")
+    )

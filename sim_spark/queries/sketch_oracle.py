@@ -324,3 +324,240 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
         .crossJoin(fp.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos")))
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set operations (simplified theta-sketch union/intersection)
+# --------------------------------------------------------------------------
+#
+# Two predicate-defined user sets are sketched independently (k smallest
+# hashes each); θ = min of the two k-th minimums (2^48 when a sketch is
+# exact), and estimates follow the theta-sketch rule: |X| ≈ |{h∈K_X : h<θ}|
+# · 2^48/θ. Everything — retained hashes, θ, the counts — is integer
+# arithmetic on the shared md5 hash, so the ESTIMATORS themselves are
+# hash-oracled, not just sanity-checked. At scale each sketch is one
+# partial+final min-k aggregate (k rows out per shard), and set ops on
+# sketches never touch the raw data again — the point of theta sketches.
+
+_KMV_SET_K = 8
+
+_KMV_SETOPS_ORACLE = f"""
+WITH a_keys AS (
+  SELECT DISTINCT {_h48_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'view' AND value > 30
+),
+b_keys AS (
+  SELECT DISTINCT {_h48_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'purchase' AND value > 70
+),
+ka AS (SELECT h FROM a_keys ORDER BY h LIMIT {_KMV_SET_K}),
+kb AS (SELECT h FROM b_keys ORDER BY h LIMIT {_KMV_SET_K}),
+theta AS (
+  SELECT least(
+    CASE WHEN (SELECT count(*) FROM ka) < {_KMV_SET_K} THEN {_H48}
+         ELSE (SELECT max(h) FROM ka) END,
+    CASE WHEN (SELECT count(*) FROM kb) < {_KMV_SET_K} THEN {_H48}
+         ELSE (SELECT max(h) FROM kb) END) AS th
+),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)),
+est AS (
+  SELECT t.th,
+         (SELECT count(*) FROM u WHERE h < t.th) AS cu,
+         (SELECT count(*) FROM ka JOIN kb USING (h) WHERE h < t.th) AS ci
+  FROM theta t
+)
+SELECT CAST((SELECT count(*) FROM a_keys) AS BIGINT) AS n_a_exact,
+       CAST((SELECT count(*) FROM b_keys) AS BIGINT) AS n_b_exact,
+       CAST((SELECT count(*) FROM (SELECT h FROM a_keys UNION SELECT h FROM b_keys)) AS BIGINT) AS n_union_exact,
+       CAST((SELECT count(*) FROM a_keys JOIN b_keys USING (h)) AS BIGINT) AS n_inter_exact,
+       CAST(floor(cu * {float(_H48)} / th + 0.5) AS BIGINT) AS union_est,
+       CAST(floor(ci * {float(_H48)} / th + 0.5) AS BIGINT) AS inter_est,
+       CAST(th AS BIGINT) AS theta
+FROM est
+"""
+
+
+@query("sketch_kmv_setops", oracle=_KMV_SETOPS_ORACLE)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style union/intersection estimates from two KMV sketches
+    (header comment), with the exact counts alongside."""
+    e = table(spark, sf_dir, "events")
+    h = _h48_spark(F.col("user_id").cast("string")).alias("h")
+    a_keys = (
+        e.filter((F.col("event_type") == "view") & (F.col("value") > 30))
+        .select(h)
+        .distinct()
+    )
+    b_keys = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 70))
+        .select(h)
+        .distinct()
+    )
+    ka = a_keys.orderBy("h").limit(_KMV_SET_K)
+    kb = b_keys.orderBy("h").limit(_KMV_SET_K)
+
+    def theta_leg(sk: DataFrame):
+        return sk.agg(
+            F.when(F.count(F.lit(1)) < _KMV_SET_K, F.lit(_H48))
+            .otherwise(F.max("h"))
+            .alias("th")
+        )
+
+    theta = (
+        theta_leg(ka)
+        .crossJoin(theta_leg(kb).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("th"))
+    )
+    u = ka.unionAll(kb).distinct()
+    cu = (
+        u.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    ci = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
+    exacts = (
+        a_keys.agg(F.count(F.lit(1)).cast("long").alias("n_a_exact"))
+        .crossJoin(b_keys.agg(F.count(F.lit(1)).cast("long").alias("n_b_exact")))
+        .crossJoin(
+            a_keys.unionAll(b_keys)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_union_exact"))
+        )
+        .crossJoin(
+            a_keys.join(b_keys, "h").agg(
+                F.count(F.lit(1)).cast("long").alias("n_inter_exact")
+            )
+        )
+    )
+    scale = F.lit(float(_H48))
+    return (
+        exacts.crossJoin(cu)
+        .crossJoin(ci)
+        .crossJoin(theta)
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            F.floor(F.col("cu") * scale / F.col("th") + 0.5)
+            .cast("long")
+            .alias("union_est"),
+            F.floor(F.col("ci") * scale / F.col("th") + 0.5)
+            .cast("long")
+            .alias("inter_est"),
+            F.col("th").cast("long").alias("theta"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL register-level union: the mergeability proof, oracled
+# --------------------------------------------------------------------------
+
+_HLL_UNION_ORACLE = f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {_h48_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+cells AS (
+  SELECT event_type, h % {_HLL_M} AS reg,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M})) END AS rho
+  FROM hv
+),
+per_type AS (SELECT event_type, reg, max(rho) AS rho FROM cells GROUP BY 1, 2),
+merged AS (SELECT reg, max(rho) AS rho FROM per_type GROUP BY reg),
+direct AS (SELECT reg, max(rho) AS rho FROM cells GROUP BY reg),
+spine AS (SELECT CAST(x AS BIGINT) AS reg FROM range({_HLL_M}) s(x)),
+m_full AS (SELECT s.reg, COALESCE(m.rho, 0) AS rho FROM spine s LEFT JOIN merged m USING (reg)),
+d_full AS (SELECT s.reg, COALESCE(d.rho, 0) AS rho FROM spine s LEFT JOIN direct d USING (reg)),
+m_est AS (
+  SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / sum(power(2.0, -rho)) AS raw,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM m_full
+),
+d_est AS (
+  SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / sum(power(2.0, -rho)) AS raw,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM d_full
+),
+mism AS (
+  SELECT count(*) AS n FROM m_full m JOIN d_full d USING (reg) WHERE m.rho <> d.rho
+)
+SELECT round(CASE WHEN m.raw <= 2.5 * {_HLL_M} AND m.zeros > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1.0 / m.zeros) ELSE m.raw END, 6)
+         AS merged_estimate,
+       round(CASE WHEN d.raw <= 2.5 * {_HLL_M} AND d.zeros > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1.0 / d.zeros) ELSE d.raw END, 6)
+         AS direct_estimate,
+       CAST(mism.n AS BIGINT) AS n_register_mismatch,
+       CAST((SELECT count(DISTINCT h) FROM hv) AS BIGINT) AS exact_global
+FROM m_est m, d_est d, mism
+"""
+
+
+@query("sketch_hll_union", oracle=_HLL_UNION_ORACLE)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-level HLL union: per-group sketches max-merge into the
+    global sketch and the oracle pins that merged registers EQUAL the
+    direct global registers (n_register_mismatch = 0) — the mergeability
+    property that lets daily 100 TB sketches roll up without rescans,
+    proven on the explicit-register HLL rather than asserted."""
+    e = table(spark, sf_dir, "events")
+    hv = e.select(
+        "event_type", _h48_spark(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    rho = F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+    )
+    cells = hv.select(
+        "event_type", (F.col("h") % _HLL_M).alias("reg"), rho.alias("rho")
+    )
+    per_type = cells.groupBy("event_type", "reg").agg(F.max("rho").alias("rho"))
+    merged = per_type.groupBy("reg").agg(F.max("rho").alias("rho"))
+    direct = cells.groupBy("reg").agg(F.max("rho").alias("rho"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
+
+    def full(regs: DataFrame) -> DataFrame:
+        return spine.join(regs, "reg", "left").select(
+            "reg", F.coalesce("rho", F.lit(0)).alias("rho")
+        )
+
+    m_full, d_full = full(merged), full(direct)
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        est = regs.agg(
+            (
+                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+                / F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+            ).alias("raw"),
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+        )
+        lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros"))
+        return est.select(
+            F.round(
+                F.when(
+                    (F.col("raw") <= 2.5 * _HLL_M) & (F.col("zeros") > 0), lin
+                ).otherwise(F.col("raw")),
+                6,
+            ).alias(out)
+        )
+
+    mism = (
+        m_full.withColumnRenamed("rho", "rho_m")
+        .join(d_full.withColumnRenamed("rho", "rho_d"), "reg")
+        .filter(F.col("rho_m") != F.col("rho_d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_register_mismatch"))
+    )
+    exact = hv.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_global")
+    )
+    return (
+        estimate(m_full, "merged_estimate")
+        .crossJoin(estimate(d_full, "direct_estimate"))
+        .crossJoin(mism)
+        .crossJoin(exact)
+    )
