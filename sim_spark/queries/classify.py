@@ -315,3 +315,121 @@ def ml_logistic_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_correct"),
         F.max("n").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exact best-split search as ONE conditional-agg scan
+# ---------------------------------------------------------------------------
+
+_STUMP_THRESHOLDS = [10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def _stump_oracle() -> str:
+    cols = []
+    for t in _STUMP_THRESHOLDS:
+        cols.append(
+            f"CAST(sum(CASE WHEN value < {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lp_{t}, "
+            f"CAST(sum(CASE WHEN value < {t} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ln_{t}, "
+            f"CAST(sum(CASE WHEN value >= {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rp_{t}, "
+            f"CAST(sum(CASE WHEN value >= {t} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rn_{t}"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS threshold, lp_{t} AS n_left_pos, ln_{t} AS n_left_neg, "
+        f"rp_{t} AS n_right_pos, rn_{t} AS n_right_neg FROM counts"
+        for t in _STUMP_THRESHOLDS
+    )
+    return f"""
+WITH feat AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+counts AS (SELECT {", ".join(cols)} FROM feat),
+split AS ({unions}),
+scored AS (
+  SELECT threshold, n_left_pos, n_left_neg, n_right_pos, n_right_neg,
+         round(CASE WHEN n_left_pos + n_left_neg = 0 THEN 0.0
+                    ELSE (n_left_pos * n_left_pos + n_left_neg * n_left_neg) * 1.0
+                         / (n_left_pos + n_left_neg) END
+             + CASE WHEN n_right_pos + n_right_neg = 0 THEN 0.0
+                    ELSE (n_right_pos * n_right_pos + n_right_neg * n_right_neg) * 1.0
+                         / (n_right_pos + n_right_neg) END, 6) AS purity
+  FROM split
+)
+SELECT threshold, n_left_pos, n_left_neg, n_right_pos, n_right_neg, purity,
+       CAST(row_number() OVER (ORDER BY purity DESC, threshold) AS BIGINT) AS rank
+FROM scored ORDER BY threshold
+"""
+
+
+@query("ml_decision_stump", oracle=_stump_oracle())
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump split search (predict purchase from `value`):
+    the 4 class-side counts for all 9 candidate thresholds come from ONE
+    conditional-aggregation scan (36 CASE counters — no 9× fanout, no
+    second pass), then per-threshold purity Σ_side (pos²+neg²)/n_side is
+    a scalar ratio of exact integers, identical in any engine, ranked
+    with a threshold tie-break. The plan a 100 TB feature scan wants:
+    grow the grid and the scan count stays ONE."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    aggs = []
+    for t in _STUMP_THRESHOLDS:
+        left = F.col("value") < t
+        right = F.col("value") >= t
+        pos = F.col("y") == 1
+        for name, cond in (
+            (f"lp_{t}", left & pos),
+            (f"ln_{t}", left & ~pos),
+            (f"rp_{t}", right & pos),
+            (f"rn_{t}", right & ~pos),
+        ):
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            )
+    counts = feat.agg(*aggs)
+    stack = ", ".join(
+        f"{t}, lp_{t}, ln_{t}, rp_{t}, rn_{t}" for t in _STUMP_THRESHOLDS
+    )
+    split = counts.selectExpr(
+        f"stack({len(_STUMP_THRESHOLDS)}, {stack}) AS "
+        "(threshold, n_left_pos, n_left_neg, n_right_pos, n_right_neg)"
+    )
+    nl = F.col("n_left_pos") + F.col("n_left_neg")
+    nr = F.col("n_right_pos") + F.col("n_right_neg")
+    purity = F.round(
+        F.when(nl == 0, 0.0).otherwise(
+            (
+                F.col("n_left_pos") * F.col("n_left_pos")
+                + F.col("n_left_neg") * F.col("n_left_neg")
+            )
+            * F.lit(1.0)
+            / nl
+        )
+        + F.when(nr == 0, 0.0).otherwise(
+            (
+                F.col("n_right_pos") * F.col("n_right_pos")
+                + F.col("n_right_neg") * F.col("n_right_neg")
+            )
+            * F.lit(1.0)
+            / nr
+        ),
+        6,
+    )
+    scored = split.withColumn("purity", purity)
+    w = W.orderBy(F.desc("purity"), "threshold")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            "n_left_pos",
+            "n_left_neg",
+            "n_right_pos",
+            "n_right_neg",
+            "purity",
+            "rank",
+        )
+        .orderBy("threshold")
+    )

@@ -663,3 +663,46 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_cumulative_new_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, count(*) AS n_new FROM first_seen GROUP BY first_day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_new AS BIGINT) AS n_new_users,
+       CAST(sum(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY day
+""",
+)
+def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-growth curve: running count of DISTINCT users ever seen,
+    by day. A window count-distinct is unsupported (and would be
+    quadratic anyway); the scalable identity is first-seen attribution:
+    min(ts) per user (one partial+final aggregate over the full stream),
+    roll up to new-users-per-day (bounded by the calendar), then one
+    running sum over the tiny day spine. 100 TB of events reduce to one
+    user-keyed aggregate + a date-sized window."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
