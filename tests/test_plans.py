@@ -280,3 +280,66 @@ def test_gap_fill_interp_single_user_shuffle(spark):
     p = plan(spark, "win_gap_fill_interp")
     assert "CartesianProduct" not in p, p
     assert "windowspecdefinition(user_id" in p, p
+
+
+def test_geo_cell_join_is_equi_not_cartesian(spark):
+    # The 3x3 neighbor-cell fanout must land as a hash equi-join on
+    # (cx, cy) — a box-predicate formulation would plan a BNLJ that no
+    # cluster survives at planetary point counts.
+    p = plan(spark, "geo_cell_neighbor_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_bloom_prefilter_bit_set_is_broadcast(spark):
+    # The <=256-row bit-position set must broadcast into the fact probe;
+    # candidates then verify via semi/anti joins, never a cross product.
+    p = plan(spark, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_decision_stump_is_single_scan(spark):
+    # All 36 threshold counters fold into ONE scan + one partial+final
+    # aggregate — a per-threshold fanout would show several scans. Count
+    # file-index details, not the node label (formatted mode prints the
+    # label twice: tree line + details header).
+    p = plan(spark, "ml_decision_stump")
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_kcore_round_joins_are_hash(spark):
+    # The registered key materializes edges each round (3^K lineage cut),
+    # which truncates per-round operators out of the FINAL plan — so
+    # audit one peel round's plan shape directly: the degree-filter
+    # restriction must land as two hash semi-joins, never a cross
+    # product.
+    from pyspark.sql import functions as F
+
+    from sim_spark.queries.graph_ops import _copurchase_edges
+
+    e = _copurchase_edges(spark, SF)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    keep = deg.filter(F.col("deg") >= 3).select("n")
+    round1 = e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi").join(
+        keep.withColumnRenamed("n", "v"), "v", "left_semi"
+    )
+    p = round1._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_logistic_unrolled_weights_are_broadcast(spark):
+    # Each unrolled round cross-joins the 1-row weight relation back
+    # into the scan — it must enter as a broadcast, keeping training a
+    # single driver-free plan.
+    p = plan(spark, "ml_logistic_unrolled")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
