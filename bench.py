@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_connected_components",
     "multimodal_wav_decode",
     "text_unigram_surprisal",
+    "geo_cell_neighbor_join",
+    "ts_autocorr",
+    "ml_logistic_unrolled",
 ]
 
 

@@ -615,3 +615,88 @@ def sort_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("morton", "p_partkey")
         .limit(200)
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+WITH RECURSIVE prod AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM prod GROUP BY id_a, id_b
+  HAVING ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) > 0.4
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+ranked AS (
+  SELECT c.component_id, c.doc_id, e.label,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY e.label DESC, c.doc_id) AS rn
+  FROM comp c JOIN embeddings e ON e.vec_id = c.doc_id
+)
+SELECT component_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+       CAST(max(CASE WHEN rn = 1 THEN label END) AS BIGINT) AS survivor_label,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY component_id ORDER BY component_id
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's LAST step, usually left implicit: after
+    transitive grouping (``dedup_connected_components``), each near-dup
+    cluster keeps exactly one survivor under an explicit quality policy
+    (highest label, doc-id tie-break) and drops the rest. One window
+    rank inside the component partition + one aggregate — at 100 TB the
+    survivor choice shuffles on component_id, whose cardinality is the
+    number of CLUSTERS, and the heaviest cluster costs its own size,
+    not the corpus."""
+    from pyspark.sql.window import Window
+
+    from sim_spark.ops.connected_components import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = _cosine_pairs(e, 0.4)
+    cc = connected_components(
+        e.select("vec_id"), pairs, node_col="vec_id", src="id_a", dst="id_b"
+    )
+    ranked = (
+        cc.join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("component").alias("component_id"),
+            F.col("vec_id").alias("doc_id"),
+            "label",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component_id").orderBy(
+                    F.desc("label"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("survivor_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("label")))
+            .cast("long")
+            .alias("survivor_label"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component_id")
+    )
