@@ -425,3 +425,87 @@ def ts_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hod").cast("long").alias("hod"), "n_hours", "seasonal_index")
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon containment, exact in integer space
+# ---------------------------------------------------------------------------
+
+# Literal test polygon (micro-degrees), a non-convex pentagon. Vertices
+# counter-clockwise; edges derived in Python so each edge is emitted with
+# y1 < y2 (swapped when needed), which removes the divisor-sign branch
+# from the crossing test.
+_POLY = [
+    (10000000, -20000000),
+    (45000000, 5000000),
+    (20000000, 40000000),
+    (-5000000, 25000000),
+    (-15000000, -5000000),
+]
+_EDGES = []
+for _i in range(len(_POLY)):
+    (_y1, _x1), (_y2, _x2) = _POLY[_i], _POLY[(_i + 1) % len(_POLY)]
+    if _y1 > _y2:
+        _y1, _x1, _y2, _x2 = _y2, _x2, _y1, _x1
+    _EDGES.append((_y1, _x1, _y2, _x2))
+
+
+def _crossing_sql(y1, x1, y2, x2) -> str:
+    # Half-open [y1, y2) rule + exact cross-multiplied x-intersection
+    # test: with y2 > y1 guaranteed, px < x1 + (x2-x1)(py-y1)/(y2-y1)
+    # ⇔ (px - x1)(y2 - y1) < (x2 - x1)(py - y1). int64 throughout
+    # (|coord| ≤ 1.8e8 → products ≤ ~2.6e16).
+    return (
+        f"CASE WHEN lat_micro >= {y1} AND lat_micro < {y2} "
+        f"AND (lon_micro - {x1}) * {y2 - y1} < {x2 - x1} * (lat_micro - {y1}) "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+WITH cust AS ({_place_sql('customer', 'c_custkey')}),
+hits AS (
+  SELECT c_custkey,
+         {" + ".join(_crossing_sql(*e) for e in _EDGES)} AS crossings
+  FROM cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(crossings % 2) AS BIGINT) AS n_inside,
+       CAST(sum(CASE WHEN crossings % 2 = 1 THEN c_custkey ELSE 0 END) AS BIGINT)
+         AS inside_checksum
+FROM hits
+""",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon containment by ray casting, entirely in
+    int64: each of the 5 literal edges contributes a half-open-interval
+    crossing test with the x-intersection comparison cross-multiplied
+    (edges pre-oriented y1 < y2 at build time, so no division and no
+    sign branch exists anywhere). One scan, 5 CASE terms, one aggregate
+    — the shape that classifies 100 TB of points against a broadcast
+    polygon table with zero float-boundary ambiguity. The inside-id
+    checksum pins the exact membership set."""
+    cust = _place_spark(table(spark, sf_dir, "customer"), "c_custkey")
+    crossings = None
+    for y1, x1, y2, x2 in _EDGES:
+        term = F.when(
+            (F.col("lat_micro") >= y1)
+            & (F.col("lat_micro") < y2)
+            & (
+                (F.col("lon_micro") - x1) * (y2 - y1)
+                < (x2 - x1) * (F.col("lat_micro") - y1)
+            ),
+            1,
+        ).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    hits = cust.select("c_custkey", crossings.alias("crossings"))
+    inside = F.col("crossings") % 2 == 1
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum((F.col("crossings") % 2)).cast("long").alias("n_inside"),
+        F.sum(F.when(inside, F.col("c_custkey")).otherwise(0))
+        .cast("long")
+        .alias("inside_checksum"),
+    )

@@ -215,3 +215,104 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.withColumn("rn", F.row_number().over(wk).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+_KNN_K = 5
+_KNN_PROBE_MOD = 25  # probe set: vec_id % 25 == 0 (bounded, deterministic)
+
+
+@query(
+    "ml_knn_classifier",
+    oracle=f"""
+WITH probes AS (SELECT vec_id, embedding, label FROM embeddings
+                WHERE vec_id % {_KNN_PROBE_MOD} = 0),
+prod AS (
+  SELECT p.vec_id AS pid, p.label AS true_label,
+         c.vec_id AS cid, c.label AS cand_label,
+         unnest(p.embedding) AS px, unnest(c.embedding) AS cx
+  FROM probes p JOIN embeddings c ON c.vec_id <> p.vec_id
+),
+sims AS (
+  SELECT pid, true_label, cid, cand_label,
+         ROUND(SUM(CAST(px AS DOUBLE) * CAST(cx AS DOUBLE)), 6) AS sim
+  FROM prod GROUP BY pid, true_label, cid, cand_label
+),
+topk AS (
+  SELECT * FROM (
+    SELECT pid, true_label, cand_label, sim,
+           row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn <= {_KNN_K}
+),
+votes AS (
+  SELECT pid, true_label, cand_label, count(*) AS n_votes
+  FROM topk GROUP BY pid, true_label, cand_label
+),
+pred AS (
+  SELECT * FROM (
+    SELECT pid, true_label, cand_label, n_votes,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY n_votes DESC, cand_label) AS pr
+    FROM votes
+  ) WHERE pr = 1
+)
+SELECT CAST(pid AS BIGINT) AS vec_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(cand_label AS BIGINT) AS predicted,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM pred ORDER BY vec_id
+""",
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification for a bounded deterministic
+    probe set (vec_id % {mod} == 0) against the full corpus: in-row
+    64-term dot products (both engines sum in array order — identical
+    IEEE sequence), neighbors ranked by the ROUNDED similarity with id
+    tie-break, prediction = vote mode with label tie-break — every cut
+    deterministic, so the classifier itself is hash-oracled. Scale
+    shape: probes broadcast against the corpus scan (the bounded-query
+    brute-force leg of §2.11); the unbounded variant swaps in the IVF /
+    sign-LSH bucketed candidates and keeps this exact refine."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("p_emb"),
+        F.col("label").alias("true_label"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("cand_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("p_emb", "c_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        F.broadcast(probes)
+        .crossJoin(cand)
+        .filter(F.col("cid") != F.col("pid"))
+        .select(
+            "pid", "true_label", "cid", "cand_label", F.round(dot, 6).alias("sim")
+        )
+    )
+    wk = W.partitionBy("pid").orderBy(F.desc("sim"), F.asc("cid"))
+    topk = sims.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = topk.groupBy("pid", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wp = W.partitionBy("pid").orderBy(F.desc("n_votes"), F.asc("cand_label"))
+    return (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("pid").cast("long").alias("vec_id"),
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("cand_label").cast("long").alias("predicted"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+        .orderBy("vec_id")
+    )
