@@ -293,3 +293,73 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wmedian"),
         F.max("tw").cast("double").alias("total_weight"),
     )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS grp,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+  FROM lineitem
+),
+s AS (
+  SELECT grp, count(*) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY grp
+)
+SELECT grp,
+       CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         + 0.0 AS spearman
+FROM s ORDER BY grp
+""",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group with exact tie handling:
+    2·avg_rank = 2·min_rank + tie_count − 1 keeps every rank an INTEGER
+    (the ×2 scaling cancels in the correlation), the five moment sums
+    are exact int64, and the final Pearson-on-ranks formula runs the
+    identical double expression in both engines — rank transforms are
+    two in-group window sorts, the moments one partial+final aggregate.
+    `+ 0.0` normalizes signed zero (see agg_correlation)."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def r2(val: str) -> F.Column:
+        return (
+            2 * F.rank().over(W.partitionBy("l_returnflag").orderBy(val))
+            + F.count(F.lit(1)).over(W.partitionBy("l_returnflag", val))
+            - 1
+        )
+
+    r = li.select(
+        F.col("l_returnflag").alias("grp"),
+        r2("l_quantity").alias("rx"),
+        r2("l_extendedprice").alias("ry"),
+    )
+    s = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    d1 = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    d2 = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        (F.round(num / F.sqrt(d1 * d2), 6) + F.lit(0.0)).alias("spearman"),
+    ).orderBy("grp")

@@ -353,3 +353,84 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(med, 6).alias("med"),
     )
+
+
+@query(
+    "win_pareto_share",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS total
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, total,
+         row_number() OVER (ORDER BY total DESC, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM spend
+),
+deciled AS (
+  SELECT CAST((rn * 10 + n - 1) // n AS BIGINT) AS decile, total FROM ranked
+),
+agg AS (
+  SELECT decile, count(*) AS n_customers,
+         CAST(sum(total) AS DECIMAL(30,6)) AS revenue
+  FROM deciled GROUP BY decile
+)
+SELECT decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(revenue AS DOUBLE) AS revenue,
+       ROUND(CAST(sum(revenue) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST((SELECT sum(total) FROM spend) AS DOUBLE), 6) AS cum_share
+FROM agg ORDER BY decile
+""",
+)
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by exact
+    decimal spend, cut into spend-ordered deciles (ceil(rn·10/n) in
+    integer arithmetic), cumulative share per decile. The per-customer
+    aggregate carries the 100 TB load and shuffles on custkey; the
+    ranking window runs over one row PER CUSTOMER, and decimal sums
+    make both the decile revenue and the share numerator exact — the
+    one division is of identical doubles."""
+    from pyspark.sql import Window as W
+
+    from sim_spark.exprs import dsum
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("decimal(30,6)")
+        .alias("total")
+    )
+    ranked = spend.select(
+        "total",
+        F.row_number()
+        .over(W.orderBy(F.desc("total"), F.asc("o_custkey")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    deciled = ranked.select(
+        F.expr("(rn * 10 + n - 1) div n").cast("long").alias("decile"), "total"
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("total").cast("decimal(30,6)").alias("revenue"),
+    )
+    grand = spend.agg(
+        F.sum("total").cast("decimal(30,6)").cast("double").alias("grand")
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(grand))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.sum("revenue").over(wcum).cast("decimal(30,6)").cast("double")
+                / F.col("grand"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
