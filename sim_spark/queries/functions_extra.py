@@ -170,3 +170,36 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "fn_regex_extract_all",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '([a-z]+ing)', 1)) AS BIGINT) AS n_ing,
+       COALESCE(regexp_extract_all(text, '([a-z]+ing)', 1)[1], '') AS first_ing,
+       CAST(len(list_distinct(regexp_extract_all(text, '([a-z]+ing)', 1))) AS BIGINT)
+         AS n_distinct_ing,
+       CAST(len(regexp_extract_all(text, '([a-z]{3})[0-9]', 1)) AS BIGINT)
+         AS n_alnum_runs
+FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+""",
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-occurrence regex extraction (`regexp_extract_all`, the
+    many-match sibling of the single-match key in fn_string): per doc,
+    the '…ing' word occurrences — count, first hit, distinct count —
+    plus a second char-class pattern. Patterns stay inside the
+    Java/RE2-portable subset (character classes, groups, bounded reps —
+    no lookaround, no backrefs), the same discipline text_pii_redact
+    documents; evaluation is one codegen projection, no Python."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    ing = F.expr(r"regexp_extract_all(text, '([a-z]+ing)', 1)")
+    runs = F.expr(r"regexp_extract_all(text, '([a-z]{3})[0-9]', 1)")
+    return d.select(
+        "doc_id",
+        F.size(ing).cast("long").alias("n_ing"),
+        F.coalesce(F.try_element_at(ing, F.lit(1)), F.lit("")).alias("first_ing"),
+        F.size(F.array_distinct(ing)).cast("long").alias("n_distinct_ing"),
+        F.size(runs).cast("long").alias("n_alnum_runs"),
+    ).orderBy("doc_id")

@@ -149,3 +149,102 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("ts").alias("view_ts"),
         F.col("asof_event_id").cast("long").alias("next_purchase_id"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch_us(ts) AS vus
+      FROM events WHERE event_type = 'view'),
+g AS (
+  SELECT p.event_id, p.user_id, p.pus,
+         (SELECT max(vus) FROM v WHERE v.user_id = p.user_id AND vus <= p.pus) AS bus,
+         (SELECT min(vus) FROM v WHERE v.user_id = p.user_id AND vus >= p.pus) AS fus
+  FROM p
+)
+SELECT event_id, user_id,
+       CAST(CASE WHEN bus IS NULL AND fus IS NULL THEN NULL
+                 WHEN fus IS NULL THEN pus - bus
+                 WHEN bus IS NULL THEN fus - pus
+                 ELSE least(pus - bus, fus - pus) END AS BIGINT) AS nearest_gap_us,
+       CASE WHEN bus IS NULL AND fus IS NULL THEN 'none'
+            WHEN fus IS NULL OR (bus IS NOT NULL AND pus - bus <= fus - pus)
+              THEN 'backward'
+            ELSE 'forward' END AS side
+FROM g ORDER BY event_id
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join, completing the backward/forward
+    family: each purchase pairs with its temporally CLOSEST view in
+    either direction (ties to backward — the at-or-before event). Built
+    from the two directional as-of passes of ops/asof.py (one keyed
+    shuffle+sort each); the gap comparison is integer microseconds, so
+    the side choice has no float boundary. Returning the GAP rather
+    than an event id keeps same-timestamp collisions out of the
+    contract entirely."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("pus"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("vus")
+    )
+    b = asof_join_backward(
+        purchases,
+        views.select("user_id", "ts", "vus", "event_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["vus"],
+        right_order="event_id",
+    ).select(
+        F.col("p_event_id"), F.col("asof_vus").cast("long").alias("bus")
+    )
+    f = asof_join_backward(
+        purchases,
+        views.select("user_id", "ts", "vus", "event_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["vus"],
+        right_order="event_id",
+        direction="forward",
+    ).select(
+        F.col("p_event_id").alias("f_event_id"),
+        F.col("asof_vus").cast("long").alias("fus"),
+    )
+    g = (
+        purchases.select("p_event_id", "user_id", "pus")
+        .join(b, "p_event_id")
+        .join(f, purchases.p_event_id == f.f_event_id)
+    )
+    bgap = F.col("pus") - F.col("bus")
+    fgap = F.col("fus") - F.col("pus")
+    both_null = F.col("bus").isNull() & F.col("fus").isNull()
+    gap = (
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(F.col("fus").isNull(), bgap)
+        .when(F.col("bus").isNull(), fgap)
+        .otherwise(F.least(bgap, fgap))
+    )
+    side = (
+        F.when(both_null, "none")
+        .when(
+            F.col("fus").isNull()
+            | (F.col("bus").isNotNull() & (bgap <= fgap)),
+            "backward",
+        )
+        .otherwise("forward")
+    )
+    return g.select(
+        F.col("p_event_id").alias("event_id"),
+        "user_id",
+        gap.cast("long").alias("nearest_gap_us"),
+        side.alias("side"),
+    ).orderBy("event_id")

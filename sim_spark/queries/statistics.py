@@ -363,3 +363,75 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.round(num / F.sqrt(d1 * d2), 6) + F.lit(0.0)).alias("spearman"),
     ).orderBy("grp")
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DECIMAL(30,6))
+              * 1000000 AS BIGINT) AS x_micro
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x_micro,
+         row_number() OVER (ORDER BY x_micro, o_custkey) AS rnk,
+         count(*) OVER () AS n
+  FROM spend
+),
+s AS (
+  SELECT max(n) AS n,
+         CAST(sum(CAST(rnk AS DECIMAL(18,0)) * CAST(x_micro AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(x_micro AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND((2.0 * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM s
+""",
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend via the rank identity
+    G = (2·Σ r·x − (n+1)·Σx)/(n·Σx): per-customer decimal totals are
+    quantized to exact integer micro-units, the rank-weighted sum runs
+    in DECIMAL(38,0) (exact, order-free), and the single division runs
+    on identical doubles. One customer-keyed aggregate carries the
+    volume; the ranking window sees one row per customer — the
+    inequality-measure companion to `win_pareto_share`."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("decimal(30,6)")
+            * 1000000
+        )
+        .cast("long")
+        .alias("x_micro")
+    )
+    ranked = spend.select(
+        "x_micro",
+        F.row_number().over(W.orderBy("x_micro", "o_custkey")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("rnk").cast("decimal(18,0)") * F.col("x_micro").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.col("x_micro").cast("decimal(18,0)")).cast("decimal(38,0)").alias("sx"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (2.0 * F.col("s1").cast("double") - (nd + 1.0) * F.col("sx").cast("double"))
+            / (nd * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
