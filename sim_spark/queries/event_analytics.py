@@ -706,3 +706,34 @@ def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new_users"),
         F.sum("n_new").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle="""
+SELECT CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY dow, hod
+""",
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity heatmap cells: (day-of-week, hour-of-day) event
+    and distinct-user counts — one partial+final aggregate on a 7×24
+    key space (Sunday=0 matching strftime %w via dayofweek−1). The
+    output is calendar-bounded no matter the input volume; the distinct
+    count shuffles on (dow, hod, user) then merges — the two-level
+    exact-distinct plan."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -203,3 +203,50 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(ing)).cast("long").alias("n_distinct_ing"),
         F.size(runs).cast("long").alias("n_alnum_runs"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang || '&v=' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+       split_part(split_part(url, '://', 2), '/', 1) AS host,
+       '/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 2)
+           || '/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 3)
+         AS path,
+       split_part(url, '?', 2) AS query,
+       split_part(split_part(url, 'lang=', 2), '&', 1) AS lang_param
+FROM u ORDER BY doc_id
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's native `parse_url` (HOST / PATH /
+    QUERY / per-key QUERY extraction) over deterministically synthesized
+    URLs — the log-pipeline staple. DuckDB has no parse_url, so the
+    oracle re-derives each component with split_part string algebra on
+    the same URLs, pinning Spark's parser against an independent
+    implementation rather than itself. Pure codegen projection."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")

@@ -509,3 +509,83 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inside_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear trend forecast over the daily spine — integer-exact OLS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_linear_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d, count(*) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS x, y FROM daily
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM idx
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       CAST(floor((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+             / CAST(n AS DOUBLE)
+             + ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+               * (CAST(n AS DOUBLE) + 1.0) + 0.5) AS BIGINT) AS forecast_next_day
+FROM s
+""",
+)
+def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day volume forecast by OLS on the daily count series: day
+    index and counts are INTEGERS, so all five moment sums are exact
+    int64 and slope/intercept are the identical double expression in
+    both engines (the `stats_spearman_corr` discipline applied to
+    trend). 100 TB of events reduce to one day-keyed aggregate before
+    the O(days) regression — the capacity-planning primitive."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    idx = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("x"), "y"
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - F.col("sx").cast("double") * slope) / nd
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.floor(intercept + slope * (nd + 1.0) + 0.5)
+        .cast("long")
+        .alias("forecast_next_day"),
+    )
