@@ -589,3 +589,85 @@ def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast_next_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear smoothing: a genuinely sequential recurrence, still oracled
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+WITH RECURSIVE hours AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr, count(*) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hours),
+spine AS (
+  SELECT row_number() OVER (ORDER BY s.hr) AS t, COALESCE(h.n, 0) AS y
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM bounds) s
+  LEFT JOIN hours h ON h.hr = s.hr
+),
+n AS (SELECT count(*) AS n FROM spine),
+hw(t, s, b) AS (
+  SELECT 2,
+         CAST((SELECT y FROM spine WHERE t = 2) AS DOUBLE),
+         CAST((SELECT y FROM spine WHERE t = 2) AS DOUBLE)
+           - CAST((SELECT y FROM spine WHERE t = 1) AS DOUBLE)
+  UNION ALL
+  SELECT hw.t + 1,
+         0.5 * sp.y + 0.5 * (hw.s + hw.b),
+         0.5 * ((0.5 * sp.y + 0.5 * (hw.s + hw.b)) - hw.s) + 0.5 * hw.b
+  FROM hw JOIN spine sp ON sp.t = hw.t + 1
+)
+SELECT CAST(n.n AS BIGINT) AS n_hours,
+       round(hw.s, 6) AS level,
+       round(hw.b, 6) AS trend,
+       round(hw.s + 1.0 * hw.b, 6) AS forecast_h1,
+       round(hw.s + 3.0 * hw.b, 6) AS forecast_h3
+FROM hw, n WHERE hw.t = n.n
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α = β = 0.5) over the hourly
+    series — the one operator family in this module that is genuinely
+    SEQUENTIAL (each state depends on the previous step), so it runs in
+    the documented custom-stateful tier: applyInPandas over the
+    calendar-bounded series (grouped on a constant key; at 100 TB the
+    heavy lifting — the hour-keyed count — happened before this stage,
+    and per-series state is two floats). α = β = ½ makes every update a
+    dyadic-rational IEEE expression, so the DuckDB recursive CTE
+    replaying the identical recurrence reproduces the floats bit-for-bit
+    and the operator is hash-oracled despite being non-relational."""
+    import pandas as pd
+
+    spine = _hour_spine_spark(spark, sf_dir)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr").reset_index(drop=True)
+        y = pdf["n"].astype("float64").to_numpy()
+        s, b = y[1], y[1] - y[0]
+        for t in range(2, len(y)):
+            s_new = 0.5 * y[t] + 0.5 * (s + b)
+            b = 0.5 * (s_new - s) + 0.5 * b
+            s = s_new
+        return pd.DataFrame(
+            {
+                "n_hours": [len(y)],
+                "level": [round(s, 6)],
+                "trend": [round(b, 6)],
+                "forecast_h1": [round(s + 1.0 * b, 6)],
+                "forecast_h3": [round(s + 3.0 * b, 6)],
+            }
+        )
+
+    out_schema = (
+        "n_hours long, level double, trend double, "
+        "forecast_h1 double, forecast_h3 double"
+    )
+    return (
+        spine.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _, pdf: holt(pdf), out_schema)
+    )
