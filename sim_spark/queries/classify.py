@@ -433,3 +433,190 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "ml_eval_prf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM tok GROUP BY word
+  ORDER BY count(*) DESC, word ASC LIMIT {_NB_VOCAB}
+),
+vtok AS (SELECT t.* FROM tok t JOIN vocab v USING (word)),
+cnt_wl AS (SELECT lang, word, count(*) AS c FROM vtok GROUP BY lang, word),
+tot_l AS (SELECT lang, sum(c) AS tot FROM cnt_wl GROUP BY lang),
+vsize AS (SELECT count(*) AS v FROM vocab),
+langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+n AS (SELECT count(*) AS n FROM documents),
+grid AS (
+  SELECT l.lang, v.word,
+         ln((COALESCE(c.c, 0) + 1.0) / (t.tot + s.v)) AS logp
+  FROM (SELECT word FROM vocab) v
+  CROSS JOIN (SELECT lang FROM langs) l
+  LEFT JOIN cnt_wl c ON c.lang = l.lang AND c.word = v.word
+  JOIN tot_l t ON t.lang = l.lang
+  CROSS JOIN vsize s
+),
+wordscore AS (
+  SELECT vt.doc_id, g.lang, sum(g.logp) AS ll
+  FROM (SELECT doc_id, word FROM vtok) vt JOIN grid g USING (word)
+  GROUP BY vt.doc_id, g.lang
+),
+base AS (
+  SELECT d.doc_id, d.lang AS actual, l.lang AS cand,
+         ln(l.n_docs * 1.0 / n.n) + COALESCE(w.ll, 0.0) AS score
+  FROM documents d
+  CROSS JOIN langs l
+  CROSS JOIN n
+  LEFT JOIN wordscore w ON w.doc_id = d.doc_id AND w.lang = l.lang
+),
+pred AS (
+  SELECT doc_id, actual, cand AS predicted FROM (
+    SELECT doc_id, actual, cand,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand ASC) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+cls AS (SELECT lang FROM langs),
+m AS (
+  SELECT c.lang,
+         CAST((SELECT count(*) FROM pred p
+               WHERE p.predicted = c.lang AND p.actual = c.lang) AS BIGINT) AS tp,
+         CAST((SELECT count(*) FROM pred p
+               WHERE p.predicted = c.lang AND p.actual <> c.lang) AS BIGINT) AS fp,
+         CAST((SELECT count(*) FROM pred p
+               WHERE p.predicted <> c.lang AND p.actual = c.lang) AS BIGINT) AS fn
+  FROM cls c
+)
+SELECT lang, tp, fp, fn,
+       ROUND(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END, 6) AS precision,
+       ROUND(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END, 6) AS recall,
+       ROUND(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+FROM m ORDER BY lang
+""",
+)
+def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the naive-Bayes language
+    classifier (`ml_naive_bayes_lang`'s confusion cells reduced to the
+    metrics a model card reports): tp/fp/fn are exact integer counts
+    from the argmax predictions, the metrics ratios of exact integers —
+    the evaluation step is as hash-checkable as the model. One extra
+    aggregate over the prediction frame; the broadcast-grid scoring
+    plan is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    # ml_naive_bayes_lang returns the confusion matrix, not row predictions,
+    # so rebuild the per-doc predictions with the same broadcast-grid plan.
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_NB_VOCAB)
+        .select("word")
+    )
+    vtok = tok.join(F.broadcast(vocab), "word")
+    cnt_wl = vtok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot_l = cnt_wl.groupBy("lang").agg(F.sum("c").alias("tot"))
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    grid = (
+        vocab.crossJoin(langs.select("lang"))
+        .join(cnt_wl, ["lang", "word"], "left")
+        .join(tot_l, "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "word",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    wordscore = (
+        vtok.select("doc_id", "word")
+        .join(F.broadcast(grid), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("logp").alias("ll"))
+    )
+    base = (
+        d.select("doc_id", F.col("lang").alias("actual"))
+        .crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand")))
+        .crossJoin(n)
+    )
+    ws = wordscore.withColumnRenamed("lang", "cand").withColumnRenamed(
+        "doc_id", "ws_doc"
+    )
+    scored = base.join(
+        ws, (base["doc_id"] == ws["ws_doc"]) & (base["cand"] == ws["cand"]), "left"
+    ).select(
+        base["doc_id"],
+        "actual",
+        base["cand"],
+        (
+            F.log(F.col("n_docs") * F.lit(1.0) / F.col("n_docs_total"))
+            + F.coalesce(F.col("ll"), F.lit(0.0))
+        ).alias("score"),
+    )
+    wp = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("cand").alias("predicted"))
+    )
+    cls = langs.select("lang")
+    joined = F.broadcast(cls).crossJoin(pred)
+    m = joined.groupBy("lang").agg(
+        F.sum(
+            F.when(
+                (F.col("predicted") == F.col("lang"))
+                & (F.col("actual") == F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("predicted") == F.col("lang"))
+                & (F.col("actual") != F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("predicted") != F.col("lang"))
+                & (F.col("actual") == F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(tp + fp == 0, 0.0).otherwise(tp * F.lit(1.0) / (tp + fp)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(tp + fn == 0, 0.0).otherwise(tp * F.lit(1.0) / (tp + fn)), 6
+        ).alias("recall"),
+        F.round(
+            F.when(2 * tp + fp + fn == 0, 0.0).otherwise(
+                F.lit(2.0) * tp / (2 * tp + fp + fn)
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("lang")

@@ -737,3 +737,83 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "events_median_session_length",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+dur AS (
+  SELECT user_id, session_no,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS d_us
+  FROM sess GROUP BY user_id, session_no
+),
+ranked AS (
+  SELECT d_us, row_number() OVER (ORDER BY d_us, user_id, session_no) AS rn,
+         count(*) OVER () AS n
+  FROM dur
+)
+SELECT CAST(max(n) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d_us ELSE 0 END)
+            + sum(CASE WHEN rn = n // 2 + 1 THEN d_us ELSE 0 END) AS BIGINT)
+         AS median_us_x2,
+       ROUND((sum(CASE WHEN rn = (n + 1) // 2 THEN d_us ELSE 0 END)
+              + sum(CASE WHEN rn = n // 2 + 1 THEN d_us ELSE 0 END))
+             / 2000000.0, 6) AS median_sec
+FROM ranked
+""",
+)
+def events_median_session_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median session duration: 30-minute-gap sessionization (the
+    events_sessionize_batch shape), per-session duration in integer
+    microseconds, then the median as the average of the two middle
+    order statistics — selected by row_number with a total tie order,
+    so no interpolation semantics can differ between engines. The 2×
+    median is emitted as an exact integer alongside the seconds view.
+    At 100 TB the duration frame has one row per session; the single
+    global sort is over sessions, not events (and would become a
+    count-per-bucket median at extreme session counts)."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
+        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
+    )
+    dur = sess.groupBy("user_id", "session_no").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("d_us")
+    )
+    ranked = dur.select(
+        "d_us",
+        F.row_number()
+        .over(W.orderBy("d_us", "user_id", "session_no"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    lo = F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d_us")).otherwise(0))
+    hi = F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("d_us")).otherwise(0))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        (lo + hi).cast("long").alias("median_us_x2"),
+        F.round((lo + hi) / 2000000.0, 6).alias("median_sec"),
+    )

@@ -199,3 +199,123 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+@query(
+    "graph_clustering_global",
+    oracle=_EDGES_CTE
+    + """
+, deg AS (SELECT n, count(*) AS d
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wedge AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) AS w2 FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(wedge.w2 / 2 AS BIGINT) AS n_wedges,
+       ROUND(CASE WHEN wedge.w2 = 0 THEN 0.0
+                  ELSE 6.0 * tri.t / CAST(wedge.w2 AS DOUBLE) END, 6)
+         AS global_clustering
+FROM tri, wedge
+""",
+)
+def graph_clustering_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3·triangles/wedges over the
+    co-purchase graph: triangles from the degree-oriented wedge join
+    (same O(m^1.5) plan as graph_triangle_count), wedges Σd(d−1)/2 from
+    one degree aggregate — the coefficient is a ratio of exact integers
+    evaluated identically in both engines."""
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wedge = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("w2"))
+    return tri.crossJoin(wedge).select(
+        F.col("t").cast("long").alias("n_triangles"),
+        F.expr("w2 div 2").cast("long").alias("n_wedges"),
+        F.round(
+            F.when(F.col("w2") == 0, 0.0).otherwise(
+                6.0 * F.col("t") / F.col("w2").cast("double")
+            ),
+            6,
+        ).alias("global_clustering"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle=_EDGES_CTE
+    + """
+, deg AS (SELECT n, count(*) AS d
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+ends AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  UNION ALL
+  SELECT dv.d AS x, du.d AS y
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+),
+s AS (
+  SELECT count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ends
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         + 0.0 AS assortativity
+FROM s
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman r): Pearson correlation of endpoint
+    degrees over the symmetrized edge list — degree join + one moment
+    aggregate, all sums exact int64, the final expression identical
+    doubles (the stats_spearman_corr discipline on graph structure).
+    Positive r = hubs link hubs; `+ 0.0` normalizes signed zero."""
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    joined = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ends = joined.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        joined.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    d1 = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    d2 = md * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.expr("m div 2").cast("long").alias("n_edges"),
+        (F.round(num / F.sqrt(d1 * d2), 6) + F.lit(0.0)).alias("assortativity"),
+    )
