@@ -250,3 +250,44 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_date_arith_calendar",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_1q,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+       CAST(date_diff('month', date_trunc('month', o_orderdate),
+                      date_trunc('month', TIMESTAMP '2000-01-01 00:00:00'))
+            AS BIGINT) AS months_to_y2k,
+       CAST(CAST(strftime(o_orderdate, '%j') AS INTEGER) AS BIGINT) AS day_of_year
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+""",
+)
+def fn_date_arith_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar month arithmetic — the end-of-month clamping cases that
+    differ between naive day-addition and true calendar math: add_months
+    (Jan 31 + 1m → Feb 29/28), last_day, quarter boundaries, signed
+    whole-month differences, day-of-year. Both engines implement ISO
+    proleptic-Gregorian calendars, so outputs are string-formatted dates
+    (no timestamp-precision hazard). Pure codegen projection."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1m"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_1q"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.months_between(
+            F.lit("2000-01-01").cast("timestamp"), F.date_trunc("month", d)
+        )
+        .cast("long")
+        .alias("months_to_y2k"),
+        F.dayofyear(d).cast("long").alias("day_of_year"),
+    ).orderBy("o_orderkey")

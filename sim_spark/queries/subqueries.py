@@ -237,3 +237,88 @@ def subq_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o_orderstatus = 'F' AND o_totalprice > 480000)
         """
     )
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+WITH checks AS (
+  SELECT 'orders_pk_unique' AS check_name, 'orders' AS tbl,
+         CAST((SELECT count(*) FROM
+                (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+              AS BIGINT) AS n_violations
+  UNION ALL
+  SELECT 'lineitem_flag_domain', 'lineitem',
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_cust_fk', 'orders',
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_qty_range', 'lineitem',
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+  UNION ALL
+  SELECT 'events_ts_not_null', 'events',
+         CAST((SELECT count(*) FROM events WHERE ts IS NULL) AS BIGINT)
+  UNION ALL
+  SELECT 'documents_lang_domain', 'documents',
+         CAST((SELECT count(*) FROM documents
+               WHERE lang NOT IN (SELECT DISTINCT lang FROM documents)) AS BIGINT)
+)
+SELECT check_name, tbl, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY check_name
+""",
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A dbt-tests-style constraint suite in ONE query: primary-key
+    uniqueness, enum domain membership, foreign-key integrity (null-
+    aware NOT EXISTS → anti join), numeric range, and not-null — each
+    check one aggregate leg, unioned into a (check, table, violations,
+    passed) report. Every leg is a count the optimizer can push
+    predicates into; at 100 TB the legs share nothing and parallelize
+    as independent stages — the nightly data-contract gate."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    docs = table(spark, sf_dir, "documents")
+    cust = table(spark, sf_dir, "customer")
+
+    def check(name: str, tbl: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.col("n").cast("long").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    flag_dom = li.filter(~F.col("l_returnflag").isin("A", "N", "R")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fk = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    qty = li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ts_null = ev.filter(F.col("ts").isNull()).agg(F.count(F.lit(1)).alias("n"))
+    lang_dom = docs.join(
+        docs.select("lang").distinct(), "lang", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        check("orders_pk_unique", "orders", dup_pk)
+        .unionAll(check("lineitem_flag_domain", "lineitem", flag_dom))
+        .unionAll(check("orders_cust_fk", "orders", fk))
+        .unionAll(check("lineitem_qty_range", "lineitem", qty))
+        .unionAll(check("events_ts_not_null", "events", ts_null))
+        .unionAll(check("documents_lang_domain", "documents", lang_dom))
+        .orderBy("check_name")
+    )
