@@ -223,7 +223,14 @@ _LGD_LR = 1.0
 _NANO = 1_000_000_000
 
 
-def _lgd_oracle() -> str:
+_LGD_Z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+_LGD_S = f"(0.5 + {_LGD_Z} / (2.0 * (1.0 + abs({_LGD_Z}))))"
+
+
+def _lgd_cte_prefix() -> list[str]:
+    """Shared unrolled-training CTE chain (feat / n / w0..w{ITERS}) —
+    the base both `ml_logistic_unrolled` and `ml_calibration_bins`
+    oracles build on, so the two keys pin the SAME trained weights."""
     feat = (
         "feat AS (SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y, "
         "1.0 AS x0, value / 100.0 AS x1, CAST(hour(ts) AS DOUBLE) / 24.0 AS x2 "
@@ -232,16 +239,18 @@ def _lgd_oracle() -> str:
     ctes = [feat, "n AS (SELECT count(*) AS n FROM feat)",
             "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
     for k in range(1, _LGD_ITERS + 1):
-        z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
-        s = f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
         grads = ", ".join(
-            f"max(w.w{j}) - {_LGD_LR} * (CAST(sum(CAST(floor(({s} - f.y) * f.x{j} * {_NANO}.0 + 0.5) AS BIGINT)) AS DOUBLE) / ({_NANO}.0 * max(n.n))) AS w{j}"
+            f"max(w.w{j}) - {_LGD_LR} * (CAST(sum(CAST(floor(({_LGD_S} - f.y) * f.x{j} * {_NANO}.0 + 0.5) AS BIGINT)) AS DOUBLE) / ({_NANO}.0 * max(n.n))) AS w{j}"
             for j in range(3)
         )
         ctes.append(f"w{k} AS (SELECT {grads} FROM feat f CROSS JOIN w{k-1} w CROSS JOIN n)")
-    z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    return ctes
+
+
+def _lgd_oracle() -> str:
+    z = _LGD_Z
     return (
-        "WITH " + ",\n".join(ctes) + f"""
+        "WITH " + ",\n".join(_lgd_cte_prefix()) + f"""
 SELECT round(max(w.w0), 6) AS w0, round(max(w.w1), 6) AS w1,
        round(max(w.w2), 6) AS w2,
        CAST(sum(CASE WHEN {z} >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
@@ -620,3 +629,105 @@ def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("lang")
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=(
+        "WITH "
+        + ",\n".join(_lgd_cte_prefix())
+        + f""",
+scored AS (
+  SELECT f.y, {_LGD_S} AS p
+  FROM feat f CROSS JOIN w{_LGD_ITERS} w
+),
+binned AS (
+  SELECT least(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin,
+         y, CAST(floor(p * 1000000000.0 + 0.5) AS BIGINT) AS p_nano
+  FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(sum(p_nano) AS BIGINT) / (1000000000.0 * count(*)), 6)
+         AS mean_pred,
+       ROUND(CAST(sum(CAST(y AS BIGINT)) AS BIGINT) * 1.0 / count(*), 6)
+         AS frac_pos
+FROM binned GROUP BY bin ORDER BY bin
+"""
+    ),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the unrolled logistic model
+    (`ml_logistic_unrolled`): scores bucketed into 10 probability bins,
+    each reporting mean predicted probability (nano-unit integer sums —
+    exact at any parallelism) against the observed positive fraction
+    (ratio of exact integers). Calibration is the model-card companion
+    to `ml_eval_prf`; the whole evaluation remains one driver-free plan
+    on top of the in-plan trained weights."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts").cast("double") / 24.0).alias("x2"),
+    )
+    n = feat.agg(F.count(F.lit(1)).alias("n"))
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+
+    def z_expr():
+        return (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+
+    for _ in range(3):
+        z = z_expr()
+        s = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
+        joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
+        w = joined.agg(
+            *[
+                (
+                    F.max(f"w{j}")
+                    - 1.0
+                    * (
+                        F.sum(
+                            F.floor(
+                                (s - F.col("y")) * F.col(f"x{j}") * 1_000_000_000
+                                + 0.5
+                            ).cast("long")
+                        ).cast("double")
+                        / (1_000_000_000.0 * F.max("n"))
+                    )
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        )
+    z = z_expr()
+    p = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
+    scored = feat.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10.0).cast("long"), F.lit(9)).alias("bin"),
+        "y",
+        F.floor(F.col("p") * 1_000_000_000.0 + 0.5).cast("long").alias("p_nano"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("p_nano").cast("long")
+                / (1_000_000_000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum(F.col("y").cast("long")).cast("long")
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

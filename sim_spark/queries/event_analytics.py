@@ -817,3 +817,55 @@ def events_median_session_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lo + hi).cast("long").alias("median_us_x2"),
         F.round((lo + hi) / 2000000.0, 6).alias("median_sec"),
     )
+
+
+@query(
+    "events_mau_wau_dau",
+    oracle="""
+WITH dau AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+),
+wau AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
+         count(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+),
+mau AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
+         count(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+)
+SELECT 'day' AS grain, bucket, CAST(n AS BIGINT) AS n_active FROM dau
+UNION ALL SELECT 'week', bucket, CAST(n AS BIGINT) FROM wau
+UNION ALL SELECT 'month', bucket, CAST(n AS BIGINT) FROM mau
+ORDER BY grain, bucket
+""",
+)
+def events_mau_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU in one report: exact distinct actives at three
+    calendar grains, unioned long-form. Each grain is the two-level
+    exact-distinct plan (pre-aggregate on (bucket, user), then count) —
+    at 100 TB the right refactor is one distinct (day, user) base frame
+    rolled up to week/month, trading two scans for one; both shapes
+    share the oracle."""
+    e = table(spark, sf_dir, "events")
+
+    def grain(name: str, trunc: str) -> DataFrame:
+        return (
+            e.groupBy(
+                F.date_format(F.date_trunc(trunc, "ts"), "yyyy-MM-dd").alias(
+                    "bucket"
+                )
+            )
+            .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+            .select(F.lit(name).alias("grain"), "bucket", "n_active")
+        )
+
+    return (
+        grain("day", "day")
+        .unionAll(grain("week", "week"))
+        .unionAll(grain("month", "month"))
+        .orderBy("grain", "bucket")
+    )

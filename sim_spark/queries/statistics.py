@@ -435,3 +435,70 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+),
+g AS (
+  SELECT grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM x GROUP BY grp
+),
+tot AS (
+  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS s, CAST(sum(ss) AS BIGINT) AS ss,
+         sum(CAST(s AS DOUBLE) * s / n) AS grp_term
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((grp_term - CAST(s AS DOUBLE) * s / n) / (k - 1), 6) AS ms_between,
+       ROUND((CAST(ss AS DOUBLE) - grp_term) / (n - k), 6) AS ms_within,
+       ROUND(((grp_term - CAST(s AS DOUBLE) * s / n) / (k - 1))
+             / ((CAST(ss AS DOUBLE) - grp_term) / (n - k)), 6) AS f_stat
+FROM tot
+""",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic (quantity by return flag), completing
+    the hypothesis-test family (Welch t, Mann-Whitney, KS, chi-square):
+    per-group (n, Σx, Σx²) are exact int64 (quantities are integral),
+    and SSB/SSW reduce to the identical double expression in both
+    engines. One partial+final aggregate over k=3 groups, then k-row
+    arithmetic. The only cross-group float reduction, Σ s²/n, runs over
+    the SORTED 3-row group frame — order pinned, like the module's
+    other k-row folds."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("v")
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    # Σ s²/n over a 3-row frame: sort by grp so the fold order is pinned
+    # (sum over unordered partitions would be order-dependent in theory).
+    g = g.orderBy("grp").coalesce(1)
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("ss").cast("long").alias("ss"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("grp_term"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = F.col("grp_term") - F.col("s").cast("double") * F.col("s") / nd
+    ssw = F.col("ss").cast("double") - F.col("grp_term")
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(ssb / (kd - 1), 6).alias("ms_between"),
+        F.round(ssw / (nd - kd), 6).alias("ms_within"),
+        F.round((ssb / (kd - 1)) / (ssw / (nd - kd)), 6).alias("f_stat"),
+    )
