@@ -205,3 +205,105 @@ def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("long").alias("from_version"),
         )
     )
+
+
+@query(
+    "lakehouse_vacuum_stats",
+    oracle="""
+WITH log AS (
+  SELECT 1 AS version, 'insert' AS op, c_custkey AS k
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 2, 'update', c_custkey FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT 2, 'insert', c_custkey + 2000000 FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT 3, 'delete', c_custkey FROM customer WHERE c_custkey % 9 = 0
+),
+live AS (
+  SELECT DISTINCT k, version FROM (
+    SELECT k, version,
+           row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+    FROM log WHERE version <= 2
+  ) WHERE rn = 1
+  UNION
+  SELECT DISTINCT k, version FROM (
+    SELECT k, version,
+           row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+    FROM log WHERE version <= 3
+  ) WHERE rn = 1
+)
+SELECT CAST((SELECT count(*) FROM log) AS BIGINT) AS n_log_entries,
+       CAST((SELECT count(*) FROM log l JOIN live v
+             ON l.k = v.k AND l.version = v.version) AS BIGINT) AS n_retained,
+       CAST((SELECT count(*) FROM log l
+             WHERE NOT EXISTS (SELECT 1 FROM live v
+                               WHERE v.k = l.k AND v.version = l.version))
+            AS BIGINT) AS n_vacuumed,
+       CAST((SELECT COALESCE(sum(l.k), 0) FROM log l
+             WHERE NOT EXISTS (SELECT 1 FROM live v
+                               WHERE v.k = l.k AND v.version = l.version))
+            AS BIGINT) AS vacuumed_checksum
+""",
+)
+def lakehouse_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over the same commit log `lakehouse_time_travel`
+    reads: with snapshots {v2, v3} retained, a log entry survives iff it
+    is some key's LATEST entry at one of the retained versions;
+    everything else (v1 rows superseded in v2, for example) is
+    reclaimable. Two snapshot-resolution windows + an anti-join — the
+    reachability computation a table-format VACUUM runs over its
+    manifest, with the reclaimed-key checksum pinning the exact set.
+    At 100 TB this is manifest-sized work, never a data-file scan."""
+    from pyspark.sql.window import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    log = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.lit(1).alias("version"),
+            F.lit("insert").alias("op"),
+            F.col("c_custkey").alias("k"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 6 == 0).select(
+                F.lit(2), F.lit("update"), F.col("c_custkey")
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 5 == 0).select(
+                F.lit(2), F.lit("insert"), F.col("c_custkey") + 2000000
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 9 == 0).select(
+                F.lit(3), F.lit("delete"), F.col("c_custkey")
+            )
+        )
+    )
+
+    def snapshot_live(v: int) -> DataFrame:
+        w = W.partitionBy("k").orderBy(F.desc("version"))
+        return (
+            log.filter(F.col("version") <= v)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("k", "version")
+        )
+
+    live = snapshot_live(2).unionAll(snapshot_live(3)).distinct()
+    entries = log.select("k", "version")
+    retained = entries.join(live, ["k", "version"], "left_semi")
+    vacuumed = entries.join(live, ["k", "version"], "left_anti")
+    return (
+        entries.agg(F.count(F.lit(1)).cast("long").alias("n_log_entries"))
+        .crossJoin(retained.agg(F.count(F.lit(1)).cast("long").alias("n_retained")))
+        .crossJoin(vacuumed.agg(F.count(F.lit(1)).cast("long").alias("n_vacuumed")))
+        .crossJoin(
+            vacuumed.agg(
+                F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias(
+                    "vacuumed_checksum"
+                )
+            )
+        )
+    )

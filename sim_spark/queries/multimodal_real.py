@@ -119,3 +119,68 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
     return bmp_features(payloads)
+
+
+def _wav_rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from sim_spark.ops.multimodal import decode_wav
+
+    for pdf in batches:
+        rows = {"doc_id": [], "win": [], "n_smp": [], "sumsq": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, smp = decode_wav(bytes(payload))
+            s = smp.astype(np.int64)
+            n = len(s)
+            qsize = n // 4
+            q = np.minimum(np.arange(n) // qsize, 3)
+            for k in range(4):
+                seg = s[q == k]
+                rows["doc_id"].append(int(doc_id))
+                rows["win"].append(k)
+                rows["n_smp"].append(int(len(seg)))
+                rows["sumsq"].append(int(np.sum(seg * seg)))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "multimodal_wav_rms_windows",
+    oracle="""
+WITH p AS (SELECT doc_id, 64 + (n_chars % 128) AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+v AS (SELECT doc_id, n, least(i // (n // 4), 3) AS win,
+             ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp
+      FROM s)
+SELECT doc_id, CAST(win AS BIGINT) AS win,
+       CAST(count(*) AS BIGINT) AS n_smp,
+       CAST(sum(smp * smp) AS BIGINT) AS sumsq,
+       CAST(floor(sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+            AS BIGINT) AS rms_micro
+FROM v GROUP BY doc_id, win ORDER BY doc_id, win
+""",
+)
+def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy: decode each WAV (real RIFF parse), split
+    samples into 4 index quarters, per-window sum-of-squares (exact
+    int64) and micro-unit RMS — the downsampled loudness envelope a
+    media-curation pipeline filters on (silence/clipping detection).
+    Decode stays per-row mapInPandas work; the per-(doc, win) frame is
+    4 rows/doc. The oracle recomputes every window from the synthesis
+    formula, so a segmentation bug (window boundaries, remainder
+    handling) cannot hide."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    payloads = d.mapInPandas(_gen_wav_batches, _PAYLOAD_SCHEMA)
+    feats = payloads.mapInPandas(
+        _wav_rms_batches, "doc_id long, win long, n_smp long, sumsq long"
+    )
+    return feats.select(
+        "doc_id",
+        "win",
+        "n_smp",
+        "sumsq",
+        F.floor(
+            F.sqrt(F.col("sumsq").cast("double") / F.col("n_smp")) * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("rms_micro"),
+    ).orderBy("doc_id", "win")

@@ -14,7 +14,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sim_spark.exprs import ts_str
+from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import SCHEMAS, TABLES, table
 from sim_spark.registry import query
 from sim_spark.scratch import scratch_dir
@@ -206,3 +206,43 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "supplier")
         .load(out)
     )
+
+
+@query(
+    "scan_compression_codecs",
+    oracle=f"""
+SELECT 'snappy' AS codec, COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+UNION ALL
+SELECT 'zstd', COUNT(*), {sql_dsum('l_extendedprice')}
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+ORDER BY codec
+""",
+)
+def scan_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet codec control: the same slice written with snappy (the
+    splittable-scan default) and zstd (the colder-storage ratio pick),
+    read back and aggregated — proving the engine round-trips both
+    codecs bit-exactly. Codec choice is a real 100 TB lever: zstd cuts
+    storage ~30% over snappy at some CPU cost; either way the scan
+    stays splittable because parquet compresses PAGES, not files."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("l_extendedprice")
+    )
+    out = None
+    for codec in ("snappy", "zstd"):
+        path = scratch_dir(f"codec_{codec}")
+        li.write.mode("overwrite").option("compression", codec).parquet(path)
+        row = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("l_extendedprice").alias("sum_price"),
+            )
+            .select(F.lit(codec).alias("codec"), "n_rows", "sum_price")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("codec")
