@@ -291,3 +291,59 @@ def fn_date_arith_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("months_to_y2k"),
         F.dayofyear(d).cast("long").alias("day_of_year"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_collation_ci",
+    oracle="""
+WITH variants AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+              WHEN p_partkey % 3 = 0 THEN
+                   upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+              ELSE p_name END AS name_cased
+  FROM part
+)
+SELECT lower(name_cased) AS name_ci,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT name_cased) AS BIGINT) AS n_case_variants
+FROM variants GROUP BY lower(name_cased)
+HAVING count(DISTINCT name_cased) > 1
+ORDER BY name_ci
+""",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive COLLATION grouping (Spark 4 UTF8_LCASE): part
+    names are re-cased three ways, then grouped under the collated
+    comparison — variants that differ only by case merge into one
+    group, and the variant count proves the merge happened. DuckDB has
+    no collations, so the oracle lower()-normalizes instead — an
+    independent formulation of the same equivalence classes (the
+    grouping KEY is emitted lower-cased on both sides for hashing).
+    Collation-aware grouping beats lower() at scale because the
+    collated column keeps its original bytes — no derived column to
+    materialize through the shuffle."""
+    p = table(spark, sf_dir, "part")
+    cased = (
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .when(F.col("p_partkey") % 3 == 0, F.initcap("p_name"))
+        .otherwise(F.col("p_name"))
+    )
+    v = p.select("p_partkey", cased.alias("name_cased"))
+    ci = F.collate(F.col("name_cased"), "UTF8_LCASE")
+    return (
+        v.groupBy(ci.alias("name_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.count_distinct(F.collate(F.col("name_cased"), "UTF8_BINARY"))
+            .cast("long")
+            .alias("n_case_variants"),
+        )
+        .filter(F.col("n_case_variants") > 1)
+        .select(
+            F.lower(F.col("name_key").cast("string")).alias("name_ci"),
+            "n_parts",
+            "n_case_variants",
+        )
+        .orderBy("name_ci")
+    )

@@ -434,3 +434,41 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "win_range_interval_ts",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w
+            AS BIGINT) AS n_purchases_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def win_range_interval_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-INTERVAL range frame directly on the timestamp order
+    column (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING…) — the frame is
+    defined by event-time distance, not row counts, so ties and gaps
+    handle themselves; no epoch-seconds casting, no numeric-frame
+    emulation (the numeric twin is `win_range_frame`). Per-user trailing
+    velocity counters — the real-time feature-engineering shape — in
+    one user-keyed window shuffle, integer outputs."""
+    from sim_spark.io import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER w AS BIGINT) AS n_purchases_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
