@@ -671,3 +671,93 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .applyInPandas(lambda _, pdf: holt(pdf), out_schema)
     )
+
+
+@query(
+    "ts_stl_residual_anomalies",
+    oracle=f"""
+WITH {_HOUR_SPINE_SQL},
+ma AS (
+  SELECT hr, n,
+         sum(n) OVER (ORDER BY hr RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sum24,
+         count(*) OVER (ORDER BY hr RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS cnt24
+  FROM spine
+),
+det AS (
+  SELECT hr, hr % 24 AS hod, n, sum24,
+         (24 * n - sum24) AS detrend24
+  FROM ma WHERE cnt24 = 24
+),
+seasonal AS (
+  SELECT hod, CAST(sum(detrend24) AS BIGINT) * 1.0 / (24 * count(*)) AS s_idx
+  FROM det GROUP BY hod
+),
+resid AS (
+  SELECT d.hr, d.hod,
+         CAST(floor((d.detrend24 / 24.0 - s.s_idx) * 1000000000 + 0.5) AS BIGINT)
+           AS resid_nano
+  FROM det d JOIN seasonal s ON s.hod = d.hod
+),
+ranked AS (
+  SELECT hr, hod, resid_nano,
+         row_number() OVER (ORDER BY abs(resid_nano) DESC, hr) AS rnk
+  FROM resid
+)
+SELECT CAST(rnk AS BIGINT) AS rank, CAST(hr AS BIGINT) AS hr,
+       CAST(hod AS BIGINT) AS hod, resid_nano
+FROM ranked WHERE rnk <= 10 ORDER BY rank
+""",
+)
+def ts_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style anomaly surface: remove the centered-24h trend and the
+    hour-of-day seasonal component (both from `ts_seasonal_hod`'s exact
+    integer pieces), rank hours by |residual|. The residual is one
+    division of exact integers minus the exact seasonal ratio —
+    identical doubles — quantized to nano-units before ranking so the
+    top-10 cut has a total deterministic order. The decomposition's
+    heavy inputs stay one hour-keyed aggregate regardless of volume."""
+    from pyspark.sql import Window as W
+
+    spine = _hour_spine_spark(spark, sf_dir)
+    w24 = W.orderBy("hr").rangeBetween(-12, 11)
+    ma = spine.select(
+        "hr",
+        "n",
+        F.sum("n").over(w24).alias("sum24"),
+        F.count(F.lit(1)).over(w24).alias("cnt24"),
+    )
+    det = ma.filter(F.col("cnt24") == 24).select(
+        "hr",
+        (F.col("hr") % 24).alias("hod"),
+        (F.lit(24) * F.col("n") - F.col("sum24")).alias("detrend24"),
+    )
+    seasonal = det.groupBy("hod").agg(
+        (
+            F.sum("detrend24").cast("long")
+            * F.lit(1.0)
+            / (F.lit(24) * F.count(F.lit(1)))
+        ).alias("s_idx")
+    )
+    resid = det.join(seasonal, "hod").select(
+        "hr",
+        "hod",
+        F.floor(
+            (F.col("detrend24") / 24.0 - F.col("s_idx")) * 1_000_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("resid_nano"),
+    )
+    ranked = resid.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc(F.abs("resid_nano")), F.asc("hr"))),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("hr").cast("long").alias("hr"),
+            F.col("hod").cast("long").alias("hod"),
+            "resid_nano",
+        )
+        .orderBy("rank")
+    )

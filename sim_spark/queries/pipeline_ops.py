@@ -580,3 +580,47 @@ def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ml_kfold_assign",
+    oracle="""
+WITH folded AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 5
+           AS fold
+  FROM documents
+)
+SELECT fold, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS fold_checksum
+FROM folded GROUP BY fold, lang ORDER BY fold, lang
+""",
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment (md5-hash fold,
+    no stored assignment table — any worker recomputes membership, the
+    `split_train_val_test` discipline applied to CV) with the per-fold
+    class-balance table a training loop checks before trusting fold
+    metrics. The checksum pins the exact membership. One narrow scan +
+    one aggregate on a 5×|langs| key space."""
+    d = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        d.select(fold.alias("fold"), "lang", "doc_id")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("fold_checksum"),
+        )
+        .orderBy("fold", "lang")
+    )
