@@ -287,3 +287,36 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name ORDER BY nation
         """
     )
+
+
+@query(
+    "agg_weighted_mean",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))
+                     * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wmean_price,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per flag: the weighted numerator is
+    an exact DECIMAL sum (price is 2-dp money, weights integral), so
+    the ratio is one division of identical values — no reduction-order
+    float hazard, unlike a naive sum(w*x)/sum(w) in doubles. One
+    partial+final aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.col("l_extendedprice").cast("decimal(30,6)")
+        * F.col("l_quantity").cast("long")
+    ).cast("decimal(38,6)")
+    den = F.sum(F.col("l_quantity").cast("long"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (num.cast("double") / den.cast("double")).alias("wmean_price"),
+            den.cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -304,3 +304,49 @@ def udtf_polymorphic_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, fw.* FROM documents d, LATERAL first_words(d.text, 3) fw"
     )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6)
+         AS mean_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the third pandas-UDF shape (§2.10)
+    alongside scalar and grouped-map: a vectorized aggregate usable
+    inside .agg(), receiving each group's column as ONE pandas Series.
+    The aggregation is mean over integral quantities, computed as exact
+    int64 sum / count inside the UDF, so partition order can't move a
+    bit and the result hash-matches plain SQL. Arrow-batched transfer;
+    at scale each group's series streams through the executor like any
+    partial aggregate (no driver involvement)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean_qty(v: pd.Series) -> float:
+        # exact: int64 sum of integral doubles, one final division
+        s = int(v.astype("int64").sum())
+        return round(s / len(v), 6)
+
+    # Catalyst refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the
+    # same Arrow batch as a second pandas aggregate instead.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n_rows("l_quantity").alias("n"),
+            mean_qty("l_quantity").alias("mean_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
