@@ -184,3 +184,64 @@ def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rms_micro"),
     ).orderBy("doc_id", "win")
+
+
+def _bmp_tile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from sim_spark.ops.multimodal import decode_bmp
+
+    for pdf in batches:
+        rows = {"doc_id": [], "quad": [], "n_px": [], "val_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_bmp(bytes(payload))
+            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+            r_hi = np.arange(h) >= h // 2
+            c_hi = np.arange(w) >= w // 2
+            quad = (r_hi[:, None].astype(int) * 2 + c_hi[None, :].astype(int))
+            for q in range(4):
+                mask = quad == q
+                rows["doc_id"].append(int(doc_id))
+                rows["quad"].append(q)
+                rows["n_px"].append(int(mask.sum()))
+                rows["val_sum"].append(int(a[mask].sum()))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "multimodal_bmp_tile_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, rr.r, cc.c, hh.ch,
+         (CASE WHEN rr.r >= h // 2 THEN 2 ELSE 0 END
+          + CASE WHEN cc.c >= w // 2 THEN 1 ELSE 0 END) AS quad,
+         (doc_id + 7 * rr.r + 13 * cc.c + 29 * hh.ch) % 256 AS val
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, 3)) AS ch) hh
+)
+SELECT doc_id, CAST(quad AS BIGINT) AS quad,
+       CAST(count(*) / 3 AS BIGINT) AS n_px,
+       CAST(sum(val) AS BIGINT) AS val_sum
+FROM cells GROUP BY doc_id, quad ORDER BY doc_id, quad
+""",
+)
+def multimodal_bmp_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quadrant pixel statistics over the genuinely DECODED image
+    (2×2 spatial tiling at h//2, w//2): a wrong stride, row order, or
+    tile boundary shifts some quadrant's sum, and the oracle — which
+    recomputes every (row, col, channel) byte from the synthesis
+    formula — catches it. Tiling is the downsample-for-vision-models
+    preprocessing shape; per-row mapInPandas decode, 4 rows/doc out."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
+    return (
+        payloads.mapInPandas(
+            _bmp_tile_batches, "doc_id long, quad long, n_px long, val_sum long"
+        )
+        .orderBy("doc_id", "quad")
+    )

@@ -624,3 +624,76 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+@query(
+    "curate_url_canonicalize",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 4 = 0 THEN 'WWW.' || upper(source) ELSE source END
+         || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+                 WHEN doc_id % 3 = 1
+                 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_campaign=x'
+                 ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR) END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN lower(split_part(split_part(url, '://', 2), '/', 1)) LIKE 'www.%'
+              THEN substr(lower(split_part(split_part(url, '://', 2), '/', 1)), 5)
+              ELSE lower(split_part(split_part(url, '://', 2), '/', 1)) END
+         || '/p/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 3)
+         || '?id=' || split_part(split_part(url, 'id=', 2), '&', 1) AS curl
+  FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+       CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical_distinct,
+       CAST(count(DISTINCT url) - count(DISTINCT curl) AS BIGINT) AS n_merged
+FROM canon
+""",
+)
+def curate_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-dedup step that merges tracking
+    variants of the same page: case-fold and strip the www. prefix from
+    the host, drop utm_* parameters, keep the identifying param. The
+    synthesized corpus plants WWW./utm variants of the same logical
+    page, and the canonical-distinct count proves they merged (raw
+    distinct > canonical distinct). Pure string algebra in codegen;
+    at 100 TB this runs as a projection ahead of the exact-hash dedup
+    shuffle, cutting its key space first."""
+    d = table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 40).cast("string")
+    host_part = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit("WWW."), F.upper("source"))
+    ).otherwise(F.col("source"))
+    q = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), page))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?id="), page, F.lit("&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("?id="), page))
+    )
+    url = F.concat(
+        F.lit("https://"), host_part, F.lit(".example.com/p/"), page, q
+    )
+    u = d.select("doc_id", url.alias("url"))
+    after_scheme = F.expr("split_part(url, '://', 2)")
+    host_raw = F.lower(F.expr("split_part(split_part(url, '://', 2), '/', 1)"))
+    host = F.when(
+        host_raw.startswith("www."), F.expr("substr(lower(split_part(split_part(url, '://', 2), '/', 1)), 5)")
+    ).otherwise(host_raw)
+    page_id = F.expr("split_part(split_part(url, 'id=', 2), '&', 1)")
+    path3 = F.expr("split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 3)")
+    curl = F.concat(host, F.lit("/p/"), path3, F.lit("?id="), page_id)
+    canon = u.select("doc_id", "url", curl.alias("curl"))
+    return canon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct("url").cast("long").alias("n_raw_distinct"),
+        F.count_distinct("curl").cast("long").alias("n_canonical_distinct"),
+        (F.count_distinct("url") - F.count_distinct("curl"))
+        .cast("long")
+        .alias("n_merged"),
+    )
