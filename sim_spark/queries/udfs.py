@@ -350,3 +350,68 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+class _UserGapStats:
+    """UDTF over TABLE input: per PARTITION BY user_id, consume rows in
+    ORDER BY ts and emit one summary row from terminate() — genuinely
+    sequential per-partition state (max inter-event gap) that a scalar
+    UDF cannot express and a window would need two passes for."""
+
+    def __init__(self):
+        self._user = None
+        self._n = 0
+        self._prev_us = None
+        self._max_gap = 0
+
+    def eval(self, row):
+        self._user = row["user_id"]
+        us = int(row["ts"].timestamp() * 1_000_000)
+        if self._prev_us is not None and us - self._prev_us > self._max_gap:
+            self._max_gap = us - self._prev_us
+        self._prev_us = us
+        self._n += 1
+
+    def terminate(self):
+        if self._user is not None:
+            yield self._user, self._n, self._max_gap
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument: the function receives whole
+    partitions (`PARTITION BY user_id ORDER BY ts, event_id`) row by row
+    in order and emits one summary per partition from terminate() — the
+    API for custom per-group sequential operators without applyInPandas.
+    Max inter-event gap needs exactly this ordered scan; the oracle
+    re-derives it with a lag window. At scale partitions shard across
+    executors on the PARTITION BY key like any grouped op."""
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    register_views(spark, sf_dir, ["events"])
+    spark.udtf.register(
+        "user_gap_stats",
+        udtf_fn(_UserGapStats, returnType="user_id long, n_events long, max_gap_us long"),
+    )
+    return spark.sql(
+        """
+        SELECT * FROM user_gap_stats(
+          TABLE(SELECT user_id, ts, event_id FROM events)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        ) ORDER BY user_id
+        """
+    )
