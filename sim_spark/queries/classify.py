@@ -17,6 +17,73 @@ from sim_spark.registry import query
 _NB_VOCAB = 200
 
 
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB scoring pipeline → (doc_id, actual, predicted): the
+    broadcast-grid plan both `ml_naive_bayes_lang` (confusion matrix)
+    and `ml_eval_prf` (P/R/F1) reduce from, so the two keys pin the
+    SAME argmax predictions."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .orderBy(F.desc("wc"), F.asc("word"))
+        .limit(_NB_VOCAB)
+        .select("word")
+    )
+    vtok = tok.join(F.broadcast(vocab), "word")
+    cnt_wl = vtok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot_l = cnt_wl.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        vocab.crossJoin(langs.select("lang"))
+        .join(cnt_wl, ["lang", "word"], "left")
+        .join(tot_l, "lang")
+        .crossJoin(vsize)
+        .select(
+            "lang",
+            "word",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    wordscore = (
+        vtok.select("doc_id", "word")
+        .join(F.broadcast(grid), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("logp").alias("ll"))
+    )
+    base = (
+        d.select("doc_id", F.col("lang").alias("actual"))
+        .crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand")))
+        .crossJoin(n)
+    )
+    ws = wordscore.withColumnRenamed("lang", "cand").withColumnRenamed(
+        "doc_id", "ws_doc"
+    )
+    scored = base.join(
+        ws, (base["doc_id"] == ws["ws_doc"]) & (base["cand"] == ws["cand"]), "left"
+    ).select(
+        base["doc_id"],
+        "actual",
+        base["cand"],
+        (
+            F.log(F.col("n_docs") * F.lit(1.0) / F.col("n"))
+            + F.coalesce(F.col("ll"), F.lit(0.0))
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("cand").alias("predicted"))
+    )
+
+
 @query(
     "ml_naive_bayes_lang",
     oracle=f"""
@@ -76,64 +143,9 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences through ln) are astronomically larger than cross-engine
     summation-order drift, and the row_number tie-break is total.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
-    vocab = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .orderBy(F.desc("wc"), F.asc("word"))
-        .limit(_NB_VOCAB)
-        .select("word")
-    )
-    vtok = tok.join(F.broadcast(vocab), "word")
-    cnt_wl = vtok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
-    tot_l = cnt_wl.groupBy("lang").agg(F.sum("c").alias("tot"))
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    n = d.agg(F.count(F.lit(1)).alias("n"))
-    grid = (
-        vocab.crossJoin(langs.select("lang"))
-        .join(cnt_wl, ["lang", "word"], "left")
-        .join(tot_l, "lang")
-        .crossJoin(vsize)
-        .select(
-            "lang",
-            "word",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                / (F.col("tot") + F.col("v"))
-            ).alias("logp"),
-        )
-    )
-    wordscore = (
-        vtok.select("doc_id", "word")
-        .join(F.broadcast(grid), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("logp").alias("ll"))
-    )
-    base = (
-        d.select("doc_id", F.col("lang").alias("actual"))
-        .crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand")))
-        .crossJoin(n)
-    )
-    ws = wordscore.withColumnRenamed("lang", "cand").withColumnRenamed(
-        "doc_id", "ws_doc"
-    )
-    scored = base.join(
-        ws, (base["doc_id"] == ws["ws_doc"]) & (base["cand"] == ws["cand"]), "left"
-    ).select(
-        base["doc_id"],
-        "actual",
-        base["cand"],
-        (
-            F.log(F.col("n_docs") * F.lit(1.0) / F.col("n"))
-            + F.coalesce(F.col("ll"), F.lit(0.0))
-        ).alias("score"),
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
-    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pred = _nb_predictions(spark, sf_dir)
     return pred.groupBy(
-        "actual", F.col("cand").alias("predicted")
+        "actual", F.col("predicted").alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -517,69 +529,8 @@ def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the evaluation step is as hash-checkable as the model. One extra
     aggregate over the prediction frame; the broadcast-grid scoring
     plan is unchanged."""
-    d = table(spark, sf_dir, "documents")
-    # ml_naive_bayes_lang returns the confusion matrix, not row predictions,
-    # so rebuild the per-doc predictions with the same broadcast-grid plan.
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
-    vocab = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(_NB_VOCAB)
-        .select("word")
-    )
-    vtok = tok.join(F.broadcast(vocab), "word")
-    cnt_wl = vtok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
-    tot_l = cnt_wl.groupBy("lang").agg(F.sum("c").alias("tot"))
-    v = vocab.agg(F.count(F.lit(1)).alias("v"))
-    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs_total"))
-    grid = (
-        vocab.crossJoin(langs.select("lang"))
-        .join(cnt_wl, ["lang", "word"], "left")
-        .join(tot_l, "lang")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "lang",
-            "word",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                / (F.col("tot") + F.col("v"))
-            ).alias("logp"),
-        )
-    )
-    wordscore = (
-        vtok.select("doc_id", "word")
-        .join(F.broadcast(grid), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("logp").alias("ll"))
-    )
-    base = (
-        d.select("doc_id", F.col("lang").alias("actual"))
-        .crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand")))
-        .crossJoin(n)
-    )
-    ws = wordscore.withColumnRenamed("lang", "cand").withColumnRenamed(
-        "doc_id", "ws_doc"
-    )
-    scored = base.join(
-        ws, (base["doc_id"] == ws["ws_doc"]) & (base["cand"] == ws["cand"]), "left"
-    ).select(
-        base["doc_id"],
-        "actual",
-        base["cand"],
-        (
-            F.log(F.col("n_docs") * F.lit(1.0) / F.col("n_docs_total"))
-            + F.coalesce(F.col("ll"), F.lit(0.0))
-        ).alias("score"),
-    )
-    wp = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
-    pred = (
-        scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "actual", F.col("cand").alias("predicted"))
-    )
-    cls = langs.select("lang")
+    pred = _nb_predictions(spark, sf_dir)
+    cls = table(spark, sf_dir, "documents").select("lang").distinct()
     joined = F.broadcast(cls).crossJoin(pred)
     m = joined.groupBy("lang").agg(
         F.sum(
