@@ -1,0 +1,356 @@
+"""Corpus-curation extras (SURVEY.md §2.11/§2.13 extension surface):
+substring-span dedup, join-key skew profiling, winsorized robust stats,
+deterministic shard assignment, and entity-resolution blocking.
+
+Scale designs (the 100 TB story per operator):
+
+- dedup_substring_spans: the exact-substring dedup signal from
+  "Deduplicating Training Data Makes Language Models Better"
+  (Lee et al., 2022), re-expressed relationally: every K-word rolling
+  window becomes an md5 span key built *inside array HOFs* (transform/
+  slice/concat_ws — whole-stage codegen, no Python), then one explode
+  feeds a two-level aggregate: (source, span) partial counts, then a
+  per-source rollup. Both aggregates are map-side-combinable; the only
+  wide exchange is on (source, span-hash), which is near-uniform by
+  construction (md5). No all-pairs stage, no driver state — at 100 TB
+  the span table shards like any other key-partitioned aggregate.
+- profile_key_skew: the pre-join diagnostic you run *before* picking a
+  join strategy at scale — per-key counts (one partial-agg shuffle on
+  the key), then top-N heavy hitters with their share of total rows.
+  The total is computed as a 1-row aggregate of the per-key counts and
+  broadcast back (AQE broadcasts a 1-row side automatically); no
+  window-over-everything, no driver collect.
+- stats_winsorized_mean: robust location/scale after clipping at exact
+  p05/p95. Prices are moved to integer cents first so every sum is
+  exact (the repo's nano-unit idiom); the percentile cutoffs are the
+  only doubles, and comparisons against integer cents tolerate 1-ulp
+  engine drift everywhere except exactly-integer cutoffs, where both
+  engines interpolate identical endpoint values. Exact percentile needs
+  a per-group sort — at 100 TB swap in approx_percentile(..., 1e-4) and
+  keep the same clip/mean plan (noted in oracle docstring).
+- curate_shard_assign: the "global deterministic shuffle" of a training
+  run — shard = md5(doc_id) lexicographic bucket, so assignment is
+  reproducible on any cluster with zero coordination, and the per-shard
+  certificate (count, char sum, keyed checksum, min_by/max_by boundary
+  docs) is a pure partial-final aggregate. Writing shards is then one
+  `partitionBy("shard")` sink; nothing ever materializes on the driver.
+- er_blocking_pairs: entity resolution as bucket-then-refine (the same
+  shape as every dedup op in this repo): a cheap blocking key (name
+  suffix) turns O(n^2) into per-block micro-joins via an equi-join on
+  the block key; levenshtein refines inside the block only. Block-size
+  skew is bounded by construction (suffix digits distribute uniformly);
+  at 100 TB the block key becomes the shuffle key and the refine stays
+  in-partition. Cluster formation over the surviving pairs is the
+  already-shipped dedup_connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sim_spark.io import table
+from sim_spark.registry import query
+
+_SPAN_K = 8  # words per rolling span (Lee et al. use 50 BPE tokens; scaled)
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup signal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+),
+spans AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - {_SPAN_K - 1}, 0)),
+           i -> md5(array_to_string(ws[i:i + {_SPAN_K - 1}], ' ')))) AS h
+  FROM w
+),
+per_span AS (
+  SELECT source, h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS nd
+  FROM spans GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT)                                AS n_spans,
+       CAST(COUNT(*) AS BIGINT)                              AS n_unique,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_hashes,
+       CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_instances
+FROM per_span GROUP BY source ORDER BY source
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling K-word span dedup: every 8-word window is hashed in-row
+    (transform + slice + concat_ws — all codegen), then counted per
+    (source, span). A span hash seen in >= 2 distinct docs of a source
+    is a duplicated substring; the per-source rollup reports how much of
+    the corpus is span-duplicated. Two map-side-combinable aggregates,
+    one near-uniform shuffle key — Lee-et-al-style substring dedup with
+    no suffix array and no all-pairs stage."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(_SPAN_K - 1), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, _SPAN_K)).cast("binary")),
+    )
+    per_span = (
+        d.select("doc_id", "source", F.explode(spans).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("c"), F.countDistinct("doc_id").alias("nd"))
+    )
+    return (
+        per_span.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.count("*").alias("n_unique"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_hashes"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_instances"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# join-key skew profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts),
+ranked AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+  FROM counts
+)
+SELECT r.rnk AS rnk, r.key AS key, CAST(r.cnt AS BIGINT) AS cnt,
+       ROUND(r.cnt * 1.0 / t.total, 6) AS share,
+       ROUND(r.cnt * t.n_keys * 1.0 / t.total, 6) AS skew_x
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= 10 ORDER BY r.rnk
+""",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile for a join key: per-key counts (one keyed
+    partial-agg shuffle), top-10 by count with share-of-total and
+    skew multiplier (cnt / mean-count). The 1-row total side joins back
+    by broadcast — the profile you run before choosing salting vs AQE
+    skew-join for a 100 TB fact join."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    # TakeOrderedAndProject (orderBy+limit), NOT a global row_number window:
+    # a window with no PARTITION BY would drag every per-key count onto one
+    # partition at scale. The rank window then runs over 10 rows only.
+    top10 = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(10)
+    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = top10.withColumn("rnk", F.row_number().over(w))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 6).alias(
+                "skew_x"
+            ),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# winsorized robust mean
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_winsorized_mean",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+cuts AS (
+  SELECT grp, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+  FROM cents GROUP BY grp
+),
+clipped AS (
+  SELECT c.grp,
+         CASE WHEN c.v < u.lo THEN u.lo
+              WHEN c.v > u.hi THEN u.hi
+              ELSE c.v * 1.0 END AS wv,
+         CASE WHEN c.v < u.lo OR c.v > u.hi THEN 1 ELSE 0 END AS clip
+  FROM cents c JOIN cuts u USING (grp)
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(clip) AS BIGINT) AS n_clipped,
+       ROUND(SUM(wv) / (COUNT(*) * 100.0), 4) AS wins_mean
+FROM clipped GROUP BY grp ORDER BY grp
+""",
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clip at exact interpolated p05/p95 and
+    average. Prices move to integer cents first (exact sums, the repo's
+    nano-unit idiom); only the two cutoffs are doubles, and comparisons
+    of integer cents against them absorb 1-ulp engine drift. The
+    per-group cutoff table is tiny and joins back by broadcast. At
+    100 TB substitute approx_percentile(v, [0.05, 0.95], 10000) for the
+    exact sort-based percentile; the clip/mean plan is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    cuts = cents.groupBy("grp").agg(
+        F.percentile("v", F.lit(0.05)).alias("lo"),
+        F.percentile("v", F.lit(0.95)).alias("hi"),
+    )
+    clipped = cents.join(F.broadcast(cuts), "grp").select(
+        "grp",
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v").cast("double"))
+        .alias("wv"),
+        F.when(
+            (F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("clip"),
+    )
+    return (
+        clipped.groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("clip").alias("n_clipped"),
+            F.round(F.sum("wv") / (F.count("*") * 100.0), 4).alias("wins_mean"),
+        )
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic shard assignment
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "curate_shard_assign",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % {_N_SHARDS})
+              AS BIGINT) AS shard
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id * 131 + n_chars) AS BIGINT) AS checksum,
+       arg_min(doc_id, k) AS first_doc,
+       arg_max(doc_id, k) AS last_doc
+FROM keyed GROUP BY shard ORDER BY shard
+""",
+)
+def curate_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard id from
+    the first md5 hex char of the stable doc key — reproducible on any
+    cluster with no RNG state and no coordination. The per-shard
+    certificate (count, char sum, keyed checksum, md5-order boundary
+    docs via min_by/max_by) is a pure partial-final aggregate; the real
+    sink is then a single partitionBy("shard") parquet write."""
+    d = table(spark, sf_dir, "documents")
+    k = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        k.alias("k"),
+        (F.ascii(F.substring(k, 1, 1)) % _N_SHARDS).cast("bigint").alias("shard"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
+            F.min_by("doc_id", "k").alias("first_doc"),
+            F.max_by("doc_id", "k").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# entity-resolution blocking
+# --------------------------------------------------------------------------
+
+
+@query(
+    "er_blocking_pairs",
+    oracle="""
+WITH blocked AS (
+  SELECT c_custkey, c_name, substr(c_name, length(c_name) - 1, 2) AS blk
+  FROM customer
+),
+pairs AS (
+  SELECT a.blk, a.c_custkey AS id_a, b.c_custkey AS id_b,
+         levenshtein(a.c_name, b.c_name) AS dist
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+)
+SELECT blk,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM pairs GROUP BY blk ORDER BY blk
+""",
+)
+def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation: block on a cheap key (name
+    suffix), equi-join within blocks only, refine with levenshtein. The
+    bucket-then-refine shape turns O(n^2) comparisons into per-block
+    micro-joins whose shuffle key is the block id; matched pairs feed
+    the existing dedup_connected_components clustering. Block sizes are
+    uniform by construction (digit suffixes), so no salting needed."""
+    c = table(spark, sf_dir, "customer")
+    blocked = c.select(
+        "c_custkey",
+        "c_name",
+        F.substring(F.col("c_name"), -2, 2).alias("blk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0)).alias("n_matches"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+        )
+        .orderBy("blk")
+    )
