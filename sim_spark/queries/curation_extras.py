@@ -354,3 +354,134 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blk")
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation funnel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curate_pipeline_e2e",
+    oracle=f"""
+WITH input AS (
+  SELECT doc_id, text, source, n_chars,
+         str_split(text, ' ') AS ws
+  FROM documents
+),
+quality AS (
+  SELECT * FROM input
+  WHERE len(ws) BETWEEN 5 AND 1000 AND n_chars BETWEEN 20 AND 100000
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1
+),
+bench_grams AS (
+  SELECT DISTINCT array_to_string(ws[i:i + 4], ' ') AS gram
+  FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+        FROM input WHERE doc_id % 97 = 0)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, array_to_string(ws[i:i + 4], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+              FROM dedup WHERE doc_id % 97 <> 0)) g
+  JOIN bench_grams b USING (gram)
+),
+clean AS (
+  SELECT d.* FROM dedup d
+  WHERE d.doc_id % 97 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+),
+sharded AS (
+  SELECT *, CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % {_N_SHARDS})
+                 AS BIGINT) AS shard
+  FROM clean
+),
+funnel AS (
+  SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(doc_id * 131 + n_chars) AS BIGINT) AS checksum FROM input
+  UNION ALL
+  SELECT '1_quality', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+         CAST(SUM(doc_id * 131 + n_chars) AS BIGINT) FROM quality
+  UNION ALL
+  SELECT '2_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+         CAST(SUM(doc_id * 131 + n_chars) AS BIGINT) FROM dedup
+  UNION ALL
+  SELECT '3_clean', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+         CAST(SUM(doc_id * 131 + n_chars) AS BIGINT) FROM clean
+  UNION ALL
+  SELECT '4_shard_' || CAST(shard AS VARCHAR), COUNT(*),
+         CAST(SUM(n_chars) AS BIGINT),
+         CAST(SUM(doc_id * 131 + n_chars) AS BIGINT)
+  FROM sharded GROUP BY shard
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, sum_chars, checksum
+FROM funnel ORDER BY stage
+""",
+)
+def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative chain — quality gate
+    (integer thresholds only), exact dedup (md5 keep-min-doc_id), GPT-3
+    style 5-gram benchmark decontamination (bounded bench side -> AQE
+    broadcast semi/anti joins), deterministic shard assignment — with a
+    per-stage funnel certificate (count, char sum, keyed checksum). The
+    funnel re-derives each prefix, so intermediates are cached the way a
+    real run would persist them between stages; at 100 TB each stage is
+    the same plan with the cache swapped for a checkpointed table."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars", F.split("text", " ").alias("ws")
+    )
+    inp = d.cache()
+    quality = inp.filter(
+        F.size("ws").between(5, 1000) & F.col("n_chars").between(20, 100000)
+    )
+    w_d = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .cache()
+    )
+    starts = F.when(
+        F.size("ws") >= 5, F.sequence(F.lit(1), F.size("ws") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(starts).alias("i"), "ws"
+    ).select("doc_id", F.concat_ws(" ", F.slice("ws", F.col("i"), 5)).alias("gram"))
+    bench_grams = gram(inp.filter(F.col("doc_id") % 97 == 0)).select(
+        "gram"
+    ).distinct()
+    corpus = dedup.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        gram(corpus).join(bench_grams, "gram").select("doc_id").distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti").cache()
+    shard = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1))
+        % _N_SHARDS
+    ).cast("bigint")
+
+    def _cert(df: DataFrame, stage) -> DataFrame:
+        return df.groupBy(stage.alias("stage")).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
+        )
+
+    funnel = (
+        _cert(inp, F.lit("0_input"))
+        .unionAll(_cert(quality, F.lit("1_quality")))
+        .unionAll(_cert(dedup, F.lit("2_dedup")))
+        .unionAll(_cert(clean, F.lit("3_clean")))
+        .unionAll(
+            _cert(clean.withColumn("shard", shard),
+                  F.concat(F.lit("4_shard_"), F.col("shard").cast("string")))
+        )
+    )
+    return funnel.orderBy("stage")
