@@ -415,3 +415,48 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) ORDER BY user_id
         """
     )
+
+
+# --- mapInArrow -------------------------------------------------------------
+
+
+def _arrow_sq_nano(batches):
+    """Zero-copy Arrow path: flatten the fixed-64-dim list column straight
+    to a numpy view, square/quantize to integer nano-units (floor(x+0.5),
+    the engine-shared rounding), sum exactly in int64 — no pandas, no
+    per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        v = flat.reshape(len(batch), -1)
+        terms = np.floor(v * v * 1e9 + 0.5).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [ids, pa.array(terms.sum(axis=1), type=pa.int64())],
+            names=["vec_id", "sq_nano"],
+        )
+
+
+@query(
+    "udf_arrow_map",
+    oracle="""
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000 + 0.5)
+              AS BIGINT))) AS BIGINT) AS sq_nano
+FROM embeddings ORDER BY vec_id
+""",
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python boundary — RecordBatches
+    cross as-is (no pandas materialization), the embedding list column is
+    read as one contiguous numpy view, and the squared-norm is summed in
+    exact integer nano-units so the hash matches plain SQL. Use this API
+    when even pandas conversion overhead matters (wide numeric batches);
+    per-row semantics stay in the vectorized kernel."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = e.mapInArrow(_arrow_sq_nano, "vec_id long, sq_nano long")
+    return out.orderBy("vec_id")
