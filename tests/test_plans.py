@@ -343,3 +343,35 @@ def test_logistic_unrolled_weights_are_broadcast(spark):
     p = plan(spark, "ml_logistic_unrolled")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_er_blocking_is_hash_join_not_cartesian(spark):
+    """Blocking must turn the self-comparison into an equi-join on the
+    block key; a cartesian/BNLJ would be the O(n^2) shape blocking
+    exists to avoid."""
+    p = plan(spark, "er_blocking_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_key_skew_profile_is_take_ordered(spark):
+    """Top-10 heavy hitters must come from orderBy+limit
+    (TakeOrderedAndProject), not a global row_number window that drags
+    every per-key count to one partition."""
+    p = plan(spark, "profile_key_skew")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_substring_spans_single_explode_two_aggs(spark):
+    """The span dedup is one Generate (explode of in-row hashed spans)
+    feeding partial+final aggregates — no join, no cartesian."""
+    p = plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("Generate") >= 1, p
+    assert "HashAggregate" in p, p
+
+
+def test_pipeline_e2e_decontam_joins_are_equi(spark):
+    """The funnel's decontam stage must stay semi/anti equi-joins on the
+    gram key; bench side bounded -> broadcastable, never nested-loop."""
+    p = plan(spark, "curate_pipeline_e2e")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
