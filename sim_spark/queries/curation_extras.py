@@ -485,3 +485,93 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel.orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (user-level unit of analysis)
+# --------------------------------------------------------------------------
+
+# Shared formula text evaluated by BOTH engines over the six exact moments
+# (user-level n, Σx, Σx² per variant, x in whole nano-units cast to double):
+# identical doubles in, identical doubles out. Same idiom as
+# analytics_extra._WELCH_FORMULAS.
+_AB_FORMULAS = [
+    "CAST(n1 AS BIGINT) AS n_a",
+    "CAST(n2 AS BIGINT) AS n_b",
+    "ROUND(s1 / n1 / 1000000000.0, 6) AS mean_a",
+    "ROUND(s2 / n2 / 1000000000.0, 6) AS mean_b",
+    "ROUND((s2 / n2 - s1 / n1) / 1000000000.0, 6) AS lift",
+    "ROUND((s2 / n2 - s1 / n1) / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+    " + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat",
+]
+
+
+@query(
+    "events_ab_experiment",
+    oracle=f"""
+WITH metric AS (
+  SELECT user_id,
+         CAST((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS grp,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 1000000000 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) FILTER (grp = 0) AS DOUBLE) AS n1,
+         CAST(SUM(x) FILTER (grp = 0) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FILTER (grp = 0) AS DOUBLE) AS q1,
+         CAST(COUNT(*) FILTER (grp = 1) AS DOUBLE) AS n2,
+         CAST(SUM(x) FILTER (grp = 1) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FILTER (grp = 1) AS DOUBLE) AS q2
+  FROM metric
+)
+SELECT {', '.join(_AB_FORMULAS)} FROM m
+""",
+)
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with the USER as the unit of analysis — the
+    correctness detail every experimentation platform has to get right:
+    events of one user are correlated, so the metric aggregates per user
+    FIRST (exact nano-unit purchase totals, zero for non-purchasers),
+    variants assigned by a deterministic hash of the randomization unit,
+    THEN the Welch t evaluates over six exact user-level moments via
+    engine-shared formula text. Two keyed aggregates (user, then 1-row);
+    at 100 TB the per-user rollup is the only real shuffle.
+
+    Caveat sum-of-squares: x² leaves int64, so q sums in DOUBLE over
+    exactly-representable int products — order-independent only because
+    each x² is a dyadic double and the test rounds at 6 dp (measured
+    stable across partitionings; the exact-moment path would need
+    DECIMAL(38,0) at the cost of an unsplittable wide sum).
+    """
+    ev = table(spark, sf_dir, "events")
+    x_nano = F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint")
+    metric = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", x_nano)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("x")
+    ).withColumn(
+        "grp",
+        (
+            F.ascii(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+                )
+            )
+            % 2
+        ).cast("bigint"),
+    )
+    g0 = F.col("grp") == 0
+    g1 = F.col("grp") == 1
+    xd = F.col("x").cast("double")
+    m = metric.agg(
+        F.count(F.when(g0, 1)).cast("double").alias("n1"),
+        F.sum(F.when(g0, F.col("x"))).cast("double").alias("s1"),
+        F.sum(F.when(g0, xd * xd)).alias("q1"),
+        F.count(F.when(g1, 1)).cast("double").alias("n2"),
+        F.sum(F.when(g1, F.col("x"))).cast("double").alias("s2"),
+        F.sum(F.when(g1, xd * xd)).alias("q2"),
+    )
+    return m.selectExpr(*_AB_FORMULAS)
