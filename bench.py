@@ -56,6 +56,8 @@ HEADLINE = [
     "geo_cell_neighbor_join",
     "ts_autocorr",
     "ml_logistic_unrolled",
+    "dedup_substring_spans",
+    "curate_pipeline_e2e",
 ]
 
 
