@@ -70,6 +70,22 @@ _SPAN_SPARK_COMBINE = " + ".join(
 )
 
 
+def span_keys_expr():
+    """Span-key column over a `wh` (word-hash array) column.
+
+    sequence(1, 0) DESCENDS in Spark ([1,0]) while DuckDB's
+    generate_series(1, 0) is empty — guard short docs to an empty span
+    list (same hazard as decontam_ngram_overlap's starts guard; pinned
+    by tests/test_ops_properties.py::test_substring_spans_short_doc...).
+    """
+    return F.expr(
+        f"CASE WHEN size(wh) >= {_SPAN_K} THEN"
+        f" transform(sequence(1, size(wh) - {_SPAN_K - 1}),"
+        f" i -> {_SPAN_SPARK_COMBINE})"
+        f" ELSE array() END"
+    )
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
@@ -114,10 +130,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " "),
         lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
     )
-    spans = F.expr(
-        f"transform(sequence(1, greatest(size(wh) - {_SPAN_K - 1}, 0)),"
-        f" i -> {_SPAN_SPARK_COMBINE})"
-    )
+    spans = span_keys_expr()
     per_doc_span = (
         d.select("doc_id", "source", wh.alias("wh"))
         .select("doc_id", "source", F.explode(spans).alias("h"))

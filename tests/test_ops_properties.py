@@ -269,3 +269,28 @@ def test_banded_simhash_join_is_candidate_exact(spark):
         )
     }
     assert got == naive
+
+
+def test_substring_spans_short_doc_yields_no_spans(spark):
+    """sequence(1,0) descends in Spark while DuckDB's generate_series is
+    empty — the short-doc guard must produce ZERO spans for docs with
+    fewer than 8 words (regression test for the engine-divergence
+    hazard; fixtures never exercise it)."""
+    from sim_spark.queries.curation_extras import _SPAN_K, span_keys_expr
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join("w%d" % i for i in range(12)))],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
+        ).alias("wh"),
+    )
+    spans = span_keys_expr()
+    rows = {r["doc_id"]: r["n"] for r in
+            df.select("doc_id", F.size(spans).alias("n")).collect()}
+    assert rows[1] == 0, rows
+    assert rows[2] == 12 - _SPAN_K + 1, rows
