@@ -29,7 +29,7 @@ Scale designs (the 100 TB story per operator):
   a per-group sort — at 100 TB swap in approx_percentile(..., 1e-4) and
   keep the same clip/mean plan (noted in oracle docstring).
 - curate_shard_assign: the "global deterministic shuffle" of a training
-  run — shard = md5(doc_id) lexicographic bucket, so assignment is
+  run — shard = uniform md5(doc_id) two-hex-char bucket, so assignment is
   reproducible on any cluster with zero coordination, and the per-shard
   certificate (count, char sum, keyed checksum, min_by/max_by boundary
   docs) is a pure partial-final aggregate. Writing shards is then one
@@ -53,6 +53,24 @@ from sim_spark.io import table
 from sim_spark.registry import query
 
 _SPAN_K = 8  # words per rolling span (Lee et al. use 50 BPE tokens; scaled)
+
+
+def md5_bucket_spark(col, n: int):
+    """Uniform bucket in [0, n) from the first TWO md5 hex chars (0..255,
+    uniform for any n dividing 256). `ascii(first_hex_char) % n` is NOT
+    uniform — hex chars '0'-'9','a'-'f' have uneven ascii residues mod 8
+    (a 3:1 shard-size spread), which defeats balanced sharding."""
+    return (
+        F.conv(
+            F.substring(F.md5(col.cast("string").cast("binary")), 1, 2), 16, 10
+        ).cast("long")
+        % n
+    )
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB mirror of md5_bucket_spark (same bytes, same bucket)."""
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 2))::BIGINT % {n})"
 
 # --------------------------------------------------------------------------
 # exact substring-span dedup signal
@@ -296,8 +314,7 @@ _N_SHARDS = 8
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS k,
-         CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % {_N_SHARDS})
-              AS BIGINT) AS shard
+         {md5_bucket_sql('doc_id', _N_SHARDS)} AS shard
   FROM documents
 )
 SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -310,18 +327,19 @@ FROM keyed GROUP BY shard ORDER BY shard
 )
 def curate_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard id from
-    the first md5 hex char of the stable doc key — reproducible on any
-    cluster with no RNG state and no coordination. The per-shard
-    certificate (count, char sum, keyed checksum, md5-order boundary
-    docs via min_by/max_by) is a pure partial-final aggregate; the real
-    sink is then a single partitionBy("shard") parquet write."""
+    the md5 of the stable doc key (uniform two-hex-char bucket — see
+    md5_bucket_spark) — reproducible on any cluster with no RNG state
+    and no coordination. The per-shard certificate (count, char sum,
+    keyed checksum, md5-order boundary docs via min_by/max_by) is a pure
+    partial-final aggregate; the real sink is then a single
+    partitionBy("shard") parquet write."""
     d = table(spark, sf_dir, "documents")
     k = F.md5(F.col("doc_id").cast("string").cast("binary"))
     keyed = d.select(
         "doc_id",
         "n_chars",
         k.alias("k"),
-        (F.ascii(F.substring(k, 1, 1)) % _N_SHARDS).cast("bigint").alias("shard"),
+        md5_bucket_spark(F.col("doc_id"), _N_SHARDS).alias("shard"),
     )
     return (
         keyed.groupBy("shard")
@@ -436,8 +454,7 @@ clean AS (
     AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
 ),
 sharded AS (
-  SELECT *, CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % {_N_SHARDS})
-                 AS BIGINT) AS shard
+  SELECT *, {md5_bucket_sql('doc_id', _N_SHARDS)} AS shard
   FROM clean
 ),
 funnel AS (
@@ -469,13 +486,18 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     style 5-gram benchmark decontamination (bounded bench side -> AQE
     broadcast semi/anti joins), deterministic shard assignment — with a
     per-stage funnel certificate (count, char sum, keyed checksum). The
-    funnel re-derives each prefix, so intermediates are cached the way a
-    real run would persist them between stages; at 100 TB each stage is
-    the same plan with the cache swapped for a checkpointed table."""
-    d = table(spark, sf_dir, "documents").select(
+    funnel re-derives each prefix; the two reuse-heavy intermediates
+    (dedup, clean — each feeds multiple downstream legs) are cached
+    exactly where a real run would persist to a checkpointed table, and
+    the cache keys on the analyzed plan so repeated invocations reuse
+    rather than accumulate blocks. Gram machinery is shared with
+    decontam_ngram_overlap (pipeline_ops.word_5grams) so the short-doc
+    guard lives in one place."""
+    from sim_spark.queries.pipeline_ops import word_5grams
+
+    inp = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars", F.split("text", " ").alias("ws")
     )
-    inp = d.cache()
     quality = inp.filter(
         F.size("ws").between(5, 1000) & F.col("n_chars").between(20, 100000)
     )
@@ -486,41 +508,48 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .cache()
     )
-    starts = F.when(
-        F.size("ws") >= 5, F.sequence(F.lit(1), F.size("ws") - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda df: df.select(  # noqa: E731
-        "doc_id", F.explode(starts).alias("i"), "ws"
-    ).select("doc_id", F.concat_ws(" ", F.slice("ws", F.col("i"), 5)).alias("gram"))
-    bench_grams = gram(inp.filter(F.col("doc_id") % 97 == 0)).select(
-        "gram"
-    ).distinct()
+    bench_grams = (
+        word_5grams(inp.filter(F.col("doc_id") % 97 == 0)).distinct()
+    )
     corpus = dedup.filter(F.col("doc_id") % 97 != 0)
     contaminated = (
-        gram(corpus).join(bench_grams, "gram").select("doc_id").distinct()
+        word_5grams(corpus, "doc_id")
+        .join(bench_grams, "gram")
+        .select("doc_id")
+        .distinct()
     )
     clean = corpus.join(contaminated, "doc_id", "left_anti").cache()
-    shard = (
-        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1))
-        % _N_SHARDS
-    ).cast("bigint")
+    shard = md5_bucket_spark(F.col("doc_id"), _N_SHARDS)
 
-    def _cert(df: DataFrame, stage) -> DataFrame:
-        return df.groupBy(stage.alias("stage")).agg(
+    def _scalar_cert(df: DataFrame, stage: str) -> DataFrame:
+        # No-groupBy aggregate: yields exactly ONE row even for an empty
+        # stage (count 0, null sums), matching the oracle's bare
+        # SELECT COUNT(*) — a groupBy(lit) would yield ZERO rows there.
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "sum_chars", "checksum")
+
+    shard_cert = (
+        clean.withColumn("shard", shard)
+        .groupBy(
+            F.concat(F.lit("4_shard_"), F.col("shard").cast("string")).alias(
+                "stage"
+            )
+        )
+        .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
             F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
         )
-
+    )
     funnel = (
-        _cert(inp, F.lit("0_input"))
-        .unionAll(_cert(quality, F.lit("1_quality")))
-        .unionAll(_cert(dedup, F.lit("2_dedup")))
-        .unionAll(_cert(clean, F.lit("3_clean")))
-        .unionAll(
-            _cert(clean.withColumn("shard", shard),
-                  F.concat(F.lit("4_shard_"), F.col("shard").cast("string")))
-        )
+        _scalar_cert(inp, "0_input")
+        .unionAll(_scalar_cert(quality, "1_quality"))
+        .unionAll(_scalar_cert(dedup, "2_dedup"))
+        .unionAll(_scalar_cert(clean, "3_clean"))
+        .unionAll(shard_cert)
     )
     return funnel.orderBy("stage")
 
@@ -549,7 +578,7 @@ _AB_FORMULAS = [
     oracle=f"""
 WITH metric AS (
   SELECT user_id,
-         CAST((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2) AS BIGINT) AS grp,
+         {md5_bucket_sql('user_id', 2)} AS grp,
          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
                THEN CAST(floor(value * 1000000000 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS x
   FROM events GROUP BY user_id
@@ -557,10 +586,12 @@ WITH metric AS (
 m AS (
   SELECT CAST(COUNT(*) FILTER (grp = 0) AS DOUBLE) AS n1,
          CAST(SUM(x) FILTER (grp = 0) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FILTER (grp = 0) AS DOUBLE) AS q1,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              FILTER (grp = 0) AS DOUBLE) AS q1,
          CAST(COUNT(*) FILTER (grp = 1) AS DOUBLE) AS n2,
          CAST(SUM(x) FILTER (grp = 1) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FILTER (grp = 1) AS DOUBLE) AS q2
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              FILTER (grp = 1) AS DOUBLE) AS q2
   FROM metric
 )
 SELECT {', '.join(_AB_FORMULAS)} FROM m
@@ -576,11 +607,10 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-shared formula text. Two keyed aggregates (user, then 1-row);
     at 100 TB the per-user rollup is the only real shuffle.
 
-    Caveat sum-of-squares: x² leaves int64, so q sums in DOUBLE over
-    exactly-representable int products — order-independent only because
-    each x² is a dyadic double and the test rounds at 6 dp (measured
-    stable across partitionings; the exact-moment path would need
-    DECIMAL(38,0) at the cost of an unsplittable wide sum).
+    Sum-of-squares stays EXACT: x² is computed as DECIMAL(19,0)² (per-
+    user nano totals are far below 1e18) and summed as decimal, so q is
+    order-independent across partitionings — the same exact-moment idiom
+    as stats_welch_ttest — and only the final formula runs in doubles.
     """
     ev = table(spark, sf_dir, "events")
     x_nano = F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint")
@@ -590,26 +620,16 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("x")
-    ).withColumn(
-        "grp",
-        (
-            F.ascii(
-                F.substring(
-                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
-                )
-            )
-            % 2
-        ).cast("bigint"),
-    )
+    ).withColumn("grp", md5_bucket_spark(F.col("user_id"), 2))
     g0 = F.col("grp") == 0
     g1 = F.col("grp") == 1
-    xd = F.col("x").cast("double")
+    xdec = F.col("x").cast("decimal(19,0)")
     m = metric.agg(
         F.count(F.when(g0, 1)).cast("double").alias("n1"),
         F.sum(F.when(g0, F.col("x"))).cast("double").alias("s1"),
-        F.sum(F.when(g0, xd * xd)).alias("q1"),
+        F.sum(F.when(g0, xdec * xdec)).cast("double").alias("q1"),
         F.count(F.when(g1, 1)).cast("double").alias("n2"),
         F.sum(F.when(g1, F.col("x"))).cast("double").alias("s2"),
-        F.sum(F.when(g1, xd * xd)).alias("q2"),
+        F.sum(F.when(g1, xdec * xdec)).cast("double").alias("q2"),
     )
     return m.selectExpr(*_AB_FORMULAS)

@@ -83,6 +83,26 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def word_5grams(df: DataFrame, *keep: str) -> DataFrame:
+    """One row per word 5-gram of `text`, keeping `keep` id columns.
+
+    sequence(1, n-4) DESCENDS when n < 5 (Spark auto-steps -1), so a
+    short doc would feed slice() a 0/negative start and crash; guard to
+    an empty gram list like the oracle's generate_series. Shared by
+    decontam_ngram_overlap and curate_pipeline_e2e so the guard lives in
+    exactly one place."""
+    words = F.split("text", " ")
+    starts = F.when(
+        F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        *keep,
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(words, i, 5), " "))
+        ).alias("gram"),
+    )
+
+
 @query(
     "decontam_ngram_overlap",
     oracle="""
@@ -104,20 +124,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the scaled version of GPT-3-style 13-gram decontamination; the
     bounded benchmark side broadcasts under AQE."""
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    # sequence(1, n-4) DESCENDS when n < 5 (Spark auto-steps -1), so a
-    # short doc would feed slice() a 0/negative start and crash; guard
-    # to an empty gram list like the oracle's generate_series.
-    starts = F.when(
-        F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(starts, lambda i: F.array_join(F.slice(words, i, 5), " "))
-        ).alias("gram"),
-    )
+    grams = word_5grams(d, "doc_id", "source")
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
