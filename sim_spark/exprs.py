@@ -60,3 +60,15 @@ def sql_davg(expr: str, ndigits: int = 6) -> str:
 
 def sql_ts_str(expr: str) -> str:
     return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def h48(col: Column) -> Column:
+    """48-bit integer from the md5 hex prefix — same bits both engines.
+    Pass a STRING column (cast integers yourself): string rendering of
+    doubles/timestamps differs between engines and would desync hashes."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def sql_h48(expr: str) -> str:
+    """DuckDB mirror of h48 (same bytes, same 48-bit integer)."""
+    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sim_spark.exprs import h48
 from sim_spark.io import table
 from sim_spark.registry import query
 
@@ -59,7 +60,12 @@ def md5_bucket_spark(col, n: int):
     """Uniform bucket in [0, n) from the first TWO md5 hex chars (0..255,
     uniform for any n dividing 256). `ascii(first_hex_char) % n` is NOT
     uniform — hex chars '0'-'9','a'-'f' have uneven ascii residues mod 8
-    (a 3:1 shard-size spread), which defeats balanced sharding."""
+    (a 3:1 shard-size spread), which defeats balanced sharding.
+
+    Contract: pass an INTEGER or STRING key. The helper casts through
+    string, and integer/string rendering is identical in both engines;
+    doubles/timestamps render differently (1.0E7 vs 10000000.0) and
+    would silently desync every bucket."""
     return (
         F.conv(
             F.substring(F.md5(col.cast("string").cast("binary")), 1, 2), 16, 10
@@ -144,10 +150,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — Lee-et-al-style substring dedup with no suffix array and no
     all-pairs stage."""
     d = table(spark, sf_dir, "documents")
-    wh = F.transform(
-        F.split(F.col("text"), " "),
-        lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
-    )
+    wh = F.transform(F.split(F.col("text"), " "), h48)
     spans = span_keys_expr()
     per_doc_span = (
         d.select("doc_id", "source", wh.alias("wh"))
@@ -249,24 +252,34 @@ cuts AS (
   FROM cents GROUP BY grp
 ),
 clipped AS (
-  SELECT c.grp,
-         CASE WHEN c.v < u.lo THEN u.lo
-              WHEN c.v > u.hi THEN u.hi
-              ELSE c.v * 1.0 END AS wv,
-         CASE WHEN c.v < u.lo OR c.v > u.hi THEN 1 ELSE 0 END AS clip
+  SELECT c.grp, c.v, u.lo, u.hi,
+         CASE WHEN c.v < u.lo THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN c.v > u.hi THEN 1 ELSE 0 END AS is_hi
   FROM cents c JOIN cuts u USING (grp)
+),
+m AS (
+  SELECT grp, COUNT(*) AS n,
+         CAST(SUM(is_lo) AS BIGINT) AS n_lo,
+         CAST(SUM(is_hi) AS BIGINT) AS n_hi,
+         CAST(SUM(CASE WHEN is_lo = 0 AND is_hi = 0 THEN v END) AS BIGINT) AS s_mid,
+         MAX(lo) AS lo, MAX(hi) AS hi
+  FROM clipped GROUP BY grp
 )
-SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(clip) AS BIGINT) AS n_clipped,
-       ROUND(SUM(wv) / (COUNT(*) * 100.0), 4) AS wins_mean
-FROM clipped GROUP BY grp ORDER BY grp
+SELECT grp, CAST(n AS BIGINT) AS n,
+       n_lo + n_hi AS n_clipped,
+       ROUND((s_mid + n_lo * lo + n_hi * hi) / (n * 100.0), 4) AS wins_mean
+FROM m ORDER BY grp
 """,
 )
 def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per group: clip at exact interpolated p05/p95 and
     average. Prices move to integer cents first (exact sums, the repo's
     nano-unit idiom); only the two cutoffs are doubles, and comparisons
-    of integer cents against them absorb 1-ulp engine drift. The
+    of integer cents against them absorb 1-ulp engine drift. No double
+    ever enters an AGGREGATE: the in-range cents sum exactly in int64
+    and the clipped mass is reconstructed once per group as
+    n_lo*lo + n_hi*hi — summation-order-independent by construction
+    (a SUM of clipped doubles would be partition-order-dependent). The
     per-group cutoff table is tiny and joins back by broadcast. At
     100 TB substitute approx_percentile(v, [0.05, 0.95], 10000) for the
     exact sort-based percentile; the clip/mean plan is unchanged."""
@@ -279,27 +292,31 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("v", F.lit(0.05)).alias("lo"),
         F.percentile("v", F.lit(0.95)).alias("hi"),
     )
+    is_lo = F.when(F.col("v") < F.col("lo"), 1).otherwise(0)
+    is_hi = F.when(F.col("v") > F.col("hi"), 1).otherwise(0)
     clipped = cents.join(F.broadcast(cuts), "grp").select(
+        "grp", "v", "lo", "hi", is_lo.alias("is_lo"), is_hi.alias("is_hi")
+    )
+    m = clipped.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("is_lo").alias("n_lo"),
+        F.sum("is_hi").alias("n_hi"),
+        F.sum(
+            F.when((F.col("is_lo") == 0) & (F.col("is_hi") == 0), F.col("v"))
+        ).alias("s_mid"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    return m.select(
         "grp",
-        F.when(F.col("v") < F.col("lo"), F.col("lo"))
-        .when(F.col("v") > F.col("hi"), F.col("hi"))
-        .otherwise(F.col("v").cast("double"))
-        .alias("wv"),
-        F.when(
-            (F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1
-        )
-        .otherwise(0)
-        .alias("clip"),
-    )
-    return (
-        clipped.groupBy("grp")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("clip").alias("n_clipped"),
-            F.round(F.sum("wv") / (F.count("*") * 100.0), 4).alias("wins_mean"),
-        )
-        .orderBy("grp")
-    )
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n_lo") + F.col("n_hi")).alias("n_clipped"),
+        F.round(
+            (F.col("s_mid") + F.col("n_lo") * F.col("lo") + F.col("n_hi") * F.col("hi"))
+            / (F.col("n") * 100.0),
+            4,
+        ).alias("wins_mean"),
+    ).orderBy("grp")
 
 
 # --------------------------------------------------------------------------
@@ -521,15 +538,19 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = corpus.join(contaminated, "doc_id", "left_anti").cache()
     shard = md5_bucket_spark(F.col("doc_id"), _N_SHARDS)
 
+    cert_aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
+    ]
+
     def _scalar_cert(df: DataFrame, stage: str) -> DataFrame:
         # No-groupBy aggregate: yields exactly ONE row even for an empty
         # stage (count 0, null sums), matching the oracle's bare
         # SELECT COUNT(*) — a groupBy(lit) would yield ZERO rows there.
-        return df.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
-        ).select(F.lit(stage).alias("stage"), "n_docs", "sum_chars", "checksum")
+        return df.agg(*cert_aggs).select(
+            F.lit(stage).alias("stage"), "n_docs", "sum_chars", "checksum"
+        )
 
     shard_cert = (
         clean.withColumn("shard", shard)
@@ -538,11 +559,7 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stage"
             )
         )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum(F.col("doc_id") * 131 + F.col("n_chars")).alias("checksum"),
-        )
+        .agg(*cert_aggs)
     )
     funnel = (
         _scalar_cert(inp, "0_input")
@@ -585,11 +602,11 @@ WITH metric AS (
 ),
 m AS (
   SELECT CAST(COUNT(*) FILTER (grp = 0) AS DOUBLE) AS n1,
-         CAST(SUM(x) FILTER (grp = 0) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) FILTER (grp = 0) AS DOUBLE) AS s1,
          CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
               FILTER (grp = 0) AS DOUBLE) AS q1,
          CAST(COUNT(*) FILTER (grp = 1) AS DOUBLE) AS n2,
-         CAST(SUM(x) FILTER (grp = 1) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) FILTER (grp = 1) AS DOUBLE) AS s2,
          CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
               FILTER (grp = 1) AS DOUBLE) AS q2
   FROM metric
@@ -626,10 +643,10 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     xdec = F.col("x").cast("decimal(19,0)")
     m = metric.agg(
         F.count(F.when(g0, 1)).cast("double").alias("n1"),
-        F.sum(F.when(g0, F.col("x"))).cast("double").alias("s1"),
+        F.sum(F.when(g0, F.col("x")).cast("decimal(38,0)")).cast("double").alias("s1"),
         F.sum(F.when(g0, xdec * xdec)).cast("double").alias("q1"),
         F.count(F.when(g1, 1)).cast("double").alias("n2"),
-        F.sum(F.when(g1, F.col("x"))).cast("double").alias("s2"),
+        F.sum(F.when(g1, F.col("x")).cast("decimal(38,0)")).cast("double").alias("s2"),
         F.sum(F.when(g1, xdec * xdec)).cast("double").alias("q2"),
     )
     return m.selectExpr(*_AB_FORMULAS)

@@ -45,13 +45,7 @@ from sim_spark.registry import query
 _H48 = 281474976710656  # 2^48: hash domain size
 
 
-def _h48_spark(col):
-    """48-bit integer from the md5 hex prefix — same bits both engines."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
-
-
-def _h48_sql(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
+from sim_spark.exprs import h48 as _h48_spark, sql_h48 as _h48_sql  # shared
 
 
 # --------------------------------------------------------------------------

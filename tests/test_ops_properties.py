@@ -276,6 +276,7 @@ def test_substring_spans_short_doc_yields_no_spans(spark):
     empty — the short-doc guard must produce ZERO spans for docs with
     fewer than 8 words (regression test for the engine-divergence
     hazard; fixtures never exercise it)."""
+    from sim_spark.exprs import h48
     from sim_spark.queries.curation_extras import _SPAN_K, span_keys_expr
     import pyspark.sql.functions as F
 
@@ -284,10 +285,7 @@ def test_substring_spans_short_doc_yields_no_spans(spark):
         "doc_id long, text string",
     ).select(
         "doc_id",
-        F.transform(
-            F.split("text", " "),
-            lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
-        ).alias("wh"),
+        F.transform(F.split("text", " "), h48).alias("wh"),
     )
     spans = span_keys_expr()
     rows = {r["doc_id"]: r["n"] for r in
