@@ -6,9 +6,10 @@ Scale designs (the 100 TB story per operator):
 
 - dedup_substring_spans: the exact-substring dedup signal from
   "Deduplicating Training Data Makes Language Models Better"
-  (Lee et al., 2022), re-expressed relationally: every K-word rolling
-  window becomes an md5 span key built *inside array HOFs* (transform/
-  slice/concat_ws — whole-stage codegen, no Python), then one explode
+  (Lee et al., 2022), re-expressed relationally: words hash once
+  (48-bit md5 prefix), every K-word rolling window becomes an integer
+  positional-prime combine of word hashes *inside array HOFs* (pure
+  int64 codegen, no Python, no per-span strings), then one explode
   feeds a two-level aggregate: (source, span) partial counts, then a
   per-source rollup. Both aggregates are map-side-combinable; the only
   wide exchange is on (source, span-hash), which is near-uniform by
