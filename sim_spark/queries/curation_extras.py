@@ -651,3 +651,259 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(g1, xdec * xdec)).cast("double").alias("q2"),
     )
     return m.selectExpr(*_AB_FORMULAS)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means clusters
+# --------------------------------------------------------------------------
+
+_SEM_K = 10       # fixed centroids: first K vectors (deterministic)
+_SEM_T = 0.4      # cosine threshold (fixture max pair score ~0.51)
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+           WHERE vec_id < {_SEM_K}),
+prod AS (
+  SELECT v.vec_id AS vid, c.cid,
+         unnest(v.embedding) AS vx, unnest(c.c_emb) AS cx
+  FROM embeddings v CROSS JOIN c
+),
+dists AS (
+  SELECT vid, cid,
+         ROUND(SUM((CAST(vx AS DOUBLE) - CAST(cx AS DOUBLE))
+                   * (CAST(vx AS DOUBLE) - CAST(cx AS DOUBLE))), 6) AS dist2
+  FROM prod GROUP BY vid, cid
+),
+assigned AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+pairprod AS (
+  SELECT x.cid, x.vid AS id_a, y.vid AS id_b,
+         unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
+  FROM assigned x
+  JOIN assigned y ON x.cid = y.cid AND x.vid < y.vid
+  JOIN embeddings a ON a.vec_id = x.vid
+  JOIN embeddings b ON b.vec_id = y.vid
+),
+duppairs AS (
+  SELECT cid, id_a, id_b,
+         ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) AS score
+  FROM pairprod GROUP BY cid, id_a, id_b
+  HAVING ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) > {_SEM_T}
+),
+dropped AS (SELECT DISTINCT cid, id_b AS vid FROM duppairs)
+SELECT a.cid AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COALESCE(MAX(p.n_pairs), 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COUNT(d.vid) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vid) AS BIGINT) AS n_kept
+FROM assigned a
+LEFT JOIN dropped d ON d.cid = a.cid AND d.vid = a.vid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_pairs FROM duppairs GROUP BY cid) p
+       ON p.cid = a.cid
+GROUP BY a.cid ORDER BY a.cid
+""",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic dedup scoped INSIDE
+    k-means clusters — cluster assignment bounds the candidate set, so
+    the quadratic cosine stage runs per-cluster, never corpus-wide.
+    Fixed centroids (first K vectors) keep the whole pipeline
+    deterministic and hash-oracled end to end: assign by rounded-argmin
+    distance, intra-cluster pairs via an equi-join on the cluster id
+    with dot-product refine (round-then-compare at the threshold), drop
+    the higher id of every duplicate pair. At 100 TB the cluster id is
+    the shuffle key (the IVF-cell pattern from sim_ann_ivf) and K scales
+    to ~sqrt(n); the per-cluster report (members, dup pairs, dropped,
+    kept) is the curation ledger a SemDeDup run ships."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    v = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"))
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "v_emb",
+                "c_emb",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    w_assign = W.partitionBy("vid").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vid", "cid", dist2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid")
+        .cache()
+    )
+    emb = e.select(F.col("vec_id").alias("vid"), "embedding")
+    ax = assigned.join(emb, "vid").select(
+        F.col("cid"), F.col("vid").alias("id_a"), F.col("embedding").alias("a_emb")
+    )
+    bx = assigned.join(emb, "vid").select(
+        F.col("cid").alias("b_cid"),
+        F.col("vid").alias("id_b"),
+        F.col("embedding").alias("b_emb"),
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                "a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    duppairs = (
+        ax.join(
+            bx,
+            (F.col("cid") == F.col("b_cid")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("cid", "id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") > _SEM_T)
+    )
+    # ONE aggregate over the quadratic stage serves both outputs (pair
+    # count + distinct dropped ids) so the expensive intra-cluster join
+    # is computed exactly once; `assigned` is cached above because three
+    # branches (both pair sides + member counts) reuse it.
+    report = duppairs.groupBy("cid").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    members = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(F.broadcast(report), "cid", "left")
+        .select(
+            F.col("cid").alias("centroid"),
+            "n_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("centroid")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling
+# --------------------------------------------------------------------------
+
+# Engine-shared per-(doc,word) term: add-1-smoothed unigram log-ratio,
+# snapped to integer nano-units BEFORE the per-doc sum (the surprisal
+# idiom — makes the reduce an associative long SUM no partition order
+# can drift).
+_DSIR_TERM = (
+    "CAST(floor(cnt * (ln((c_t + 1.0) / (t_t + v))"
+    " - ln((c_r + 1.0) / (t_r + v))) * 1000000000 + 0.5) AS BIGINT)"
+)
+_DSIR_TOPN = 20
+
+
+@query(
+    "curate_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_b,
+         unnest(str_split(text, ' ')) AS word
+  FROM documents
+),
+lm AS (
+  SELECT word,
+         SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS c_r
+  FROM tok GROUP BY word
+),
+tots AS (
+  SELECT CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS DOUBLE) AS t_t,
+         CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS DOUBLE) AS t_r,
+         CAST(COUNT(DISTINCT word) AS DOUBLE) AS v
+  FROM tok
+),
+dc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM tok WHERE NOT is_b GROUP BY doc_id, word
+),
+terms AS (
+  SELECT dc.doc_id, {_DSIR_TERM} AS nano
+  FROM dc JOIN lm USING (word), tots
+),
+s AS (
+  SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS nano_sum
+  FROM terms GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, nano_sum,
+         ROW_NUMBER() OVER (ORDER BY nano_sum DESC, doc_id ASC) AS rnk
+  FROM s
+)
+SELECT rnk, doc_id, CAST(nano_sum AS DOUBLE) / 1000000000.0 AS log_weight
+FROM ranked WHERE rnk <= {_DSIR_TOPN} ORDER BY rnk
+""",
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., 2023): select raw-corpus documents whose hashed
+    n-gram (here unigram) distribution looks most like a target set —
+    importance weight = Σ_w count_w · ln(p_target(w) / p_raw(w)) with
+    add-1 smoothing, derandomized to deterministic top-N selection (the
+    same derandomization sample_weighted_reservoir uses). Both LMs are
+    vocab-bounded aggregates broadcast back onto the (doc, word) counts;
+    each log-ratio term snaps to integer nano-units before the per-doc
+    sum, so the reduce is an associative long SUM. Top-N via
+    orderBy+limit (TakeOrderedAndProject). At 100 TB: LM fits in a
+    broadcast (vocab-bounded), doc-side stays one keyed aggregate —
+    exactly the decontam/surprisal shuffle shape."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_b"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    lm = tok.groupBy("word").agg(
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("c_r"),
+    )
+    tots = tok.agg(
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("double").alias("t_t"),
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).cast("double").alias("t_r"),
+        F.countDistinct("word").cast("double").alias("v"),
+    )
+    dc = (
+        tok.filter(~F.col("is_b"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    terms = (
+        dc.join(lm, "word")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", F.expr(_DSIR_TERM).alias("nano"))
+    )
+    s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
+    top = s.orderBy(F.col("nano_sum").desc(), F.col("doc_id").asc()).limit(
+        _DSIR_TOPN
+    )
+    w = W.orderBy(F.col("nano_sum").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "rnk",
+            "doc_id",
+            (F.col("nano_sum").cast("double") / 1e9).alias("log_weight"),
+        )
+        .orderBy("rnk")
+    )

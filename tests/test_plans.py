@@ -375,3 +375,12 @@ def test_pipeline_e2e_decontam_joins_are_equi(spark):
     gram key; bench side bounded -> broadcastable, never nested-loop."""
     p = plan(spark, "curate_pipeline_e2e")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
+    """SemDeDup's quadratic stage must be an equi-join on the cluster id
+    (hash/SMJ with the dot-product residual), never a cartesian; the
+    only nested-loop joins are the bounded K-row centroid broadcast."""
+    p = plan(spark, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"Right keys \[1\]: \[b_cid#\d+", p), p
