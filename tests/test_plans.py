@@ -384,3 +384,10 @@ def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
     p = plan(spark, "dedup_semantic_clusters")
     assert "CartesianProduct" not in p, p
     assert re.search(r"Right keys \[1\]: \[b_cid#\d+", p), p
+
+
+def test_dsir_topn_is_take_ordered(spark):
+    """DSIR's derandomized selection must be orderBy+limit
+    (per-partition heaps), not a global window rank."""
+    p = plan(spark, "curate_dsir_weights")
+    assert "TakeOrderedAndProject" in p, p
