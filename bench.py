@@ -58,6 +58,7 @@ HEADLINE = [
     "ml_logistic_unrolled",
     "dedup_substring_spans",
     "curate_pipeline_e2e",
+    "events_ab_experiment",
 ]
 
 
