@@ -907,3 +907,89 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption (denoising pair prep)
+# --------------------------------------------------------------------------
+
+_CORRUPT_PERIOD = 7   # a 2-word span starts every 7th word -> ~29% masked
+_CORRUPT_SPAN = 2
+_SENTINEL = "<extra_id>"
+
+
+@query(
+    "curate_span_corruption",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+),
+mapped AS (
+  SELECT doc_id, source, len(ws) AS n_tokens,
+         list_filter(list_transform(generate_series(1, len(ws)),
+           i -> CASE WHEN (i - 1) % {_CORRUPT_PERIOD} = 0 THEN '{_SENTINEL}'
+                     WHEN (i - 1) % {_CORRUPT_PERIOD} < {_CORRUPT_SPAN} THEN NULL
+                     ELSE ws[i] END), x -> x IS NOT NULL) AS inp,
+         list_filter(list_transform(generate_series(1, len(ws)),
+           i -> CASE WHEN (i - 1) % {_CORRUPT_PERIOD} < {_CORRUPT_SPAN}
+                     THEN ws[i] END), x -> x IS NOT NULL) AS tgt
+  FROM w
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(len(inp)) AS BIGINT) AS sum_input_tokens,
+       CAST(SUM(len(tgt)) AS BIGINT) AS sum_target_tokens,
+       CAST(SUM((('0x' || substr(md5(array_to_string(inp, ' ')), 1, 12))::BIGINT)
+                % 1000000007) AS BIGINT) AS checksum_input,
+       CAST(SUM((('0x' || substr(md5(array_to_string(tgt, ' ')), 1, 12))::BIGINT)
+                % 1000000007) AS BIGINT) AS checksum_target
+FROM mapped GROUP BY source ORDER BY source
+""",
+)
+def curate_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption, derandomized: a 2-word span is replaced
+    by a sentinel at every 7th position (deterministic stand-in for the
+    15%/mean-3 random spans), the dropped words become the target
+    sequence — the (input, target) denoising pair prep a seq2seq
+    trainer consumes. Entirely index-driven array HOFs (build by
+    position, filter nulls), a pure narrow map; the per-source
+    certificate hashes every input/target sequence (48-bit md5 mod a
+    prime so 10^12-doc sums stay far inside int64) so a single flipped
+    word, shifted span, or dropped sentinel anywhere in the corpus
+    changes the output. At 100 TB this is a map-only stage feeding the
+    pack_token_budget sink — no shuffle at all before the tiny
+    certificate aggregate."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    mapped = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("n_tokens"),
+        F.expr(
+            f"filter(transform(sequence(1, size(split(text, ' '))),"
+            f" i -> CASE WHEN (i - 1) % {_CORRUPT_PERIOD} = 0 THEN '{_SENTINEL}'"
+            f" WHEN (i - 1) % {_CORRUPT_PERIOD} < {_CORRUPT_SPAN} THEN NULL"
+            f" ELSE split(text, ' ')[i - 1] END), x -> x IS NOT NULL)"
+        ).alias("inp"),
+        F.expr(
+            f"filter(transform(sequence(1, size(split(text, ' '))),"
+            f" i -> CASE WHEN (i - 1) % {_CORRUPT_PERIOD} < {_CORRUPT_SPAN}"
+            f" THEN split(text, ' ')[i - 1] END), x -> x IS NOT NULL)"
+        ).alias("tgt"),
+    )
+    cks = lambda col: F.sum(  # noqa: E731
+        h48(F.concat_ws(" ", F.col(col))) % 1000000007
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.size("inp")).alias("sum_input_tokens"),
+            F.sum(F.size("tgt")).alias("sum_target_tokens"),
+            cks("inp").alias("checksum_input"),
+            cks("tgt").alias("checksum_target"),
+        )
+        .orderBy("source")
+    )
