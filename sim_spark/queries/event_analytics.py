@@ -869,3 +869,100 @@ def events_mau_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(grain("month", "month"))
         .orderBy("grain", "bucket")
     )
+
+
+@query(
+    "events_ltv_cohort",
+    oracle="""
+WITH first_week AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+           AS week_offset,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events e JOIN first_week f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+cohort_size AS (
+  SELECT cohort_week, COUNT(*) AS n_users FROM first_week GROUP BY cohort_week
+),
+cell AS (
+  SELECT cohort_week, week_offset, CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM rev GROUP BY cohort_week, week_offset
+),
+cum AS (
+  SELECT cohort_week, week_offset,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM cell
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset,
+       CAST(s.n_users AS BIGINT) AS n_users,
+       ROUND(c.cum_cents / (s.n_users * 100.0), 4) AS cum_ltv
+FROM cum c JOIN cohort_size s ON c.cohort_week = s.cohort_week
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV matrix: cohort (first-activity week) x age
+    (week offset) -> cumulative purchase revenue per cohort member —
+    the growth-analytics artifact next to the retention matrix (which
+    counts users; this sums money). Revenue moves to integer cents
+    before ANY aggregate, the running total is a window over the tiny
+    per-cell table (cohorts x offsets rows, not events), and the only
+    event-scale shuffle is the per-cell group-by — keyed like the final
+    output. The division by cohort size happens once per output row
+    from exact integers."""
+    e = table(spark, sf_dir, "events")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_week, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp(F.col("cohort_week"))
+                    )
+                    / (7 * 86400)
+                )
+            ).alias("week_offset"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    cohort_size = first_week.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    cell = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = cell.select(
+        "cohort_week", "week_offset", F.sum("rev_cents").over(w).alias("cum_cents")
+    )
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(
+                F.col("cum_cents") / (F.col("n_users") * 100.0), 4
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

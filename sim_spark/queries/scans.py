@@ -246,3 +246,41 @@ def scan_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("codec")
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+WITH flat AS (
+  SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS line FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(line)) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(line) - length(replace(line, ' ', '')) + 1) AS BIGINT)
+         AS sum_words
+FROM flat
+""",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines source (spark.read.text) — the format a crawl dump
+    or log tail actually arrives in: document texts written one per
+    line, read back as a single `value` column, profiled without any
+    schema. Completes the source-format ladder (parquet/csv/json/orc/
+    xml/binary/python-ds/text). The oracle recomputes the line profile
+    from the original table, so a lost, split, or mangled line breaks
+    the count or the char/word sums. Lazy read-back from a per-process
+    scratch dir; at scale text is splittable by line so this parallels
+    like any other scan."""
+    out = scratch_dir("text_documents")
+    # one line per document: strip any stray newlines so lines == docs
+    table(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.col("text"), "[\\r\\n]+", " ").alias("text")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("sum_chars"),
+        F.sum(
+            F.length("value") - F.length(F.regexp_replace("value", " ", "")) + 1
+        ).alias("sum_words"),
+    )
