@@ -993,3 +993,59 @@ def curate_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# robust scale: median absolute deviation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_mad_robust",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+med AS (SELECT grp, quantile_cont(v, 0.5) AS m FROM cents GROUP BY grp),
+dev AS (
+  SELECT c.grp, ABS(c.v - d.m) AS ad
+  FROM cents c JOIN med d USING (grp)
+),
+mad AS (SELECT grp, quantile_cont(ad, 0.5) AS mad_c FROM dev GROUP BY grp)
+SELECT m.grp, ROUND(m.m / 100.0, 4) AS median_price,
+       ROUND(d.mad_c / 100.0, 4) AS mad_price,
+       ROUND(d.mad_c * 1.4826 / 100.0, 4) AS sigma_robust
+FROM med m JOIN mad d USING (grp) ORDER BY m.grp
+""",
+)
+def stats_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust scale estimate
+    outlier pipelines prefer over stddev (win_rolling_mad is the
+    windowed twin; this is the global one). Prices in integer cents,
+    two exact interpolated medians (sort-based, so no summation-order
+    hazard anywhere), deviations exact up to the one interpolated
+    median, and the 1.4826 normal-consistency factor applied once per
+    output row. Two keyed percentile passes + one broadcast join; at
+    100 TB swap approx_percentile in for both medians, same plan."""
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    med = cents.groupBy("grp").agg(F.percentile("v", F.lit(0.5)).alias("m"))
+    dev = cents.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("grp").agg(F.percentile("ad", F.lit(0.5)).alias("mad_c"))
+    return (
+        med.join(mad, "grp")
+        .select(
+            "grp",
+            F.round(F.col("m") / 100.0, 4).alias("median_price"),
+            F.round(F.col("mad_c") / 100.0, 4).alias("mad_price"),
+            F.round(F.col("mad_c") * 1.4826 / 100.0, 4).alias("sigma_robust"),
+        )
+        .orderBy("grp")
+    )
