@@ -1049,3 +1049,50 @@ def stats_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# privacy audit: k-anonymity
+# --------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_below_k,
+       CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(sz) AS BIGINT) AS min_cell,
+       CAST(MAX(sz) AS BIGINT) AS max_cell
+FROM cells
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier cell
+    (nation, market segment): any equivalence class smaller than k=5
+    re-identifies its members — the check a release pipeline runs
+    before publishing user-level aggregates. One keyed cell count plus
+    a 1-row rollup (both map-side combinable); at 100 TB the cell
+    count shuffles on the quasi-identifier tuple exactly like any
+    group-by, and the at-risk rows feed a suppression/generalization
+    pass (the same shape as curate_domain_cap)."""
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("sz")
+    )
+    below = F.col("sz") < _K_ANON
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(below, 1).otherwise(0)).alias("n_cells_below_k"),
+        F.sum(F.when(below, F.col("sz")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+    )
