@@ -502,3 +502,87 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw / (nd - kd), 6).alias("ms_within"),
         F.round((ssb / (kd - 1)) / (ssw / (nd - kd)), 6).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_ols_multifeature — two-feature OLS via Cramer's rule over exact moments.
+# Engine-shared formula text: nine exact integer/decimal moments reduce the
+# stream, then BOTH engines evaluate the same closed-form determinant
+# expressions in doubles — identical inputs, identical outputs.
+
+_OLS2_MOMENTS = """
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(h) AS DOUBLE) AS sh,
+         CAST(SUM(d) AS DOUBLE) AS sd,
+         CAST(SUM(h * h) AS DOUBLE) AS shh,
+         CAST(SUM(d * d) AS DOUBLE) AS sdd,
+         CAST(SUM(h * d) AS DOUBLE) AS shd,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(h AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS shy,
+         CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sdy
+"""
+
+# Cramer's rule for [n sh sd; sh shh shd; sd shd sdd] * [b0 b1 b2]' = [sy shy sdy]'
+_OLS2_FORMULAS = [
+    "ROUND((sy * (shh * sdd - shd * shd) - shy * (sh * sdd - shd * sd)"
+    " + sdy * (sh * shd - shh * sd))"
+    " / (n * (shh * sdd - shd * shd) - sh * (sh * sdd - shd * sd)"
+    " + sd * (sh * shd - shh * sd)) / 1000000000.0, 6) AS b0",
+    "ROUND((n * (shy * sdd - sdy * shd) - sy * (sh * sdd - shd * sd)"
+    " + sd * (sh * sdy - shy * sd))"
+    " / (n * (shh * sdd - shd * shd) - sh * (sh * sdd - shd * sd)"
+    " + sd * (sh * shd - shh * sd)) / 1000000000.0, 6) AS b1",
+    "ROUND((n * (shh * sdy - shd * shy) - sh * (sh * sdy - shy * sd)"
+    " + sy * (sh * shd - shh * sd))"
+    " / (n * (shh * sdd - shd * shd) - sh * (sh * sdd - shd * sd)"
+    " + sd * (sh * shd - shh * sd)) / 1000000000.0, 6) AS b2",
+    "CAST(n AS BIGINT) AS n_rows",
+]
+
+
+@query(
+    "ml_ols_multifeature",
+    oracle=f"""
+WITH feat AS (
+  SELECT hour(ts) AS h, dayofweek(ts) AS d,
+         CAST(floor(value * 1000000000 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+m AS ({_OLS2_MOMENTS} FROM feat)
+SELECT {', '.join(_OLS2_FORMULAS)} FROM m
+""",
+)
+def ml_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression (value ~ hour-of-day + day-of-week)
+    solved in closed form: ONE pass reduces the stream to nine exact
+    moments (integer features, nano-unit target; the y-cross-moments sum
+    as DECIMAL so nothing wraps at scale), then Cramer's rule evaluates
+    from the SAME formula text in both engines. The whole model train is
+    a partial+final aggregate — no iterations, no driver, no shuffle
+    beyond the 9-value reduce; the multi-feature step up from
+    fn_regression/ml_ols_normal_eq's single-feature fits.
+
+    DuckDB dayofweek(Sunday)=0 vs Spark dayofweek(Sunday)=1 (SURVEY
+    §2 oracle notes) — Spark side subtracts 1 to match."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        F.hour("ts").alias("h"),
+        (F.dayofweek("ts") - 1).alias("d"),
+        F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    m = feat.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("h").cast("double").alias("sh"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("h") * F.col("h")).cast("double").alias("shh"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("h") * F.col("d")).cast("double").alias("shd"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("h").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("double").alias("shy"),
+        F.sum(
+            F.col("d").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("double").alias("sdy"),
+    )
+    return m.selectExpr(*_OLS2_FORMULAS)
