@@ -85,13 +85,39 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_cohort_retention",
-    oracle="""
-WITH first_week AS (
+def cohort_first_week(e: DataFrame) -> DataFrame:
+    """Per-user cohort week (Monday-start first-activity week) — shared
+    scaffolding of the retention and LTV matrices; the matching oracle
+    CTE is _COHORT_FIRST_WEEK_SQL."""
+    return e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+
+
+def cohort_week_offset():
+    """Whole weeks between cohort_week and the row's ts. Correct only
+    because the session TZ is pinned UTC (unix_timestamp of Monday
+    midnights differ by exact multiples of 604800 s) — harden here, not
+    at the call sites, if that pin ever changes."""
+    return F.floor(
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(F.col("cohort_week"))
+        )
+        / (7 * 86400)
+    ).cast("bigint")
+
+
+_COHORT_FIRST_WEEK_SQL = """
   SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
   FROM events GROUP BY user_id
-),
+"""
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+WITH first_week AS ({_COHORT_FIRST_WEEK_SQL}),
 activity AS (
   SELECT DISTINCT e.user_id, f.cohort_week,
          CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
@@ -111,24 +137,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks in both engines; the distinct (user, offset) pass is the one
     shuffle, keyed exactly like the final group-by."""
     e = table(spark, sf_dir, "events")
-    first_week = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    first_week = cohort_first_week(e)
     activity = (
         e.join(first_week, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (
-                F.floor(
-                    (
-                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-                        - F.unix_timestamp("cohort_week")
-                    )
-                    / (7 * 86400)
-                ).cast("bigint")
-            ).alias("week_offset"),
-        )
+        .select("user_id", "cohort_week", cohort_week_offset().alias("week_offset"))
         .distinct()
     )
     return (
@@ -873,11 +885,8 @@ def events_mau_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ltv_cohort",
-    oracle="""
-WITH first_week AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
-  FROM events GROUP BY user_id
-),
+    oracle=f"""
+WITH first_week AS ({_COHORT_FIRST_WEEK_SQL}),
 rev AS (
   SELECT e.user_id, f.cohort_week,
          CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
@@ -918,23 +927,13 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. The division by cohort size happens once per output row
     from exact integers."""
     e = table(spark, sf_dir, "events")
-    first_week = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    first_week = cohort_first_week(e)
     rev = (
         e.filter(F.col("event_type") == "purchase")
         .join(first_week, "user_id")
         .select(
             "cohort_week",
-            (
-                F.floor(
-                    (
-                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-                        - F.unix_timestamp(F.col("cohort_week"))
-                    )
-                    / (7 * 86400)
-                )
-            ).alias("week_offset"),
+            cohort_week_offset().alias("week_offset"),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
         )
     )

@@ -9,6 +9,8 @@ sink).
 
 from __future__ import annotations
 
+import os
+
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,7 +102,8 @@ def sink_sorted_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py. Lazy read-back from a per-process scratch
     dir — no driver-side materialization."""
     li = table(spark, sf_dir, "lineitem")
-    out = scratch_dir("sink_sorted_ranges")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = scratch_dir(f"sink_sorted_ranges_{sf_tag}")
     (
         li.repartitionByRange(8, "l_shipdate")
         .sortWithinPartitions("l_shipdate")
@@ -246,7 +249,8 @@ def join_partition_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake when the pruning values are only known at run time."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    lake = scratch_dir("dpp_fact")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    lake = scratch_dir(f"dpp_fact_{sf_tag}")
     (
         li.select(
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
@@ -322,7 +326,8 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     li = table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_returnflag"
     )
-    lake = scratch_dir("dpo_lake")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    lake = scratch_dir(f"dpo_lake_{sf_tag}")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
         li.write.mode("overwrite").partitionBy("l_returnflag").parquet(lake)
@@ -494,8 +499,9 @@ def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returned frame aggregates the compacted copy, so the oracle proves
     the rewrite lost and duplicated nothing; the file-count drop itself
     is pinned in tests/test_scale_ops.py."""
-    scattered = scratch_dir("compact_in")
-    compacted = scratch_dir("compact_out")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    scattered = scratch_dir(f"compact_in_{sf_tag}")
+    compacted = scratch_dir(f"compact_out_{sf_tag}")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )

@@ -9,6 +9,8 @@ tests/test_plans.py) — at 100 TB those are the difference between reading
 
 from __future__ import annotations
 
+import os
+
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,7 +110,8 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB `partitionBy` on a low-cardinality key is the layout that makes
     downstream scans prune. Lazy read-back from a per-process scratch
     dir — no driver-side materialization."""
-    out = scratch_dir("sink_partitioned")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = scratch_dir(f"sink_partitioned_{sf_tag}")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
@@ -232,9 +235,10 @@ def scan_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         .select("l_extendedprice")
     )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = None
     for codec in ("snappy", "zstd"):
-        path = scratch_dir(f"codec_{codec}")
+        path = scratch_dir(f"codec_{codec}_{sf_tag}")
         li.write.mode("overwrite").option("compression", codec).parquet(path)
         row = (
             spark.read.parquet(path)
@@ -271,7 +275,8 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count or the char/word sums. Lazy read-back from a per-process
     scratch dir; at scale text is splittable by line so this parallels
     like any other scan."""
-    out = scratch_dir("text_documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = scratch_dir(f"text_documents_{sf_tag}")
     # one line per document: strip any stray newlines so lines == docs
     table(spark, sf_dir, "documents").select(
         F.regexp_replace(F.col("text"), "[\\r\\n]+", " ").alias("text")

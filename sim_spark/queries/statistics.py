@@ -510,17 +510,18 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream, then BOTH engines evaluate the same closed-form determinant
 # expressions in doubles — identical inputs, identical outputs.
 
-_OLS2_MOMENTS = """
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(h) AS DOUBLE) AS sh,
-         CAST(SUM(d) AS DOUBLE) AS sd,
-         CAST(SUM(h * h) AS DOUBLE) AS shh,
-         CAST(SUM(d * d) AS DOUBLE) AS sdd,
-         CAST(SUM(h * d) AS DOUBLE) AS shd,
-         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(h AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS shy,
-         CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sdy
-"""
+_OLS2_MOMENT_EXPRS = [
+    "CAST(COUNT(*) AS DOUBLE) AS n",
+    "CAST(SUM(h) AS DOUBLE) AS sh",
+    "CAST(SUM(d) AS DOUBLE) AS sd",
+    "CAST(SUM(h * h) AS DOUBLE) AS shh",
+    "CAST(SUM(d * d) AS DOUBLE) AS sdd",
+    "CAST(SUM(h * d) AS DOUBLE) AS shd",
+    "CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy",
+    "CAST(SUM(CAST(h AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS shy",
+    "CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sdy",
+]
+_OLS2_MOMENTS = "  SELECT " + ",\n         ".join(_OLS2_MOMENT_EXPRS)
 
 # Cramer's rule for [n sh sd; sh shh shd; sd shd sdd] * [b0 b1 b2]' = [sy shy sdy]'
 _OLS2_FORMULAS = [
@@ -570,19 +571,7 @@ def ml_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("ts") - 1).alias("d"),
         F.floor(F.col("value") * 1e9 + F.lit(0.5)).cast("bigint").alias("y"),
     )
-    m = feat.agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum("h").cast("double").alias("sh"),
-        F.sum("d").cast("double").alias("sd"),
-        F.sum(F.col("h") * F.col("h")).cast("double").alias("shh"),
-        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
-        F.sum(F.col("h") * F.col("d")).cast("double").alias("shd"),
-        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
-        F.sum(
-            F.col("h").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
-        ).cast("double").alias("shy"),
-        F.sum(
-            F.col("d").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
-        ).cast("double").alias("sdy"),
-    )
+    # Moments AND formulas both evaluate from the identical shared text —
+    # a cast edited in one engine's copy cannot drift from the other's.
+    m = feat.selectExpr(*_OLS2_MOMENT_EXPRS)
     return m.selectExpr(*_OLS2_FORMULAS)

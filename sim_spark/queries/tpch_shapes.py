@@ -8,6 +8,8 @@ priority), Q7 (nation-pair volume via supplier/customer nations), Q10
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,6 +146,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format; DuckDB can't read ORC, so the oracle is the source table).
     Lazy read-back from a per-process scratch dir — no driver-side
     materialization."""
-    out = scratch_dir("orc_supplier")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = scratch_dir(f"orc_supplier_{sf_tag}")
     table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
