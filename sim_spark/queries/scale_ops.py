@@ -20,7 +20,7 @@ from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import table
 from sim_spark.ops.bucketing import write_bucketed
 from sim_spark.registry import query
-from sim_spark.scratch import scratch_dir
+from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag
 
 
 @query(
@@ -40,11 +40,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream query on the same key. bench.py times the two legs
     separately (`..._write` / `..._read`): the write is the pay-once
     ingest cost, the Exchange-free read is what every later query pays."""
-    lt, rt = bucketed_layout(spark, sf_dir)
+    bucketed_layout(spark, sf_dir)
     return bucketed_join_read(spark, sf_dir)
 
 
-_BUCKETED_SIDES: dict[str, tuple[DataFrame, DataFrame]] = {}
+# Keyed by (Spark application id, sf_dir): the catalog tables behind these
+# handles are session-scoped, so a cache hit from a stopped/previous
+# session must miss rather than hand back dead DataFrames.
+_BUCKETED_SIDES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -60,8 +63,9 @@ def bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     lt = write_bucketed(spark, li, f"lio_l_{tag}", "l_orderkey", n_buckets=8)
     rt = write_bucketed(spark, o, f"lio_r_{tag}", "o_orderkey", n_buckets=8)
-    _BUCKETED_SIDES[sf_dir] = (lt, rt)
-    return _BUCKETED_SIDES[sf_dir]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _BUCKETED_SIDES[key] = (lt, rt)
+    return _BUCKETED_SIDES[key]
 
 
 def bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +74,8 @@ def bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writes the layout first if this process hasn't written this sf_dir;
     the cache is keyed by sf_dir so mixed-scale calls never read a
     stale layout."""
-    lt, rt = _BUCKETED_SIDES.get(sf_dir) or bucketed_layout(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    lt, rt = _BUCKETED_SIDES.get(key) or bucketed_layout(spark, sf_dir)
     j = lt.hint("merge").join(rt, lt["l_orderkey"] == rt["o_orderkey"])
     return (
         j.groupBy(F.col("o_orderstatus").alias("status"))
@@ -102,7 +107,7 @@ def sink_sorted_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py. Lazy read-back from a per-process scratch
     dir — no driver-side materialization."""
     li = table(spark, sf_dir, "lineitem")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     out = scratch_dir(f"sink_sorted_ranges_{sf_tag}")
     (
         li.repartitionByRange(8, "l_shipdate")
@@ -249,7 +254,7 @@ def join_partition_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake when the pruning values are only known at run time."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     lake = scratch_dir(f"dpp_fact_{sf_tag}")
     (
         li.select(
@@ -291,8 +296,7 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sketch estimate, and relative error vs exact < 5%."""
     e = table(spark, sf_dir, "events")
     per_group = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_distinct"),
+        F.hll_sketch_agg("user_id").alias("sk")
     )
     merged = per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
@@ -326,7 +330,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     li = table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_returnflag"
     )
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     lake = scratch_dir(f"dpo_lake_{sf_tag}")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
@@ -453,10 +457,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     source table. mergeSchema reconciles footers at planning time; at
     100 TB pin the merged schema in a catalog instead of re-deriving it
     per query — the read semantics are identical."""
-    import os
-
     d = table(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     lake = scratch_dir(f"schema_evo_{sf_tag}")
     (
         d.filter(F.col("doc_id") % 2 == 0)
@@ -499,7 +501,7 @@ def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returned frame aggregates the compacted copy, so the oracle proves
     the rewrite lost and duplicated nothing; the file-count drop itself
     is pinned in tests/test_scale_ops.py."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     scattered = scratch_dir(f"compact_in_{sf_tag}")
     compacted = scratch_dir(f"compact_out_{sf_tag}")
     li = table(spark, sf_dir, "lineitem").select(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import SCHEMAS, TABLES, table
 from sim_spark.registry import query
-from sim_spark.scratch import scratch_dir
+from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag
 
 _COUNT_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{t}' AS tbl, COUNT(*) AS n FROM {t}" for t in TABLES
@@ -110,7 +110,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB `partitionBy` on a low-cardinality key is the layout that makes
     downstream scans prune. Lazy read-back from a per-process scratch
     dir — no driver-side materialization."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     out = scratch_dir(f"sink_partitioned_{sf_tag}")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
@@ -195,7 +195,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, like the CSV leg). Lazy read-back from the per-process
     scratch dir; the oracle proves a full-fidelity round trip including
     decimals and free-text comment fields (XML-escaped and restored)."""
-    out = scratch_dir("xml_supplier")
+    out = scratch_dir(f"xml_supplier_{scratch_sf_tag(sf_dir)}")
     (
         table(spark, sf_dir, "supplier")
         .write.mode("overwrite")
@@ -235,7 +235,7 @@ def scan_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         .select("l_extendedprice")
     )
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     out = None
     for codec in ("snappy", "zstd"):
         path = scratch_dir(f"codec_{codec}_{sf_tag}")
@@ -275,7 +275,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count or the char/word sums. Lazy read-back from a per-process
     scratch dir; at scale text is splittable by line so this parallels
     like any other scan."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     out = scratch_dir(f"text_documents_{sf_tag}")
     # one line per document: strip any stray newlines so lines == docs
     table(spark, sf_dir, "documents").select(

@@ -312,14 +312,14 @@ def stream_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from sim_spark.exprs import dsum
-    from sim_spark.scratch import scratch_dir
+    from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag
 
     replay = mounts.events_replay_dir(spark, sf_dir, n_files=2)
     stream = mounts.stream_events(spark, replay, max_files_per_trigger=1)
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
     )
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     lake = scratch_dir(f"stream_upsert_lake_{sf_tag}")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:

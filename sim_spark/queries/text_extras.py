@@ -321,10 +321,10 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from sim_spark.ops.multimodal import write_payload_dir
-    from sim_spark.scratch import scratch_dir
+    from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag
 
     d = table(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     payload_root = scratch_dir(f"binary_payloads_{sf_tag}")
     write_payload_dir(
         d.select("doc_id", F.encode("text", "utf-8").alias("payload")), payload_root

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from sim_spark.exprs import dsum, sql_dsum, ts_str
 from sim_spark.io import table
 from sim_spark.registry import query
-from sim_spark.scratch import scratch_dir
+from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag
 
 
 @query(
@@ -146,7 +146,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format; DuckDB can't read ORC, so the oracle is the source table).
     Lazy read-back from a per-process scratch dir — no driver-side
     materialization."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_sf_tag(sf_dir)
     out = scratch_dir(f"orc_supplier_{sf_tag}")
     table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.orc(out)

@@ -16,6 +16,7 @@ read-back stays lazy end-to-end.
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -30,3 +31,14 @@ def scratch_dir(name: str) -> str:
         _ROOT = tempfile.mkdtemp(prefix="sim_spark_scratch_")
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
     return os.path.join(_ROOT, name)
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Collision-free tag for sf-dependent scratch names: basename for
+    readability + sha1 of the FULL path, because two fixture dirs with
+    equal basenames (e.g. /root/testdata/sf0.1 and /tmp/regen/sf0.1)
+    must never share a scratch subdir (same rationale as the sha1 tag
+    on the bucketed catalog tables in queries/scale_ops.py)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    return f"{base}_{digest}"

@@ -45,9 +45,19 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
     guarantees micro-batches arrive in event-time order — the premise the
     cross-batch state parity tests rely on.
     """
+    import hashlib
     import time
 
-    tmp = tempfile.mkdtemp(prefix="sim_spark_replay_")
+    from sim_spark.scratch import scratch_dir
+
+    # Managed per-process scratch (atexit-cleaned) instead of a leaked
+    # mkdtemp per call; keyed by full sf_dir + layout so distinct
+    # fixtures never collide and re-runs overwrite in place.
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tmp = scratch_dir(f"replay_{tag}_{n_files}")
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)  # fresh mtime sequence per run
     ev = table(spark, sf_dir, "events")
     if n_files <= 1:
         ev.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -92,7 +102,12 @@ def run_streaming_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} still running after {await_seconds}s — "
+            "refusing to return a partially-filled memory sink"
+        )
     spark = out.sparkSession
     return spark.table(name)
 
@@ -124,6 +139,9 @@ def run_streaming_until_idle(
     seen_any = False
     while time.time() < deadline and idle_polls < 3:
         time.sleep(0.3)
+        if q.exception() is not None:
+            q.stop()
+            raise q.exception()
         p = q.lastProgress
         if p is not None and p["numInputRows"] > 0:
             seen_any = True
@@ -250,8 +268,18 @@ def ohlc_1h(ev: DataFrame) -> DataFrame:
 
 
 def dedup_ids_stream(ev: DataFrame) -> DataFrame:
-    """Streaming exact dedup: watermark bounds the id-set state."""
-    return ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    """Streaming exact dedup with BOUNDED state: plain
+    dropDuplicates(["event_id"]) ignores the watermark for state
+    cleanup when the event-time column is not among the dedup keys —
+    the id set would grow forever on a production stream.
+    dropDuplicatesWithinWatermark exists precisely for this id-only
+    case: ids are held only until the watermark passes their event
+    time, so state is bounded by the 10-minute window (duplicates
+    farther apart than the watermark are the source's replay contract
+    to prevent, e.g. Kafka exactly-once)."""
+    return ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def tumbling_with_watermark(ev: DataFrame) -> DataFrame:

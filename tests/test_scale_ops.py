@@ -253,13 +253,14 @@ def test_compaction_reduces_file_count(spark):
 
     from sim_spark.io import table
     from sim_spark.registry import QUERIES
-    from sim_spark.scratch import scratch_dir
+    from sim_spark.scratch import scratch_dir, sf_tag
 
     out = QUERIES["sink_compacted_files"](spark, SF)
     n_rows = out.agg(F.sum("n")).collect()[0][0]
     n_in = table(spark, SF, "lineitem").count()
     assert n_rows == n_in
-    scattered = glob.glob(os.path.join(scratch_dir("compact_in"), "*.parquet"))
-    compacted = glob.glob(os.path.join(scratch_dir("compact_out"), "*.parquet"))
+    tag = sf_tag(SF)
+    scattered = glob.glob(os.path.join(scratch_dir(f"compact_in_{tag}"), "*.parquet"))
+    compacted = glob.glob(os.path.join(scratch_dir(f"compact_out_{tag}"), "*.parquet"))
     assert len(scattered) == 64
     assert 0 < len(compacted) <= 4, len(compacted)
