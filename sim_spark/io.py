@@ -140,7 +140,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalize(spark)
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pinned = SCHEMAS.get(name)
+    if pinned is not None:
+        # Fail LOUD on fixture drift: a silently retyped column (int32
+        # doc_id, float32 price) changes every downstream pandas dtype
+        # and the driver's value hash with no local signal otherwise.
+        # timestamp vs timestamp_ntz is NOT drift — fixtures ship NTZ and
+        # the session pins UTC, so queries normalize it downstream.
+        def _canon(schema):
+            return schema.simpleString().replace("timestamp_ntz", "timestamp")
+
+        if _canon(df.schema) != _canon(pinned):
+            raise TypeError(
+                f"fixture schema drift for {name!r}: expected "
+                f"{pinned.simpleString()}, got {df.schema.simpleString()}"
+            )
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,8 +193,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = None
     spark.conf.set(conf_key, "true")
     try:
+        # FLOOR division, not `div` (truncate-toward-zero): DuckDB floors
+        # its ns->us conversion, so a pre-epoch nanosecond (negative int64)
+        # must round down, not toward zero, to stay bit-identical.
         df = spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
+            "ts",
+            F.expr(
+                "timestamp_micros(ts div 1000"
+                " - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+            ),
         )
     finally:
         if prev is None:
@@ -194,6 +217,9 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
-    """Register temp views for the SQL entry point (SURVEY.md §3.2 EP3)."""
-    for n in names or TABLES:
+    """Register temp views for the SQL entry point (SURVEY.md §3.2 EP3).
+
+    ``names=None`` means all tables; an explicit empty list registers
+    none (``names or TABLES`` would silently register all ten)."""
+    for n in (TABLES if names is None else names):
         table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -94,6 +94,27 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def sliding_window_expr(w, n: int, builder):
+    """Guarded n-gram window over token array ``w``: F.sequence(0, size-n)
+    DESCENDS when size(w) < n (Spark auto-steps -1), sending element_at an
+    out-of-bounds index that ABORTS the job under the session's pinned
+    ANSI mode (a sub-n-word doc crashed all three builders before this
+    guard). Returns an empty array for short docs, like every oracle's
+    range()/positional-join formulation."""
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    return F.when(F.size(w) >= n, F.transform(idx, builder)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sliding_window_hash_expr(w, n: int, builder):
+    """sliding_window_expr for builders producing LONG hashes."""
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    return F.when(F.size(w) >= n, F.transform(idx, builder)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 @query(
     "text_wordcount",
     oracle="""
@@ -136,8 +157,9 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's only the oracle's formulation)."""
     d = table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
+    bigrams = sliding_window_expr(
+        w,
+        2,
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
     )
     return (
@@ -234,8 +256,9 @@ def _shingle_sets(d: DataFrame) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     w = F.col("w")
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
+        sliding_window_expr(
+            w,
+            3,
             lambda i: F.concat_ws(
                 " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
             ),
@@ -289,8 +312,9 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     w = F.col("w")
     hs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
+        sliding_window_hash_expr(
+            w,
+            3,
             lambda i: F.xxhash64(
                 F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
             ),
@@ -576,7 +600,12 @@ def ml_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("value_z"),
+            # try_divide: a constant-valued group has sigma=0, where ANSI
+            # division ABORTS while DuckDB returns NULL — try_divide gives
+            # the oracle's NULL semantics.
+            F.round(
+                F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")), 6
+            ).alias("value_z"),
         )
     )
 

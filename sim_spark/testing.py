@@ -21,10 +21,11 @@ from sim_spark.io import TABLES
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    safe_dir = sf_dir.replace("'", "''")  # quote-escape: paths are data
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{safe_dir}/{t}.parquet')"
         )
     return con
 
@@ -49,7 +50,10 @@ def _canon_cell(v: object) -> str:
     if isinstance(v, pd.Timestamp):
         if v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # Full microsecond precision: the external driver hashes the raw
+        # pandas cell, so a sub-second drift it would catch must fail
+        # locally too (second-truncation masked a <1s window before).
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     s = str(v)
     return "NULL" if s in ("nan", "NaT", "None", "<NA>") else s
 

@@ -292,3 +292,69 @@ def test_substring_spans_short_doc_yields_no_spans(spark):
             df.select("doc_id", F.size(spans).alias("n")).collect()}
     assert rows[1] == 0, rows
     assert rows[2] == 12 - _SPAN_K + 1, rows
+
+
+def test_ngram_builders_survive_short_docs(spark):
+    """Sub-n-word docs must yield ZERO n-grams, not an ANSI
+    INVALID_ARRAY_INDEX abort (sequence(0, size-n) descends when
+    size < n; regression for the guard in ml_llm.sliding_window_expr)."""
+    import pyspark.sql.functions as F
+
+    from sim_spark.queries.ml_llm import (
+        sliding_window_expr,
+        sliding_window_hash_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "a b c d")], "id long, text string"
+    )
+    w = F.split("text", " ")
+    rows = {
+        r["id"]: (r["bi"], r["tri"])
+        for r in df.select(
+            "id",
+            F.size(
+                sliding_window_expr(
+                    w,
+                    2,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                    ),
+                )
+            ).alias("bi"),
+            F.size(
+                sliding_window_hash_expr(
+                    w,
+                    3,
+                    lambda i: F.xxhash64(
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                        F.element_at(w, i + 3),
+                    ),
+                )
+            ).alias("tri"),
+        ).collect()
+    }
+    assert rows == {1: (0, 0), 2: (1, 0), 3: (3, 2)}, rows
+
+
+def test_feature_scale_zero_sigma_yields_null(spark):
+    """A constant-valued group has sigma=0: ANSI division would abort;
+    try_divide must yield NULL like the DuckDB oracle."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 3.0)], "g string, value double"
+    )
+    stats = df.groupBy("g").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    out = df.join(stats, "g").select(
+        "g",
+        F.round(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")), 6).alias(
+            "z"
+        ),
+    )
+    rows = out.collect()
+    assert all(r["z"] is None for r in rows if r["g"] == "a")
+    assert all(r["z"] is not None for r in rows if r["g"] == "b")
