@@ -19,6 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUM_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
 
 _PAYLOAD = "__asof_payload"
 _IS_RIGHT = "__asof_is_right"
@@ -41,7 +47,23 @@ def asof_join_backward(
     ``direction='forward'`` flips the scan: the EARLIEST right row with
     ``right_ts`` >= ``left_ts`` (ties to the smallest ``right_order``,
     matching ORDER BY ts ASC, order ASC LIMIT 1) — same single
-    shuffle+sort, just a descending window order."""
+    shuffle+sort, just a descending window order.
+
+    NULL semantics match the correlated-subquery contract exactly:
+    right rows with NULL key or NULL ts can never satisfy
+    ``r.key = l.key AND r.ts <= l.ts`` (three-valued logic) and are
+    filtered out; left rows with NULL ts are pinned FIRST in the window
+    order so no right row precedes them — they get NULL payloads rather
+    than a phantom match. ``right_order`` must be numeric (it is cast to
+    long for the union leg) — a non-numeric column would cast to NULL
+    and silently destroy the tie-break, so it is rejected loudly."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
+    if not isinstance(right.schema[right_order].dataType, _NUM_TYPES):
+        raise TypeError(
+            f"right_order column {right_order!r} must be numeric for a total "
+            f"tie-break; got {right.schema[right_order].dataType.simpleString()}"
+        )
     lcols = left.columns
     l_tag = left.withColumn(_IS_RIGHT, F.lit(0)).withColumn(_PAYLOAD, F.lit(None).cast(
         "struct<" + ",".join(f"{c}:string" for c in payload_cols) + ">"
@@ -50,7 +72,8 @@ def asof_join_backward(
     # callers re-cast on the way out. Keeps the helper schema-generic.
     r_payload = F.struct(*[F.col(c).cast("string").alias(c) for c in payload_cols])
     r_tag = (
-        right.select(
+        right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+        .select(
             F.col(key),
             F.col(right_ts).alias(left_ts),
             F.lit(1).alias(_IS_RIGHT),
@@ -67,15 +90,17 @@ def asof_join_backward(
     # boundary); among right ties, last() keeps whichever it sees last:
     # backward wants the greatest right_order (asc order), forward the
     # smallest (desc order).
+    # NULL-ts left rows pin FIRST in both directions (no preceding right
+    # rows -> NULL payload), matching the unknown-comparison SQL result.
     if direction == "forward":
         order = [
-            F.col(left_ts).desc(),
+            F.col(left_ts).desc_nulls_first(),
             F.col(_IS_RIGHT).desc(),
             F.col("__asof_order").desc_nulls_first(),
         ]
     else:
         order = [
-            F.col(left_ts).asc(),
+            F.col(left_ts).asc_nulls_first(),
             F.col(_IS_RIGHT).desc(),
             F.col("__asof_order").asc_nulls_first(),
         ]

@@ -8,6 +8,11 @@ bucket id, then refine with the exact range predicate. The join becomes
 a hash/sort-merge join on an integer key; the blowup factor is bounded
 by ceil(window/width)+1 = 2. At 100 TB the bucket key also gives AQE a
 skew-split handle that a nested loop never exposes.
+
+Caveat ts dtypes: the op casts both ts columns to TIMESTAMP — pass real
+timestamps. An integer epoch-MICROSECOND column would be reinterpreted
+as epoch SECONDS by that cast (silently inflated 1e6x); convert with
+timestamp_micros() first.
 """
 
 from __future__ import annotations

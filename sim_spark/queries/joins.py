@@ -128,9 +128,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("l_orderkey").alias("n_items"),
-            F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0)).cast("decimal(30,6)"))
-            .cast("double")
-            .alias("sum_qty"),
+            dsum(F.coalesce(F.col("l_quantity"), F.lit(0.0))).alias("sum_qty"),
         )
     )
 
@@ -185,7 +183,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
     )
     j = c.join(ev, c.c_custkey == ev.user_id, "full")

@@ -358,3 +358,22 @@ def test_feature_scale_zero_sigma_yields_null(spark):
     rows = out.collect()
     assert all(r["z"] is None for r in rows if r["g"] == "a")
     assert all(r["z"] is not None for r in rows if r["g"] == "b")
+
+
+def test_asof_null_semantics_match_sql_contract(spark):
+    """NULL key/ts rows must behave like the correlated subquery: no
+    phantom matches from NULL-ts right rows, NULL payloads for NULL-ts
+    or NULL-key left rows (regression for the nulls-first/unfiltered
+    window ordering)."""
+    from sim_spark.ops.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, None, "Lnull"), (None, 10, "Lnullkey")],
+        "k long, ts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, None, 999), (None, 1, 888)], "k long, ts long, rid int"
+    )
+    out = asof_join_backward(left, right, "k", "ts", "ts", ["rid"], "rid")
+    rows = {r["lbl"]: r["asof_rid"] for r in out.collect()}
+    assert rows == {"L1": "100", "Lnull": None, "Lnullkey": None}, rows
