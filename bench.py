@@ -104,6 +104,7 @@ def main() -> None:
     from sim_spark.session import get_spark
     import sim_spark.queries  # noqa: F401
     from sim_spark.registry import ORACLES, QUERIES
+    from sim_spark.scratch import release_tracked_caches
 
     spark = get_spark("sim_spark-bench", cpus=cpus)
 
@@ -117,6 +118,10 @@ def main() -> None:
             _materialize(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
+        # Per-QUERY release (not per-run): timed runs keep the same warm
+        # cache profile as earlier rounds, but blocks never accumulate
+        # across queries/sf_dirs for the session lifetime (ADVICE r5).
+        release_tracked_caches()
 
     # DuckDB sanity column (same parquet, oracle SQL) — context, not a gate.
     duck: dict[str, float] = {}

@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_NUM_TYPES = (
-    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-    T.FloatType, T.DoubleType, T.DecimalType,
-)
+# Integral only: __asof_order is carried as long in the union leg, so a
+# fractional order column would truncate (1.2 vs 1.9 tie alias) and the
+# "total tie-break" guarantee would silently break.
+_ORDER_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 _PAYLOAD = "__asof_payload"
 _IS_RIGHT = "__asof_is_right"
@@ -54,15 +54,16 @@ def asof_join_backward(
     ``r.key = l.key AND r.ts <= l.ts`` (three-valued logic) and are
     filtered out; left rows with NULL ts are pinned FIRST in the window
     order so no right row precedes them — they get NULL payloads rather
-    than a phantom match. ``right_order`` must be numeric (it is cast to
-    long for the union leg) — a non-numeric column would cast to NULL
-    and silently destroy the tie-break, so it is rejected loudly."""
+    than a phantom match. ``right_order`` must be integral (it travels as
+    long in the union leg) — a non-integral column would cast lossily or
+    to NULL and silently destroy the tie-break, so it is rejected loudly."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
-    if not isinstance(right.schema[right_order].dataType, _NUM_TYPES):
+    if not isinstance(right.schema[right_order].dataType, _ORDER_TYPES):
         raise TypeError(
-            f"right_order column {right_order!r} must be numeric for a total "
-            f"tie-break; got {right.schema[right_order].dataType.simpleString()}"
+            f"right_order column {right_order!r} must be an integral type "
+            f"(byte/short/int/long) for a lossless total tie-break; got "
+            f"{right.schema[right_order].dataType.simpleString()}"
         )
     lcols = left.columns
     l_tag = left.withColumn(_IS_RIGHT, F.lit(0)).withColumn(_PAYLOAD, F.lit(None).cast(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from sim_spark.scratch import track_cache
+
 
 def _assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """vec_id → (cluster, dist2) for the nearest of the literal centroids."""
@@ -55,7 +57,7 @@ def kmeans_fit(
     per-iteration inertia list). Only k x dim doubles ever reach the
     driver — the centroids ARE the model, and downstream consumers (the
     IVF coarse quantizer) need them as literals anyway."""
-    base = vectors.select("vec_id", "embedding").cache()
+    base = track_cache(vectors.select("vec_id", "embedding"))
     centroids = [
         (i, list(map(float, r["embedding"])))
         for i, r in enumerate(

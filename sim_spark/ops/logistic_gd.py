@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sim_spark.scratch import track_cache
+
 
 def _dot_lit(col: str, vec: list[float]):
     arr = F.array(*[F.lit(float(x)) for x in vec])
@@ -49,7 +51,8 @@ def logistic_gd(
     dim+2 floats cross the driver boundary per epoch."""
     base = vectors.select(
         "vec_id", "embedding", F.col(label_col).cast("double").alias("y")
-    ).cache()
+    )
+    base = track_cache(base)
     w = [0.0] * dim
     b = 0.0
     history: list[float] = []

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sim_spark.scratch import track_cache
+
 
 def _dot_lit(col: str, vec: list[float]):
     arr = F.array(*[F.lit(float(x)) for x in vec])
@@ -45,7 +47,7 @@ def power_iteration_top_component(
     vectors, nearly flat spectrum) the component is a high-variance
     direction certificate rather than THE eigenvector — exactly what
     the monotone-Rayleigh + beats-isotropic-average invariants pin."""
-    base = vectors.select("vec_id", "embedding").cache()
+    base = track_cache(vectors.select("vec_id", "embedding"))
     sums = base.agg(
         F.count(F.lit(1)).alias("n"),
         *[

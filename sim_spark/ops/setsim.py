@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sim_spark.scratch import track_cache
+
 
 def jaccard_join_prefix(
     sets: DataFrame,
@@ -53,8 +55,8 @@ def jaccard_join_prefix(
             F.size(arr_col).alias("n"),
         )
         .filter(F.col("n") > 0)
-        .cache()
     )
+    hashed = track_cache(hashed)
 
     # Global rarity order: document frequency per token hash, attached
     # with ONE unordered count-over-window partitioned by the hash —
@@ -94,7 +96,7 @@ def jaccard_join_prefix(
     # the df-join + sort-aggregate prefix extraction runs twice. One
     # prefix row per (doc, rare-token) — ~⌊0.2n⌋+1 rows/doc, smaller
     # than the corpus explode. Measured −8% on the query at sf0.1.
-    prefixes = prefixes.cache()
+    prefixes = track_cache(prefixes)
     a = prefixes.select(F.col("id").alias("id_a"), "h")
     b = prefixes.select(F.col("id").alias("id_b"), "h").hint("shuffle_hash")
     cand = (

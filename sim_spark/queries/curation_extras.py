@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import h48
 from sim_spark.io import table
+from sim_spark.scratch import track_cache
 from sim_spark.registry import query
 
 _SPAN_K = 8  # words per rolling span (Lee et al. use 50 BPE tokens; scaled)
@@ -506,9 +507,9 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage funnel certificate (count, char sum, keyed checksum). The
     funnel re-derives each prefix; the two reuse-heavy intermediates
     (dedup, clean — each feeds multiple downstream legs) are cached
-    exactly where a real run would persist to a checkpointed table, and
-    the cache keys on the analyzed plan so repeated invocations reuse
-    rather than accumulate blocks. Gram machinery is shared with
+    exactly where a real run would persist to a checkpointed table; both
+    are registered with scratch.track_cache so harnesses release the
+    blocks after materialization instead of accumulating per-sf caches. Gram machinery is shared with
     decontam_ngram_overlap (pipeline_ops.word_5grams) so the short-doc
     guard lives in one place."""
     from sim_spark.queries.pipeline_ops import word_5grams
@@ -524,8 +525,8 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("rn", F.row_number().over(w_d))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .cache()
     )
+    dedup = track_cache(dedup)
     bench_grams = (
         word_5grams(inp.filter(F.col("doc_id") % 97 == 0)).distinct()
     )
@@ -536,7 +537,7 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = corpus.join(contaminated, "doc_id", "left_anti").cache()
+    clean = track_cache(corpus.join(contaminated, "doc_id", "left_anti"))
     shard = md5_bucket_spark(F.col("doc_id"), _N_SHARDS)
 
     cert_aggs = [
@@ -747,8 +748,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vid", "cid")
-        .cache()
     )
+    assigned = track_cache(assigned)
     emb = e.select(F.col("vec_id").alias("vid"), "embedding")
     ax = assigned.join(emb, "vid").select(
         F.col("cid"), F.col("vid").alias("id_a"), F.col("embedding").alias("a_emb")

@@ -9,7 +9,6 @@ sink).
 
 from __future__ import annotations
 
-import os
 
 import hashlib
 

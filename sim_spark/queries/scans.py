@@ -9,7 +9,6 @@ tests/test_plans.py) — at 100 TB those are the difference between reading
 
 from __future__ import annotations
 
-import os
 
 from functools import reduce
 

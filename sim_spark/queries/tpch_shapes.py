@@ -8,7 +8,6 @@ priority), Q7 (nation-pair volume via supplier/customer nations), Q10
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

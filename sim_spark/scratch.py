@@ -42,3 +42,34 @@ def sf_tag(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     return f"{base}_{digest}"
+
+
+# --- tracked DataFrame caches ----------------------------------------------
+# Queries that .cache() reuse-heavy intermediates register them here so a
+# harness (bench.py, tools/drive_driver.py) can release the blocks once the
+# returned DataFrame is materialized. Without this, each distinct sf_dir
+# leaves blocks cached for the session lifetime, bounded only by LRU
+# eviction (ADVICE r5). Plan-keyed reuse within one invocation — the reason
+# the caches exist — is unaffected: release happens after materialization.
+
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """``df.cache()`` + register for later :func:`release_tracked_caches`."""
+    df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked cache (blocking=False); returns the count."""
+    global _TRACKED_CACHES
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED_CACHES = []
+    return n

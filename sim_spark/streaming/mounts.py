@@ -14,7 +14,6 @@ user_id / window, so the state store shards with the shuffle.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sim_spark.io import table
+
+_REPLAY_SEQ = 0  # per-call suffix: concurrent replays never share a dir
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -52,9 +53,13 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
 
     # Managed per-process scratch (atexit-cleaned) instead of a leaked
     # mkdtemp per call; keyed by full sf_dir + layout so distinct
-    # fixtures never collide and re-runs overwrite in place.
+    # fixtures never collide, plus a per-call sequence suffix so two
+    # overlapping streams on the same fixture in one process each get a
+    # private source dir (a shared dir would be rmtree'd mid-read).
+    global _REPLAY_SEQ
+    _REPLAY_SEQ += 1
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    tmp = scratch_dir(f"replay_{tag}_{n_files}")
+    tmp = scratch_dir(f"replay_{tag}_{n_files}_{_REPLAY_SEQ}")
     import shutil as _shutil
 
     _shutil.rmtree(tmp, ignore_errors=True)  # fresh mtime sequence per run

@@ -377,3 +377,31 @@ def test_asof_null_semantics_match_sql_contract(spark):
     out = asof_join_backward(left, right, "k", "ts", "ts", ["rid"], "rid")
     rows = {r["lbl"]: r["asof_rid"] for r in out.collect()}
     assert rows == {"L1": "100", "Lnull": None, "Lnullkey": None}, rows
+
+
+def test_asof_rejects_fractional_order_column(spark):
+    """A double right_order would truncate in the long union leg (1.2 and
+    1.9 alias) — the guard must reject it loudly, and still accept ints."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, "L")], "k long, ts long, lbl string")
+    right_f = spark.createDataFrame([(1, 5, 0.5)], "k long, ts long, ord double")
+    with pytest.raises(TypeError, match="integral"):
+        asof_join_backward(left, right_f, "k", "ts", "ts", ["ord"], "ord")
+    right_i = spark.createDataFrame([(1, 5, 7)], "k long, ts long, ord int")
+    out = asof_join_backward(left, right_i, "k", "ts", "ts", ["ord"], "ord")
+    assert [r["asof_ord"] for r in out.collect()] == ["7"]
+
+
+def test_tracked_caches_release(spark):
+    """track_cache registers; release_tracked_caches unpersists and empties
+    the registry (ADVICE r5: no per-sf cache accumulation)."""
+    from sim_spark.scratch import release_tracked_caches, track_cache
+
+    df = track_cache(spark.range(10))
+    df.count()
+    assert df.storageLevel.useMemory
+    n = release_tracked_caches()
+    assert n >= 1
+    assert not df.storageLevel.useMemory
+    assert release_tracked_caches() == 0

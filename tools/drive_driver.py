@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as ep
 from sim_spark.session import get_spark
+from sim_spark.scratch import release_tracked_caches
 from sim_spark.testing import canonicalize, duckdb_connect
 
 ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else None
@@ -75,6 +76,7 @@ for k in sorted(qs):
         failed.append(k)
         print(f"  {k}: ERROR {rec['err']}")
     results[k] = rec
+    release_tracked_caches()  # per-key: no cross-sf cache accumulation
 
 if ROUND is not None:
     tag = "" if sf.rstrip("/").endswith("sf0.01") else "_" + os.path.basename(sf.rstrip("/"))
