@@ -405,3 +405,29 @@ def test_tracked_caches_release(spark):
     assert n >= 1
     assert not df.storageLevel.useMemory
     assert release_tracked_caches() == 0
+
+
+def test_grouped_exact_sums_matches_dsum_formulation(spark):
+    """The two-stage long/decimal sum must be BIT-identical to the direct
+    decimal-sum formulation (same per-row cast, same final double), on
+    values exercising negatives, many decimals, and repeated groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sim_spark.exprs import dsum
+    from sim_spark.ops.exact_sum import grouped_exact_sums
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("abc"), rng.uniform(-1e6, 1e6) * rng.choice([1, 1e-7, 1e5]))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(13)
+    fast = grouped_exact_sums(df, ["g"], {"sx": F.col("x")}, count_alias="n")
+    slow = df.groupBy("g").agg(
+        dsum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    a = {r["g"]: (r["sx"], r["n"]) for r in fast.collect()}
+    b = {r["g"]: (r["sx"], r["n"]) for r in slow.collect()}
+    assert a == b, (a, b)
