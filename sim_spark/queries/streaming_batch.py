@@ -343,3 +343,85 @@ def stream_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "sum_value")
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_restart_exactly_once",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint restart + retried-delivery exactly-once, end to end:
+
+    run 1 streams the first half of events through a bounded dedup
+    (dropDuplicatesWithinWatermark) into an idempotent foreachBatch
+    parquet sink (streaming/sinks.py: batch-scoped overwrite + commit
+    marker) with a checkpoint, then STOPS; the second source file —
+    the remaining events PLUS a replayed duplicate slice of file 1, the
+    at-least-once source contract — lands and run 2 resumes from the
+    same checkpoint. The sink must then hold every event exactly once:
+    restart recovery (file 1 not re-read: its ids are NOT in run 2's
+    dedup state, which was GC'd by the watermark — the idempotent sink
+    and source offset log are what protect it), source-duplicate drops,
+    and no double-applied micro-batch. The aggregate over the sink is
+    SQL-oracled against the raw events table — any leaked duplicate or
+    lost batch breaks the hash.
+
+    At 100 TB: the checkpoint + commit-marker dirs are O(batches)
+    metadata on durable storage; state is watermark-bounded; the sink
+    write is per-batch-partitioned parquet.
+    """
+    import os
+    import time
+
+    from sim_spark.exprs import dsum
+    from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag
+    from sim_spark.streaming.sinks import (
+        batch_scoped_parquet_writer,
+        idempotent_foreach_batch,
+    )
+
+    global _RESTART_SEQ
+    _RESTART_SEQ += 1
+    root = scratch_dir(f"restart_eo_{scratch_sf_tag(sf_dir)}_{_RESTART_SEQ}")
+    src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    out, commits = os.path.join(root, "out"), os.path.join(root, "commits")
+
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    first = ev.filter(F.col("event_id") <= mid)
+    rest = ev.filter(F.col("event_id") > mid)
+    replayed_dupes = first.orderBy(F.desc("event_id")).limit(50)
+    first.coalesce(1).write.parquet(src)
+
+    sink = idempotent_foreach_batch(batch_scoped_parquet_writer(out), commits)
+
+    def run():
+        q = (
+            mounts.dedup_ids_stream(mounts.stream_events(spark, src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("restart_exactly_once stream did not drain")
+
+    run()  # run 1: first half only
+    time.sleep(1.05)  # distinct mtime for the second source file
+    rest.unionByName(replayed_dupes).coalesce(1).write.mode("append").parquet(src)
+    run()  # run 2: resumes from the same checkpoint
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+_RESTART_SEQ = 0

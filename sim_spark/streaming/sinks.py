@@ -1,0 +1,81 @@
+"""Exactly-once streaming sink helpers.
+
+Spark's end-to-end exactly-once story has two halves the engine cannot
+supply on its own:
+
+* The **file sink** (parquet/orc) is exactly-once for *readers that use
+  the ``_spark_metadata`` manifest*: a retried batch may leave orphan
+  part-files, but the manifest lists only the committed attempt, and
+  ``spark.read`` on the sink dir honors it (pinned by
+  tests/test_stream_parity.py::test_file_sink_exactly_once_after_restart).
+
+* **foreachBatch** is at-least-once: after a crash between the sink's
+  side effect and the checkpoint commit, the SAME ``batch_id`` is
+  re-executed on restart. Exactly-once therefore requires the writer to
+  be idempotent per batch id — :func:`idempotent_foreach_batch` wraps any
+  write function with a commit-marker log so re-executions of a committed
+  batch become no-ops. This is the standard pattern for non-transactional
+  stores (object stores, KV stores, plain directories); transactional
+  sinks (JDBC with a batch-id column, Delta) can instead make the
+  (batch_id, write) atomic.
+
+At cluster scale the commit-marker directory lives on the same durable
+store as the checkpoint (S3/HDFS); one marker file per batch, O(batches)
+metadata, no data re-read.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def idempotent_foreach_batch(
+    write_fn: Callable[[DataFrame, int], None], commit_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch ``write_fn`` so each batch id's side effect
+    happens at most once across retries and restarts.
+
+    Protocol per invocation of the returned sink:
+
+    1. If ``commit_dir/<batch_id>.commit`` exists → the batch already
+       committed fully; SKIP (this is the retry / post-restart replay).
+    2. Otherwise run ``write_fn`` (which must itself be all-or-nothing
+       per call — e.g. ``mode("overwrite")`` into a batch-scoped path,
+       so a half-written failed attempt is replaced by the retry).
+    3. Write the commit marker LAST. A crash between 2 and 3 re-runs
+       the write on retry — allowed, because step 2 overwrites.
+
+    The marker, not the data write, is the commit point — exactly the
+    write-ahead-intent/commit-marker split Spark's own file-sink
+    manifest uses.
+    """
+    os.makedirs(commit_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_dir, f"{batch_id}.commit")
+        if os.path.exists(marker):
+            return
+        write_fn(batch_df, batch_id)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    return sink
+
+
+def batch_scoped_parquet_writer(out_root: str) -> Callable[[DataFrame, int], None]:
+    """A ``write_fn`` for :func:`idempotent_foreach_batch` that lands each
+    micro-batch in its own ``out_root/batch=<id>/`` partition with
+    ``mode("overwrite")`` — a retried attempt replaces the partial files
+    of the failed one instead of duplicating rows. Readers take
+    ``spark.read.parquet(out_root)`` (the batch= dir becomes a partition
+    column they can drop)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"batch={batch_id}")
+        )
+
+    return write
