@@ -707,3 +707,36 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+@query(
+    "join_cbo_reordered_star",
+    oracle="""
+SELECT r.r_name AS region_name,
+       n.n_name AS nation_name,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY r.r_name, n.n_name
+ORDER BY region_name, nation_name
+""",
+)
+def join_cbo_reordered_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering over ANALYZEd catalog tables (SURVEY
+    §4.2's deferred action): the five-way chain is written fact-first
+    with the selective region filter last; ops/cbo.py registers the
+    fixtures as external tables, runs ANALYZE … FOR ALL COLUMNS once per
+    session, and enables spark.sql.cbo.{enabled,joinReorder.enabled} so
+    CostBasedJoinReorder re-sequences the join by cost (row counts +
+    NDVs), not by syntax. At 100 TB the ANALYZE is a scan-once ingest
+    step; without it a bad literal order ships the fact table through
+    every intermediate join."""
+    from sim_spark.ops.cbo import cbo_star_join
+
+    return cbo_star_join(spark, sf_dir)

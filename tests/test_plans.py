@@ -391,3 +391,27 @@ def test_dsir_topn_is_take_ordered(spark):
     (per-partition heaps), not a global window rank."""
     p = plan(spark, "curate_dsir_weights")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_cbo_stats_flow_into_optimizer(spark):
+    """SURVEY §4.2 'run ANALYZE in bench harness': external catalog
+    tables over the fixtures must carry row-count statistics, and the
+    star query's cost-mode plan must show them reaching the optimizer
+    (rowCount= estimates on the relations). The physical plan must
+    broadcast the small dims and contain no nested-loop join."""
+    from sim_spark.ops.cbo import analyzed_tables, cbo_star_join, stats_of
+
+    names = analyzed_tables(spark, SF)
+    st = stats_of(spark, names["lineitem"])
+    assert re.search(r"\d+ rows", st), st
+
+    df = cbo_star_join(spark, SF)
+    cost = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
+    )
+    assert "rowCount=" in cost, cost[:2000]
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
