@@ -1,0 +1,249 @@
+"""Automatic bucket-rewrite of plain range/band join predicates.
+
+SURVEY §4.3 deferred injecting the range-join rewrite as a Catalyst
+optimizer rule (``SparkSessionExtensions.injectOptimizerRule`` needs a
+compiled Scala rule). This module closes the ergonomic gap from the
+Python side instead: :func:`auto_join` takes the SAME call shape as
+``DataFrame.join`` — a plain boolean ``Column`` condition — walks the
+condition's ColumnNode tree, and when it finds a *bounded band*
+``lo <= right.x - left.y <= hi`` (written any of the usual ways:
+``BETWEEN``, two inequalities, timestamp ± INTERVAL), it plans the join
+as bucket-equi-join + exact refine instead of letting Catalyst fall
+back to BroadcastNestedLoopJoin / CartesianProduct.
+
+Semantics are NEVER changed: the rewrite joins on a conservative
+bucket-overlap superset and re-applies the ORIGINAL predicate as the
+refine filter, so the output is row-identical to the naive join
+(property-tested in tests/test_ops_properties.py). Conditions the
+walker cannot classify fall back to ``left.join(right, on, how)``
+untouched.
+
+Scale: the rewrite turns an O(n·m) nested loop into one shuffle on an
+integer bucket key with a bounded (≤2×) left-side explode — the same
+plan ops/rangejoin.py builds by hand, now derived from the predicate.
+At 100 TB the bucket key is also an AQE skew-split handle.
+
+Limitations (documented, loud): inner joins only; left/right column
+names must be disjoint (the refine filter re-resolves by name); the
+band must relate ONE left attribute to ONE right attribute with
+literal / simple-INTERVAL offsets.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET = "__aj_bucket"
+
+_INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+# --- ColumnNode tree readers (classic PySpark 4.x internal nodes) ----------
+
+
+def _cls(n) -> str:
+    return n.getClass().getSimpleName()
+
+
+def _children(n) -> list:
+    ch = n.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _attr_name(n) -> str | None:
+    if _cls(n) != "UnresolvedAttribute":
+        return None
+    parts = n.nameParts()
+    return parts.apply(parts.size() - 1)  # unqualified tail
+
+
+def _interval_us(text: str) -> int | None:
+    """Parse simple ``INTERVAL <n> <unit>`` forms to microseconds."""
+    m = re.fullmatch(
+        r"\s*INTERVAL\s+'?(-?\d+)'?\s+(\w+?)S?\s*", text, flags=re.IGNORECASE
+    )
+    if not m:
+        return None
+    unit = m.group(2).lower()
+    if unit not in _INTERVAL_US:
+        return None
+    return int(m.group(1)) * _INTERVAL_US[unit]
+
+
+def _offset_value(n) -> tuple[float, bool] | None:
+    """A literal offset node → (value, is_interval). Numeric literals
+    return their value; SqlExpression INTERVALs return microseconds."""
+    c = _cls(n)
+    if c == "Literal":
+        v = n.value()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return (float(v), False)
+    if c == "SqlExpression":
+        us = _interval_us(n.expression())
+        if us is None:
+            return None
+        return (float(us), True)
+    return None
+
+
+@dataclass
+class _Term:
+    """attr ± offset: one comparison side, normalized."""
+
+    attr: str
+    offset: float  # native units (µs once timestamps are normalized)
+    is_interval: bool
+
+
+def _parse_side(n) -> _Term | None:
+    name = _attr_name(n)
+    if name is not None:
+        return _Term(name, 0.0, False)
+    if _cls(n) == "UnresolvedFunction" and n.functionName() in ("+", "-"):
+        a, b = _children(n)
+        base = _attr_name(a)
+        off = _offset_value(b)
+        if base is None or off is None:
+            return None
+        sign = 1.0 if n.functionName() == "+" else -1.0
+        return _Term(base, sign * off[0], off[1])
+    return None
+
+
+def _conjuncts(n) -> list:
+    if _cls(n) == "UnresolvedFunction" and n.functionName() == "and":
+        out = []
+        for c in _children(n):
+            out.extend(_conjuncts(c))
+        return out
+    return [n]
+
+
+# --- classification ---------------------------------------------------------
+
+
+def _classify(n, lcols: set[str], rcols: set[str]):
+    """One conjunct → ("eq", lname, rname) | ("bound", l, r, lo, hi,
+    interval?) with the bound meaning lo <= r - l (hi=None) or
+    r - l <= hi (lo=None) | None (unknown)."""
+    if _cls(n) != "UnresolvedFunction":
+        return None
+    fn = n.functionName()
+    if fn not in ("=", "==", ">=", "<=", ">", "<"):
+        return None
+    a, b = _children(n)
+    ta, tb = _parse_side(a), _parse_side(b)
+    if ta is None or tb is None:
+        return None
+
+    def side(t: _Term):
+        if t.attr in lcols and t.attr not in rcols:
+            return "l"
+        if t.attr in rcols and t.attr not in lcols:
+            return "r"
+        return None
+
+    sa, sb = side(ta), side(tb)
+    if sa is None or sb is None or sa == sb:
+        return None
+    # normalize to (l term, r term, op with r on the left of op)
+    if sa == "l":
+        lt, rt, op = ta, tb, {"=": "=", "==": "=", ">=": "<=", "<=": ">=", ">": "<", "<": ">"}[fn]
+    else:
+        lt, rt, op = tb, ta, fn if fn in ("=", "==") else fn
+    if op in ("=", "=="):
+        if lt.offset == 0 and rt.offset == 0:
+            return ("eq", lt.attr, rt.attr)
+        return None
+    # op now relates rt to lt:  rt.attr + rt.offset  (op)  lt.attr + lt.offset
+    # → rt.attr - lt.attr (op) lt.offset - rt.offset
+    delta = lt.offset - rt.offset
+    is_iv = lt.is_interval or rt.is_interval
+    if op in (">=", ">"):
+        return ("bound", lt.attr, rt.attr, delta, None, is_iv)
+    return ("bound", lt.attr, rt.attr, None, delta, is_iv)
+
+
+def auto_join(
+    left: DataFrame, right: DataFrame, on: Column, how: str = "inner"
+) -> DataFrame:
+    """``left.join(right, on, how)`` with automatic band-bucket rewrite.
+
+    Row-identical to the naive join by construction (candidate superset
+    + original-predicate refine). Falls back to the plain join whenever
+    the condition isn't a recognizable bounded band or ``how`` isn't
+    inner."""
+    lcols, rcols = set(left.columns), set(right.columns)
+    if how != "inner" or (lcols & rcols):
+        return left.join(right, on, how)
+
+    parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
+    # collect bounds per (l_attr, r_attr) pair
+    bounds: dict[tuple[str, str], list[float | None]] = {}
+    for p in parsed:
+        if p is not None and p[0] == "bound":
+            _, la, ra, lo, hi, _iv = p
+            cur = bounds.setdefault((la, ra), [None, None])
+            if lo is not None:
+                cur[0] = lo if cur[0] is None else max(cur[0], lo)
+            if hi is not None:
+                cur[1] = hi if cur[1] is None else min(cur[1], hi)
+    band = next(
+        ((k, v) for k, v in bounds.items() if v[0] is not None and v[1] is not None),
+        None,
+    )
+    if band is None:
+        return left.join(right, on, how)
+    (l_attr, r_attr), (lo, hi) = band
+    if hi < lo:
+        return left.join(right, on, how)  # contradictory band: let Spark emit empty
+
+    def axis(df: DataFrame, name: str) -> Column | None:
+        dt = df.schema[name].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(name).cast("timestamp"))
+        if isinstance(dt, T.NumericType):
+            return F.col(name).cast("double")
+        return None  # dates/strings: don't guess an axis — fall back
+
+    l_val, r_val = axis(left, l_attr), axis(right, r_attr)
+    if l_val is None or r_val is None:
+        return left.join(right, on, how)
+
+    eq_pairs = [(p[1], p[2]) for p in parsed if p is not None and p[0] == "eq"]
+
+    # ±1 bucket margin: timestamp axes are exact integer µs, but double
+    # axes can sit one ulp across a bucket edge relative to the refine
+    # predicate's own arithmetic — widening the candidate range (4 ids
+    # max instead of 2) removes the edge entirely; refine restores
+    # exactness either way.
+    width = max(hi - lo, 1.0)
+    lo_b = (F.floor((l_val + F.lit(lo)) / F.lit(width)) - 1).cast("long")
+    hi_b = (F.floor((l_val + F.lit(hi)) / F.lit(width)) + 1).cast("long")
+    l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
+    r_bkt = right.withColumn(_BUCKET, F.floor(r_val / F.lit(width)).cast("long"))
+
+    if eq_pairs:
+        # bucket + every equi conjunct as join keys (all reach the hash)
+        jcond = l_exp[_BUCKET] == r_bkt[_BUCKET]
+        for la, ra in eq_pairs:
+            jcond = jcond & (l_exp[la] == r_bkt[ra])
+        joined = l_exp.join(r_bkt, jcond, "inner").drop(r_bkt[_BUCKET])
+    else:
+        joined = l_exp.join(r_bkt, on=[_BUCKET], how="inner")
+    # exact refine with the ORIGINAL predicate — the rewrite can only
+    # over-generate candidates, never drop a true match
+    return joined.filter(on).drop(_BUCKET)

@@ -248,3 +248,51 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.cast("long").alias("nearest_gap_us"),
         side.alias("side"),
     ).orderBy("event_id")
+
+
+@query(
+    "join_auto_band",
+    oracle="""
+SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lead_us
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+""",
+)
+def join_auto_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automatic band rewrite (ops/autojoin.py) on the plain
+    purchase⋈view predicate — the user writes the naive condition (equi
+    user key + two timestamp inequalities with an INTERVAL offset)
+    exactly as they would against any SQL engine; auto_join detects the
+    bounded band, buckets both sides on a 1-hour integer key, joins
+    bucket+user equi, and refines with the original predicate. Same
+    rows as stream_join_purchase_view (shared oracle); the plan is a
+    hash/SMJ join, plan-asserted nested-loop-free in tests/test_plans.py.
+    This closes SURVEY §4.3's deferred optimizer-rule ergonomics from
+    the Python side."""
+    from sim_spark.ops.autojoin import auto_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    out = auto_join(p, v, cond)
+    return out.select(
+        "p_id",
+        "v_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lead_us"),
+    )

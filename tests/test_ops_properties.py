@@ -9,6 +9,7 @@ import random
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
 from sim_spark.ops.asof import asof_join_backward
 from sim_spark.ops.rangejoin import interval_join
 
@@ -431,3 +432,63 @@ def test_grouped_exact_sums_matches_dsum_formulation(spark):
     a = {r["g"]: (r["sx"], r["n"]) for r in fast.collect()}
     b = {r["g"]: (r["sx"], r["n"]) for r in slow.collect()}
     assert a == b, (a, b)
+
+
+def test_auto_join_equals_naive_randomized(spark, seed=3):
+    """auto_join must be row-identical to the naive non-equi join on
+    randomized numeric and timestamp bands, with and without equi keys,
+    including boundary-exact values."""
+    import datetime
+    import random
+
+    from sim_spark.ops.autojoin import auto_join
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    L = spark.createDataFrame(
+        [
+            (i, rng.randrange(4), base + datetime.timedelta(seconds=rng.randrange(7200)),
+             float(rng.randrange(200)) / 2)
+            for i in range(300)
+        ],
+        "lid long, lg int, lts timestamp, lv double",
+    )
+    R = spark.createDataFrame(
+        [
+            (i, rng.randrange(4), base + datetime.timedelta(seconds=rng.randrange(7200)),
+             float(rng.randrange(200)) / 2)
+            for i in range(300)
+        ],
+        "rid long, rg int, rts timestamp, rv double",
+    )
+    conds = [
+        (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 10 MINUTE"))
+        & (F.col("rts") <= F.col("lts")),
+        (F.col("lg") == F.col("rg"))
+        & F.col("rv").between(F.col("lv") - 3, F.col("lv") + 3),
+        (F.col("rv") > F.col("lv") - 2) & (F.col("rv") < F.col("lv") + 2),
+    ]
+    for i, cond in enumerate(conds):
+        a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+        b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+        assert a == b, f"cond {i}: {len(a)} naive vs {len(b)} auto"
+
+
+def test_auto_join_falls_back_untouched(spark):
+    """Conditions outside the band grammar (scaled attr, OR, overlapping
+    column names, outer how) must fall back to the plain join."""
+    from sim_spark.ops.autojoin import auto_join
+
+    L = spark.createDataFrame([(1, 2.0)], "a long, x double")
+    R = spark.createDataFrame([(1, 3.0)], "b long, y double")
+    for cond in [
+        F.col("x") * 2 < F.col("y"),
+        (F.col("a") == F.col("b")) | (F.col("x") < F.col("y")),
+    ]:
+        got = auto_join(L, R, cond)
+        exp = L.join(R, cond)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # outer join is not rewritten (band rewrite is inner-only)
+    band = (F.col("y") >= F.col("x") - 1) & (F.col("y") <= F.col("x") + 1)
+    got = auto_join(L, R, band, how="left")
+    assert got.count() == L.join(R, band, "left").count()

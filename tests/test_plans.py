@@ -415,3 +415,13 @@ def test_cbo_stats_flow_into_optimizer(spark):
     )
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_auto_band_join_is_not_nested_loop(spark):
+    """The plain band predicate plans as BNLJ/cartesian; the auto_join
+    rewrite of the SAME predicate must plan as a hash/SMJ equi join."""
+    p = plan(spark, "join_auto_band")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
