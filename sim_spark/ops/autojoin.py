@@ -135,6 +135,35 @@ def _conjuncts(n) -> list:
 # --- classification ---------------------------------------------------------
 
 
+def _abs_band(n, lcols: set[str], rcols: set[str]):
+    """``ABS(x - y) < c`` / ``c > ABS(x - y)`` → symmetric band
+    ("bound", l, r, -c, c, False), or None."""
+    fn = n.functionName()
+    if fn not in ("<", "<="):
+        return None
+    a, b = _children(n)
+    # normalize to abs(...) OP literal
+    if _cls(b) == "UnresolvedFunction" and b.functionName() == "abs":
+        return None  # literal < abs(..) is a LOWER bound on |diff| — no band
+    if not (_cls(a) == "UnresolvedFunction" and a.functionName() == "abs"):
+        return None
+    lit = _offset_value(b)
+    if lit is None or lit[0] < 0:
+        return None
+    (inner,) = _children(a)
+    if not (_cls(inner) == "UnresolvedFunction" and inner.functionName() == "-"):
+        return None
+    x, y = _children(inner)
+    nx, ny = _attr_name(x), _attr_name(y)
+    if nx is None or ny is None:
+        return None
+    for la, ra in ((nx, ny), (ny, nx)):
+        if la in lcols and la not in rcols and ra in rcols and ra not in lcols:
+            # |r - l| bounded ⇒ -c <= r - l <= c (symmetric, side-free)
+            return ("bound", la, ra, -lit[0], lit[0], lit[1])
+    return None
+
+
 def _classify(n, lcols: set[str], rcols: set[str]):
     """One conjunct → ("eq", lname, rname) | ("bound", l, r, lo, hi,
     interval?) with the bound meaning lo <= r - l (hi=None) or
@@ -144,6 +173,9 @@ def _classify(n, lcols: set[str], rcols: set[str]):
     fn = n.functionName()
     if fn not in ("=", "==", ">=", "<=", ">", "<"):
         return None
+    ab = _abs_band(n, lcols, rcols)
+    if ab is not None:
+        return ab
     a, b = _children(n)
     ta, tb = _parse_side(a), _parse_side(b)
     if ta is None or tb is None:

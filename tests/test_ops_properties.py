@@ -492,3 +492,23 @@ def test_auto_join_falls_back_untouched(spark):
     band = (F.col("y") >= F.col("x") - 1) & (F.col("y") <= F.col("x") + 1)
     got = auto_join(L, R, band, how="left")
     assert got.count() == L.join(R, band, "left").count()
+
+
+def test_auto_join_abs_band(spark):
+    """ABS(x - y) < c is the most common band spelling — must rewrite to
+    the bucket join (no nested loop) and stay row-identical; a lower
+    bound on |diff| is NOT a band and must fall back."""
+    from sim_spark.ops.autojoin import auto_join
+
+    L = spark.createDataFrame([(i % 3, float(i) / 3) for i in range(200)], "g int, lv double")
+    R = spark.createDataFrame([(i % 3, float(2 * i) / 5) for i in range(200)], "h int, rv double")
+    cond = (F.col("g") == F.col("h")) & (F.abs(F.col("lv") - F.col("rv")) < 2.5)
+    a = sorted(map(tuple, L.join(R, cond).collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).collect()))
+    assert a == b and len(a) > 0
+    p = auto_join(L, R, cond)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    anti = F.lit(2.5) < F.abs(F.col("lv") - F.col("rv"))
+    assert auto_join(L, R, anti).count() == L.join(R, anti).count()
