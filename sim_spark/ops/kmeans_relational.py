@@ -18,7 +18,7 @@ value of the relational form is that every step is oracle-inspectable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sim_spark.scratch import track_cache

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from sim_spark.io import table
 from sim_spark.ops.materialize import materialize
 from sim_spark.queries.graph_ops import _EDGES_CTE, _copurchase_edges
 from sim_spark.registry import query

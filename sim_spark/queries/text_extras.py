@@ -318,7 +318,6 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata extraction via the ops.multimodal mapInPandas plumbing.
     The decode step itself is a clearly-marked stub (ops/multimodal.py).
     Per-sf payload dirs so different scale factors never cross-read."""
-    import os
 
     from sim_spark.ops.multimodal import write_payload_dir
     from sim_spark.scratch import scratch_dir, sf_tag as scratch_sf_tag

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sim_spark.exprs import davg, dsum, sql_davg, sql_dsum
+from sim_spark.exprs import dsum, sql_dsum
 from sim_spark.io import table
 from sim_spark.registry import query
 

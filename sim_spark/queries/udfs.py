@@ -10,7 +10,6 @@ semantics are genuinely required, and always Arrow-batched.
 
 from __future__ import annotations
 
-import math
 import re
 
 import pandas as pd

@@ -394,8 +394,6 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division is of identical doubles."""
     from pyspark.sql import Window as W
 
-    from sim_spark.exprs import dsum
-
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
