@@ -19,7 +19,7 @@ walker cannot classify fall back to ``left.join(right, on, how)``
 untouched.
 
 Scale: the rewrite turns an O(n·m) nested loop into one shuffle on an
-integer bucket key with a bounded (≤2×) left-side explode — the same
+integer bucket key with a bounded (≤4 bucket ids) left-side explode — the same
 plan ops/rangejoin.py builds by hand, now derived from the predicate.
 At 100 TB the bucket key is also an AQE skew-split handle.
 
@@ -137,14 +137,15 @@ def _conjuncts(n) -> list:
 
 def _abs_band(n, lcols: set[str], rcols: set[str]):
     """``ABS(x - y) < c`` / ``c > ABS(x - y)`` → symmetric band
-    ("bound", l, r, -c, c, False), or None."""
+    ("bound", l, r, -c, c, False), or None. A LOWER bound on |diff|
+    (``ABS(..) > c`` / ``c < ABS(..)``) is not a band and returns None."""
     fn = n.functionName()
-    if fn not in ("<", "<="):
-        return None
     a, b = _children(n)
-    # normalize to abs(...) OP literal
-    if _cls(b) == "UnresolvedFunction" and b.functionName() == "abs":
-        return None  # literal < abs(..) is a LOWER bound on |diff| — no band
+    if fn in (">", ">="):
+        # c > abs(..): literal on the left — same band, operands swapped
+        a, b = b, a
+    elif fn not in ("<", "<="):
+        return None
     if not (_cls(a) == "UnresolvedFunction" and a.functionName() == "abs"):
         return None
     lit = _offset_value(b)
@@ -195,7 +196,7 @@ def _classify(n, lcols: set[str], rcols: set[str]):
     if sa == "l":
         lt, rt, op = ta, tb, {"=": "=", "==": "=", ">=": "<=", "<=": ">=", ">": "<", "<": ">"}[fn]
     else:
-        lt, rt, op = tb, ta, fn if fn in ("=", "==") else fn
+        lt, rt, op = tb, ta, fn  # r already on the left: no operator flip
     if op in ("=", "=="):
         if lt.offset == 0 and rt.offset == 0:
             return ("eq", lt.attr, rt.attr)
@@ -219,7 +220,7 @@ def auto_join(
     the condition isn't a recognizable bounded band or ``how`` isn't
     inner."""
     lcols, rcols = set(left.columns), set(right.columns)
-    if how != "inner" or (lcols & rcols):
+    if how != "inner" or (lcols & rcols) or "__aj_ax" in (lcols | rcols):
         return left.join(right, on, how)
 
     parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
@@ -243,10 +244,25 @@ def auto_join(
     if hi < lo:
         return left.join(right, on, how)  # contradictory band: let Spark emit empty
 
+    session_tz = left.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
     def axis(df: DataFrame, name: str) -> Column | None:
         dt = df.schema[name].dataType
+        if isinstance(dt, T.TimestampNTZType) and session_tz not in (
+            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
+        ):
+            # NTZ bucketing would go through a session-tz cast while the
+            # refine predicate compares wall-clock values — a DST gap can
+            # distort differences by an hour and push a true match out of
+            # the exploded bucket range. Rewriting is only safe when the
+            # cast is the identity mapping (UTC session).
+            return None
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             return F.unix_micros(F.col(name).cast("timestamp"))
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return F.col(name).cast("long")  # exact: no double round-trip
+        if isinstance(dt, T.DecimalType) and dt.precision - dt.scale > 15:
+            return None  # unscaled value can exceed double's 2^53 exactness
         if isinstance(dt, T.NumericType):
             return F.col(name).cast("double")
         return None  # dates/strings: don't guess an axis — fall back
@@ -257,16 +273,45 @@ def auto_join(
 
     eq_pairs = [(p[1], p[2]) for p in parsed if p is not None and p[0] == "eq"]
 
-    # ±1 bucket margin: timestamp axes are exact integer µs, but double
+    # ±1 bucket margin: exact-integer axes never need it, but double
     # axes can sit one ulp across a bucket edge relative to the refine
     # predicate's own arithmetic — widening the candidate range (4 ids
     # max instead of 2) removes the edge entirely; refine restores
     # exactness either way.
-    width = max(hi - lo, 1.0)
-    lo_b = (F.floor((l_val + F.lit(lo)) / F.lit(width)) - 1).cast("long")
-    hi_b = (F.floor((l_val + F.lit(hi)) / F.lit(width)) + 1).cast("long")
-    l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
-    r_bkt = right.withColumn(_BUCKET, F.floor(r_val / F.lit(width)).cast("long"))
+    integral_axes = not isinstance(
+        left.schema[l_attr].dataType, (T.FloatType, T.DoubleType, T.DecimalType)
+    ) and not isinstance(
+        right.schema[r_attr].dataType, (T.FloatType, T.DoubleType, T.DecimalType)
+    )
+    if integral_axes:
+        # Integer `div` end to end: a double division would quantize a
+        # long axis to 256-unit steps near 2^60 (snowflake-style ids)
+        # and strand a true match outside the margin. `div` truncates
+        # toward zero rather than flooring, but any monotone bucket
+        # function applied consistently to both sides preserves the
+        # superset property, and trunc-div by a positive width is
+        # monotone.
+        import math
+
+        lo_i, hi_i = int(math.floor(lo)), int(math.ceil(hi))
+        w_int = max(hi_i - lo_i, 1)
+        l2 = left.withColumn("__aj_ax", l_val)
+        lo_b = F.expr(f"((__aj_ax + {lo_i}) div {w_int}) - 1")
+        hi_b = F.expr(f"((__aj_ax + {hi_i}) div {w_int}) + 1")
+        l_exp = l2.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b))).drop(
+            "__aj_ax"
+        )
+        r_bkt = (
+            right.withColumn("__aj_ax", r_val)
+            .withColumn(_BUCKET, F.expr(f"__aj_ax div {w_int}"))
+            .drop("__aj_ax")
+        )
+    else:
+        width = max(hi - lo, 1.0)
+        lo_b = (F.floor((l_val + F.lit(lo)) / F.lit(width)) - 1).cast("long")
+        hi_b = (F.floor((l_val + F.lit(hi)) / F.lit(width)) + 1).cast("long")
+        l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
+        r_bkt = right.withColumn(_BUCKET, F.floor(r_val / F.lit(width)).cast("long"))
 
     if eq_pairs:
         # bucket + every equi conjunct as join keys (all reach the hash)

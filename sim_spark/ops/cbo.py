@@ -21,8 +21,6 @@ behavior, so non-cataloged queries are unaffected.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 
 _DB = "sim_spark_cbo"
@@ -35,24 +33,55 @@ TABLES = ("region", "nation", "supplier", "customer", "orders", "lineitem")
 
 
 def enable_cbo(spark: SparkSession) -> None:
+    """Defensive idempotent pin for driver-owned sessions; sim_spark's
+    own sessions already enable these uniformly at build time
+    (session.py), so no mid-sweep optimizer-setting flip occurs."""
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
 
 
 def analyzed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Ensure external tables + full column stats exist for ``sf_dir``;
-    returns {logical name -> catalog name}. Idempotent per session."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    returns {logical name -> catalog name}. Idempotent per session.
+
+    The external tables bypass io.table's loud pinned-schema guard
+    (CREATE TABLE infers its own schema from the parquet footer), so the
+    guard is re-applied here: each catalog table's schema must match the
+    pinned fixture schema, with the same timestamp_ntz canonicalization
+    io.table uses — a silently retyped fixture column must fail this
+    query the same way it fails every other one. A stale catalog entry
+    whose schema no longer matches (persistent metastore, regenerated
+    fixture) is dropped and re-created rather than trusted."""
+    from sim_spark.io import SCHEMAS
+    from sim_spark.scratch import sf_tag
+
+    tag = sf_tag(sf_dir).replace(".", "_").replace("-", "_")
     names = {t: f"{_DB}.{t}_{tag}" for t in TABLES}
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _ANALYZED:
         return names
+
+    def _canon(schema) -> str:
+        return schema.simpleString().replace("timestamp_ntz", "timestamp")
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DB}")
     for t, cat in names.items():
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {cat} USING parquet "
-            f"LOCATION '{sf_dir}/{t}.parquet'"
-        )
+        pinned = SCHEMAS.get(t)
+        for attempt in ("trust", "recreate"):
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {cat} USING parquet "
+                f"LOCATION '{sf_dir}/{t}.parquet'"
+            )
+            if pinned is None or _canon(spark.table(cat).schema) == _canon(pinned):
+                break
+            if attempt == "trust":
+                spark.sql(f"DROP TABLE IF EXISTS {cat}")  # stale catalog entry
+            else:
+                raise TypeError(
+                    f"fixture schema drift for catalog table {cat}: expected "
+                    f"{pinned.simpleString()}, got "
+                    f"{spark.table(cat).schema.simpleString()}"
+                )
         spark.sql(f"ANALYZE TABLE {cat} COMPUTE STATISTICS FOR ALL COLUMNS")
     _ANALYZED.add(key)
     return names

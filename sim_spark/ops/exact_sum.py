@@ -49,14 +49,19 @@ def grouped_exact_sums(
     count_alias: str = "__n",
 ) -> DataFrame:
     """Group ``df`` by ``keys``; for each ``alias -> expr`` in ``measures``
-    produce an exact order-independent DOUBLE sum named ``alias``, plus a
-    row count named ``count_alias``. Output: keys + sums + count."""
+    produce an exact order-independent DOUBLE sum named ``alias`` and its
+    NON-NULL evaluation count named ``n_{alias}`` (the COUNT(expr) an
+    average denominator needs — COUNT(*) would diverge from SUM/COUNT
+    semantics the moment a measure is NULL on some row), plus a row
+    count named ``count_alias``. Output: keys + sums + per-measure
+    counts + row count."""
     pid = F.spark_partition_id().alias("__pid")
     stage1 = df.groupBy(*keys, pid).agg(
         *[
             F.sum((m.cast(_DEC) * _SCALE).cast("long")).alias(f"__u_{a}")
             for a, m in measures.items()
         ],
+        *[F.count(m).alias(f"__c_{a}") for a, m in measures.items()],
         F.count(F.lit(1)).alias("__pn"),
     )
     stage2 = stage1.groupBy(*keys).agg(
@@ -64,6 +69,7 @@ def grouped_exact_sums(
             F.sum(F.col(f"__u_{a}").cast("decimal(38,0)")).alias(f"__t_{a}")
             for a in measures
         ],
+        *[F.sum(f"__c_{a}").alias(f"n_{a}") for a in measures],
         F.sum("__pn").alias(count_alias),
     )
     return stage2.select(
@@ -72,5 +78,6 @@ def grouped_exact_sums(
             (F.col(f"__t_{a}") / F.lit(_SCALE)).cast("double").alias(a)
             for a in measures
         ],
+        *[F.col(f"n_{a}") for a in measures],
         count_alias,
     )

@@ -51,8 +51,10 @@ def agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(30,6) cast is shared) but ~1.6x faster at sf0.1 because the
     per-row aggregation buffer stays a long; overflow-safe at 100 TB
     because no long ever accumulates more than one scan partition.
-    Averages reuse the sums (lineitem measure columns are non-null by
-    fixture contract, so COUNT(col) == COUNT(*))."""
+    Averages divide by the per-measure NON-NULL counts the helper emits
+    (SUM/COUNT(expr) exactly as the oracle's sql_davg writes it), so a
+    NULL-bearing measure column would still match the oracle rather
+    than silently diverging via a COUNT(*) denominator."""
     from sim_spark.ops.exact_sum import grouped_exact_sums
 
     li = table(spark, sf_dir, "lineitem")
@@ -77,9 +79,11 @@ def agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_base_price",
         "sum_disc_price",
         "sum_charge",
-        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
-        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
-        F.round(F.col("sum_disc") / F.col("count_order"), 6).alias("avg_disc"),
+        F.round(F.col("sum_qty") / F.col("n_sum_qty"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("n_sum_base_price"), 6).alias(
+            "avg_price"
+        ),
+        F.round(F.col("sum_disc") / F.col("n_sum_disc"), 6).alias("avg_disc"),
         "count_order",
     )
 

@@ -23,6 +23,13 @@ from pyspark.sql import types as T
 from sim_spark.io import table
 
 _REPLAY_SEQ = 0  # per-call suffix: concurrent replays never share a dir
+# Per (fixture, layout) history of minted replay dirs. Each call writes a
+# fresh dir (a shared one could be rmtree'd mid-read by an overlapping
+# stream); to keep a long-lived session from accumulating one full events
+# copy per call, dirs older than the previous one are reclaimed — at most
+# 2 live dirs per key, which still protects the realistic overlap of one
+# draining stream plus one new one.
+_REPLAY_DIRS: dict[tuple[str, int], list[str]] = {}
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -56,13 +63,17 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
     # fixtures never collide, plus a per-call sequence suffix so two
     # overlapping streams on the same fixture in one process each get a
     # private source dir (a shared dir would be rmtree'd mid-read).
+    # Older dirs for the same key are reclaimed (see _REPLAY_DIRS).
+    import shutil as _shutil
+
     global _REPLAY_SEQ
     _REPLAY_SEQ += 1
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     tmp = scratch_dir(f"replay_{tag}_{n_files}_{_REPLAY_SEQ}")
-    import shutil as _shutil
-
-    _shutil.rmtree(tmp, ignore_errors=True)  # fresh mtime sequence per run
+    hist = _REPLAY_DIRS.setdefault((tag, n_files), [])
+    hist.append(tmp)
+    while len(hist) > 2:
+        _shutil.rmtree(hist.pop(0), ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     if n_files <= 1:
         ev.coalesce(1).write.mode("overwrite").parquet(tmp)

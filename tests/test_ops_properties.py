@@ -512,3 +512,19 @@ def test_auto_join_abs_band(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     anti = F.lit(2.5) < F.abs(F.col("lv") - F.col("rv"))
     assert auto_join(L, R, anti).count() == L.join(R, anti).count()
+
+
+def test_grouped_exact_sums_null_measures_count_nonnull(spark):
+    """n_{alias} must be COUNT(expr) (non-null evaluations), not
+    COUNT(*) — the SUM/COUNT semantics an average needs when the
+    measure column carries NULLs."""
+    from sim_spark.ops.exact_sum import grouped_exact_sums
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", None), ("a", 2.5), ("b", None)], "g string, x double"
+    ).repartition(3)
+    out = {r["g"]: r for r in grouped_exact_sums(
+        df, ["g"], {"sx": F.col("x")}, count_alias="nrows"
+    ).collect()}
+    assert out["a"]["sx"] == 4.0 and out["a"]["n_sx"] == 2 and out["a"]["nrows"] == 3
+    assert out["b"]["sx"] is None and out["b"]["n_sx"] == 0 and out["b"]["nrows"] == 1
