@@ -120,3 +120,53 @@ def test_bmp_roundtrip_property(width, height, data):
     w, h, out = decode_bmp(encode_bmp(width, height, pixels))
     assert (w, h) == (width, height)
     assert out == pixels
+
+
+# ---------------------------------------------------------------------------
+# auto_join: randomized band predicates must be row-identical to the
+# naive join — the rewriter is a predicate parser, exactly where
+# hypothesis finds the edges (boundary-exact values, degenerate bands,
+# negative offsets, mixed spellings).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    data=st.data(),
+    lo=st.integers(min_value=-20, max_value=20),
+    span=st.integers(min_value=0, max_value=25),
+    use_eq=st.booleans(),
+    strict=st.booleans(),
+)
+def test_auto_join_band_equals_naive_hypothesis(spark, data, lo, span, use_eq, strict):
+    from sim_spark.ops.autojoin import auto_join
+
+    hi = lo + span
+    lvals = data.draw(
+        st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=40)
+    )
+    rvals = data.draw(
+        st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=40)
+    )
+    L = spark.createDataFrame(
+        [(i, i % 3, v) for i, v in enumerate(lvals)], "lid long, lg int, lx long"
+    )
+    R = spark.createDataFrame(
+        [(i, i % 3, v) for i, v in enumerate(rvals)], "rid long, rg int, ry long"
+    )
+    ge = (F.col("ry") > F.col("lx") + (lo - 1)) if strict else (
+        F.col("ry") >= F.col("lx") + lo
+    )
+    le = (F.col("ry") < F.col("lx") + (hi + 1)) if strict else (
+        F.col("ry") <= F.col("lx") + hi
+    )
+    cond = ge & le
+    if use_eq:
+        cond = (F.col("lg") == F.col("rg")) & cond
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b, (lo, hi, use_eq, strict, len(a), len(b))
