@@ -220,7 +220,11 @@ def auto_join(
     the condition isn't a recognizable bounded band or ``how`` isn't
     inner."""
     lcols, rcols = set(left.columns), set(right.columns)
-    if how != "inner" or (lcols & rcols) or "__aj_ax" in (lcols | rcols):
+    if (
+        how != "inner"
+        or (lcols & rcols)
+        or {_BUCKET, "__aj_ax"} & (lcols | rcols)
+    ):
         return left.join(right, on, how)
 
     parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
@@ -295,14 +299,18 @@ def auto_join(
 
         lo_i, hi_i = int(math.floor(lo)), int(math.ceil(hi))
         w_int = max(hi_i - lo_i, 1)
-        l2 = left.withColumn("__aj_ax", l_val)
+        # DECIMAL(38,0) axis: the band offset addition can overflow a
+        # long for values near Long.MAX/MIN (ANSI abort where the naive
+        # join succeeds); decimal headroom makes it total, and decimal
+        # IntegralDivide still returns an exact long bucket id.
+        l2 = left.withColumn("__aj_ax", l_val.cast("decimal(38,0)"))
         lo_b = F.expr(f"((__aj_ax + {lo_i}) div {w_int}) - 1")
         hi_b = F.expr(f"((__aj_ax + {hi_i}) div {w_int}) + 1")
         l_exp = l2.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b))).drop(
             "__aj_ax"
         )
         r_bkt = (
-            right.withColumn("__aj_ax", r_val)
+            right.withColumn("__aj_ax", r_val.cast("decimal(38,0)"))
             .withColumn(_BUCKET, F.expr(f"__aj_ax div {w_int}"))
             .drop("__aj_ax")
         )

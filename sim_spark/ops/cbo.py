@@ -68,10 +68,14 @@ def analyzed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     query the same way it fails every other one. A stale catalog entry
     whose schema no longer matches (persistent metastore, regenerated
     fixture) is dropped and re-created rather than trusted."""
+    import re
+
     from sim_spark.io import SCHEMAS
     from sim_spark.scratch import sf_tag
 
-    tag = sf_tag(sf_dir).replace(".", "_").replace("-", "_")
+    # Full sanitization to a SQL identifier: the readable basename part
+    # of sf_tag may hold any filesystem char (spaces, parens, '+').
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_tag(sf_dir))
     names = {t: f"{_DB}.{t}_{tag}" for t in TABLES}
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _ANALYZED:

@@ -55,6 +55,18 @@ def grouped_exact_sums(
     semantics the moment a measure is NULL on some row), plus a row
     count named ``count_alias``. Output: keys + sums + per-measure
     counts + row count."""
+    out_names = (
+        list(keys)
+        + list(measures)
+        + [f"n_{a}" for a in measures]
+        + [count_alias]
+    )
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"grouped_exact_sums output name collision: {sorted(out_names)} "
+            "(keys, measure aliases, their n_ counts, and count_alias must "
+            "all be distinct)"
+        )
     pid = F.spark_partition_id().alias("__pid")
     stage1 = df.groupBy(*keys, pid).agg(
         *[

@@ -26,9 +26,12 @@ _REPLAY_SEQ = 0  # per-call suffix: concurrent replays never share a dir
 # Per (fixture, layout) history of minted replay dirs. Each call writes a
 # fresh dir (a shared one could be rmtree'd mid-read by an overlapping
 # stream); to keep a long-lived session from accumulating one full events
-# copy per call, dirs older than the previous one are reclaimed — at most
-# 2 live dirs per key, which still protects the realistic overlap of one
-# draining stream plus one new one.
+# copy per call, the oldest dirs are reclaimed once more than
+# _REPLAY_KEEP exist for a key. CONSTRAINT: at most _REPLAY_KEEP replay
+# streams per (fixture, layout) may be open concurrently — the
+# (keep+1)-th call deletes the oldest dir, which an unfinished stream
+# could still be reading. Current callers open at most two.
+_REPLAY_KEEP = 4
 _REPLAY_DIRS: dict[tuple[str, int], list[str]] = {}
 
 EVENTS_STREAM_SCHEMA = T.StructType(
@@ -72,7 +75,7 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
     tmp = scratch_dir(f"replay_{tag}_{n_files}_{_REPLAY_SEQ}")
     hist = _REPLAY_DIRS.setdefault((tag, n_files), [])
     hist.append(tmp)
-    while len(hist) > 2:
+    while len(hist) > _REPLAY_KEEP:
         _shutil.rmtree(hist.pop(0), ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     if n_files <= 1:
