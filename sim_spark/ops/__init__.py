@@ -7,3 +7,5 @@ cluster-scale inputs.
 
 from sim_spark.ops.asof import asof_join_backward  # noqa: F401
 from sim_spark.ops.rangejoin import interval_join  # noqa: F401
+from sim_spark.ops.autojoin import auto_join  # noqa: F401
+from sim_spark.ops.exact_sum import grouped_exact_sums  # noqa: F401

@@ -5,3 +5,7 @@ from sim_spark.streaming.mounts import (  # noqa: F401
     run_streaming_to_memory,
     stream_events,
 )
+from sim_spark.streaming.sinks import (  # noqa: F401
+    batch_scoped_parquet_writer,
+    idempotent_foreach_batch,
+)
