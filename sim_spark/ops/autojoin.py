@@ -112,13 +112,19 @@ def _parse_side(n) -> _Term | None:
     name = _attr_name(n)
     if name is not None:
         return _Term(name, 0.0, False)
-    if _cls(n) == "UnresolvedFunction" and n.functionName() in ("+", "-"):
+    if _cls(n) == "UnresolvedFunction" and n.functionName() in (
+        "+", "-", "date_add", "date_sub", "dateadd",
+    ):
         a, b = _children(n)
         base = _attr_name(a)
         off = _offset_value(b)
         if base is None or off is None:
             return None
-        sign = 1.0 if n.functionName() == "+" else -1.0
+        if off[1] and n.functionName() not in ("+", "-"):
+            return None  # date_add with an INTERVAL arg: unsupported mix
+        sign = -1.0 if n.functionName() in ("-", "date_sub") else 1.0
+        # date_add/date_sub offsets are DAYS — the same unit the date
+        # axis (unix_date) uses, so no conversion needed
         return _Term(base, sign * off[0], off[1])
     return None
 
@@ -228,23 +234,24 @@ def auto_join(
         return left.join(right, on, how)
 
     parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
-    # collect bounds per (l_attr, r_attr) pair
-    bounds: dict[tuple[str, str], list[float | None]] = {}
+    # collect bounds per (l_attr, r_attr) pair; [lo, hi, any-INTERVAL-offset]
+    bounds: dict[tuple[str, str], list] = {}
     for p in parsed:
         if p is not None and p[0] == "bound":
             _, la, ra, lo, hi, _iv = p
-            cur = bounds.setdefault((la, ra), [None, None])
+            cur = bounds.setdefault((la, ra), [None, None, False])
             if lo is not None:
                 cur[0] = lo if cur[0] is None else max(cur[0], lo)
             if hi is not None:
                 cur[1] = hi if cur[1] is None else min(cur[1], hi)
+            cur[2] = cur[2] or _iv
     band = next(
         ((k, v) for k, v in bounds.items() if v[0] is not None and v[1] is not None),
         None,
     )
     if band is None:
         return left.join(right, on, how)
-    (l_attr, r_attr), (lo, hi) = band
+    (l_attr, r_attr), (lo, hi, iv_any) = band
     if hi < lo:
         return left.join(right, on, how)  # contradictory band: let Spark emit empty
 
@@ -263,6 +270,10 @@ def auto_join(
             return None
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             return F.unix_micros(F.col(name).cast("timestamp"))
+        if isinstance(dt, T.DateType):
+            # days since epoch: date ± int offsets are day-granular, and
+            # unix_date is timezone-free (no DST hazard)
+            return F.unix_date(F.col(name)).cast("long")
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             return F.col(name).cast("long")  # exact: no double round-trip
         if isinstance(dt, T.DecimalType) and dt.precision - dt.scale > 15:
@@ -271,8 +282,25 @@ def auto_join(
             return F.col(name).cast("double")
         return None  # dates/strings: don't guess an axis — fall back
 
+    def axis_unit(df: DataFrame, name: str) -> str:
+        dt = df.schema[name].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "us"
+        if isinstance(dt, T.DateType):
+            return "days"
+        return "native"
+
     l_val, r_val = axis(left, l_attr), axis(right, r_attr)
-    if l_val is None or r_val is None:
+    if (
+        l_val is None
+        or r_val is None
+        # a mixed-unit band (date vs timestamp) would bucket µs against
+        # days — internally inconsistent, could strand true matches
+        or axis_unit(left, l_attr) != axis_unit(right, r_attr)
+        # INTERVAL offsets are parsed as µs: only a µs axis may use them
+        # (a date-days or native-numeric axis would be off by 86400e6x)
+        or (iv_any and axis_unit(left, l_attr) != "us")
+    ):
         return left.join(right, on, how)
 
     eq_pairs = [(p[1], p[2]) for p in parsed if p is not None and p[0] == "eq"]

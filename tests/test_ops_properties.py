@@ -528,3 +528,27 @@ def test_grouped_exact_sums_null_measures_count_nonnull(spark):
     ).collect()}
     assert out["a"]["sx"] == 4.0 and out["a"]["n_sx"] == 2 and out["a"]["nrows"] == 3
     assert out["b"]["sx"] is None and out["b"]["n_sx"] == 0 and out["b"]["nrows"] == 1
+
+
+def test_auto_join_date_band(spark):
+    """DATE ± int-days bands bucket on unix_date (timezone-free); result
+    must equal the naive join, with no nested loop."""
+    import datetime
+
+    from sim_spark.ops.autojoin import auto_join
+
+    d0 = datetime.date(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(i, d0 + datetime.timedelta(days=3 * i)) for i in range(80)],
+        "lid long, ld date",
+    )
+    R = spark.createDataFrame(
+        [(i, d0 + datetime.timedelta(days=5 * i + 1)) for i in range(80)],
+        "rid long, rd date",
+    )
+    cond = (F.col("rd") >= F.date_sub(F.col("ld"), 4)) & (
+        F.col("rd") <= F.date_add(F.col("ld"), 4)
+    )
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b and len(a) > 0
