@@ -82,36 +82,39 @@ def _interval_us(text: str) -> int | None:
     return int(m.group(1)) * _INTERVAL_US[unit]
 
 
-def _offset_value(n) -> tuple[float, bool] | None:
-    """A literal offset node → (value, is_interval). Numeric literals
-    return their value; SqlExpression INTERVALs return microseconds."""
+def _offset_value(n) -> tuple[float, str] | None:
+    """A literal offset node → (value, unit). Numeric literals carry the
+    axis-native unit; SqlExpression INTERVALs are microseconds."""
     c = _cls(n)
     if c == "Literal":
         v = n.value()
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             return None
-        return (float(v), False)
+        return (float(v), "native")
     if c == "SqlExpression":
         us = _interval_us(n.expression())
         if us is None:
             return None
-        return (float(us), True)
+        return (float(us), "us")
     return None
 
 
 @dataclass
 class _Term:
-    """attr ± offset: one comparison side, normalized."""
+    """attr ± offset: one comparison side, normalized. ``unit`` is
+    "none" for a bare attribute (zero offset — unit-neutral), "native"
+    for plain numeric literals, "us" for INTERVALs, "days" for
+    date_add/date_sub arguments."""
 
     attr: str
-    offset: float  # native units (µs once timestamps are normalized)
-    is_interval: bool
+    offset: float
+    unit: str
 
 
 def _parse_side(n) -> _Term | None:
     name = _attr_name(n)
     if name is not None:
-        return _Term(name, 0.0, False)
+        return _Term(name, 0.0, "none")
     if _cls(n) == "UnresolvedFunction" and n.functionName() in (
         "+", "-", "date_add", "date_sub", "dateadd",
     ):
@@ -120,12 +123,15 @@ def _parse_side(n) -> _Term | None:
         off = _offset_value(b)
         if base is None or off is None:
             return None
-        if off[1] and n.functionName() not in ("+", "-"):
-            return None  # date_add with an INTERVAL arg: unsupported mix
-        sign = -1.0 if n.functionName() in ("-", "date_sub") else 1.0
-        # date_add/date_sub offsets are DAYS — the same unit the date
-        # axis (unix_date) uses, so no conversion needed
-        return _Term(base, sign * off[0], off[1])
+        fn = n.functionName()
+        if fn not in ("+", "-"):
+            if off[1] != "native":
+                return None  # date_add with an INTERVAL arg: unsupported
+            unit = "days"  # date_add/date_sub arguments are day counts
+        else:
+            unit = off[1]
+        sign = -1.0 if fn in ("-", "date_sub") else 1.0
+        return _Term(base, sign * off[0], unit)
     return None
 
 
@@ -167,7 +173,7 @@ def _abs_band(n, lcols: set[str], rcols: set[str]):
     for la, ra in ((nx, ny), (ny, nx)):
         if la in lcols and la not in rcols and ra in rcols and ra not in lcols:
             # |r - l| bounded ⇒ -c <= r - l <= c (symmetric, side-free)
-            return ("bound", la, ra, -lit[0], lit[0], lit[1])
+            return ("bound", la, ra, -lit[0], lit[0], {lit[1]})
     return None
 
 
@@ -210,10 +216,10 @@ def _classify(n, lcols: set[str], rcols: set[str]):
     # op now relates rt to lt:  rt.attr + rt.offset  (op)  lt.attr + lt.offset
     # → rt.attr - lt.attr (op) lt.offset - rt.offset
     delta = lt.offset - rt.offset
-    is_iv = lt.is_interval or rt.is_interval
+    units = {lt.unit, rt.unit} - {"none"}
     if op in (">=", ">"):
-        return ("bound", lt.attr, rt.attr, delta, None, is_iv)
-    return ("bound", lt.attr, rt.attr, None, delta, is_iv)
+        return ("bound", lt.attr, rt.attr, delta, None, units)
+    return ("bound", lt.attr, rt.attr, None, delta, units)
 
 
 def auto_join(
@@ -234,24 +240,24 @@ def auto_join(
         return left.join(right, on, how)
 
     parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
-    # collect bounds per (l_attr, r_attr) pair; [lo, hi, any-INTERVAL-offset]
+    # collect bounds per (l_attr, r_attr) pair; [lo, hi, offset-unit set]
     bounds: dict[tuple[str, str], list] = {}
     for p in parsed:
         if p is not None and p[0] == "bound":
-            _, la, ra, lo, hi, _iv = p
-            cur = bounds.setdefault((la, ra), [None, None, False])
+            _, la, ra, lo, hi, units = p
+            cur = bounds.setdefault((la, ra), [None, None, set()])
             if lo is not None:
                 cur[0] = lo if cur[0] is None else max(cur[0], lo)
             if hi is not None:
                 cur[1] = hi if cur[1] is None else min(cur[1], hi)
-            cur[2] = cur[2] or _iv
+            cur[2] |= units
     band = next(
         ((k, v) for k, v in bounds.items() if v[0] is not None and v[1] is not None),
         None,
     )
     if band is None:
         return left.join(right, on, how)
-    (l_attr, r_attr), (lo, hi, iv_any) = band
+    (l_attr, r_attr), (lo, hi, units) = band
     if hi < lo:
         return left.join(right, on, how)  # contradictory band: let Spark emit empty
 
@@ -280,7 +286,7 @@ def auto_join(
             return None  # unscaled value can exceed double's 2^53 exactness
         if isinstance(dt, T.NumericType):
             return F.col(name).cast("double")
-        return None  # dates/strings: don't guess an axis — fall back
+        return None  # strings/other types: don't guess an axis — fall back
 
     def axis_unit(df: DataFrame, name: str) -> str:
         dt = df.schema[name].dataType
@@ -290,6 +296,13 @@ def auto_join(
             return "days"
         return "native"
 
+    # Every non-zero offset's unit must agree with the shared axis unit:
+    # a µs axis accepts only INTERVAL offsets (a day-granular date_add
+    # offset on a timestamp axis would shrink the band 86400e6x and
+    # silently DROP matches — found by review, repro 63 -> 0 rows);
+    # a date axis counts days (plain ints resolve to date arithmetic,
+    # so "native" means days there); numeric axes take plain numbers.
+    _AXIS_OK = {"us": {"us"}, "days": {"days", "native"}, "native": {"native"}}
     l_val, r_val = axis(left, l_attr), axis(right, r_attr)
     if (
         l_val is None
@@ -297,9 +310,7 @@ def auto_join(
         # a mixed-unit band (date vs timestamp) would bucket µs against
         # days — internally inconsistent, could strand true matches
         or axis_unit(left, l_attr) != axis_unit(right, r_attr)
-        # INTERVAL offsets are parsed as µs: only a µs axis may use them
-        # (a date-days or native-numeric axis would be off by 86400e6x)
-        or (iv_any and axis_unit(left, l_attr) != "us")
+        or not units <= _AXIS_OK[axis_unit(left, l_attr)]
     ):
         return left.join(right, on, how)
 

@@ -552,3 +552,34 @@ def test_auto_join_date_band(spark):
     a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
     b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
     assert a == b and len(a) > 0
+    p = auto_join(L, R, cond)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_auto_join_day_offset_on_timestamp_falls_back(spark):
+    """date_add/date_sub offsets are DAY counts; applied to a TIMESTAMP
+    (µs) axis they would shrink the bucket band 86400e6x and silently
+    drop matches — the unit check must force a fallback, keeping the
+    output equal to the naive join (review repro: 63 naive vs 0 rewritten
+    before the fix)."""
+    import datetime
+
+    from sim_spark.ops.autojoin import auto_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(hours=7 * i)) for i in range(60)],
+        "lid long, lts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(hours=11 * i + 1)) for i in range(60)],
+        "rid long, rts timestamp",
+    )
+    cond = (F.col("rts") >= F.date_sub(F.col("lts"), 4)) & (
+        F.col("rts") <= F.date_add(F.col("lts"), 4)
+    )
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b and len(a) > 0, (len(a), len(b))
