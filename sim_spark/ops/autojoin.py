@@ -239,7 +239,16 @@ def auto_join(
     ):
         return left.join(right, on, how)
 
-    parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
+    try:
+        # Classic-PySpark-only internals: `on._jc.node()` and the node
+        # readers above don't exist under Spark Connect and may shift
+        # between Spark versions. The rewrite is purely opportunistic —
+        # ANY failure to read the tree degrades to the plain join rather
+        # than breaking a public API whose contract is "falls back
+        # untouched when unsupported".
+        parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
+    except Exception:
+        return left.join(right, on, how)
     # collect bounds per (l_attr, r_attr) pair; [lo, hi, offset-unit set]
     bounds: dict[tuple[str, str], list] = {}
     for p in parsed:

@@ -88,9 +88,13 @@ def analyzed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     for t, cat in names.items():
         pinned = SCHEMAS.get(t)
         for attempt in ("trust", "recreate"):
+            # The path is interpolated into SQL: double any single quotes
+            # so a quote in sf_dir can't break the statement or inject SQL
+            # (identifiers are sanitized separately via the re.sub above).
+            loc = f"{sf_dir}/{t}.parquet".replace("'", "''")
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS {cat} USING parquet "
-                f"LOCATION '{sf_dir}/{t}.parquet'"
+                f"LOCATION '{loc}'"
             )
             if pinned is None or _canon(spark.table(cat).schema) == _canon(pinned):
                 break

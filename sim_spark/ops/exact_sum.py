@@ -29,6 +29,14 @@ faster still but its FINAL merge accumulates the grand total in a long:
 fine at test SF, an ANSI overflow abort at 100 TB. The decimal merge
 stage is the scale-safety premium (~0.25 s at sf0.1).
 
+Per-row magnitude ceiling: the µ-unit long conversion
+``(m.cast(decimal(30,6)) * 1e6).cast('long')`` aborts (loudly, under
+ANSI) for any SINGLE value with ``|v| > ~9.2e12`` (2^63 / 1e6) — a case
+plain ``dsum`` handles fine, since its decimal buffer has 30 digits of
+headroom per row. Callers whose measures can exceed ~9.2e12 per row
+must use ``dsum``; this helper trades that per-row ceiling for the
+long-speed inner loop.
+
 Use this for hot wide-aggregate queries; ``dsum`` remains the right
 one-liner where the sum is not the bottleneck.
 """
@@ -54,7 +62,12 @@ def grouped_exact_sums(
     average denominator needs — COUNT(*) would diverge from SUM/COUNT
     semantics the moment a measure is NULL on some row), plus a row
     count named ``count_alias``. Output: keys + sums + per-measure
-    counts + row count."""
+    counts + row count.
+
+    Per-row limit: any single measure value with ``|v| > ~9.2e12``
+    overflows the µ-unit long conversion — a loud ANSI abort, not a
+    wrong answer; fall back to ``exprs.dsum`` for such magnitudes (see
+    module docstring)."""
     out_names = (
         list(keys)
         + list(measures)

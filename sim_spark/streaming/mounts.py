@@ -76,7 +76,22 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
     hist = _REPLAY_DIRS.setdefault((tag, n_files), [])
     hist.append(tmp)
     while len(hist) > _REPLAY_KEEP:
-        _shutil.rmtree(hist.pop(0), ignore_errors=True)
+        # The reclaimed dir is the oldest for this (fixture, layout); if a
+        # stream opened >_REPLAY_KEEP calls ago is STILL reading it, the
+        # rmtree would yank files mid-read. That constraint was previously
+        # only a comment — make the hazard loud at the moment it can bite.
+        import warnings
+
+        victim = hist.pop(0)
+        warnings.warn(
+            f"reclaiming oldest replay dir {victim}: more than "
+            f"{_REPLAY_KEEP} overlapping replay streams on the same "
+            "(fixture, layout) are unsupported — an unfinished stream "
+            "still reading this dir will fail",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        _shutil.rmtree(victim, ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     if n_files <= 1:
         ev.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -32,6 +32,18 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the JVM Hadoop FS API —
+    resolves local paths, HDFS, and s3a:// alike, so the commit-marker
+    dir genuinely can live on the same durable store as the checkpoint
+    (the module-docstring claim). foreachBatch sinks run on the driver,
+    where the JVM gateway is always available."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def idempotent_foreach_batch(
     write_fn: Callable[[DataFrame, int], None], commit_dir: str
 ) -> Callable[[DataFrame, int], None]:
@@ -51,16 +63,30 @@ def idempotent_foreach_batch(
     The marker, not the data write, is the commit point — exactly the
     write-ahead-intent/commit-marker split Spark's own file-sink
     manifest uses.
+
+    Marker IO goes through the Hadoop FileSystem API (written to a
+    ``.tmp`` sibling, then renamed into place), so ``commit_dir`` may be
+    an HDFS/S3 URI, and a crash mid-write never leaves a half-visible
+    marker: rename is atomic on HDFS/local, and on S3A the copy either
+    completes (marker visible) or not (batch re-runs — allowed).
     """
-    os.makedirs(commit_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commit_dir, f"{batch_id}.commit")
-        if os.path.exists(marker):
+        spark = batch_df.sparkSession
+        fs, dir_path = _hadoop_fs(spark, commit_dir)
+        fs.mkdirs(dir_path)
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(dir_path, f"{batch_id}.commit")
+        if fs.exists(marker):
             return
         write_fn(batch_df, batch_id)
-        with open(marker, "w") as f:
-            f.write("committed")
+        tmp = jvm.org.apache.hadoop.fs.Path(dir_path, f"{batch_id}.commit.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(b"committed"))
+        finally:
+            out.close()
+        fs.rename(tmp, marker)
 
     return sink
 
