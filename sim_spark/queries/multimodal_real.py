@@ -208,6 +208,163 @@ def _bmp_tile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(rows)
 
 
+def _bmp_dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from sim_spark.ops.multimodal import decode_bmp
+
+    for pdf in batches:
+        rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_bmp(bytes(payload))
+            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+            gray = a.sum(axis=2)  # exact int channel sum, 0..765
+            # nearest-neighbor "resize" to the canonical 8x9 dhash grid
+            ri = (np.arange(8) * h) // 8
+            cj = (np.arange(9) * w) // 9
+            g = gray[np.ix_(ri, cj)]  # 8 rows x 9 cols
+            # 64 bits, row-major: bit(r,c) = brighter-to-the-right
+            flat = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
+            rows["doc_id"].append(int(doc_id))
+            for k in range(4):
+                rows[f"b{k}"].append(
+                    int(sum(int(flat[16 * k + i]) << i for i in range(16)))
+                )
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "dedup_image_dhash",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, gr.r, gc.c, (gr.r * h) // 8 AS ri, (gc.c * w) // 9 AS cj
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, 8)) AS r) gr,
+       LATERAL (SELECT unnest(range(0, 9)) AS c) gc
+),
+gray AS (
+  SELECT doc_id, r, c,
+         ((doc_id + 7 * ri + 13 * cj) % 256)
+       + ((doc_id + 7 * ri + 13 * cj + 29) % 256)
+       + ((doc_id + 7 * ri + 13 * cj + 58) % 256) AS g
+  FROM grid
+),
+bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM gray a
+  JOIN gray b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN idx // 16 = 0 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN idx // 16 = 1 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN idx // 16 = 2 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN idx // 16 = 3 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM bands a
+  JOIN bands b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT da, db,
+         bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+       + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hd
+  FROM pairs
+)
+SELECT db AS doc_id, CAST(min(da) AS BIGINT) AS dup_of,
+       CAST(count(*) AS BIGINT) AS n_dups_smaller
+FROM ham WHERE hd <= 4 GROUP BY db ORDER BY doc_id
+""",
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via difference hash over the genuinely
+    DECODED BMP pixels — the last cell of the multimodal-dedup matrix.
+
+    Pipeline (the perceptual-dedup shape a media-curation pipeline runs
+    at 100 TB): decode each image (real stride/row-order-aware BMP
+    parser), grayscale by exact channel sum, nearest-neighbor-sample to
+    the canonical 8x9 dhash grid, emit 64 brighter-to-the-right bits
+    packed as 4x16-bit band values. Candidate pairs come from a banded
+    LSH **equi-join** on (band_no, band_value) — any pair within
+    Hamming<=4 that shares a band is a candidate; never an all-pairs
+    scan (plan-asserted: no BroadcastNestedLoopJoin/CartesianProduct).
+    Refine computes the exact 64-bit Hamming distance in-row
+    (bit_count(xor)) and keeps pairs <= 4; the drop list aggregates per
+    doc to its canonical smaller-id representative.
+
+    100 TB shape: decode is per-row mapInPandas work (no shuffle); the
+    only shuffle is the 5-int signature frame keyed on short (band_no,
+    val) buckets, and the refine is a constant-time bit op per
+    candidate. Bucket skew (a megadup band value) is AQE-splittable.
+
+    The oracle recomputes every sampled gray value from the synthesis
+    formula — it never sees the bytes — so a decode bug (stride, bottom-up
+    rows, channel order) shifts some bit and breaks the hash match."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
+    sig = payloads.mapInPandas(
+        _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
+            for k in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3", F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("bb.band_no").alias("band_no"),
+        F.col("bb.val").alias("val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"b.b{k}").alias(f"c{k}") for k in range(4)],
+        )
+        .distinct()  # a pair sharing several bands is one candidate
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}"))) for k in range(4)
+    )
+    return (
+        pairs.withColumn("hd", hd)
+        .filter(F.col("hd") <= 4)
+        .groupBy(F.col("db").alias("doc_id"))
+        .agg(
+            F.min("da").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dups_smaller"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "multimodal_bmp_tile_stats",
     oracle="""

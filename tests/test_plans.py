@@ -180,6 +180,17 @@ def test_quality_filter_is_single_partial_final_agg(spark):
     assert not re.search(r"Join", p), p
 
 
+def test_image_dhash_band_join_is_equi_not_cartesian(spark):
+    """Image near-dup candidates must come from the banded equi-join on
+    (band_no, band_value) — an all-pairs Hamming scan (cartesian/BNLJ)
+    is exactly what the banding exists to avoid at 100 TB."""
+    p = plan(spark, "dedup_image_dhash")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # the band keys actually reach a hash/sort-merge join key list
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+
 def test_minhash_band_join_is_equi_not_cartesian(spark):
     """LSH banding exists to make candidate generation an equi-join on
     (band_no, band_value) — a cartesian/BNLJ here would defeat it."""
