@@ -13,8 +13,57 @@ from pyspark.sql import functions as F
 from sim_spark.exprs import ts_str
 from sim_spark.io import table
 from sim_spark.ops.asof import asof_join_backward
+from sim_spark.ops.autojoin import auto_asof
 from sim_spark.ops.rangejoin import interval_join
 from sim_spark.registry import query
+
+
+@query(
+    "join_auto_asof",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prev_view_id
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_auto_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join_asof` driven entirely by the NAIVE predicate: the caller
+    writes the eligibility condition they would hand to a plain join —
+    ``user_id == v_user_id AND v_ts <= ts`` — and ops.autojoin.auto_asof
+    classifies the conjuncts (one equi key + one non-strict backward
+    inequality), then delegates to the union-tag + keyed-window asof
+    composite. Same single-shuffle plan as `join_asof` (asserted: no
+    BNLJ), same correlated-subquery oracle; the ergonomic win is that
+    nobody has to know the composite exists.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    out = auto_asof(
+        purchases,
+        views,
+        on=(F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("ts")),
+        right_order="v_event_id",
+        payload_cols=["v_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        F.col("asof_v_event_id").cast("long").alias("prev_view_id"),
+    )
 
 
 @query(

@@ -583,3 +583,79 @@ def test_auto_join_day_offset_on_timestamp_falls_back(spark):
     a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
     b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
     assert a == b and len(a) > 0, (len(a), len(b))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("direction_op", ["backward", "forward"])
+def test_auto_asof_matches_composite_and_naive(spark, seed, direction_op):
+    """auto_asof must classify the naive predicate and produce exactly
+    the asof composite's output, which in turn matches the per-row
+    argmax subquery — both directions, ties included (ts collisions are
+    forced by the small value range)."""
+    import random
+
+    from sim_spark.ops.asof import asof_join_backward
+    from sim_spark.ops.autojoin import auto_asof
+
+    rng = random.Random(seed)
+    L = spark.createDataFrame(
+        [(i, rng.randrange(5), rng.randrange(30)) for i in range(80)],
+        "lid long, lkey long, lts long",
+    )
+    R = spark.createDataFrame(
+        [(i, rng.randrange(5), rng.randrange(30)) for i in range(120)],
+        "rid long, rkey long, rts long",
+    )
+    if direction_op == "backward":
+        cond = (F.col("lkey") == F.col("rkey")) & (F.col("rts") <= F.col("lts"))
+    else:
+        cond = (F.col("rts") >= F.col("lts")) & (F.col("rkey") == F.col("lkey"))
+    got = auto_asof(L, R, cond, right_order="rid", payload_cols=["rid"])
+    direct = asof_join_backward(
+        L,
+        R.withColumnRenamed("rkey", "lkey"),
+        key="lkey",
+        left_ts="lts",
+        right_ts="rts",
+        payload_cols=["rid"],
+        right_order="rid",
+        direction=direction_op,
+    )
+    g = sorted(map(tuple, got.select("lid", "asof_rid").collect()))
+    d = sorted(map(tuple, direct.select("lid", "asof_rid").collect()))
+    assert g == d, f"auto vs direct diverge ({direction_op}, seed={seed})"
+
+    rrows = R.collect()
+    lrows = L.collect()
+    naive = {}
+    for lr in lrows:
+        if direction_op == "backward":
+            cand = [r for r in rrows if r.rkey == lr.lkey and r.rts <= lr.lts]
+            best = max(cand, key=lambda r: (r.rts, r.rid)) if cand else None
+        else:
+            cand = [r for r in rrows if r.rkey == lr.lkey and r.rts >= lr.lts]
+            best = min(cand, key=lambda r: (r.rts, r.rid)) if cand else None
+        naive[lr.lid] = str(best.rid) if best is not None else None
+    assert dict(g) == naive, f"auto vs naive argmax diverge ({direction_op})"
+
+
+def test_auto_asof_rejects_non_asof_predicates(spark):
+    """No silent fallback: strict inequality (tie semantics differ),
+    missing equi key, extra unrecognized conjuncts, and shared column
+    names must all raise, never guess."""
+    from sim_spark.ops.autojoin import auto_asof
+
+    L = spark.createDataFrame([(1, 1, 5)], "lid long, lkey long, lts long")
+    R = spark.createDataFrame([(2, 1, 4)], "rid long, rkey long, rts long")
+    bad = [
+        (F.col("lkey") == F.col("rkey")) & (F.col("rts") < F.col("lts")),  # strict
+        F.col("rts") <= F.col("lts"),  # no equi key
+        (F.col("lkey") == F.col("rkey"))
+        & (F.col("rts") <= F.col("lts"))
+        & (F.col("rts") * 2 <= F.col("lts")),  # unrecognized extra
+    ]
+    for cond in bad:
+        with pytest.raises(ValueError):
+            auto_asof(L, R, cond, right_order="rid")
+    with pytest.raises(ValueError):
+        auto_asof(L, L, (F.col("lkey") == F.col("lkey")), right_order="lid")

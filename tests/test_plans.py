@@ -63,7 +63,7 @@ def test_topk_is_take_ordered_not_global_sort(spark):
 
 @pytest.mark.parametrize(
     "key",
-    ["join_theta_band", "join_range_interval", "join_asof", "dedup_simhash_pairs", "sim_ann_signlsh"],
+    ["join_theta_band", "join_range_interval", "join_asof", "join_auto_asof", "dedup_simhash_pairs", "sim_ann_signlsh"],
 )
 def test_composite_joins_never_nested_loop(spark, key):
     """The §4.3 designs exist precisely to avoid BNLJ/cartesian plans."""
