@@ -1,0 +1,120 @@
+"""Catalyst-rule coverage for naive band predicates in spark.sql() STRINGS.
+
+ops/autojoin.py closes the band-join ergonomic gap for the DataFrame
+API, but a band predicate typed inside ``spark.sql("... JOIN ... ON
+lo <= b.x - a.y AND ...")`` never passes through that Python walker —
+it used to plan as BroadcastNestedLoopJoin with only a SCALE.md note.
+SURVEY §4.3 deferred the honest fix ("needs a compiled Scala rule");
+the Spark distribution in this environment ships
+``scala-compiler-2.13.17.jar`` inside ``$SPARK_HOME/jars``, so the rule
+IS buildable here — ext/src/SimSparkExtensions.scala compiles to
+ext/simspark-ext.jar (committed, plus ext/build.sh to rebuild) and
+provides two optimizer rules, installed into the session's
+``spark.experimental.extraOptimizations`` ("User Provided Optimizers"
+batch, applied to every subsequent plan including pure SQL strings):
+
+* ``simspark.SqlBandJoinRewrite`` — inner joins whose condition is a
+  bounded band over INTEGRAL attributes with no equi conjunct are
+  replanned as bucket-explode + equi-join + exact refine with the
+  ORIGINAL predicate (candidate superset — row-identical by
+  construction; the same algebra as ops/autojoin.py, decimal(38,0)
+  bucket arithmetic included).
+* ``simspark.NaiveBandJoinWarning`` — shapes the rewrite does not
+  cover (timestamp/double axes, exotic arithmetic) log a loud
+  warning naming auto_join/auto_asof and bump a counter.
+
+Installation is purely additive and opportunistic: the jar loads
+through a child URLClassLoader of the live JVM (no session restart, no
+classpath flags), and any failure — missing jar AND missing compiler,
+Connect-only environment — returns False and leaves the session
+untouched. Correctness never depends on the rule being installed: the
+rewrite preserves semantics, so queries return identical rows either
+way; only the PLAN differs (asserted in tests/test_plans.py, skipped
+when the extension is unavailable).
+
+Documented limitation (the honest fence SURVEY §4.3 asked to keep
+visible): SQL-string bands over timestamp/date/double axes still plan
+naively and WARN — the per-unit offset typing that makes those safe
+lives in the Python walker; use the DataFrame API (auto_join) there.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+from pyspark.sql import SparkSession
+
+_EXT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "ext")
+_JAR = os.path.join(_EXT_DIR, "simspark-ext.jar")
+
+# app-id -> (installed?, diagnostics JavaObject or None)
+_INSTALLED: dict[str, tuple[bool, object]] = {}
+
+
+def _build_jar() -> bool:
+    """Rebuild ext/simspark-ext.jar with the scala-compiler jar shipped
+    inside $SPARK_HOME/jars (no network, no extra installs)."""
+    script = os.path.join(_EXT_DIR, "build.sh")
+    if not os.path.exists(script):
+        return False
+    try:
+        subprocess.run(
+            ["bash", script], check=True, capture_output=True, timeout=600
+        )
+    except Exception:
+        return False
+    return os.path.exists(_JAR)
+
+
+def install_sql_band_extension(spark: SparkSession) -> bool:
+    """Install the band-rewrite + warning rules into this session's
+    optimizer. Idempotent per session; returns False (leaving the
+    session untouched) when the jar is unavailable and unbuildable or
+    the JVM internals are unreachable (Spark Connect)."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return False  # Connect: no JVM gateway — documented fence
+    cached = _INSTALLED.get(app_id)
+    if cached is not None:
+        return cached[0]
+    ok = False
+    diag = None
+    try:
+        if not os.path.exists(_JAR) and not _build_jar():
+            raise FileNotFoundError(_JAR)
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        url = jvm.java.io.File(_JAR).toURI().toURL()
+        arr = gw.new_array(jvm.java.net.URL, 1)
+        arr[0] = url
+        # Child loader of the Spark classloader: Rule/LogicalPlan parents
+        # resolve from Spark's own jars, our classes from the ext jar.
+        loader = jvm.java.net.URLClassLoader(
+            arr, jvm.Thread.currentThread().getContextClassLoader()
+        )
+        install = loader.loadClass("simspark.Install$").getField("MODULE$").get(None)
+        install.apply(spark._jsparkSession)
+        diag = (
+            loader.loadClass("simspark.BandDiagnostics$")
+            .getField("MODULE$")
+            .get(None)
+        )
+        ok = True
+    except Exception:
+        ok = False
+    _INSTALLED[app_id] = (ok, diag)
+    return ok
+
+
+def diagnostics(spark: SparkSession) -> dict[str, int] | None:
+    """Counters from the installed rules (None if not installed):
+    ``rewrites`` = band joins replanned, ``warnings`` = naive non-equi
+    joins the rewrite could not cover."""
+    cached = _INSTALLED.get(spark.sparkContext.applicationId)
+    if not cached or not cached[0]:
+        return None
+    diag = cached[1]
+    return {"rewrites": int(diag.rewrites()), "warnings": int(diag.warnings())}

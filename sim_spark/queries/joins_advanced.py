@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sim_spark.exprs import ts_str
-from sim_spark.io import table
+from sim_spark.io import register_views, table
 from sim_spark.ops.asof import asof_join_backward
 from sim_spark.ops.autojoin import auto_asof
 from sim_spark.ops.rangejoin import interval_join
@@ -64,6 +64,39 @@ def join_auto_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("ts").alias("purchase_ts"),
         F.col("asof_v_event_id").cast("long").alias("prev_view_id"),
     )
+
+
+_SQL_BAND_TEXT = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(b.bal_c - a.bal_c AS BIGINT) AS diff_cents
+FROM c a JOIN c b
+  ON b.bal_c >= a.bal_c - 5 AND b.bal_c <= a.bal_c + 5
+ AND a.c_custkey < b.c_custkey
+ORDER BY cust_a, cust_b
+"""
+
+
+@query("join_sql_band", oracle=_SQL_BAND_TEXT)
+def join_sql_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate account balances (|diff| <= 5 cents) written as a
+    NAIVE band join inside a spark.sql() STRING — the shape the Python
+    auto_join walker can never see. The compiled Catalyst rule
+    (ext/src/SimSparkExtensions.scala, installed opportunistically via
+    ops.sqlband) replans it as bucket-explode + equi-join + exact
+    refine; without the extension the same SQL still returns identical
+    rows (the rewrite is a plan property, asserted separately in
+    tests/test_plans.py). The integer-cents axis is the documented
+    supported domain; DuckDB runs the very same text as the oracle."""
+    from sim_spark.ops.sqlband import install_sql_band_extension
+
+    install_sql_band_extension(spark)
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_SQL_BAND_TEXT)
 
 
 @query(

@@ -180,6 +180,22 @@ def test_quality_filter_is_single_partial_final_agg(spark):
     assert not re.search(r"Join", p), p
 
 
+def test_sql_string_band_join_is_rewritten_to_equi(spark):
+    """The compiled Catalyst rule must catch the naive band predicate
+    inside a spark.sql() STRING — the one surface the Python walker
+    cannot reach — and replan it as a bucket equi-join."""
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+    before = diagnostics(spark)["rewrites"]
+    p = plan(spark, "join_sql_band")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+    assert diagnostics(spark)["rewrites"] > before
+
+
 def test_image_dhash_band_join_is_equi_not_cartesian(spark):
     """Image near-dup candidates must come from the banded equi-join on
     (band_no, band_value) — an all-pairs Hamming scan (cartesian/BNLJ)
