@@ -353,3 +353,86 @@ def test_file_sink_exactly_once_after_restart(spark, tmp_path):
     merged = got.join(batch, "window_start")
     assert merged.count() == n_windows
     assert merged.filter(F.col("n_events") != F.col("expect")).count() == 0
+
+
+def test_tws_state_restored_after_restart(spark, tmp_path):
+    """Kill-and-restart matrix for the transformWithStateInPandas
+    processor (mirrors the r6 foreachBatch-sink restart test): run the
+    per-user running totals over file 1 with a checkpoint, stop, append
+    file 2, restart with the SAME checkpoint. The restarted query must
+    (a) process only file 2 (its emitted keys = file 2's users — no
+    re-read of file 1), and (b) resume from RESTORED ValueState: every
+    user's final (n_events, total_value) equals the two-stage
+    replay-exact expectation over both halves."""
+    import time
+
+    ev = table(spark, SF, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(src)
+
+    final = {}
+    current_run = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+            current_run.append(r["user_id"])
+
+    def start():
+        stream = mounts.stream_events(spark, src)
+        return (
+            mounts.stateful_sum_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(300)
+    users_run1 = set(current_run)
+    assert users_run1 == {r[0] for r in half1.select("user_id").distinct().collect()}
+
+    current_run.clear()
+    time.sleep(1.05)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start()
+    q2.awaitTermination(300)
+    users_run2 = set(current_run)
+    # (a) restart processed ONLY the new file: emitted keys = file2 users
+    assert users_run2 == {r[0] for r in half2.select("user_id").distinct().collect()}
+
+    # (b) restored state: replicate the processor's per-run rounding
+    # exactly (one handleInputRows call per user per run — availableNow
+    # over one new file is a single batch)
+    h1 = {
+        r["user_id"]: (r["n"], float(r["t"]))
+        for r in half1.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    h2 = {
+        r["user_id"]: (r["n"], float(r["t"]))
+        for r in half2.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    want = {}
+    for u in set(h1) | set(h2):
+        n1, t1 = h1.get(u, (0, 0.0))
+        n2, t2 = h2.get(u, (0, 0.0))
+        if u in h1 and u in h2:
+            want[u] = (n1 + n2, round(round(t1, 6) + t2, 6))
+        elif u in h1:
+            want[u] = (n1, round(t1, 6))
+        else:
+            want[u] = (n2, round(t2, 6))
+    assert set(final) == set(want)
+    for u, (n, t) in want.items():
+        fn, ft = final[u]
+        assert fn == n, f"user {u}: n_events {fn} != {n}"
+        assert abs(ft - t) < 1e-9, f"user {u}: total {ft} != {t}"
