@@ -889,6 +889,121 @@ def embed_pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sim_topk_pq_adc — PQ asymmetric-distance top-k search, fully oracled.
+
+_PQ_PROBES = (17, 23, 41)  # query vectors, outside the codebook block
+_PQ_TOPK = 10
+
+
+@query(
+    "sim_topk_pq_adc",
+    oracle=f"""
+WITH vlong AS (
+  SELECT vec_id AS vid, i // {_PQ_SUB} AS sub, i % {_PQ_SUB} AS sdim,
+         CAST(embedding[i + 1] AS DOUBLE) AS vx
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {_PQ_M * _PQ_SUB})) AS i)
+),
+books AS (
+  SELECT vid AS code, sub, sdim, vx AS cx FROM vlong WHERE vid < {_PQ_K}
+),
+d AS (
+  SELECT v.vid, v.sub, b.code,
+         SUM(CAST(floor((v.vx - b.cx) * (v.vx - b.cx) * {_NANO} + 0.5) AS BIGINT)) AS dn
+  FROM vlong v JOIN books b ON b.sub = v.sub AND b.sdim = v.sdim
+  GROUP BY v.vid, v.sub, b.code
+),
+enc AS (
+  SELECT vid, sub, code FROM (
+    SELECT vid, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dn, code) AS rn
+    FROM d) WHERE rn = 1
+),
+lut AS (
+  SELECT vid AS qid, sub, code, dn FROM d
+  WHERE vid IN {_PQ_PROBES}
+),
+adc AS (
+  SELECT l.qid, e.vid,
+         CAST(SUM(l.dn) AS BIGINT) AS adc_nano
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.vid <> l.qid
+  GROUP BY l.qid, e.vid
+)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vid AS vec_id, adc_nano
+FROM (
+  SELECT qid, vid, adc_nano,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_nano, vid) AS rnk
+  FROM adc)
+WHERE rnk <= {_PQ_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the SEARCH half of
+    product quantization (Jégou et al.), completing the pair with
+    `embed_pq_fixed_codebook`'s encode half. Per probe query: build the
+    m×k lookup table of nano-unit integer query-to-centroid distances
+    (384 values — broadcast), score every corpus vector by summing the
+    LUT entries its codes select (8 integer adds per vector — NO float
+    math against the corpus), rank by (adc, vec_id) and keep top-10.
+
+    100 TB shape: this is how a petabyte embedding store is searched —
+    the corpus is touched only through its 8-byte code rows; the only
+    aggregate is a map-side-combinable (query, vec) integer sum and a
+    per-query top-k. The ADC distances are exact integers, so the whole
+    search result (not just recall) hash-matches the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    vlong = e.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding")).alias("i", "fx"),
+    ).select(
+        "vid",
+        (F.col("i") / _PQ_SUB).cast("int").alias("sub"),
+        (F.col("i") % _PQ_SUB).alias("sdim"),
+        F.col("fx").cast("double").alias("vx"),
+    )
+    books = vlong.filter(F.col("vid") < _PQ_K).select(
+        F.col("vid").alias("code"), "sub", "sdim", F.col("vx").alias("cx")
+    )
+    diff = F.col("vx") - F.col("cx")
+    d = (
+        vlong.join(F.broadcast(books), ["sub", "sdim"])
+        .groupBy("vid", "sub", "code")
+        .agg(
+            F.sum(
+                F.floor(diff * diff * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("dn")
+        )
+    )
+    wenc = W.partitionBy("vid", "sub").orderBy("dn", "code")
+    enc = (
+        d.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub", "code")
+    )
+    lut = d.filter(F.col("vid").isin(*_PQ_PROBES)).select(
+        F.col("vid").alias("qid"), "sub", "code", "dn"
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("dn").alias("adc_nano"))
+    )
+    wq = W.partitionBy("qid").orderBy("adc_nano", "vid")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("vid").alias("vec_id"),
+            "adc_nano",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # voxel_smooth_3x3 — stencil convolution over the 8x8 voxel grid.
 
