@@ -25,63 +25,19 @@ from pyspark.sql import functions as F
 from sim_spark.io import table
 from sim_spark.registry import query
 
-_P = 2147483647  # 2^31 - 1
-# Fixed affine permutation constants (odd multipliers, all < p).
-_PERMS = [
-    (1103515245, 12345),
-    (1588635695, 453816693),
-    (784588716, 1350291517),
-    (1744031559, 2010748689),
-    (211326293, 1197211237),
-    (1458777923, 691953979),
-    (1430561197, 1853717143),
-    (1929778421, 511099247),
-    (845396247, 1640574481),
-    (1022129857, 1723483891),
-    (557568705, 1321542799),
-    (1871653121, 222465931),
-    (618932459, 1100661313),
-    (1483759013, 789323771),
-    (1365180541, 1914123733),
-    (950356117, 62237923),
-]
-_N_BANDS, _ROWS_PER_BAND = 4, 4
-
-
-def _sql_hash(col: str) -> str:
-    return f"(('0x' || substr(md5({col}), 1, 12))::BIGINT % {_P})"
-
-
-_BAND_VALS_SQL = ", ".join(
-    "m%d::VARCHAR || '-' || m%d::VARCHAR || '-' || m%d::VARCHAR || '-' || m%d::VARCHAR AS b%d"
-    % (b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3, b)
-    for b in range(_N_BANDS)
-)
-
-_MINS_SQL = ", ".join(
-    f"MIN((CAST({a} AS BIGINT) * h + {b}) % {_P}) AS m{i}"
-    for i, (a, b) in enumerate(_PERMS)
-)
-
-_BAND_UNION_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_no, b{b} AS val FROM banded" for b in range(_N_BANDS)
+from sim_spark.ops.minhash import (
+    N_BANDS as _N_BANDS,
+    P as _P,
+    PERMS as _PERMS,
+    ROWS_PER_BAND as _ROWS_PER_BAND,
+    bands_cte_sql,
 )
 
 
 @query(
     "dedup_minhash_exactperm",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(w[i:i+2], ' ')
-                        FOR i IN range(1, len(w) - 1)]) AS shingles
-  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
-),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-hv AS (SELECT doc_id, {_sql_hash('shingle')} AS h FROM ex),
-sig AS (SELECT doc_id, {_MINS_SQL} FROM hv GROUP BY doc_id),
-banded AS (SELECT doc_id, {_BAND_VALS_SQL} FROM sig),
-bands AS ({_BAND_UNION_SQL}),
+WITH {bands_cte_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import sql_dsum
 from sim_spark.io import table
+from sim_spark.ops.minhash import bands_cte_sql, minhash_bands_narrow
 from sim_spark.registry import query
 from sim_spark.streaming import mounts
 
@@ -425,3 +426,48 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESTART_SEQ = 0
+
+
+@query(
+    "stream_dedup_near",
+    oracle=f"""
+WITH {bands_cte_sql()},
+owners AS (
+  SELECT band_no, val, MIN(doc_id) AS owner
+  FROM bands GROUP BY band_no, val
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(o.owner) AS BIGINT) AS owner,
+       MIN(o.owner) < b.doc_id AS is_dup
+FROM bands b
+JOIN owners o ON b.band_no = o.band_no AND b.val = o.val
+GROUP BY b.doc_id
+""",
+)
+def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest gate, batch formulation: a document is a
+    near-duplicate if ANY of its 4 MinHash LSH bands was already claimed
+    by an earlier (smaller doc_id) document; its ``owner`` is the
+    smallest doc_id sharing a band.
+
+    The signature/banding is the zero-shuffle narrow map
+    (ops.minhash.minhash_bands_narrow — in-row ``transform``+``array_min``
+    instead of explode→groupBy), so the whole pipeline shuffles only
+    4 short band rows per doc: one keyed MIN for the ownership registry,
+    one join back, one per-doc MIN. The streaming formulation keeps the
+    ownership registry as per-band ValueState
+    (mounts.band_first_owner_stream); parity is proven in
+    tests/test_stream_parity.py under doc-id-ordered multi-batch replay.
+    """
+    bands = minhash_bands_narrow(table(spark, sf_dir, "documents"))
+    owners = bands.groupBy("band_no", "val").agg(F.min("doc_id").alias("owner"))
+    return (
+        bands.join(owners, ["band_no", "val"])
+        .groupBy("doc_id")
+        .agg(F.min("owner").cast("bigint").alias("owner"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "owner",
+            (F.col("owner") < F.col("doc_id")).alias("is_dup"),
+        )
+    )

@@ -45,6 +45,16 @@ EVENTS_STREAM_SCHEMA = T.StructType(
     ]
 )
 
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
 
 def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
     """Write events (µs timestamps, via io.table's nanos fix) to a fresh
@@ -56,13 +66,26 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
     guarantees micro-batches arrive in event-time order — the premise the
     cross-batch state parity tests rely on.
     """
+    return _replay_dir(spark, sf_dir, "events", "event_id", n_files)
+
+
+def documents_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
+    """Documents twin of :func:`events_replay_dir` — chunks split on
+    doc_id, so micro-batches arrive in doc-id order (the arrival-order
+    premise of the streaming ingest-dedup parity tests)."""
+    return _replay_dir(spark, sf_dir, "documents", "doc_id", n_files)
+
+
+def _replay_dir(
+    spark: SparkSession, sf_dir: str, tbl: str, id_col: str, n_files: int
+) -> str:
     import hashlib
     import time
 
     from sim_spark.scratch import scratch_dir
 
     # Managed per-process scratch (atexit-cleaned) instead of a leaked
-    # mkdtemp per call; keyed by full sf_dir + layout so distinct
+    # mkdtemp per call; keyed by full sf_dir + table + layout so distinct
     # fixtures never collide, plus a per-call sequence suffix so two
     # overlapping streams on the same fixture in one process each get a
     # private source dir (a shared dir would be rmtree'd mid-read).
@@ -71,7 +94,7 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
 
     global _REPLAY_SEQ
     _REPLAY_SEQ += 1
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.sha1(f"{sf_dir}|{tbl}".encode()).hexdigest()[:8]
     tmp = scratch_dir(f"replay_{tag}_{n_files}_{_REPLAY_SEQ}")
     hist = _REPLAY_DIRS.setdefault((tag, n_files), [])
     hist.append(tmp)
@@ -92,17 +115,17 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str
             stacklevel=2,
         )
         _shutil.rmtree(victim, ignore_errors=True)
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, tbl)
     if n_files <= 1:
         ev.coalesce(1).write.mode("overwrite").parquet(tmp)
         return tmp
-    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    lo, hi = ev.agg(F.min(id_col), F.max(id_col)).collect()[0]
     chunk = (hi - lo + n_files) // n_files
     for i in range(n_files):
         (
             ev.filter(
-                (F.col("event_id") >= lo + i * chunk)
-                & (F.col("event_id") < lo + (i + 1) * chunk)
+                (F.col(id_col) >= lo + i * chunk)
+                & (F.col(id_col) < lo + (i + 1) * chunk)
             )
             .coalesce(1)
             .write.mode("append")
@@ -118,6 +141,16 @@ def stream_events(
 ) -> DataFrame:
     """File-source stream over a replay dir with the pinned schema."""
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(replay_dir)
+
+
+def stream_documents(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a documents replay dir."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(replay_dir)
@@ -513,5 +546,107 @@ def stateful_sum_tws(ev: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_events bigint, total_value double",
         stateStructType="n bigint, total double",
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming ingest-dedup gate (per-band first owner) ---------------------
+
+
+class _BandOwnerProcessor:
+    """StatefulProcessor keyed by (band_no, val): a ValueState holds the
+    smallest doc_id ever seen for the band; every arriving band row is
+    emitted with the band's owner at arrival time.
+
+    Under doc-id-ordered replay (documents_replay_dir) the at-arrival
+    owner equals the global MIN(doc_id) of the band, which is exactly the
+    batch formulation (stream_dedup_near) — the premise the parity test
+    asserts. Within one micro-batch the owner is min(state, batch-min),
+    so intra-batch arrival order never matters. At cluster scale the
+    state store shards on the band key with the shuffle; state size is
+    one long per distinct band — the smallest possible near-dup registry.
+    """
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._state = handle.getValueState(
+            "owner", StructType([StructField("owner", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        ids: list[int] = []
+        for pdf in rows:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        prev = self._state.get()[0] if self._state.exists() else None
+        owner = min(ids) if prev is None else min(prev, min(ids))
+        self._state.update((owner,))
+        yield pd.DataFrame(
+            {
+                "band_no": [int(key[0])] * len(ids),
+                "val": [str(key[1])] * len(ids),
+                "doc_id": ids,
+                "owner": [owner] * len(ids),
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _band_owner_fallback_fn(key, pdf_iter, state):
+    """applyInPandasWithState twin of _BandOwnerProcessor."""
+    import pandas as pd
+
+    ids: list[int] = []
+    for pdf in pdf_iter:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    prev = state.get[0] if state.exists else None
+    owner = min(ids) if prev is None else min(prev, min(ids))
+    state.update((owner,))
+    yield pd.DataFrame(
+        {
+            "band_no": [int(key[0])] * len(ids),
+            "val": [str(key[1])] * len(ids),
+            "doc_id": ids,
+            "owner": [owner] * len(ids),
+        }
+    )
+
+
+_BAND_OWNER_OUT = "band_no int, val string, doc_id bigint, owner bigint"
+
+
+def band_first_owner_stream(bands: DataFrame) -> DataFrame:
+    """Per-band first-owner registry over a stream of band rows
+    (doc_id, band_no, val) — the stateful half of streaming near-dup
+    dedup. The signature/banding itself is a stateless narrow map
+    (ops.minhash.minhash_bands_narrow), so this single keyed stateful op
+    is the only state in the pipeline; the per-doc verdict is a
+    stateless rollup of its output (MIN(owner) over the doc's bands)."""
+    if tws_available():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class Proc(_BandOwnerProcessor, StatefulProcessor):
+            pass
+
+        return bands.groupBy("band_no", "val").transformWithStateInPandas(
+            statefulProcessor=Proc(),
+            outputStructType=_BAND_OWNER_OUT,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band_no", "val").applyInPandasWithState(
+        _band_owner_fallback_fn,
+        outputStructType=_BAND_OWNER_OUT,
+        stateStructType="owner bigint",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -436,3 +436,38 @@ def test_tws_state_restored_after_restart(spark, tmp_path):
         fn, ft = final[u]
         assert fn == n, f"user {u}: n_events {fn} != {n}"
         assert abs(ft - t) < 1e-9, f"user {u}: total {ft} != {t}"
+
+
+def test_band_owner_stream_equals_batch(spark):
+    """Streaming near-dup ingest gate: minhash banding as a stateless
+    narrow map + per-band first-owner ValueState, replayed over 3
+    doc-id-ordered micro-batches (maxFilesPerTrigger=1 → cross-batch
+    state), must yield exactly the batch stream_dedup_near verdicts."""
+    from sim_spark.ops.minhash import minhash_bands_narrow
+    from sim_spark.queries.streaming_batch import stream_dedup_near
+
+    replay = mounts.documents_replay_dir(spark, SF, n_files=3)
+    try:
+        out = mounts.band_first_owner_stream(
+            minhash_bands_narrow(
+                mounts.stream_documents(spark, replay, max_files_per_trigger=1)
+            )
+        )
+        sink = mounts.run_streaming_to_memory(out, "append")
+        # Per-doc verdict: stateless rollup of the band-owner rows.
+        per_doc = (
+            sink.groupBy("doc_id")
+            .agg(F.min("owner").cast("bigint").alias("owner"))
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "owner",
+                (F.col("owner") < F.col("doc_id")).alias("is_dup"),
+            )
+        )
+        batch = stream_dedup_near(spark, SF)
+        _assert_same(batch, per_doc, "band_first_owner")
+        # The stream emits each band row exactly once (append semantics).
+        n_bands = minhash_bands_narrow(table(spark, SF, "documents")).count()
+        assert sink.count() == n_bands
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
