@@ -452,3 +452,41 @@ def test_auto_band_join_is_not_nested_loop(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), p
+
+
+def test_chunking_is_pure_narrow_map(spark):
+    """text_chunk_sliding must not shuffle at all: split/sequence/
+    explode/slice are all narrow — the property that makes chunking
+    100 TB embarrassingly parallel."""
+    p = plan(spark, "text_chunk_sliding")
+    assert "Exchange" not in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["doc_id", "text"], cols
+
+
+def test_attribution_band_join_is_hash_on_user(spark):
+    """The touch<->conversion pairing must stay an equi join on user_id
+    with the recency band as residual — never BNLJ/cartesian."""
+    p = plan(spark, "events_attribution_credit")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
+
+
+def test_stream_dedup_near_signature_is_shuffle_free(spark):
+    """The minhash signature/banding must be computable BEFORE the first
+    exchange (in-row transform+array_min, no explode->groupBy) — the
+    property that lets the same code run as a stateless streaming
+    projection. Only the ownership registry, the join-back, and the
+    per-doc rollup may exchange."""
+    from sim_spark.ops.minhash import minhash_bands_narrow
+    from sim_spark.io import table
+
+    bands = minhash_bands_narrow(table(spark, SF, "documents"))
+    bp = bands._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in bp, bp
+    p = plan(spark, "stream_dedup_near")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
