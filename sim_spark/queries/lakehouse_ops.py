@@ -307,3 +307,69 @@ def lakehouse_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "lakehouse_cdc_apply",
+    oracle="""
+WITH feed AS (
+  SELECT o_custkey AS k, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'update' END AS op,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS new_bal
+  FROM orders
+), latest AS (
+  SELECT k, op, new_bal
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM feed)
+  WHERE rn = 1
+)
+SELECT t.c_custkey,
+       CAST(CASE WHEN l.op = 'update' THEN l.new_bal
+                 ELSE CAST(t.c_acctbal AS DECIMAL(15,2)) END AS DOUBLE) AS acctbal,
+       COALESCE(l.op, 'keep') AS action
+FROM customer t LEFT JOIN latest l ON t.c_custkey = l.k
+WHERE l.op IS NULL OR l.op <> 'delete'
+""",
+)
+def lakehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered change-feed apply (Debezium/Delta-CDF shape): orders is
+    read as a CDC log over the customer dimension — key = o_custkey,
+    monotone sequence = o_orderkey, op = delete for every 10th order,
+    else update-balance-to-o_totalprice. Apply = compact the feed to its
+    per-key LATEST change (one row_number window on the key — the
+    standard log-compaction step, NOT a full fold, so cost scales with
+    the feed), then one left join against the target: update rewrites
+    the balance, delete drops the row, untouched keys pass through as
+    'keep'. Unlike merge_upsert_scd1 (single-batch upsert), this is the
+    multi-change-per-key, delete-bearing path; both shuffles are keyed
+    on the business key, the minimum movement for a keyed apply at
+    100 TB.
+    """
+    feed = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("new_bal"),
+    )
+    latest = (
+        feed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc()))
+        )
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "new_bal")
+    )
+    t = table(spark, sf_dir, "customer")
+    return (
+        t.join(latest, t.c_custkey == latest.k, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "update", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("acctbal"),
+            F.coalesce(F.col("op"), F.lit("keep")).alias("action"),
+        )
+    )

@@ -288,3 +288,53 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("value") - F.length(F.regexp_replace("value", " ", "")) + 1
         ).alias("sum_words"),
     )
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+       CAST(length(text) AS BIGINT) AS length,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 64
+""",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via the `binaryFile` source — the way a
+    multimodal pipeline lands an image/audio directory as (path, length,
+    content) rows before any decode UDF runs.
+
+    The fixture dir is produced DISTRIBUTED (foreachPartition writes one
+    .bin per document — an export-sink shape, no driver collect), then
+    read back lazily with binaryFile. The oracle recomputes name/length/
+    md5 from the source table, so a truncated, renamed, or re-encoded
+    file breaks the hash. The fixture text is ASCII, so byte length ==
+    char length both sides. Bounded to 64 docs: binaryFile targets
+    few-large-files layouts (images); the small-file count here is a
+    fixture choice, not the scale story.
+    """
+    import os
+
+    sf_t = scratch_sf_tag(sf_dir)
+    out = scratch_dir(f"binfiles_{sf_t}")
+    os.makedirs(out, exist_ok=True)  # scratch paths are created lazily
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def write_part(rows) -> None:
+        for r in rows:
+            tmp = os.path.join(out, f".doc_{r['doc_id']}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+            os.replace(tmp, os.path.join(out, f"doc_{r['doc_id']}.bin"))
+
+    docs.select("doc_id", "text").foreachPartition(write_part)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("length"),
+            F.md5("content").alias("content_md5"),
+        )
+    )
