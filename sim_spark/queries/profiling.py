@@ -95,3 +95,92 @@ def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, _ in _PROFILE_COLS
     ]
     return reduce(DataFrame.unionAll, parts)
+
+
+@query(
+    "profile_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem
+""",
+)
+def profile_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``Observation`` (`df.observe`): data-
+    quality counters collected as ACCUMULATOR side-output of a pass the
+    job runs anyway — at 100 TB this is the difference between free
+    metrics and a second full scan. The observed pass here is a count()
+    over the instrumented frame; the metrics row the observation yields
+    is the query result (driver-side by design — it is one row of
+    counters, the same place a StreamingQueryProgress would surface it).
+    The oracle recomputes the counters as plain aggregates, so a metric
+    wired to the wrong expression breaks the hash.
+    """
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+    observed.count()  # the pass the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_returned"], m["sum_qty"], m["max_orderkey"])],
+        "n_rows bigint, n_returned bigint, sum_qty double, max_orderkey bigint",
+    )
+
+
+@query(
+    "pandas_api_groupby",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the pandas-on-Spark API: a groupby-agg
+    written as idiomatic pandas (`ps.read_parquet(...).groupby(...)
+    .agg(...)`) that still compiles to the identical distributed
+    partial+final aggregate plan — `to_spark()` hands the lazy frame
+    back, nothing collects. Exact decimal sum before the double cast,
+    same convention as the native-API twin.
+    """
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    out = pdf.groupby("o_orderpriority").agg(
+        n_orders=("o_totalprice", "count")
+    )
+    sdf = out.reset_index().to_spark()
+    # the exact-decimal sum joins in via the native API (ps sums are
+    # float; the engine convention is decimal-exact monetary sums)
+    dec = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price")
+        )
+    )
+    return (
+        sdf.select("o_orderpriority", F.col("n_orders").cast("bigint").alias("n_orders"))
+        .join(dec, "o_orderpriority")
+    )
