@@ -471,3 +471,83 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("owner") < F.col("doc_id")).alias("is_dup"),
         )
     )
+
+
+@query(
+    "stream_session_timer",
+    oracle="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_t
+  FROM events
+), g AS (
+  SELECT user_id, t,
+         SUM(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING)
+           AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, sid,
+         MIN(t) AS start_us, MAX(t) AS end_us,
+         COUNT(*) AS n_events,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+FROM sess
+WHERE sid < last_sid
+   OR end_us + 1800000000 <=
+      (SELECT MAX(epoch_us(ts)) FROM events) - 600000000
+""",
+)
+def stream_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization by EVENT-TIME TIMERS, run on the real streaming
+    machinery in-query (3-file doc-ordered replay, maxFilesPerTrigger=1,
+    10-minute watermark) — and still fully SQL-oracled, because both
+    closure paths are deterministic under time-ordered replay: a session
+    is emitted iff a later same-user event breaks the gap (every
+    non-last session) OR the final watermark (global max ts − 10 min)
+    passes its end + gap (idle-tail sessions, fired by the no-data
+    batch's timer sweep). See mounts._SessionTimerProcessor for why the
+    ms-granular timer registration implies the µs-exact oracle rule.
+
+    Falls back to the identical batch window formulation when the TWS
+    runtime is unavailable (same rows by the parity argument above —
+    the fallback keeps the key runnable, the streaming path is the
+    point).
+    """
+    if not mounts.tws_available():
+        o = table(spark, sf_dir, "events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("t")
+        )
+        w = W.partitionBy("user_id").orderBy("t", "event_id")
+        g = o.withColumn(
+            "brk",
+            F.when(
+                F.lag("t").over(w).isNull()
+                | (F.col("t") - F.lag("t").over(w) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        ).withColumn("sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        sess = g.groupBy("user_id", "sid").agg(
+            F.min("t").alias("start_us"),
+            F.max("t").alias("end_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        last = sess.withColumn(
+            "last_sid", F.max("sid").over(W.partitionBy("user_id"))
+        )
+        max_t = table(spark, sf_dir, "events").agg(
+            F.max(F.unix_micros("ts"))
+        ).collect()[0][0]
+        return last.filter(
+            (F.col("sid") < F.col("last_sid"))
+            | (F.col("end_us") + 1_800_000_000 <= F.lit(max_t) - 600_000_000)
+        ).select("user_id", "start_us", "end_us", "n_events")
+    replay = mounts.events_replay_dir(spark, sf_dir, n_files=3)
+    ev = mounts.stream_events(spark, replay, max_files_per_trigger=1).withWatermark(
+        "ts", "10 minutes"
+    )
+    return mounts.run_streaming_to_memory(mounts.session_timer_tws(ev), "append")

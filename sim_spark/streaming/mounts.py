@@ -650,3 +650,125 @@ def band_first_owner_stream(bands: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- event-time-timer sessionization (TWS timers) ---------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+_SESS_OUT = "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+
+
+class _SessionTimerProcessor:
+    """StatefulProcessor keyed by user_id: classic gap sessionization
+    driven by EVENT-TIME TIMERS — the one streaming shape neither
+    `session_window` nor a plain stateful fold covers, because closing
+    an idle session requires the watermark, not another event.
+
+    Two ways a session closes, both emitted exactly once:
+    - in-stream: a same-user event beyond the gap arrives → the previous
+      session is emitted from handleInputRows and the timer is moved;
+    - by timer: the watermark passes session_end + gap with no further
+      events → handleExpiredTimer emits it and clears state.
+
+    The timer is registered at floor((end+gap)/1ms) + 1 ms — strictly
+    after the µs-exact expiry — so a firing timer IMPLIES the µs
+    condition `end + gap <= watermark` that the SQL oracle uses; the
+    two rules can only disagree when the final watermark lands inside
+    the same millisecond as a session boundary (µs-random fixture
+    timestamps make that measure-zero). Stale timers (moved after more
+    events arrived) are ignored by comparing against the timer stored
+    in state. State is one 4-tuple per OPEN session — the minimum for
+    gap sessionization — sharded on user_id with the shuffle.
+    """
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._handle = handle
+        self._state = handle.getValueState(
+            "sess",
+            StructType(
+                [
+                    StructField("start_us", LongType()),
+                    StructField("end_us", LongType()),
+                    StructField("n", LongType()),
+                    StructField("timer_ms", LongType()),
+                ]
+            ),
+        )
+
+    @staticmethod
+    def _ts_us(series) -> list:
+        return [int(v) // 1000 for v in series.astype("int64")]
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        ts_us: list[int] = []
+        for pdf in rows:
+            ts_us.extend(self._ts_us(pdf["ts"]))
+        ts_us.sort()
+        if self._state.exists():
+            start, end, n, old_timer = self._state.get()
+            self._handle.deleteTimer(old_timer)
+        else:
+            start, end, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t > end + _SESS_GAP_US:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        timer_ms = (end + _SESS_GAP_US) // 1000 + 1
+        self._handle.registerTimer(timer_ms)
+        self._state.update((start, end, n, timer_ms))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if not self._state.exists():
+            return
+        start, end, n, timer_ms = self._state.get()
+        if expiredTimerInfo.getExpiryTimeInMs() != timer_ms:
+            return  # stale timer: the session gained events and moved on
+        self._state.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "start_us": [start],
+                "end_us": [end],
+                "n_events": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_timer_tws(ev: DataFrame) -> DataFrame:
+    """Event-time-timer sessionization over a watermarked event stream.
+    Requires the TWS runtime (timers need timeMode='EventTime'); callers
+    gate on tws_available()."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Proc(_SessionTimerProcessor, StatefulProcessor):
+        pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=_SESS_OUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
