@@ -513,41 +513,48 @@ def stream_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's timer sweep). See mounts._SessionTimerProcessor for why the
     ms-granular timer registration implies the µs-exact oracle rule.
 
-    Falls back to the identical batch window formulation when the TWS
-    runtime is unavailable (same rows by the parity argument above —
-    the fallback keeps the key runnable, the streaming path is the
-    point).
+    Runs on transformWithStateInPandas timers where the TWS runtime
+    exists, and on applyInPandasWithState EventTimeTimeout otherwise —
+    identical semantics either way; the real streaming machinery always
+    runs (sessions_closed_batch is the test expectation, not a fallback).
     """
-    if not mounts.tws_available():
-        o = table(spark, sf_dir, "events").select(
-            "user_id", "event_id", F.unix_micros("ts").alias("t")
-        )
-        w = W.partitionBy("user_id").orderBy("t", "event_id")
-        g = o.withColumn(
-            "brk",
-            F.when(
-                F.lag("t").over(w).isNull()
-                | (F.col("t") - F.lag("t").over(w) > 1_800_000_000),
-                1,
-            ).otherwise(0),
-        ).withColumn("sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
-        sess = g.groupBy("user_id", "sid").agg(
-            F.min("t").alias("start_us"),
-            F.max("t").alias("end_us"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        )
-        last = sess.withColumn(
-            "last_sid", F.max("sid").over(W.partitionBy("user_id"))
-        )
-        max_t = table(spark, sf_dir, "events").agg(
-            F.max(F.unix_micros("ts"))
-        ).collect()[0][0]
-        return last.filter(
-            (F.col("sid") < F.col("last_sid"))
-            | (F.col("end_us") + 1_800_000_000 <= F.lit(max_t) - 600_000_000)
-        ).select("user_id", "start_us", "end_us", "n_events")
     replay = mounts.events_replay_dir(spark, sf_dir, n_files=3)
     ev = mounts.stream_events(spark, replay, max_files_per_trigger=1).withWatermark(
         "ts", "10 minutes"
     )
-    return mounts.run_streaming_to_memory(mounts.session_timer_tws(ev), "append")
+    return mounts.run_streaming_to_memory(mounts.session_timer_stream(ev), "append")
+
+
+def sessions_closed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch window formulation of stream_session_timer's emission rule
+    over the fixture events table (the restart-test expectation)."""
+    return sessions_closed_from(table(spark, sf_dir, "events"))
+
+
+def sessions_closed_from(events: DataFrame) -> DataFrame:
+    """Same emission rule over an arbitrary (user_id, event_id, ts)
+    frame — lets tests build modified replays (e.g. a user going idle)
+    and still derive the exact expected emissions."""
+    o = events.select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    g = o.withColumn(
+        "brk",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min("t").alias("start_us"),
+        F.max("t").alias("end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    last = sess.withColumn(
+        "last_sid", F.max("sid").over(W.partitionBy("user_id"))
+    )
+    max_t = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    return last.filter(
+        (F.col("sid") < F.col("last_sid"))
+        | (F.col("end_us") + 1_800_000_000 <= F.lit(max_t) - 600_000_000)
+    ).select("user_id", "start_us", "end_us", "n_events")

@@ -772,3 +772,65 @@ def session_timer_tws(ev: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def _session_timer_fallback_fn(key, pdf_iter, state):
+    """applyInPandasWithState twin of _SessionTimerProcessor: identical
+    fold + emission rule, with the event-time TIMEOUT (EventTimeTimeout +
+    setTimeoutTimestamp) standing in for a registered timer. The timeout
+    timestamp is part of the checkpointed group state, so it survives
+    restart exactly like a TWS timer. Same ms+1 registration so a firing
+    timeout implies the µs-exact oracle rule."""
+    import pandas as pd
+
+    def emit(sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(sessions),
+                "start_us": [s[0] for s in sessions],
+                "end_us": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    if state.hasTimedOut:
+        start, end, n = state.get
+        state.remove()
+        yield emit([(start, end, n)])
+        return
+    ts_us: list[int] = []
+    for pdf in pdf_iter:
+        ts_us.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+    ts_us.sort()
+    start, end, n = state.get if state.exists else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if start is None:
+            start, end, n = t, t, 1
+        elif t > end + _SESS_GAP_US:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = t, n + 1
+    state.update((start, end, n))
+    state.setTimeoutTimestamp((end + _SESS_GAP_US) // 1000 + 1)
+    if closed:
+        yield emit(closed)
+
+
+def session_timer_stream(ev: DataFrame) -> DataFrame:
+    """Event-time-timer sessionization over a watermarked event stream:
+    transformWithStateInPandas timers where the TWS runtime exists,
+    applyInPandasWithState EventTimeTimeout (same semantics, same
+    checkpoint durability) where it doesn't."""
+    if tws_available():
+        return session_timer_tws(ev)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_timer_fallback_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType="start_us bigint, end_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -471,3 +471,93 @@ def test_band_owner_stream_equals_batch(spark):
         assert sink.count() == n_bands
     finally:
         shutil.rmtree(replay, ignore_errors=True)
+
+
+def test_session_timer_state_and_timers_survive_restart(spark, tmp_path):
+    """Kill-and-restart for the EVENT-TIME TIMER processor (TWS timers
+    or the EventTimeTimeout fallback, whichever runtime provides): run the
+    session-timer stream over the first (time-ordered) half of events
+    with a checkpoint, stop, append the second half, restart from the
+    SAME checkpoint. The union of both runs' emissions must equal the
+    batch emission rule over the full fixture — which requires (a) open
+    sessions restored from ValueState and correctly EXTENDED or broken
+    by run-2 events, and (b) REGISTERED TIMERS restored: idle users with
+    no run-2 events at all must still have their tail session fired by
+    run-2's higher watermark."""
+    import time
+
+    from sim_spark.queries.streaming_batch import sessions_closed_from
+
+    ev = table(spark, SF, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    half1 = ev.filter(F.col("event_id") <= mid)
+    half2 = ev.filter(F.col("event_id") > mid)
+    # A synthetic user whose ONLY event lands 5 min before half 1's max
+    # timestamp: its session expiry (end + 30 min) is ABOVE run 1's final
+    # watermark (max1 − 10 min), so nothing can emit it in run 1 — in
+    # run 2 it has no events, so its emission proves the restart restored
+    # the registered timer/timeout, not just the value state.
+    idle_user = 99_999
+    max1 = half1.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    synth = spark.createDataFrame(
+        [
+            (
+                10_000_000,
+                max1 - _dt.timedelta(minutes=5),
+                idle_user,
+                "view",
+                0.0,
+                "{}",
+            )
+        ],
+        mounts.EVENTS_STREAM_SCHEMA,
+    )
+    half1 = half1.unionByName(synth)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(src)
+
+    rows: list = []
+    run_marker: list = []
+
+    def sink(batch_df, batch_id):
+        got = batch_df.collect()
+        rows.extend(got)
+        run_marker.extend(got)
+
+    def run():
+        stream = mounts.stream_events(spark, src).withWatermark("ts", "10 minutes")
+        q = (
+            mounts.session_timer_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    run_marker.clear()
+    time.sleep(1.05)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    # (b) restored timers: at least one user emitted in run 2 without a
+    # single run-2 event — only a checkpoint-restored timer can do that.
+    h2_users = {r[0] for r in half2.select("user_id").distinct().collect()}
+    timer_only = {r["user_id"] for r in run_marker} - h2_users
+    assert idle_user in timer_only, (
+        "no timer-restored emission for the idled user — restart lost the timers"
+    )
+
+    got = sorted((r["user_id"], r["start_us"], r["end_us"], r["n_events"]) for r in rows)
+    want = sorted(
+        tuple(r)
+        for r in sessions_closed_from(half1.unionByName(half2))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect()
+    )
+    assert got == want, f"{len(got)} emitted vs {len(want)} expected"
