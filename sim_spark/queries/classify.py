@@ -682,3 +682,159 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled 2-round boosted decision stumps (integer-exact AdaBoost)
+# ---------------------------------------------------------------------------
+#
+# AdaBoost's exp-reweighting and ln-alphas would put libm between the
+# engines; this formulation is the exact-arithmetic equivalent for 2
+# rounds, so the whole boosted fit hash-matches:
+#
+# - Round 1: unit integer weights; stump error = integer count.
+# - Round 2 weights: misclassified rows get (n - e1), correct rows e1 —
+#   the integer "equalizing" reweight (stump 1's weighted error becomes
+#   exactly half the mass, which is precisely what exp(±alpha1) with
+#   alpha1 = ln sqrt((n-e1)/e1) achieves), so every weight stays int64.
+# - Final vote sign(a1*h1 + a2*h2) with a_k = ln r_k never evaluates a
+#   log: when the stumps agree the sign is theirs; when they disagree it
+#   is sign(ln r1 - ln r2) = sign(r1 - r2), decided by cross-multiplying
+#   the exact integer odds (decimal(38,0) so the products cannot wrap;
+#   per-round weighted-error masses stay under ~2n^2, fine to ~1e9 rows
+#   per partition-group — beyond that, the same decimals carry it).
+# - Degenerate e=0 rounds (a perfect stump) would make r infinite; the
+#   cross-multiplied comparison then deterministically prefers the other
+#   stump — semantically moot (sign agrees with the perfect stump on
+#   every row it got right) and identical in both engines.
+#
+# Candidate grid: 32 fixed value-thresholds (k*0.5 + 0.25 — offset off
+# the fixture's 2-decimal values so x <= thr never ties) x 2 polarities;
+# argmin tie-break ORDER BY (e, pol, thr). The 64-row candidate relation
+# and both 1-row fitted stumps broadcast; the corpus is scanned three
+# times (fit, refit, vote) and never collected.
+
+_ADA_THRS = [k * 0.5 + 0.25 for k in range(32)]
+
+
+def _ada_pred(x: str, thr: str, pol: str) -> str:
+    return f"(CASE WHEN {x} <= {thr} THEN {pol} ELSE -{pol} END)"
+
+
+def _ada_oracle() -> str:
+    thrs = ", ".join(str(t) for t in _ADA_THRS)
+    p = _ada_pred
+    return f"""
+WITH r AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y, value AS x
+  FROM events
+),
+nn AS (SELECT COUNT(*) AS n FROM r),
+cand AS (
+  SELECT t.thr, p.pol
+  FROM (SELECT unnest([{thrs}]) AS thr) t,
+       (SELECT 1 AS pol UNION ALL SELECT -1) p
+),
+err1 AS (
+  SELECT c.thr, c.pol,
+         SUM(CASE WHEN {p('r.x', 'c.thr', 'c.pol')} <> r.y THEN 1 ELSE 0 END) AS e
+  FROM r CROSS JOIN cand c GROUP BY c.thr, c.pol
+),
+b1 AS (SELECT thr, pol, e FROM err1 ORDER BY e, pol, thr LIMIT 1),
+w2 AS (
+  SELECT r.y, r.x,
+         CASE WHEN {p('r.x', 'b.thr', 'b.pol')} <> r.y THEN n.n - b.e ELSE b.e END AS w
+  FROM r CROSS JOIN b1 b CROSS JOIN nn n
+),
+err2 AS (
+  SELECT c.thr, c.pol,
+         SUM(CASE WHEN {p('r.x', 'c.thr', 'c.pol')} <> r.y THEN r.w ELSE 0 END) AS e
+  FROM w2 r CROSS JOIN cand c GROUP BY c.thr, c.pol
+),
+b2 AS (SELECT thr, pol, e FROM err2 ORDER BY e, pol, thr LIMIT 1)
+SELECT b1.thr AS thr1, b1.pol AS pol1, CAST(b1.e AS BIGINT) AS e1,
+       b2.thr AS thr2, b2.pol AS pol2, CAST(b2.e AS BIGINT) AS e2,
+       CAST(SUM(CASE WHEN (CASE
+           WHEN {p('r.x', 'b1.thr', 'b1.pol')} = {p('r.x', 'b2.thr', 'b2.pol')}
+             THEN {p('r.x', 'b1.thr', 'b1.pol')}
+           WHEN CAST(n.n - b1.e AS DECIMAL(38,0)) * b2.e
+                > 2 * CAST(b1.e AS DECIMAL(38,0)) * b1.e * (n.n - b1.e)
+                  - CAST(b1.e AS DECIMAL(38,0)) * b2.e
+             THEN {p('r.x', 'b1.thr', 'b1.pol')}
+           ELSE {p('r.x', 'b2.thr', 'b2.pol')} END) = r.y
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(MAX(n.n) AS BIGINT) AS n_rows
+FROM r CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN nn n
+GROUP BY b1.thr, b1.pol, b1.e, b2.thr, b2.pol, b2.e
+"""
+
+
+@query("ml_adaboost_stumps", oracle=_ada_oracle())
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds of decision stumps over events.value, exact in
+    integer arithmetic end to end (header comment) — model selection,
+    reweighting, and the combined vote all hash-match the SQL oracle.
+    One Catalyst plan: 64-row candidate grid and both 1-row stumps
+    broadcast into three corpus scans; nothing reaches the driver."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("y"),
+        F.col("value").alias("x"),
+    )
+    nn = r.agg(F.count(F.lit(1)).alias("n"))
+    cand = spark.createDataFrame(
+        [(t, p) for t in _ADA_THRS for p in (1, -1)], "thr double, pol int"
+    )
+
+    def pred(x, thr, pol):
+        return F.when(x <= thr, pol).otherwise(-pol)
+
+    def fit(weighted, wcol):
+        err = (
+            weighted.crossJoin(F.broadcast(cand))
+            .groupBy("thr", "pol")
+            .agg(
+                F.sum(
+                    F.when(pred(F.col("x"), F.col("thr"), F.col("pol")) != F.col("y"), F.col(wcol)).otherwise(F.lit(0))
+                ).alias("e")
+            )
+        )
+        return err.orderBy("e", "pol", "thr").limit(1)
+
+    b1 = fit(r.withColumn("w", F.lit(1).cast("bigint")), "w").select(
+        F.col("thr").alias("thr1"), F.col("pol").alias("pol1"), F.col("e").cast("bigint").alias("e1")
+    )
+    w2 = (
+        r.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "y",
+            "x",
+            F.when(pred(F.col("x"), F.col("thr1"), F.col("pol1")) != F.col("y"), F.col("n") - F.col("e1"))
+            .otherwise(F.col("e1"))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    b2 = fit(w2, "w").select(
+        F.col("thr").alias("thr2"), F.col("pol").alias("pol2"), F.col("e").cast("bigint").alias("e2")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    h1 = pred(F.col("x"), F.col("thr1"), F.col("pol1"))
+    h2 = pred(F.col("x"), F.col("thr2"), F.col("pol2"))
+    stump1_wins = dec(F.col("n") - F.col("e1")) * F.col("e2") > (
+        2 * dec(F.col("e1")) * F.col("e1") * (F.col("n") - F.col("e1"))
+        - dec(F.col("e1")) * F.col("e2")
+    )
+    combined = F.when(h1 == h2, h1).when(stump1_wins, h1).otherwise(h2)
+    return (
+        r.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .crossJoin(F.broadcast(nn))
+        .groupBy("thr1", "pol1", "e1", "thr2", "pol2", "e2")
+        .agg(
+            F.sum(F.when(combined == F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_correct"),
+            F.max("n").cast("bigint").alias("n_rows"),
+        )
+        .select("thr1", "pol1", "e1", "thr2", "pol2", "e2", "n_correct", "n_rows")
+    )
