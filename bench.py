@@ -62,6 +62,8 @@ HEADLINE = [
     # ANALYZE runs once in the warm-up pass; timed runs measure the
     # CBO-reordered join itself (SURVEY §4.2).
     "join_cbo_reordered_star",
+    "text_chunk_sliding",
+    "ml_adaboost_stumps",
 ]
 
 

@@ -710,9 +710,11 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Candidate grid: 32 fixed value-thresholds (k*0.5 + 0.25 — offset off
 # the fixture's 2-decimal values so x <= thr never ties) x 2 polarities;
-# argmin tie-break ORDER BY (e, pol, thr). The 64-row candidate relation
-# and both 1-row fitted stumps broadcast; the corpus is scanned three
-# times (fit, refit, vote) and never collected.
+# argmin tie-break ORDER BY (e, pol, thr). Each fit is ONE narrow
+# conditional-sum aggregate (see fit()) — no candidate cross-join, no
+# row multiplication, so corpus cost is 3 scans (fit, refit, vote)
+# regardless of grid size, and nothing is collected. At fixture scale
+# the wall clock is job-overhead-bound (~3 chained jobs), not data-bound.
 
 _ADA_THRS = [k * 0.5 + 0.25 for k in range(32)]
 
@@ -781,32 +783,62 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("y"),
         F.col("value").alias("x"),
     )
-    nn = r.agg(F.count(F.lit(1)).alias("n"))
-    cand = spark.createDataFrame(
-        [(t, p) for t in _ADA_THRS for p in (1, -1)], "thr double, pol int"
-    )
 
     def pred(x, thr, pol):
         return F.when(x <= thr, pol).otherwise(-pol)
 
     def fit(weighted, wcol):
-        err = (
-            weighted.crossJoin(F.broadcast(cand))
-            .groupBy("thr", "pol")
-            .agg(
-                F.sum(
-                    F.when(pred(F.col("x"), F.col("thr"), F.col("pol")) != F.col("y"), F.col(wcol)).otherwise(F.lit(0))
-                ).alias("e")
-            )
+        # One narrow pass: 32 conditional sums (pol=+1 errors) + the
+        # total weight; pol=-1 errors are their complements (the flipped
+        # stump misclassifies exactly the complementary weight mass), so
+        # no candidate cross-join and no row multiplication — the fit
+        # cost is a single partial+final aggregate regardless of grid
+        # size. The 64 (e, pol, thr) rows unfold from the 1-row result
+        # JVM-side; argmin is a 64-row TakeOrdered.
+        aggs = [
+            F.sum(
+                F.when(pred(F.col("x"), F.lit(t), F.lit(1)) != F.col("y"), F.col(wcol)).otherwise(F.lit(0))
+            ).alias(f"e{i}")
+            for i, t in enumerate(_ADA_THRS)
+        ]
+        one = weighted.agg(F.sum(wcol).alias("wt"), *aggs)
+        structs = F.array(
+            *[
+                s
+                for i, t in enumerate(_ADA_THRS)
+                for s in (
+                    F.struct(
+                        F.col(f"e{i}").alias("e"), F.lit(1).alias("pol"), F.lit(t).alias("thr")
+                    ),
+                    F.struct(
+                        (F.col("wt") - F.col(f"e{i}")).alias("e"),
+                        F.lit(-1).alias("pol"),
+                        F.lit(t).alias("thr"),
+                    ),
+                )
+            ]
         )
-        return err.orderBy("e", "pol", "thr").limit(1)
+        cand = one.select(F.explode(structs).alias("c"), "wt").select(
+            "c.thr", "c.pol", "c.e", "wt"
+        )
+        return cand.orderBy("e", "pol", "thr").limit(1)
 
-    b1 = fit(r.withColumn("w", F.lit(1).cast("bigint")), "w").select(
-        F.col("thr").alias("thr1"), F.col("pol").alias("pol1"), F.col("e").cast("bigint").alias("e1")
+    from sim_spark.scratch import track_cache
+
+    # The 1-row fitted stumps feed 2-3 downstream branches each; cached,
+    # every fit aggregate runs exactly once (3 corpus scans total).
+    # Round 1 weights are all 1, so round 1's total weight IS the row
+    # count — n rides along in b1 and no separate count scan exists.
+    b1 = track_cache(
+        fit(r.withColumn("w", F.lit(1).cast("bigint")), "w").select(
+            F.col("thr").alias("thr1"),
+            F.col("pol").alias("pol1"),
+            F.col("e").cast("bigint").alias("e1"),
+            F.col("wt").cast("bigint").alias("n"),
+        )
     )
     w2 = (
         r.crossJoin(F.broadcast(b1))
-        .crossJoin(F.broadcast(nn))
         .select(
             "y",
             "x",
@@ -816,9 +848,12 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    b2 = fit(w2, "w").select(
-        F.col("thr").alias("thr2"), F.col("pol").alias("pol2"), F.col("e").cast("bigint").alias("e2")
+    b2 = track_cache(
+        fit(w2, "w").select(
+            F.col("thr").alias("thr2"), F.col("pol").alias("pol2"), F.col("e").cast("bigint").alias("e2")
+        )
     )
+
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     h1 = pred(F.col("x"), F.col("thr1"), F.col("pol1"))
     h2 = pred(F.col("x"), F.col("thr2"), F.col("pol2"))
@@ -830,7 +865,6 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.crossJoin(F.broadcast(b1))
         .crossJoin(F.broadcast(b2))
-        .crossJoin(F.broadcast(nn))
         .groupBy("thr1", "pol1", "e1", "thr2", "pol2", "e2")
         .agg(
             F.sum(F.when(combined == F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_correct"),
