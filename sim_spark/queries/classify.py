@@ -872,3 +872,296 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("thr1", "pol1", "e1", "thr2", "pol2", "e2", "n_correct", "n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled 2-round gradient-boosted REGRESSION stumps
+# ---------------------------------------------------------------------------
+#
+# The squared-loss companion to ml_adaboost_stumps: f0 = global mean,
+# then two rounds of SSE-optimal stumps on the residuals, every
+# selection decision exact:
+#
+# - Residuals are milli-unit integers (y is 2-decimal; f0 and the leaf
+#   predictions are floor(x + 0.5) milli-quantized rationals, so the
+#   quantization rule — not float noise — defines the algorithm, and
+#   both engines replay it bit-identically).
+# - The SSE-optimal stump maximizes sumL^2/nL + sumR^2/nR. Candidate
+#   scores are RATIONALS a/b (a = sumL^2*nR + sumR^2*nL, b = nL*nR);
+#   rather than divide, candidates meet in a 23x23 cross-multiplied
+#   TOURNAMENT (a_d*b_c > a_c*b_d, 128-bit exact: DECIMAL(38,0) Spark,
+#   HUGEINT DuckDB) and the winner is the candidate no rival beats —
+#   argmax over exact rationals with a smallest-threshold tie-break.
+# - Bounds: |r| <= ~5.6e5 milli, so a <= 2*(n*5.6e5)^2*n and the
+#   tournament product a*b stays under 1e38 through n ~ 2e5 rows per
+#   fit. Beyond that, drop to centi-unit residuals (same plan, one
+#   fewer digit) — the bound is a unit choice, not a structural limit.
+# - Feature x = hour(ts) (integer 0..23), thresholds t in {0..22} on
+#   x <= t: integer-vs-integer comparisons can never tie-break on a
+#   float boundary.
+#
+# Corpus cost: 4 scans (f0 reduce, two fit reduces, final mse pass),
+# each a single partial+final conditional-sum aggregate; the tournament
+# runs on 23-row frames. Nothing is collected.
+
+_GBT_THRS = list(range(23))
+
+
+def _gbt_fit_sql(src: str, rcol: str) -> str:
+    """One fit stage as DuckDB text: candidate conditional sums over
+    ``src`` + exact-rational tournament; yields 1 row (t, nl, sl, nr, sr)."""
+    thrs = ", ".join(str(t) for t in _GBT_THRS)
+    return f"""
+  SELECT c.t, c.nl, c.sl, c.nr, c.sr FROM (
+    SELECT t.t,
+           CAST(SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+           CAST(SUM(CASE WHEN x <= t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sl,
+           CAST(SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+           CAST(SUM(CASE WHEN x > t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sr
+    FROM {src} CROSS JOIN (SELECT unnest([{thrs}]) AS t) t
+    GROUP BY t.t HAVING SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) > 0
+                    AND SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) > 0
+  ) c JOIN (
+    SELECT t.t,
+           CAST(SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+           CAST(SUM(CASE WHEN x <= t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sl,
+           CAST(SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+           CAST(SUM(CASE WHEN x > t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sr
+    FROM {src} CROSS JOIN (SELECT unnest([{thrs}]) AS t) t
+    GROUP BY t.t HAVING SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) > 0
+                    AND SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) > 0
+  ) d ON TRUE
+  GROUP BY c.t, c.nl, c.sl, c.nr, c.sr
+  HAVING SUM(CASE
+    WHEN CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl > 0
+         AND ((CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl)
+                * (c.nl * c.nr)
+              > (CAST(c.sl AS HUGEINT)*c.sl*c.nr + CAST(c.sr AS HUGEINT)*c.sr*c.nl)
+                * (d.nl * d.nr)
+              OR ((CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl)
+                    * (c.nl * c.nr)
+                  = (CAST(c.sl AS HUGEINT)*c.sl*c.nr + CAST(c.sr AS HUGEINT)*c.sr*c.nl)
+                    * (d.nl * d.nr)
+                  AND d.t < c.t))
+    THEN 1 ELSE 0 END) = 0
+"""
+
+
+def _gbt_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+  FROM events
+),
+g0 AS (
+  SELECT CAST(floor(SUM(yc) * 10.0 / COUNT(*) + 0.5) AS BIGINT) AS f0m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base
+),
+r1 AS (SELECT b.x, b.yc * 10 - g.f0m AS r, g.f0m, g.n FROM base b CROSS JOIN g0 g),
+w1 AS ({_gbt_fit_sql('r1', 'r')}),
+p1 AS (
+  SELECT t AS thr1, nl AS nl1,
+         CAST(floor(sl * 1.0 / nl + 0.5) AS BIGINT) AS pl1,
+         CAST(floor(sr * 1.0 / nr + 0.5) AS BIGINT) AS pr1
+  FROM w1
+),
+r2 AS (
+  SELECT r1.x, r1.r - CASE WHEN r1.x <= p.thr1 THEN p.pl1 ELSE p.pr1 END AS r2,
+         r1.r, r1.f0m, r1.n, p.thr1, p.nl1, p.pl1, p.pr1
+  FROM r1 CROSS JOIN p1 p
+),
+w2 AS ({_gbt_fit_sql('r2', 'r2')}),
+p2 AS (
+  SELECT t AS thr2, nl AS nl2,
+         CAST(floor(sl * 1.0 / nl + 0.5) AS BIGINT) AS pl2,
+         CAST(floor(sr * 1.0 / nr + 0.5) AS BIGINT) AS pr2
+  FROM w2
+)
+SELECT MAX(r2.n) AS n_rows,
+       ROUND(MAX(r2.f0m) / 1000.0, 6) AS f0,
+       MAX(r2.thr1) AS thr1, MAX(r2.nl1) AS n_l1,
+       ROUND(MAX(r2.pl1) / 1000.0, 6) AS pred_l1,
+       ROUND(MAX(r2.pr1) / 1000.0, 6) AS pred_r1,
+       MAX(p.thr2) AS thr2, MAX(p.nl2) AS n_l2,
+       ROUND(MAX(p.pl2) / 1000.0, 6) AS pred_l2,
+       ROUND(MAX(p.pr2) / 1000.0, 6) AS pred_r2,
+       ROUND(CAST(SUM(CAST(r2.r AS HUGEINT) * r2.r) AS DOUBLE)
+             / (1000000.0 * MAX(r2.n)), 6) AS mse0,
+       ROUND(CAST(SUM(CAST(r2.r2 AS HUGEINT) * r2.r2) AS DOUBLE)
+             / (1000000.0 * MAX(r2.n)), 6) AS mse1,
+       ROUND(CAST(SUM(CAST(r2.r2 - CASE WHEN r2.x <= p.thr2 THEN p.pl2 ELSE p.pr2 END AS HUGEINT)
+                      * (r2.r2 - CASE WHEN r2.x <= p.thr2 THEN p.pl2 ELSE p.pr2 END))
+                  AS DOUBLE)
+             / (1000000.0 * MAX(r2.n)), 6) AS mse2
+FROM r2 CROSS JOIN p2 p
+"""
+
+
+@query("ml_gbt_residual_stumps", oracle=_gbt_oracle())
+def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two gradient-boosting rounds of SSE-optimal regression stumps
+    (value ~ hour-of-day), exact end to end — quantized-rational leaf
+    values and a cross-multiplied 128-bit tournament for stump selection
+    (block comment above). Reports the fitted model plus the monotone
+    mse0 > mse1 > mse2 training trace. Spark shape: each fit is ONE
+    23-way conditional-sum aggregate over the corpus (no candidate
+    cross-join touches data rows); the 23-row candidate frames fight the
+    tournament broadcast-side, and the 1-row winners broadcast back into
+    the next scan. Four corpus scans total, nothing collected."""
+    from sim_spark.scratch import track_cache
+
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.hour("ts").cast("int").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
+    )
+    g0 = track_cache(
+        base.agg(
+            F.floor(F.sum("yc") * 10.0 / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long")
+            .alias("f0m"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    r1 = base.crossJoin(F.broadcast(g0)).select(
+        "x", (F.col("yc") * 10 - F.col("f0m")).alias("r"), "f0m", "n"
+    )
+
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    def fit(frame, rcol):
+        """SSE-optimal stump over (x, rcol): one conditional-sum pass +
+        exact-rational 23x23 tournament; returns 1 cached row
+        (t, nl, sl, nr, sr, pl, pr) with milli-quantized leaf values."""
+        aggs = []
+        for t in _GBT_THRS:
+            left = F.col("x") <= t
+            aggs += [
+                F.sum(F.when(left, 1).otherwise(0)).cast("long").alias(f"nl{t}"),
+                F.sum(F.when(left, F.col(rcol)).otherwise(0))
+                .cast("long")
+                .alias(f"sl{t}"),
+            ]
+        one = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("nt"),
+            F.sum(rcol).cast("long").alias("st"),
+            *aggs,
+        )
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"nl{t}").alias("nl"),
+                    F.col(f"sl{t}").alias("sl"),
+                    (F.col("nt") - F.col(f"nl{t}")).alias("nr"),
+                    (F.col("st") - F.col(f"sl{t}")).alias("sr"),
+                )
+                for t in _GBT_THRS
+            ]
+        )
+        cand = (
+            one.select(F.explode(structs).alias("c"))
+            .select("c.t", "c.nl", "c.sl", "c.nr", "c.sr")
+            .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        )
+
+        def score(p):
+            return (
+                dec(f"{p}.sl") * F.col(f"{p}.sl") * F.col(f"{p}.nr")
+                + dec(f"{p}.sr") * F.col(f"{p}.sr") * F.col(f"{p}.nl")
+            )
+
+        c, d = cand.alias("c"), cand.alias("d")
+        beat = (score("d") * (F.col("c.nl") * F.col("c.nr"))
+                > score("c") * (F.col("d.nl") * F.col("d.nr"))) | (
+            (score("d") * (F.col("c.nl") * F.col("c.nr"))
+             == score("c") * (F.col("d.nl") * F.col("d.nr")))
+            & (F.col("d.t") < F.col("c.t"))
+        )
+        win = (
+            c.crossJoin(d)
+            .groupBy(
+                F.col("c.t").alias("t"),
+                F.col("c.nl").alias("nl"),
+                F.col("c.sl").alias("sl"),
+                F.col("c.nr").alias("nr"),
+                F.col("c.sr").alias("sr"),
+            )
+            .agg(F.sum(F.when(beat, 1).otherwise(0)).alias("beaten"))
+            .filter(F.col("beaten") == 0)
+            .select(
+                "t",
+                "nl",
+                F.floor(F.col("sl") * 1.0 / F.col("nl") + F.lit(0.5))
+                .cast("long")
+                .alias("pl"),
+                F.floor(F.col("sr") * 1.0 / F.col("nr") + F.lit(0.5))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        return track_cache(win)
+
+    w1 = fit(r1, "r").select(
+        F.col("t").alias("thr1"),
+        F.col("nl").alias("nl1"),
+        F.col("pl").alias("pl1"),
+        F.col("pr").alias("pr1"),
+    )
+    r2 = r1.crossJoin(F.broadcast(w1)).select(
+        "x",
+        "r",
+        (
+            F.col("r")
+            - F.when(F.col("x") <= F.col("thr1"), F.col("pl1")).otherwise(
+                F.col("pr1")
+            )
+        ).alias("r2"),
+        "f0m",
+        "n",
+        "thr1",
+        "nl1",
+        "pl1",
+        "pr1",
+    )
+    w2 = fit(r2, "r2").select(
+        F.col("t").alias("thr2"),
+        F.col("nl").alias("nl2"),
+        F.col("pl").alias("pl2"),
+        F.col("pr").alias("pr2"),
+    )
+    r3 = F.col("r2") - F.when(F.col("x") <= F.col("thr2"), F.col("pl2")).otherwise(
+        F.col("pr2")
+    )
+    return (
+        r2.crossJoin(F.broadcast(w2))
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.round(F.max("f0m") / 1000.0, 6).alias("f0"),
+            F.max("thr1").alias("thr1"),
+            F.max("nl1").alias("n_l1"),
+            F.round(F.max("pl1") / 1000.0, 6).alias("pred_l1"),
+            F.round(F.max("pr1") / 1000.0, 6).alias("pred_r1"),
+            F.max("thr2").alias("thr2"),
+            F.max("nl2").alias("n_l2"),
+            F.round(F.max("pl2") / 1000.0, 6).alias("pred_l2"),
+            F.round(F.max("pr2") / 1000.0, 6).alias("pred_r2"),
+            F.round(
+                F.sum(dec("r") * F.col("r")).cast("double")
+                / (1000000.0 * F.max("n")),
+                6,
+            ).alias("mse0"),
+            F.round(
+                F.sum(dec("r2") * F.col("r2")).cast("double")
+                / (1000000.0 * F.max("n")),
+                6,
+            ).alias("mse1"),
+            F.round(
+                F.sum(r3.cast("decimal(38,0)") * r3).cast("double")
+                / (1000000.0 * F.max("n")),
+                6,
+            ).alias("mse2"),
+        )
+    )

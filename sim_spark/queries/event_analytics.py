@@ -965,3 +965,144 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS trigram, COUNT(*) AS n
+  FROM s WHERE p2 IS NOT NULL GROUP BY 1
+)
+SELECT trigram, n, ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+FROM t ORDER BY n DESC, trigram LIMIT 25
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 per-user behavioural path trigrams (a>b>c event-type
+    sequences): two lag() taps over the deterministic (ts, event_id)
+    per-user order, then one k^3-bounded aggregate. The n-gram table is
+    event-type-bounded (|types|^3 rows) regardless of corpus size, so
+    the share-normalization window and the top-25 cut both run on a tiny
+    frame; corpus cost is exactly one user-partitioned sort window plus
+    one partial+final count — the Markov-transition plan one lag deeper.
+    Boundary ties at rank 25 are broken lexicographically."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    t = s.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("trigram")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        t.select(
+            "trigram",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(W.partitionBy()), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )
+
+
+@query(
+    "events_hourly_occupancy",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+),
+iv AS (
+  SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+  FROM sess GROUP BY user_id, session_no
+),
+ex AS (
+  SELECT s_us, e_us,
+         unnest(generate_series(s_us // 3600000000,
+                                e_us // 3600000000)) AS hb
+  FROM iv
+)
+SELECT strftime(make_timestamp(hb * 3600000000), '%Y-%m-%d %H:%M:%S')
+         AS hour_bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(LEAST(e_us, (hb + 1) * 3600000000)
+                - GREATEST(s_us, hb * 3600000000)) AS BIGINT) AS occupancy_us
+FROM ex GROUP BY 1
+""",
+)
+def events_hourly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted hourly occupancy: sessionize (identical 30-minute
+    gap rule as `events_sessionize_batch`), then credit each session's
+    microsecond-exact overlap to every hour bucket it touches — the
+    interval-to-bucket weighted-overlap join, done as bucket EXPLODE +
+    keyed aggregate rather than an interval join. `events_max_concurrency`
+    counts heads at instants; this integrates seconds over buckets.
+
+    Scale shape: the explode fanout is bounded by session span (gap rule
+    caps idle stretch, so a session spans few hours), the bucket key is
+    dense and uniform (no skew), and all overlap arithmetic is integer
+    epoch-µs (`div`-bucketing, no float boundary). One user-keyed window
+    chain + one bucket-keyed aggregate; nothing pairwise."""
+    from pyspark.sql.window import Window as W
+
+    from sim_spark.exprs import ts_str
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
+        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+    )
+    hour_us = F.lit(3600000000)
+    ex = iv.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr("s_us div 3600000000"), F.expr("e_us div 3600000000")
+            )
+        ).alias("hb"),
+    )
+    return ex.groupBy(
+        ts_str(F.timestamp_micros(F.col("hb") * hour_us)).alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.least(F.col("e_us"), (F.col("hb") + 1) * hour_us)
+            - F.greatest(F.col("s_us"), F.col("hb") * hour_us)
+        )
+        .cast("bigint")
+        .alias("occupancy_us"),
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from sim_spark.io import table
 from sim_spark.ops.materialize import materialize
 from sim_spark.queries.graph_ops import _EDGES_CTE, _copurchase_edges
 from sim_spark.registry import query
@@ -234,4 +235,101 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), "label")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities), 2 unrolled iterations, integer-exact
+# ---------------------------------------------------------------------------
+#
+# Directed bipartite purchase graph: customer --buys--> part (distinct
+# (o_custkey, l_partkey) pairs via orders |><| lineitem). With h0 = 1 the
+# first two HITS iterations stay in integer arithmetic end to end:
+#   a1(p) = indeg(p)                    (sum of h0 over in-neighbors)
+#   h1(c) = SUM a1 over c's parts
+#   a2(p) = SUM h1 over p's buyers
+#   h2(c) = SUM a2 over c's parts
+# Classic HITS normalizes each step; normalization only rescales, and
+# rank order after K unnormalized iterations equals the normalized
+# order, so reporting raw integer scores keeps the hash exact with no
+# float surface. Scores grow ~ (corpus edge density)^K per iteration —
+# bigint holds to K=2 far beyond 100 TB fixtures (bound ~ m * max_deg^3).
+
+_HITS_CTE = """
+WITH ed AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+a1 AS (SELECT part, COUNT(*) AS s FROM ed GROUP BY part),
+h1 AS (SELECT cust, SUM(a1.s) AS s FROM ed JOIN a1 USING (part) GROUP BY cust),
+a2 AS (SELECT part, SUM(h1.s) AS s FROM ed JOIN h1 USING (cust) GROUP BY part),
+h2 AS (SELECT cust, SUM(a2.s) AS s FROM ed JOIN a2 USING (part) GROUP BY cust)
+"""
+
+
+@query(
+    "graph_hits_unrolled",
+    oracle=_HITS_CTE
+    + """
+SELECT side, id, s1, s2 FROM (
+  SELECT 'auth' AS side, a1.part AS id,
+         CAST(a1.s AS BIGINT) AS s1, CAST(a2.s AS BIGINT) AS s2,
+         ROW_NUMBER() OVER (ORDER BY a2.s DESC, a1.part) AS rn
+  FROM a1 JOIN a2 USING (part)
+  UNION ALL
+  SELECT 'hub', h1.cust, CAST(h1.s AS BIGINT), CAST(h2.s AS BIGINT),
+         ROW_NUMBER() OVER (ORDER BY h2.s DESC, h1.cust)
+  FROM h1 JOIN h2 USING (cust)
+) WHERE rn <= 10
+""",
+)
+def graph_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled HITS iterations over the directed customer->part
+    purchase graph (module comment): all-integer mutual reinforcement,
+    top-10 authorities and hubs by second-iteration score.
+
+    Spark shape: the distinct edge list is materialized once (it feeds
+    four score joins); each iteration is one equi-join + one keyed
+    aggregate, both hash-partitioned on the reused node key — the same
+    relational-iteration shape as PageRank/BFS above, so the per-round
+    plan is fixed and lineage stays flat. The top-10-per-side cut is a
+    row_number window over the (tiny) per-node score frames."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .transform(materialize)
+    )
+    a1 = ed.groupBy("part").agg(F.count(F.lit(1)).alias("s"))
+    h1 = ed.join(a1, "part").groupBy("cust").agg(F.sum("s").alias("s"))
+    a2 = ed.join(h1, "cust").groupBy("part").agg(F.sum("s").alias("s"))
+    h2 = ed.join(a2, "part").groupBy("cust").agg(F.sum("s").alias("s"))
+    auth = (
+        a1.withColumnRenamed("s", "s1")
+        .join(a2.withColumnRenamed("s", "s2"), "part")
+        .select(
+            F.lit("auth").alias("side"),
+            F.col("part").alias("id"),
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+        )
+    )
+    hub = (
+        h1.withColumnRenamed("s", "s1")
+        .join(h2.withColumnRenamed("s", "s2"), "cust")
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("cust").alias("id"),
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+        )
+    )
+    w = W.partitionBy("side").orderBy(F.desc("s2"), F.asc("id"))
+    return (
+        auth.unionAll(hub)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("side", "id", "s1", "s2")
     )

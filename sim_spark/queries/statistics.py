@@ -575,3 +575,236 @@ def ml_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a cast edited in one engine's copy cannot drift from the other's.
     m = feat.selectExpr(*_OLS2_MOMENT_EXPRS)
     return m.selectExpr(*_OLS2_FORMULAS)
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pairs AS (
+  SELECT (b.yc - a.yc) / (100.0 * (b.x - a.x)) AS slope
+  FROM daily a JOIN daily b ON a.x < b.x
+),
+ranked AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+         COUNT(*) OVER () AS np
+  FROM pairs
+),
+med AS (
+  SELECT AVG(slope) AS slope_med, MAX(np) AS np FROM ranked
+  WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+),
+resid AS (
+  SELECT d.yc / 100.0 - m.slope_med * d.x AS r, m.slope_med, m.np
+  FROM daily d CROSS JOIN med m
+),
+rr AS (
+  SELECT r, slope_med, np, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+         COUNT(*) OVER () AS nd
+  FROM resid
+)
+SELECT CAST(MAX(nd) AS BIGINT) AS n_points,
+       CAST(MAX(np) AS BIGINT) AS n_pairs,
+       ROUND(MAX(slope_med), 6) + 0.0 AS slope,
+       ROUND(AVG(r), 4) + 0.0 AS intercept
+FROM rr WHERE rn IN ((nd + 1) // 2, (nd + 2) // 2)
+""",
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend over the daily purchase-revenue series:
+    median of all pairwise slopes, then median-residual intercept — the
+    breakdown-point-0.29 alternative to `fn_regression`'s OLS line.
+
+    The O(n^2) pair join runs on the AGGREGATED series (one row per
+    day), not the corpus: the corpus pass is a single partial+final
+    centi-unit integer reduce per day, so 100 TB of events still yields
+    the same ~30-row frame and the quadratic stage is constant-cost.
+    Slopes are per-pair double divisions of exact integers (identical
+    in both engines); both medians are explicit order statistics
+    (row_number, avg of the two middles) rather than engine median(),
+    whose interpolation rules would be an implementation dependency.
+    ``+ 0.0`` canonicalizes signed zero (agg_correlation note)."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("yc")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.yc") - F.col("a.yc"))
+            / (100.0 * (F.col("b.x") - F.col("a.x")))
+        ).alias("slope")
+    )
+    wall = W.partitionBy()
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(W.partitionBy().orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("np"),
+    )
+    k1 = ((F.col("np") + 1) / 2).cast("long")
+    k2 = ((F.col("np") + 2) / 2).cast("long")
+    med = ranked.filter((F.col("rn") == k1) | (F.col("rn") == k2)).agg(
+        F.avg("slope").alias("slope_med"), F.max("np").alias("np")
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("yc") / 100.0 - F.col("slope_med") * F.col("x")).alias("r"),
+        "slope_med",
+        "np",
+    )
+    rr = resid.select(
+        "r",
+        "slope_med",
+        "np",
+        F.row_number().over(W.partitionBy().orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    )
+    j1 = ((F.col("nd") + 1) / 2).cast("long")
+    j2 = ((F.col("nd") + 2) / 2).cast("long")
+    return rr.filter((F.col("rn") == j1) | (F.col("rn") == j2)).agg(
+        F.max("nd").cast("bigint").alias("n_points"),
+        F.max("np").cast("bigint").alias("n_pairs"),
+        (F.round(F.max("slope_med"), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.avg("r"), 4) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+# Poisson-bootstrap resample multiplicities: inverse CDF of Poisson(1)
+# evaluated on an engine-shared uniform (48-bit md5 of event_id:b over
+# 2^48). Literal thresholds are the cumulative Poisson(1) mass written
+# to 17 significant digits — identical text in both engines, so the
+# CASE chain can never disagree. Capped at 6 (P(X>6) ~ 8e-5).
+_POIS_CUM = [
+    "0.36787944117144233",
+    "0.73575888234288467",
+    "0.91969860292860580",
+    "0.98101184312384615",
+    "0.99634015317265628",
+    "0.99940581518241827",
+]
+_B_BOOT = 200
+
+
+def _boot_mult_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+WITH r AS (
+  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase'
+),
+ex AS (
+  SELECT b.b, r.yc,
+         {_boot_mult_sql(
+             "(('0x' || substr(md5(CAST(r.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0)"
+         )} AS mult
+  FROM r CROSS JOIN (SELECT unnest(generate_series(0, {_B_BOOT - 1})) AS b) b
+),
+means AS (
+  SELECT b, SUM(mult * yc) / (100.0 * SUM(mult)) AS m
+  FROM ex GROUP BY b HAVING SUM(mult) > 0
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+),
+pt AS (SELECT SUM(yc) / (100.0 * COUNT(*)) AS est, COUNT(*) AS n FROM r)
+SELECT CAST(pt.n AS BIGINT) AS n_rows,
+       {_B_BOOT} AS n_resamples,
+       ROUND(pt.est, 6) AS estimate,
+       ROUND(MAX(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo,
+       ROUND(MAX(CASE WHEN rn = {_B_BOOT - 4} THEN m END), 6) AS ci_hi
+FROM ranked CROSS JOIN pt GROUP BY pt.n, pt.est
+""",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean purchase value, B = 200
+    resamples, fully deterministic: each (row, resample) multiplicity is
+    Poisson(1) by inverse CDF over the engine-shared md5-48 uniform, so
+    both engines draw the IDENTICAL resamples and the interval
+    hash-matches (module comment above on the threshold literals).
+
+    The Poisson bootstrap is THE distributed formulation (Chamandy et
+    al., "Estimating uncertainty for massive data streams", Google
+    2012): unlike classic resampling it needs no global row indexing —
+    each row independently emits its multiplicity per resample, so the
+    whole fan-out is one explode (bounded B×rows) feeding one
+    partial+final aggregate keyed by resample id; no shuffle of the
+    corpus, no driver loop. Rank-5 / rank-196 order statistics give the
+    2.5%/97.5% bounds; value sums stay centi-unit integers until the
+    final division."""
+    e = table(spark, sf_dir, "events")
+    r = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
+    )
+    ex = r.select(
+        "yc",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_BOOT - 1))).alias("b"),
+        F.col("event_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "event_id", "b")), 1, 12), 16, 10
+        ).cast("long")
+        / F.lit(281474976710656.0)
+    )
+    mult = F.when(u < float(_POIS_CUM[0]), 0)
+    for k, c in enumerate(_POIS_CUM[1:], start=1):
+        mult = mult.when(u < float(c), k)
+    mult = mult.otherwise(6)
+    means = (
+        ex.select("b", "yc", mult.alias("mult"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("mult") * F.col("yc"))
+                / (100.0 * F.sum("mult"))
+            ).alias("m"),
+            F.sum("mult").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .select("b", "m")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "m", F.row_number().over(W.partitionBy().orderBy("m")).alias("rn")
+    )
+    pt = r.agg(
+        (F.sum("yc") / (100.0 * F.count(F.lit(1)))).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy("n", "est")
+        .agg(
+            F.round(F.max(F.when(F.col("rn") == 5, F.col("m"))), 6).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == _B_BOOT - 4, F.col("m"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.lit(_B_BOOT).alias("n_resamples"),
+            F.round("est", 6).alias("estimate"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

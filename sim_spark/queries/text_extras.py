@@ -650,3 +650,90 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.8)
         .select("id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment"))
     )
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle="""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(ws[i:i + 2], ' ')), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        FROM toks)
+),
+mins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+)
+SELECT doc_id,
+       CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+       CAST(MAX(n_grams) - 3 AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT m) AS BIGINT) AS n_fp,
+       CAST(MIN(m) AS BIGINT) AS fp_min,
+       CAST(MAX(m) AS BIGINT) AS fp_max,
+       ROUND(COUNT(DISTINCT m) * 1.0 / (MAX(n_grams) - 3), 6) AS density
+FROM mins WHERE i >= 4
+GROUP BY doc_id
+""",
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints: word-3-gram rolling hashes
+    (engine-shared 48-bit md5, ops/minhash.py convention), then the
+    minimum hash of every full window of 4 consecutive grams — the
+    standard guarantee that any shared run of >= 6 consecutive words
+    between two documents shares at least one selected fingerprint.
+    `text_fingerprint`'s whole-doc hashes detect exact/bag duplicates;
+    winnowing is the position-robust local-match primitive under them.
+
+    Spark shape: grams explode with their positions (one ordered
+    transform per doc, no cross-doc state), the window min runs inside
+    the per-doc sort partition, and the per-doc reduce is one
+    partial+final aggregate — shuffle keyed on doc_id only, so the plan
+    scales with corpus rows, never with pairwise comparisons. Fingerprint
+    selection density is ~2/(w+1) by construction; the density column
+    makes that measurable per document."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    ws = F.split("text", " ")
+    starts = F.when(F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams_arr = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("i"), F.concat_ws(" ", F.slice(ws, i, 3)).alias("g")
+        ),
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("x")).select(
+        "doc_id",
+        F.col("x.i").alias("i"),
+        F.conv(F.substring(F.md5("x.g"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    wm = W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    wc = W.partitionBy("doc_id")
+    mins = grams.select(
+        "doc_id",
+        "i",
+        F.min("h").over(wm).alias("m"),
+        F.count(F.lit(1)).over(wc).alias("n_grams"),
+    )
+    return (
+        mins.filter(F.col("i") >= 4)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("bigint").alias("n_grams"),
+            (F.max("n_grams") - 3).cast("bigint").alias("n_windows"),
+            F.count_distinct("m").cast("bigint").alias("n_fp"),
+            F.min("m").cast("bigint").alias("fp_min"),
+            F.max("m").cast("bigint").alias("fp_max"),
+            F.round(
+                F.count_distinct("m") * 1.0 / (F.max("n_grams") - 3), 6
+            ).alias("density"),
+        )
+    )
