@@ -490,3 +490,46 @@ def test_stream_dedup_near_signature_is_shuffle_free(spark):
     assert "Exchange" not in bp, bp
     p = plan(spark, "stream_dedup_near")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_gbt_fit_has_no_corpus_candidate_join(spark):
+    """Both GBT stump fits must reduce the corpus with ONE conditional-sum
+    aggregate per round — the 23-candidate tournament may only ever join
+    the exploded 23-row frames (broadcast side), never multiply data
+    rows. A corpus x candidate cross-join would show as a join whose
+    both sides scan events; instead every join in the plan must have a
+    broadcast side."""
+    p = plan(spark, "ml_gbt_residual_stumps")
+    assert "CartesianProduct" not in p, p
+    # All joins are 1-row/23-row broadcasts into scans or vs each other.
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_winnowing_shuffles_on_doc_only(spark):
+    """Winnowing is per-document: the gram explode is narrow, the window
+    min and the fingerprint rollup both key on doc_id — exactly one
+    shuffle, no pairwise stage."""
+    p = plan(spark, "text_winnowing_fingerprint")
+    assert "Join" not in p, p
+    assert "hashpartitioning(doc_id" in p, p
+
+
+def test_hits_iterations_are_equi_joins(spark):
+    """Each HITS iteration must be an equi join of scores onto the edge
+    list + a keyed aggregate — no nested loop anywhere in the 4-round
+    chain."""
+    p = plan(spark, "graph_hits_unrolled")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_bootstrap_is_single_pass_explode(spark):
+    """The Poisson bootstrap must be explode -> partial+final aggregate
+    keyed by resample id: no join against any index, no corpus shuffle
+    before the explode."""
+    p = plan(spark, "stats_bootstrap_ci")
+    assert "Generate" in p and "explode" in p, p
+    assert "partial_sum" in p, p
+    # The only nested-loop join allowed is the 200-row x 1-row
+    # ranked x point-estimate broadcast cross; the corpus side must
+    # reduce through hash aggregates keyed by resample id.
+    assert "hashpartitioning(b#" in p, p
