@@ -1165,3 +1165,132 @@ def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled unrolled linear SVM (hinge subgradient, L2)
+# ---------------------------------------------------------------------------
+#
+# Same exactness recipe as ml_logistic_unrolled, with one advantage: the
+# hinge "link" needs NO libm at all — the subgradient is a comparison
+# (y·z < 1) gating -y·x_j, so the only float surface is add/mul on
+# identical per-row doubles, and every gradient term quantizes to nano
+# int64 before the sum. Three full-batch iterations, lr = 0.5,
+# λ = 0.01 L2 (applied as the exact scalar (1 - lr·λ) weight decay).
+
+_SVM_ITERS = 3
+_SVM_LR = 0.5
+_SVM_LAM = 0.01
+
+
+def _svm_oracle() -> str:
+    z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    feat = (
+        "feat AS (SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE -1.0 END AS y, "
+        "1.0 AS x0, value / 100.0 AS x1, CAST(hour(ts) AS DOUBLE) / 24.0 AS x2 "
+        "FROM events)"
+    )
+    ctes = [feat, "n AS (SELECT count(*) AS n FROM feat)",
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for k in range(1, _SVM_ITERS + 1):
+        upds = ", ".join(
+            f"max(w.w{j}) * (1.0 - {_SVM_LR} * {_SVM_LAM}) - {_SVM_LR} * "
+            f"(CAST(sum(CAST(floor((CASE WHEN f.y * {z} < 1.0 THEN -f.y * f.x{j} "
+            f"ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+            f"/ (1000000000.0 * max(n.n))) AS w{j}"
+            for j in range(3)
+        )
+        ctes.append(
+            f"w{k} AS (SELECT {upds} FROM feat f CROSS JOIN w{k-1} w CROSS JOIN n)"
+        )
+    w = f"w{_SVM_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT ROUND(max(w.w0), 6) AS w0, ROUND(max(w.w1), 6) AS w1,
+       ROUND(max(w.w2), 6) AS w2,
+       CAST(sum(CASE WHEN f.y * {z} < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sv,
+       ROUND(sum(CASE WHEN f.y * {z} > 0.0 THEN 1 ELSE 0 END) * 1.0
+             / max(n.n), 6) AS accuracy,
+       ROUND(CAST(sum(CAST(floor(GREATEST(0.0, 1.0 - f.y * {z})
+                                 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (1000000000.0 * max(n.n)), 6) AS hinge_loss
+FROM feat f CROSS JOIN {w} w CROSS JOIN n
+"""
+    )
+
+
+@query("ml_svm_hinge_unrolled", oracle=_svm_oracle())
+def ml_svm_hinge_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled full-batch hinge-subgradient iterations of a linear
+    SVM (purchase vs rest, same feature map as ml_logistic_unrolled so
+    the two linear classifiers are comparable) — weights, support-vector
+    count, training accuracy, and the mean hinge loss all hash-match
+    (block comment above; no libm anywhere in the fit). One Catalyst
+    plan: the 1-row weight relation broadcasts back into each of the 3
+    gradient scans + 1 metric scan; nano-quantized int64 gradient sums
+    are reduction-order-proof at any parallelism."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(-1.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts").cast("double") / 24.0).alias("x2"),
+    )
+    n = feat.agg(F.count(F.lit(1)).alias("n"))
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+
+    def z_expr():
+        return (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+
+    for _ in range(_SVM_ITERS):
+        m = F.col("y") * z_expr()
+        joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
+        w = joined.agg(
+            *[
+                (
+                    F.max(f"w{j}") * (1.0 - _SVM_LR * _SVM_LAM)
+                    - _SVM_LR
+                    * (
+                        F.sum(
+                            F.floor(
+                                F.when(m < 1.0, -F.col("y") * F.col(f"x{j}"))
+                                .otherwise(0.0)
+                                * 1000000000.0
+                                + F.lit(0.5)
+                            ).cast("long")
+                        ).cast("double")
+                        / (1000000000.0 * F.max("n"))
+                    )
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        )
+    m = F.col("y") * z_expr()
+    return (
+        feat.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.max("w0"), 6).alias("w0"),
+            F.round(F.max("w1"), 6).alias("w1"),
+            F.round(F.max("w2"), 6).alias("w2"),
+            F.sum(F.when(m < 1.0, 1).otherwise(0)).cast("bigint").alias("n_sv"),
+            F.round(
+                F.sum(F.when(m > 0.0, 1).otherwise(0)) * 1.0 / F.max("n"), 6
+            ).alias("accuracy"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.greatest(F.lit(0.0), 1.0 - m) * 1000000000.0 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / (1000000000.0 * F.max("n")),
+                6,
+            ).alias("hinge_loss"),
+        )
+    )

@@ -1097,3 +1097,64 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sz").alias("min_cell"),
         F.max("sz").alias("max_cell"),
     )
+
+
+@query(
+    "dedup_onion_ngram",
+    oracle="""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(ws[i:i + 4], ' ')), 1, 12))::BIGINT AS g
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+        FROM toks)
+),
+first_doc AS (SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.fd < d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN f.fd < d.doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS dup_frac,
+       (SUM(CASE WHEN f.fd < d.doc_id THEN 1 ELSE 0 END) * 2 < COUNT(*)) AS keep
+FROM grams d JOIN first_doc f USING (g)
+GROUP BY d.doc_id
+""",
+)
+def dedup_onion_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-style incremental n-gram dedup (the cross-document overlap
+    gate corpus pipelines run between exact and fuzzy dedup): a document
+    is flagged when >= 50% of its distinct word-5-grams already occur in
+    an EARLIER document (doc_id order = ingestion order). "Earlier"
+    makes the rule order-deterministic and one-pass: the corpus-wide
+    state is just min(doc_id) per gram.
+
+    Scale shape: distinct per-doc gram hashes explode narrow (in-row
+    array_distinct before the explode, so within-doc repeats never hit
+    the shuffle); first-occurrence is one gram-keyed partial+final MIN;
+    the verdict is a gram-keyed equi-join back + a doc-keyed aggregate.
+    Three shuffles, all on uniform hash keys; no pairwise comparisons
+    anywhere, unlike minhash/simhash candidates — this is the exact
+    n-gram-overlap complement (integer threshold 2*dup < total, no
+    float boundary)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    starts = F.when(F.size(ws) >= 5, F.sequence(F.lit(1), F.size(ws) - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_hashes = F.array_distinct(
+        F.transform(starts, lambda i: h48(F.concat_ws(" ", F.slice(ws, i, 5))))
+    )
+    grams = d.select("doc_id", F.explode(gram_hashes).alias("g"))
+    first_doc = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    dup = F.when(F.col("fd") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_doc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            F.round(F.sum(dup) * 1.0 / F.count(F.lit(1)), 6).alias("dup_frac"),
+            (F.sum(dup) * 2 < F.count(F.lit(1))).alias("keep"),
+        )
+    )

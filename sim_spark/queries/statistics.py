@@ -808,3 +808,93 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@query(
+    "stats_jackknife_blocks",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(COUNT(*) AS BIGINT) AS g
+  FROM daily
+),
+theta AS (
+  SELECT CAST(floor((t.st - d.s) * 10000000.0 / (t.nt - d.n) + 0.5) AS BIGINT)
+           AS tq,
+         t.st, t.nt, t.g
+  FROM daily d CROSS JOIN tot t
+)
+SELECT MAX(g) AS n_blocks,
+       MAX(nt) AS n_rows,
+       ROUND(MAX(st) / (100.0 * MAX(nt)), 6) AS estimate,
+       ROUND(sqrt((MAX(g) - 1.0) / MAX(g)
+                  * (CAST(SUM(CAST(tq AS HUGEINT) * tq) AS DOUBLE)
+                     - CAST(SUM(tq) AS DOUBLE) * CAST(SUM(tq) AS DOUBLE) / MAX(g))
+                  / 1e18), 6) AS jack_se
+FROM theta
+""",
+)
+def stats_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BLOCK jackknife standard error for the mean purchase
+    value, blocks = calendar days — the jackknife formulation that
+    survives scale: classic delete-one-row needs n leave-outs, but with
+    day blocks the corpus pass is a single per-day integer reduce and
+    the leave-out frame has one row per block regardless of corpus size.
+    Complements `stats_bootstrap_ci` (resampling) with the
+    deterministic-by-construction resampling-free uncertainty estimate.
+
+    Exactness: per-block leave-out means are nano-quantized before the
+    variance pass, and the variance uses the sum-of-squares identity on
+    exact int128 sums, so no double accumulates across rows; the final
+    scalar expression (one sqrt) is evaluated from identical exact
+    aggregates in both engines."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    theta = daily.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("st") - F.col("s")) * 10000000.0 / (F.col("nt") - F.col("n"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+        "st",
+        "nt",
+        "g",
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sx = F.sum("tq").cast("double")
+    sx2 = F.sum(dec("tq") * F.col("tq")).cast("double")
+    return theta.agg(
+        F.max("g").alias("n_blocks"),
+        F.max("nt").alias("n_rows"),
+        F.round(F.max("st") / (100.0 * F.max("nt")), 6).alias("estimate"),
+        F.round(
+            F.sqrt(
+                (F.max("g") - 1.0)
+                / F.max("g")
+                * (sx2 - sx * sx / F.max("g"))
+                / 1e18
+            ),
+            6,
+        ).alias("jack_se"),
+    )

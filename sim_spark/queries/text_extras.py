@@ -737,3 +737,112 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density"),
         )
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents))
+),
+stop AS (SELECT w FROM toks GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 20),
+nt AS (
+  SELECT doc_id, i, w,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM toks WHERE w NOT IN (SELECT w FROM stop)
+),
+phr AS (
+  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM nt GROUP BY doc_id, grp
+),
+pw AS (
+  SELECT nt.doc_id, nt.grp, nt.w, phr.plen
+  FROM nt JOIN phr USING (doc_id, grp)
+),
+wsc AS (
+  SELECT w, CAST(floor(SUM(plen) * 1000000000.0 / COUNT(*) + 0.5) AS BIGINT) AS swq
+  FROM pw GROUP BY w
+),
+pocc AS (
+  SELECT pw.doc_id, pw.grp, SUM(wsc.swq) AS ssum
+  FROM pw JOIN wsc USING (w) GROUP BY pw.doc_id, pw.grp
+)
+SELECT p.phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occur,
+       MAX(p.plen) AS plen,
+       ROUND(MAX(o.ssum) / 1000000000.0, 6) AS score
+FROM phr p JOIN pocc o USING (doc_id, grp)
+GROUP BY p.phrase
+ORDER BY MAX(o.ssum) DESC, p.phrase LIMIT 15
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-driven: the 20
+    highest-frequency words act as the stopword delimiters, candidate
+    phrases are the maximal stopword-free runs (gaps-and-islands on
+    token positions), each word scores degree/frequency over the phrase
+    corpus, and a phrase scores the sum of its word scores. Word scores
+    are nano-quantized BEFORE the per-phrase sum, so the sum is an
+    exact int64 no matter the reduction order and the top-15 ranking
+    (score desc, phrase asc) hash-matches.
+
+    Scale shape: tokenization explodes narrow; the stoplist is a 20-row
+    broadcast anti-join; phrases and word scores are keyed aggregates
+    (doc- and word-keyed); no pairwise stage. The final top-15 is a
+    TakeOrdered over the bounded phrase-type frame."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    stop = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(20)
+        .select("w")
+    )
+    nt = toks.join(F.broadcast(stop), "w", "left_anti").select(
+        "doc_id",
+        "i",
+        "w",
+        (
+            F.col("i")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))
+        ).alias("grp"),
+    )
+    phr = nt.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))), lambda x: x["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    pw = nt.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    wsc = pw.groupBy("w").agg(
+        F.floor(F.sum("plen") * 1000000000.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("swq")
+    )
+    pocc = pw.join(F.broadcast(wsc), "w").groupBy("doc_id", "grp").agg(
+        F.sum("swq").alias("ssum")
+    )
+    return (
+        phr.join(pocc, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occur"),
+            F.max("plen").alias("plen"),
+            F.round(F.max("ssum") / 1000000000.0, 6).alias("score"),
+            F.max("ssum").alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "phrase")
+        .limit(15)
+        .drop("_ord")
+    )
