@@ -1158,3 +1158,67 @@ def dedup_onion_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup) * 2 < F.count(F.lit(1))).alias("keep"),
         )
     )
+
+
+@query(
+    "curate_bpe_merge_pairs",
+    oracle="""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM words)
+)
+SELECT a || b AS pair,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_word_positions
+FROM pairs GROUP BY a, b
+ORDER BY SUM(freq) DESC, pair LIMIT 20
+""",
+)
+def curate_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE iteration's merge-candidate statistics: adjacent
+    character-pair counts over the word-frequency-weighted vocabulary —
+    the highest-count pair is the merge a byte-pair-encoding tokenizer
+    trainer would perform. Top-20 candidates, ties broken by pair text.
+
+    Scale shape: BPE training's corpus pass IS this word-count reduce
+    (one shuffle on word); pair extraction then runs on the VOCABULARY
+    (distinct words), which is sublinear in corpus size, so iteration
+    cost decouples from the 100 TB corpus exactly as real tokenizer
+    trainers decouple (count once, merge in vocab space). All counts
+    integer, no float surface."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    ).select(
+        F.col("w").substr(F.col("i"), F.lit(1)).alias("a"),
+        F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_word_positions"),
+        )
+        .select(
+            F.concat("a", "b").alias("pair"),
+            "n_occurrences",
+            "n_word_positions",
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )

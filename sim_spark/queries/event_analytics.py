@@ -1106,3 +1106,95 @@ def events_hourly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("occupancy_us"),
     )
+
+
+@query(
+    "events_uplift_did",
+    oracle="""
+WITH treat AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+cells AS (
+  SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+         CASE WHEN e.ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+           AS post,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS yc
+  FROM events e LEFT JOIN treat t ON e.user_id = t.user_id
+  WHERE e.event_type = 'purchase'
+),
+agg AS (
+  SELECT treated, post, CAST(SUM(yc) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY treated, post
+)
+SELECT MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_treat_pre,
+       MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_treat_post,
+       MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_ctrl_pre,
+       MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_ctrl_post,
+       ROUND(MAX(CASE WHEN treated = 1 AND post = 0 THEN s * 1.0 / (100.0 * n) END), 6) AS mean_treat_pre,
+       ROUND(MAX(CASE WHEN treated = 1 AND post = 1 THEN s * 1.0 / (100.0 * n) END), 6) AS mean_treat_post,
+       ROUND(MAX(CASE WHEN treated = 0 AND post = 0 THEN s * 1.0 / (100.0 * n) END), 6) AS mean_ctrl_pre,
+       ROUND(MAX(CASE WHEN treated = 0 AND post = 1 THEN s * 1.0 / (100.0 * n) END), 6) AS mean_ctrl_post,
+       ROUND((MAX(CASE WHEN treated = 1 AND post = 1 THEN s * 1.0 / (100.0 * n) END)
+              - MAX(CASE WHEN treated = 1 AND post = 0 THEN s * 1.0 / (100.0 * n) END))
+             - (MAX(CASE WHEN treated = 0 AND post = 1 THEN s * 1.0 / (100.0 * n) END)
+                - MAX(CASE WHEN treated = 0 AND post = 0 THEN s * 1.0 / (100.0 * n) END)),
+             6) AS did_estimate
+FROM agg
+""",
+)
+def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift: treatment = users who signed up
+    in the PRE period (assignment fixed before the cut, as causal
+    hygiene requires), outcome = mean purchase value, period cut at
+    Jan 16. DiD = (treat post − pre) − (control post − pre) from the
+    four exact centi-integer cell sums — every mean is one division of
+    exact integers, so the whole 2×2 table and the estimate hash-match.
+
+    Scale shape: the treatment roster is a per-user DISTINCT (one
+    shuffle) joined onto purchases (AQE broadcasts it when small); the
+    2×2 reduce is a partial+final aggregate; the pivot runs on 4 rows.
+    The experiment-analytics companion to events_ab_experiment, which
+    randomizes by hash rather than observing a cohort."""
+    cut = "2024-01-16 00:00:00"
+    e = table(spark, sf_dir, "events")
+    treat = (
+        e.filter((F.col("event_type") == "signup") & (F.col("ts") < F.lit(cut).cast("timestamp")))
+        .select("user_id")
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(treat, "user_id", "left")
+        .select(
+            F.coalesce(F.col("t"), F.lit(0)).alias("treated"),
+            (F.col("ts") >= F.lit(cut).cast("timestamp")).cast("int").alias("post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
+        )
+    )
+    agg = cells.groupBy("treated", "post").agg(
+        F.sum("yc").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def cell(tr, po, col):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), col)
+        )
+
+    mean = lambda tr, po: cell(tr, po, F.col("s") * 1.0 / (100.0 * F.col("n")))  # noqa: E731
+    return agg.agg(
+        cell(1, 0, F.col("n")).alias("n_treat_pre"),
+        cell(1, 1, F.col("n")).alias("n_treat_post"),
+        cell(0, 0, F.col("n")).alias("n_ctrl_pre"),
+        cell(0, 1, F.col("n")).alias("n_ctrl_post"),
+        F.round(mean(1, 0), 6).alias("mean_treat_pre"),
+        F.round(mean(1, 1), 6).alias("mean_treat_post"),
+        F.round(mean(0, 0), 6).alias("mean_ctrl_pre"),
+        F.round(mean(0, 1), 6).alias("mean_ctrl_post"),
+        F.round(
+            (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)), 6
+        ).alias("did_estimate"),
+    )

@@ -333,3 +333,155 @@ def graph_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("side", "id", "s1", "s2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled Brandes betweenness (K sources, D-hop truncated), exact
+# ---------------------------------------------------------------------------
+#
+# Brandes' two phases unrolled: forward layered BFS accumulates exact
+# integer path counts sigma per (source, node); the backward dependency
+# sweep walks layers D-1..1 applying delta(v) = sum over next-layer
+# neighbors w of sigma_v/sigma_w * (1 + delta(w)). The only non-integer
+# is that ratio — each per-EDGE contribution is nano-quantized
+# (floor(sigma_v * (1e9 + dq_w) / sigma_w + 0.5)) before the int64 sum,
+# so reduction order can never move the result. K = 4 lexicographically
+# smallest nodes as sources, D = 3 hops: the standard sampled/bounded
+# estimator pair (Brandes-Pich sampling x k-betweenness truncation) —
+# exact betweenness is Theta(nm) and not a 100 TB operation; sampled
+# contributions ARE the production estimator, and this key pins their
+# semantics exactly.
+
+_BC_SOURCES = 4
+_BC_DEPTH = 3
+
+
+def _bc_oracle() -> str:
+    layers = []
+    for k in range(1, _BC_DEPTH + 1):
+        anti = "\n    ".join(
+            f"AND NOT EXISTS (SELECT 1 FROM l{j} x WHERE x.src = p.src AND x.node = ed.dst)"
+            for j in range(k)
+        )
+        layers.append(f"""l{k} AS (
+  SELECT p.src, ed.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM l{k - 1} p JOIN e2 ed ON ed.src = p.node
+  WHERE TRUE
+    {anti}
+  GROUP BY p.src, ed.dst)""")
+    backs = [
+        f"d{_BC_DEPTH} AS (SELECT src, node, sigma, CAST(0 AS BIGINT) AS dq FROM l{_BC_DEPTH})"
+    ]
+    for k in range(_BC_DEPTH - 1, 0, -1):
+        backs.append(f"""d{k} AS (
+  SELECT v.src, v.node, v.sigma,
+         COALESCE(CAST(SUM(CAST(floor(v.sigma * (1000000000.0 + w.dq)
+                                      / w.sigma + 0.5) AS BIGINT)) AS BIGINT),
+                  0) AS dq
+  FROM l{k} v
+  LEFT JOIN e2 ed ON ed.src = v.node
+  LEFT JOIN d{k + 1} w ON w.src = v.src AND w.node = ed.dst
+  GROUP BY v.src, v.node, v.sigma)""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT src, node, dq FROM d{k}" for k in range(1, _BC_DEPTH + 1)
+    )
+    return (
+        _E2_CTE
+        + f""",
+srcs AS (
+  SELECT node FROM (SELECT u AS node FROM e UNION SELECT v FROM e)
+  GROUP BY node ORDER BY node LIMIT {_BC_SOURCES}
+),
+l0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM srcs),
+"""
+        + ",\n".join(layers + backs)
+        + f"""
+SELECT node, CAST(SUM(dq) AS BIGINT) AS dq_total,
+       ROUND(SUM(dq) / 1000000000.0, 6) AS bc,
+       CAST(COUNT(*) AS BIGINT) AS n_src_reached
+FROM ({union})
+GROUP BY node ORDER BY SUM(dq) DESC, node LIMIT 15
+"""
+    )
+
+
+@query("graph_betweenness_sampled", oracle=_bc_oracle())
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-source depth-truncated Brandes betweenness over the co-purchase
+    graph (block comment): exact integer sigma forward, nano-quantized
+    dependency sweep backward, top-15 by accumulated dependency.
+
+    Spark shape: every layer/dependency state is one equi-join onto the
+    materialized mirrored edge list + one keyed aggregate, all keyed by
+    (src, node) — the identical relational-iteration plan as BFS/SSSP
+    above, twice (forward then backward). States are durably
+    materialized per round so the 2D-round lineage stays flat; at scale
+    the K sources multiply state rows, not plan depth."""
+    e2 = _edges_both(spark, sf_dir)
+    ed = e2.select(F.col("src").alias("es"), F.col("dst").alias("edst"))
+    srcs = (
+        e2.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_BC_SOURCES)
+    )
+    l0 = srcs.select(
+        F.col("node").alias("src"), "node", F.lit(1).cast("long").alias("sigma")
+    )
+    layers = [l0]
+    for _ in range(_BC_DEPTH):
+        prev = layers[-1]
+        seen = layers[0].select("src", "node")
+        for x in layers[1:]:
+            seen = seen.unionAll(x.select("src", "node"))
+        nxt = (
+            prev.join(ed, prev["node"] == ed["es"])
+            .select(prev["src"], F.col("edst").alias("node"), "sigma")
+            .join(seen, ["src", "node"], "left_anti")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .transform(materialize)
+        )
+        layers.append(nxt)
+    deps = {
+        _BC_DEPTH: layers[_BC_DEPTH].withColumn("dq", F.lit(0).cast("long"))
+        .transform(materialize)
+    }
+    for k in range(_BC_DEPTH - 1, 0, -1):
+        v = layers[k].alias("v")
+        w = deps[k + 1].select(
+            F.col("src").alias("wsrc"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("dq").alias("wdq"),
+        )
+        contrib = F.floor(
+            F.col("v.sigma") * (F.lit(1000000000.0) + F.col("wdq")) / F.col("wsigma")
+            + F.lit(0.5)
+        ).cast("long")
+        deps[k] = (
+            v.join(ed, F.col("v.node") == F.col("es"), "left")
+            .join(
+                w,
+                (F.col("v.src") == F.col("wsrc"))
+                & (F.col("edst") == F.col("wnode")),
+                "left",
+            )
+            .groupBy(F.col("v.src").alias("src"), F.col("v.node").alias("node"),
+                     F.col("v.sigma").alias("sigma"))
+            .agg(F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("dq"))
+            .transform(materialize)
+        )
+    all_d = deps[1].select("src", "node", "dq")
+    for k in range(2, _BC_DEPTH + 1):
+        all_d = all_d.unionAll(deps[k].select("src", "node", "dq"))
+    return (
+        all_d.groupBy("node")
+        .agg(
+            F.sum("dq").cast("bigint").alias("dq_total"),
+            F.round(F.sum("dq") / 1000000000.0, 6).alias("bc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_src_reached"),
+        )
+        .orderBy(F.desc("dq_total"), "node")
+        .limit(15)
+    )
