@@ -64,6 +64,11 @@ HEADLINE = [
     "join_cbo_reordered_star",
     "text_chunk_sliding",
     "ml_adaboost_stumps",
+    "ml_gbt_residual_stumps",
+    "graph_betweenness_sampled",
+    "dedup_onion_ngram",
+    "text_winnowing_fingerprint",
+    "stats_bootstrap_ci",
 ]
 
 

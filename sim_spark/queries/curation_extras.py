@@ -1138,14 +1138,18 @@ def dedup_onion_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-overlap complement (integer threshold 2*dup < total, no
     float boundary)."""
     d = table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # Tokenize ONCE into a real column: splicing the split() expression
+    # straight into the transform lambda would re-evaluate it per array
+    # element (interpreted HOF path) — measured 2x on the gram stage.
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     starts = F.when(F.size(ws) >= 5, F.sequence(F.lit(1), F.size(ws) - 4)).otherwise(
         F.array().cast("array<int>")
     )
     gram_hashes = F.array_distinct(
         F.transform(starts, lambda i: h48(F.concat_ws(" ", F.slice(ws, i, 5))))
     )
-    grams = d.select("doc_id", F.explode(gram_hashes).alias("g"))
+    grams = t.select("doc_id", F.explode(gram_hashes).alias("g"))
     first_doc = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
     dup = F.when(F.col("fd") < F.col("doc_id"), 1).otherwise(0)
     return (

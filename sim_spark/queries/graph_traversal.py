@@ -470,8 +470,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("v.src").alias("src"), F.col("v.node").alias("node"),
                      F.col("v.sigma").alias("sigma"))
             .agg(F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("dq"))
-            .transform(materialize)
         )
+        if k > 1:
+            # d1 is consumed exactly once (the bc union) — a checkpoint
+            # there would be a pure write-read tax; deeper deps feed both
+            # the next sweep and the union, so they stay durable.
+            deps[k] = deps[k].transform(materialize)
     all_d = deps[1].select("src", "node", "dq")
     for k in range(2, _BC_DEPTH + 1):
         all_d = all_d.unionAll(deps[k].select("src", "node", "dq"))
