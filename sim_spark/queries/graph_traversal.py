@@ -180,7 +180,9 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+def _lpa_cte_chain(rounds: int) -> list[str]:
+    """The LPA label CTE chain l0..l{rounds} — shared by the community
+    key and the modularity key so both score the SAME labeling."""
     ctes = ["l0 AS (SELECT DISTINCT src AS node, src AS label FROM e2)"]
     for k in range(1, rounds + 1):
         ctes.append(
@@ -195,29 +197,28 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
     GROUP BY e2.dst, l{k - 1}.label
   ) WHERE rn = 1)"""
         )
+    return ctes
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
     return (
         _E2_CTE
         + ",\n"
-        + ",\n".join(ctes)
+        + ",\n".join(_lpa_cte_chain(rounds))
         + f"""
 SELECT label, count(*) AS n_members
 FROM l{rounds} GROUP BY label ORDER BY n_members DESC, label LIMIT 20"""
     )
 
 
-@query("graph_label_propagation", oracle=_lpa_oracle())
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation, {LPA_ROUNDS} rounds: every node
-    adopts the most frequent label among its neighbors, ties broken by
-    smallest label — fully deterministic, unlike classic randomized LPA,
-    so both engines replay it exactly. Per round: one join + one
-    (node, label) count + one per-node top-1 window. Returns the 20
-    largest communities."""
+def _lpa_labels(spark: SparkSession, sf_dir: str, rounds: int = LPA_ROUNDS):
+    """Deterministic LPA labels after ``rounds`` synchronous rounds —
+    the Spark twin of _lpa_cte_chain (materialized per round)."""
     e2 = _edges_both(spark, sf_dir)
     labels = e2.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(LPA_ROUNDS):
+    for _ in range(rounds):
         counted = (
             e2.join(labels, e2.src == labels.node)
             .groupBy(F.col("dst").alias("n2"), "label")
@@ -230,6 +231,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n2").alias("node"), "label")
             .transform(materialize)
         )
+    return labels
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation, {LPA_ROUNDS} rounds: every node
+    adopts the most frequent label among its neighbors, ties broken by
+    smallest label — fully deterministic, unlike classic randomized LPA,
+    so both engines replay it exactly. Per round: one join + one
+    (node, label) count + one per-node top-1 window. Returns the 20
+    largest communities."""
+    labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -488,4 +501,91 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dq_total"), "node")
         .limit(15)
+    )
+
+
+def _modularity_oracle(rounds: int = LPA_ROUNDS) -> str:
+    return (
+        _E2_CTE
+        + ",\n"
+        + ",\n".join(_lpa_cte_chain(rounds))
+        + f""",
+lab AS (SELECT node, label FROM l{rounds}),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY 1),
+m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e2),
+intra2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mc2
+  FROM e2 JOIN lab la ON la.node = e2.src
+          JOIN lab lb ON lb.node = e2.dst
+  WHERE la.label = lb.label
+),
+dc AS (
+  SELECT la.label, CAST(SUM(d.d) AS BIGINT) AS dsum
+  FROM lab la JOIN deg d ON d.node = la.node GROUP BY la.label
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_communities,
+       m2.m2 // 2 AS n_edges,
+       intra2.mc2 // 2 AS intra_edges,
+       ROUND(CAST(intra2.mc2 AS DOUBLE) / m2.m2
+             - CAST((SELECT SUM(CAST(dsum AS HUGEINT) * dsum) FROM dc) AS DOUBLE)
+               / (CAST(m2.m2 AS DOUBLE) * m2.m2), 6) AS modularity
+FROM m2 CROSS JOIN intra2
+"""
+    )
+
+
+@query("graph_modularity_score", oracle=_modularity_oracle())
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities — the quality score
+    that turns `graph_label_propagation`'s output into a measurable
+    claim: Q = mc2/m2 − Σ_c d_c²/m2² over the mirrored edge list (both
+    quantities integer until the one final expression, so the score
+    hash-matches; shared label chain via _lpa_cte_chain/_lpa_labels
+    guarantees both keys grade the SAME labeling).
+
+    Spark shape: intra-community edge count is one equi-join of labels
+    onto each edge endpoint (node-keyed, the LPA round plan reused);
+    degree mass per community is a node-keyed then label-keyed
+    aggregate. Everything partial+final; the Σd_c² reduce runs on the
+    community frame, which is graph-order-bounded."""
+    labels = _lpa_labels(spark, sf_dir)
+    e2 = _edges_both(spark, sf_dir)
+    la = labels.select(F.col("node").alias("na"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("nb"), F.col("label").alias("lb"))
+    m2 = e2.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    intra2 = (
+        # F.col, not attribute access: `la.na` resolves to the DataFrame's
+        # .na (DataFrameNaFunctions) property, not the column.
+        e2.join(la, e2.src == F.col("na"))
+        .join(lb, e2.dst == F.col("nb"))
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mc2"))
+    )
+    deg = e2.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("bigint").alias("dsum"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dsq = dc.agg(
+        F.sum(dec("dsum") * F.col("dsum")).alias("sum_d2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    )
+    return (
+        m2.crossJoin(intra2)
+        .crossJoin(dsq)
+        .select(
+            "n_communities",
+            F.expr("m2 div 2").cast("bigint").alias("n_edges"),
+            F.expr("mc2 div 2").cast("bigint").alias("intra_edges"),
+            F.round(
+                F.col("mc2").cast("double") / F.col("m2")
+                - F.col("sum_d2").cast("double")
+                / (F.col("m2").cast("double") * F.col("m2")),
+                6,
+            ).alias("modularity"),
+        )
     )

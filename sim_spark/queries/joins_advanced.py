@@ -378,3 +378,91 @@ def join_auto_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lead_us"),
     )
+
+
+@query(
+    "join_pit_feature_store",
+    oracle="""
+WITH pur AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+fa AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS fts,
+         CAST(COUNT(*) AS BIGINT) AS a_cnt,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS a_spend_centi
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+fb AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS fts,
+         CAST(COUNT(*) AS BIGINT) AS b_events
+  FROM events GROUP BY 1, 2
+)
+SELECT p.event_id, a.a_cnt, a.a_spend_centi, b.b_events
+FROM pur p
+ASOF LEFT JOIN fa a ON p.user_id = a.user_id AND p.ts >= a.fts
+ASOF LEFT JOIN fb b ON p.user_id = b.user_id AND p.ts >= b.fts
+""",
+)
+def join_pit_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature-store join — the training-data shape
+    feature platforms serve: every label event (purchase) is enriched
+    with the LATEST snapshot at-or-before its timestamp from TWO feature
+    tables, each snapshotted at the NEXT day's midnight so a feature can
+    never leak same-day future information into the label.
+
+    Spark shape: two composed backward as-of joins (ops/asof.py
+    union-tag + keyed window — one shuffle+sort per feature table, both
+    keyed on user_id, never a per-row subquery). The oracle is DuckDB's
+    native ASOF LEFT JOIN over identical snapshots, so the key also pins
+    our as-of composition against an independent native implementation.
+    Feature snapshots are one-per-(user, day) by construction, so the
+    tie-break order column is structurally moot here."""
+    ev = table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    day = F.to_date("ts").alias("day")
+    mk_fts = F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+    dord = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    fa = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("a_cnt"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("a_spend_centi"),
+        )
+        .select("user_id", mk_fts.alias("fts"), "a_cnt", "a_spend_centi",
+                dord.alias("dord"))
+    )
+    fb = (
+        ev.groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("b_events"))
+        .select("user_id", mk_fts.alias("fts"), "b_events", dord.alias("dord"))
+    )
+    s1 = asof_join_backward(
+        pur,
+        fa,
+        key="user_id",
+        left_ts="ts",
+        right_ts="fts",
+        payload_cols=["a_cnt", "a_spend_centi"],
+        right_order="dord",
+    )
+    s2 = asof_join_backward(
+        s1,
+        fb,
+        key="user_id",
+        left_ts="ts",
+        right_ts="fts",
+        payload_cols=["b_events"],
+        right_order="dord",
+    )
+    return s2.select(
+        "event_id",
+        F.col("asof_a_cnt").cast("long").alias("a_cnt"),
+        F.col("asof_a_spend_centi").cast("long").alias("a_spend_centi"),
+        F.col("asof_b_events").cast("long").alias("b_events"),
+    )
