@@ -756,3 +756,291 @@ def ts_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(sx) AS BIGINT) AS sx,
+         CAST(MAX(sy) AS BIGINT) AS sy,
+         CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS dxx,
+         CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS dyy
+  FROM (
+    SELECT COUNT(*) OVER () AS n, SUM(x) OVER () AS sx, SUM(y) OVER () AS sy,
+           (COUNT(*) OVER ()) * x - (SUM(x) OVER ()) AS dx,
+           (COUNT(*) OVER ()) * y - (SUM(y) OVER ()) AS dy
+    FROM hourly)
+),
+lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+num AS (
+  SELECT l.lag,
+         CAST(SUM(CAST(t.n * a.x - t.sx AS HUGEINT) * (t.n * b.y - t.sy))
+              AS HUGEINT) AS numer,
+         CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM lags l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.h = a.h + l.lag
+  CROSS JOIN tot t
+  GROUP BY l.lag
+)
+SELECT n.lag, n.n_overlap,
+       ROUND(CAST(n.numer AS DOUBLE)
+             / (sqrt(CAST(t.dxx AS DOUBLE)) * sqrt(CAST(t.dyy AS DOUBLE))), 6)
+         AS ccf
+FROM num n CROSS JOIN tot t
+""",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly purchase and view
+    count series at lags -6..+6 — the lead/lag detector behind
+    "do views drive purchases N hours later?". Exactness: counts are
+    integers, deviations are multiplied through by n (n·x_t − Σx stays
+    int128), so every numerator is an exact integer sum; the one double
+    expression (ratio of exact quantities) is evaluated identically in
+    both engines. Normalization uses full-series moments (the standard
+    fast-CCF convention) so the denominator is lag-independent.
+
+    Scale shape: the corpus reduces to one row per hour (single keyed
+    aggregate); the 13-lag self-join runs on the hour frame, which is
+    time-range-bounded, never corpus-sized — same aggregate-then-
+    quadratic pattern as stats_theil_sen. Lag join is an equi-join on
+    the shifted hour index."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("h")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    wall = W.partitionBy()
+    n_w = F.count(F.lit(1)).over(wall)
+    sx_w = F.sum("x").over(wall)
+    sy_w = F.sum("y").over(wall)
+    tot = hourly.select(
+        "h",
+        "x",
+        "y",
+        (n_w * F.col("x") - sx_w).alias("dx"),
+        (n_w * F.col("y") - sy_w).alias("dy"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec(F.col("dx")) * F.col("dx")).alias("dxx"),
+        F.sum(dec(F.col("dy")) * F.col("dy")).alias("dyy"),
+    )
+    lags = spark.range(-6, 7).select(F.col("id").alias("lag"))
+    a = hourly.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
+    num = (
+        lags.crossJoin(a)
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                dec(F.col("n") * F.col("xa") - F.col("sx"))
+                * (F.col("n") * F.col("yb") - F.col("sy"))
+            ).alias("numer"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.max("dxx").alias("dxx"),
+            F.max("dyy").alias("dyy"),
+        )
+    )
+    return num.select(
+        "lag",
+        "n_overlap",
+        F.round(
+            F.col("numer").cast("double")
+            / (
+                F.sqrt(F.col("dxx").cast("double"))
+                * F.sqrt(F.col("dyy").cast("double"))
+            ),
+            6,
+        ).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN: density clustering via cell counting + bounded min-label
+# ---------------------------------------------------------------------------
+
+_DB_CELL = 6000000  # 6-degree cells (micro-degrees)
+_DB_MINPTS = 2      # core cell: >= 2 points
+_DB_ROUNDS = 4      # min-label rounds over the 8-neighbor core adjacency
+
+
+def _db_points_sql() -> str:
+    """All three entity tables placed as one point set (namespaced keys
+    so equal numeric ids in different tables can't collide to one
+    point)."""
+    legs = []
+    for tbl, key, tag in (
+        ("customer", "c_custkey", "c"),
+        ("supplier", "s_suppkey", "s"),
+        ("part", "p_partkey", "p"),
+    ):
+        k = f"'{tag}:' || CAST({key} AS VARCHAR)"
+        legs.append(
+            f"SELECT {_h48_sql(chr(39) + 'lat|' + chr(39) + ' || ' + k)} % 120000001 - 60000000 AS lat_micro, "
+            f"{_h48_sql(chr(39) + 'lon|' + chr(39) + ' || ' + k)} % 360000000 - 180000000 AS lon_micro "
+            f"FROM {tbl}"
+        )
+    return " UNION ALL ".join(legs)
+
+
+def _dbscan_oracle() -> str:
+    ctes = [
+        f"pts AS ({_db_points_sql()})",
+        f"""cells AS (
+  SELECT (lon_micro + 180000000) // {_DB_CELL} AS cx,
+         (lat_micro + 60000000) // {_DB_CELL} AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2)""",
+        f"core AS (SELECT cx, cy, n, cx * 1000 + cy AS cell_id FROM cells WHERE n >= {_DB_MINPTS})",
+        """adj AS (
+  SELECT a.cell_id AS ida, b.cell_id AS idb
+  FROM core a
+  JOIN core b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1)""",
+        "lb0 AS (SELECT cell_id, cell_id AS label FROM core)",
+    ]
+    for k in range(1, _DB_ROUNDS + 1):
+        ctes.append(
+            f"""lb{k} AS (
+  SELECT adj.ida AS cell_id, MIN(l.label) AS label
+  FROM adj JOIN lb{k - 1} l ON l.cell_id = adj.idb
+  GROUP BY adj.ida)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lab AS (SELECT cell_id, label FROM lb{_DB_ROUNDS}),
+border AS (
+  SELECT nc.cx, nc.cy, nc.n, MIN(l.label) AS label
+  FROM cells nc
+  JOIN core b ON b.cx BETWEEN nc.cx - 1 AND nc.cx + 1
+             AND b.cy BETWEEN nc.cy - 1 AND nc.cy + 1
+  JOIN lab l ON l.cell_id = b.cell_id
+  WHERE nc.n < {_DB_MINPTS}
+  GROUP BY nc.cx, nc.cy, nc.n
+)
+SELECT c.label AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_core_cells,
+       CAST(SUM(c.n) AS BIGINT) AS n_core_points,
+       CAST(COALESCE(MAX(br.bpts), 0) AS BIGINT) AS n_border_points
+FROM (SELECT core.n, lab.label FROM core JOIN lab USING (cell_id)) c
+LEFT JOIN (SELECT label, SUM(n) AS bpts FROM border GROUP BY label) br
+       ON br.label = c.label
+GROUP BY c.label
+ORDER BY SUM(c.n) DESC, c.label LIMIT 15
+"""
+    )
+
+
+@query("geo_dbscan_grid", oracle=_dbscan_oracle())
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the deterministic point cloud (customers +
+    suppliers + parts, namespaced-hash placement): a cell is CORE when
+    it holds >= {_DB_MINPTS} points, clusters are connected core cells
+    under 8-neighborhood (labels = {_DB_ROUNDS} min-label rounds —
+    exact for clusters of cell-diameter <= {_DB_ROUNDS}, the same
+    bounded-round contract as BFS/LPA), border cells adopt the minimum
+    adjacent core label. Top-15 clusters by core mass.
+
+    This is the scale formulation of density clustering: density comes
+    from a cell-keyed COUNT (one shuffle), adjacency from the constant
+    3x3 neighbor window (never point-to-point distance joins), and the
+    label iteration runs on the CORE-CELL frame, which is grid-bounded
+    regardless of corpus size. All-integer end to end."""
+    frames = []
+    for tbl, key, tag in (
+        ("customer", "c_custkey", "c"),
+        ("supplier", "s_suppkey", "s"),
+        ("part", "p_partkey", "p"),
+    ):
+        k = F.concat(F.lit(tag + ":"), F.col(key).cast("string"))
+        frames.append(
+            table(spark, sf_dir, tbl).select(
+                (_h48_spark(F.concat(F.lit("lat|"), k)) % 120000001 - 60000000).alias(
+                    "lat_micro"
+                ),
+                (_h48_spark(F.concat(F.lit("lon|"), k)) % 360000000 - 180000000).alias(
+                    "lon_micro"
+                ),
+            )
+        )
+    pts = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    cells = pts.groupBy(
+        F.expr(f"(lon_micro + 180000000) div {_DB_CELL}").alias("cx"),
+        F.expr(f"(lat_micro + 60000000) div {_DB_CELL}").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    core = cells.filter(F.col("n") >= _DB_MINPTS).select(
+        "cx", "cy", "n", (F.col("cx") * 1000 + F.col("cy")).alias("cell_id")
+    )
+    from sim_spark.ops.materialize import materialize
+
+    core = core.transform(materialize)  # feeds adjacency, labels, border
+    # 8-neighborhood as an EQUI join: explode one side to its 3x3 cell
+    # offsets and match on the exact (cx, cy) key (the
+    # geo_cell_neighbor_join pattern) — constant fanout, never a
+    # nested-loop band join.
+    offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    b9 = (
+        core.withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("bx"),
+            (F.col("cy") + F.col("dy")).alias("by"),
+            F.col("cell_id").alias("idb"),
+        )
+    )
+    adj = (
+        core.select("cx", "cy", F.col("cell_id").alias("ida"))
+        .join(b9, (F.col("cx") == F.col("bx")) & (F.col("cy") == F.col("by")))
+        .select("ida", "idb")
+        .transform(materialize)
+    )
+    lab = core.select("cell_id", F.col("cell_id").alias("label"))
+    for _ in range(_DB_ROUNDS):
+        lab = (
+            adj.join(lab, lab.cell_id == adj.idb)
+            .groupBy(F.col("ida").alias("cell_id"))
+            .agg(F.min("label").alias("label"))
+            .transform(materialize)
+        )
+    border = (
+        cells.filter(F.col("n") < _DB_MINPTS)
+        .join(b9, (F.col("cx") == F.col("bx")) & (F.col("cy") == F.col("by")))
+        .join(lab.withColumnRenamed("cell_id", "lcell"), F.col("lcell") == F.col("idb"))
+        .groupBy("cx", "cy", "n")
+        .agg(F.min("label").alias("label"))
+    )
+    core_lab = core.join(lab, "cell_id").select("n", "label")
+    br = border.groupBy("label").agg(F.sum("n").alias("bpts"))
+    return (
+        core_lab.join(br, "label", "left")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_core_cells"),
+            F.sum("n").cast("bigint").alias("n_core_points"),
+            F.coalesce(F.max("bpts"), F.lit(0)).cast("bigint").alias(
+                "n_border_points"
+            ),
+        )
+        .orderBy(F.desc("n_core_points"), "cluster")
+        .limit(15)
+    )
