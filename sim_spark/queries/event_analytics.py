@@ -1198,3 +1198,142 @@ def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)), 6
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS entry FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+ev AS (
+  SELECT e.user_id,
+         MIN(date_diff('day', su.entry, CAST(e.ts AS DATE))) AS t_event
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.entry
+  GROUP BY e.user_id
+),
+la AS (
+  SELECT e.user_id,
+         MAX(date_diff('day', su.entry, CAST(e.ts AS DATE))) AS t_last
+  FROM events e JOIN su USING (user_id)
+  GROUP BY e.user_id
+),
+outc AS (
+  SELECT su.user_id, COALESCE(ev.t_event, la.t_last) AS t,
+         CASE WHEN ev.t_event IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM su LEFT JOIN ev USING (user_id) JOIN la USING (user_id)
+),
+daily AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM outc GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM outc)
+           - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                      0) AS n
+  FROM daily
+),
+arr AS (SELECT list((n - d) * 1.0 / n ORDER BY t) AS fs FROM risk),
+idx AS (
+  SELECT t, n, d, c, ROW_NUMBER() OVER (ORDER BY t) AS i FROM risk
+)
+SELECT i.t AS day, i.n AS n_risk, i.d AS n_events, i.c AS n_censored,
+       ROUND(list_reduce((a.fs)[1:CAST(i.i AS INTEGER)], (x, y) -> x * y), 6)
+         AS survival
+FROM idx i CROSS JOIN arr a
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-purchase survival with REAL right-censoring:
+    cohort = signup users, event = first purchase at/after entry day,
+    censoring = last observed activity for never-purchasers (lost to
+    follow-up — censor times vary per user, so the product does NOT
+    telescope away and the estimator is the genuine KM).
+
+    Exactness without libm: risk sets and event counts are exact
+    integers; each daily factor (n_t − d_t)/n_t is one division of
+    exact integers (bit-identical per element), and the cumulative
+    product is an ORDERED LEFT FOLD over the collected factor array —
+    Spark `F.aggregate` and DuckDB `list_reduce` multiply the same
+    doubles in the same order, so S(t) matches to the bit with no
+    exp/ln anywhere. Scale shape: three user-keyed reduces to the
+    outcome frame, one day-keyed reduce to the KM table (time-bounded,
+    ~30 rows); the O(k²) prefix folds run on that bounded frame."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("entry"))
+    )
+    ev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(day >= F.col("entry"))
+        .groupBy("user_id")
+        .agg(F.min(F.datediff(day, F.col("entry"))).alias("t_event"))
+    )
+    la = (
+        e.join(su, "user_id")
+        .groupBy("user_id")
+        .agg(F.max(F.datediff(day, F.col("entry"))).alias("t_last"))
+    )
+    outc = (
+        su.join(ev, "user_id", "left")
+        .join(la, "user_id")
+        .select(
+            F.coalesce(F.col("t_event"), F.col("t_last")).alias("t"),
+            F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("e"),
+        )
+    )
+    daily = outc.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d"),
+        F.sum(1 - F.col("e")).cast("bigint").alias("c"),
+    )
+    total = outc.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    wcum = W.partitionBy().orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wcum).cast("bigint"), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    arr = risk.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t", ((F.col("n") - F.col("d")) * 1.0 / F.col("n")).alias("f")
+                    )
+                )
+            ),
+            lambda x: x["f"],
+        ).alias("fs")
+    )
+    idx = risk.select(
+        "t", "n", "d", "c",
+        F.row_number().over(W.partitionBy().orderBy("t")).alias("i"),
+    )
+    surv = F.aggregate(
+        F.slice(F.col("fs"), 1, F.col("i")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return idx.crossJoin(F.broadcast(arr)).select(
+        F.col("t").alias("day"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )
