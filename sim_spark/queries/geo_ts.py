@@ -1044,3 +1044,182 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_core_points"), "cluster")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (level/trend/seasonal) — full recursion as a fold
+# ---------------------------------------------------------------------------
+#
+# Exponential smoothing is a SEQUENTIAL recursion — the op SQL engines
+# "can't do" without UDFs. The events_survival_km trick generalizes: a
+# recursion over a TIME-BOUNDED series is an ordered left fold over the
+# collected series array; Spark runs it as a purely functional
+# F.aggregate whose struct accumulator carries (level, trend,
+# seasonal[24]), and the oracle replays the identical per-step double
+# arithmetic as a recursive CTE — all 696 chained steps stay bit-equal
+# with zero libm. (The oracle deliberately does NOT use DuckDB
+# list_reduce: in DuckDB 1.0 its accumulator is updated IN PLACE from
+# the second step on, so later struct fields read earlier fields' NEW
+# values — found while building this key; the recursive CTE evaluates
+# each step as a fresh row and has no such hazard.)
+#
+# alpha = 0.2, beta = 0.1, gamma = 0.3, period m = 24 h. Init: l0 =
+# mean of hours 1..24 (exact int sums), b0 = (mean of 25..48 - l0)/24,
+# s0[i] = y_i - l0. The recomputed `lnew` appears inline (not named) in
+# the trend and seasonal updates — BOTH engines repeat the identical
+# expression, which is what keeps the float stream in lockstep.
+
+_HW_FC = 6  # forecast horizon (hours ahead)
+
+
+def _hw_oracle() -> str:
+    # y for step t+1 is arr[t+1] (1-based). The level expression appears
+    # three times per recursive step (level, trend, seasonal) — ordinary
+    # projection CSE is consistent inside a recursive CTE row, unlike
+    # DuckDB 1.0 list_reduce, whose accumulator is updated IN PLACE from
+    # the second step on (later struct fields read earlier fields\' NEW
+    # values) — discovered building this key; see the Spark side for the
+    # fold formulation that IS safe (F.aggregate is purely functional).
+    y = "i.arr[CAST(hw.t + 1 AS INTEGER)]"
+    ln = f"(0.2 * ({y} - hw.s[1]) + 0.8 * (hw.l + hw.b))"
+    return f"""
+WITH RECURSIVE {_HOUR_SPINE_SQL.strip()},
+ranked AS (SELECT hr, n, ROW_NUMBER() OVER (ORDER BY hr) AS rn FROM spine),
+one AS (
+  SELECT list(CAST(n AS DOUBLE) ORDER BY hr) AS arr,
+         SUM(CASE WHEN rn <= 24 THEN n ELSE 0 END) AS s1,
+         SUM(CASE WHEN rn BETWEEN 25 AND 48 THEN n ELSE 0 END) AS s2
+  FROM ranked
+),
+init AS (
+  SELECT arr, CAST(s1 AS DOUBLE) / 24.0 AS l0,
+         (CAST(s2 AS DOUBLE) / 24.0 - CAST(s1 AS DOUBLE) / 24.0) / 24.0 AS b0
+  FROM one
+),
+hw(t, l, b, s) AS (
+  SELECT CAST(24 AS BIGINT), CAST(l0 AS DOUBLE), CAST(b0 AS DOUBLE),
+         list_transform(arr[1:24], v -> v - l0)
+  FROM init
+  UNION ALL
+  SELECT hw.t + 1,
+         {ln},
+         0.1 * ({ln} - hw.l) + 0.9 * hw.b,
+         list_append(hw.s[2:], 0.3 * ({y} - {ln}) + 0.7 * hw.s[1])
+  FROM hw, init i WHERE hw.t < len(i.arr)
+),
+fin AS (SELECT hw.l, hw.b, hw.s FROM hw, init i WHERE hw.t = len(i.arr))
+SELECT component, CAST(idx AS BIGINT) AS idx, ROUND(value, 6) AS value FROM (
+  SELECT \'level\' AS component, 0 AS idx, l AS value FROM fin
+  UNION ALL SELECT \'trend\', 0, b FROM fin
+  UNION ALL
+  SELECT \'seasonal\', i, s[CAST(i AS INTEGER)]
+  FROM fin, (SELECT unnest(generate_series(1, 24)) AS i) g
+  UNION ALL
+  SELECT \'forecast\', h, l + h * b + s[CAST(h AS INTEGER)]
+  FROM fin, (SELECT unnest(generate_series(1, {_HW_FC})) AS h) g
+)
+"""
+
+
+@query("ts_holt_winters", oracle=_hw_oracle())
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters over the dense hourly spine: level, trend,
+    the 24 fitted seasonal factors, and a 6-hour-ahead forecast — the
+    FULL 696-step recursion, bit-exact across engines via the ordered
+    struct fold (block comment above). No driver loop, no UDF, no libm;
+    the corpus pass is the spine's keyed count, and the fold runs on
+    one collected time-bounded array."""
+    spine = _hour_spine_spark(spark, sf_dir)
+    wall = W.partitionBy().orderBy("hr")
+    ranked = spine.select(
+        "hr", "n", F.row_number().over(wall).alias("rn")
+    )
+    one = ranked.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hr", "n"))),
+            lambda x: x["n"].cast("double"),
+        ).alias("arr"),
+        F.sum(F.when(F.col("rn") <= 24, F.col("n")).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("rn").between(25, 48), F.col("n")).otherwise(0)
+        ).alias("s2"),
+    )
+    init = one.select(
+        "arr",
+        (F.col("s1") / 24.0).alias("l0"),
+        ((F.col("s2") / 24.0 - F.col("s1") / 24.0) / 24.0).alias("b0"),
+    )
+
+    def lnew(a, x):
+        return 0.2 * (x["y"] - F.element_at(a["s"], 1)) + 0.8 * (a["l"] + a["b"])
+
+    def step(a, x):
+        return F.struct(
+            x["y"].alias("y"),
+            lnew(a, x).alias("l"),
+            (0.1 * (lnew(a, x) - a["l"]) + 0.9 * a["b"]).alias("b"),
+            F.concat(
+                F.slice(a["s"], 2, 23),
+                F.array(
+                    0.3 * (x["y"] - lnew(a, x)) + 0.7 * F.element_at(a["s"], 1)
+                ),
+            ).alias("s"),
+        )
+
+    elements = F.transform(
+        F.slice(F.col("arr"), 25, F.size("arr")),
+        lambda v: F.struct(
+            v.alias("y"),
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            F.array().cast("array<double>").alias("s"),
+        ),
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("y"),
+        F.col("l0").alias("l"),
+        F.col("b0").alias("b"),
+        F.transform(
+            F.slice(F.col("arr"), 1, 24), lambda v: v - F.col("l0")
+        ).alias("s"),
+    )
+    fin = init.select(F.aggregate(elements, acc0, step).alias("st"))
+    out_structs = F.concat(
+        F.array(
+            F.struct(
+                F.lit("level").alias("component"),
+                F.lit(0).cast("long").alias("idx"),
+                F.col("st.l").alias("value"),
+            ),
+            F.struct(
+                F.lit("trend").alias("component"),
+                F.lit(0).cast("long").alias("idx"),
+                F.col("st.b").alias("value"),
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda i: F.struct(
+                F.lit("seasonal").alias("component"),
+                i.cast("long").alias("idx"),
+                F.element_at(F.col("st.s"), i).alias("value"),
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_HW_FC)),
+            lambda h: F.struct(
+                F.lit("forecast").alias("component"),
+                h.cast("long").alias("idx"),
+                (
+                    F.col("st.l")
+                    + h.cast("double") * F.col("st.b")
+                    + F.element_at(F.col("st.s"), h)
+                ).alias("value"),
+            ),
+        ),
+    )
+    return fin.select(F.explode(out_structs).alias("r")).select(
+        F.col("r.component").alias("component"),
+        F.col("r.idx").alias("idx"),
+        F.round("r.value", 6).alias("value"),
+    )

@@ -909,3 +909,94 @@ def stats_jackknife_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jack_se"),
     )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis,
+         CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty,
+         CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS txy
+  FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(SUM(con) AS BIGINT) AS concordant,
+       CAST(SUM(dis) AS BIGINT) AS discordant,
+       CAST(SUM(tx) AS BIGINT) AS ties_x,
+       CAST(SUM(ty) AS BIGINT) AS ties_y,
+       CAST(SUM(txy) AS BIGINT) AS ties_both,
+       ROUND((SUM(con) - SUM(dis))
+             / (sqrt(CAST(COUNT(*) - SUM(tx) - SUM(txy) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) - SUM(ty) - SUM(txy) AS DOUBLE))), 6)
+         AS tau_b
+FROM pairs
+""",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily purchase revenue and daily view
+    count — the rank-correlation companion to `stats_spearman_corr`
+    that is robust to monotone transforms AND exact here: concordance /
+    discordance / tie counts are pure integer comparisons over the
+    day-pair frame, and tau-b is one final expression over those exact
+    counts (two sqrts of exact integers).
+
+    Same aggregate-then-quadratic scale shape as stats_theil_sen: the
+    corpus pass is a single day-keyed integer reduce; the O(n²) pair
+    stage runs on the ~30-row daily frame, constant-cost at any corpus
+    size."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+        F.when((dx == 0) & (dy == 0), 1).otherwise(0).alias("txy"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return pairs.crossJoin(F.broadcast(nd)).agg(
+        F.max("n_days").alias("n_days"),
+        F.sum("con").cast("bigint").alias("concordant"),
+        F.sum("dis").cast("bigint").alias("discordant"),
+        F.sum("tx").cast("bigint").alias("ties_x"),
+        F.sum("ty").cast("bigint").alias("ties_y"),
+        F.sum("txy").cast("bigint").alias("ties_both"),
+        F.round(
+            (F.sum("con") - F.sum("dis"))
+            / (
+                F.sqrt(
+                    (F.count(F.lit(1)) - F.sum("tx") - F.sum("txy")).cast("double")
+                )
+                * F.sqrt(
+                    (F.count(F.lit(1)) - F.sum("ty") - F.sum("txy")).cast("double")
+                )
+            ),
+            6,
+        ).alias("tau_b"),
+    )
