@@ -907,12 +907,11 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GBT_THRS = list(range(23))
 
 
-def _gbt_fit_sql(src: str, rcol: str) -> str:
-    """One fit stage as DuckDB text: candidate conditional sums over
-    ``src`` + exact-rational tournament; yields 1 row (t, nl, sl, nr, sr)."""
+def _gbt_cand_sql(src: str, rcol: str) -> str:
+    """Candidate conditional sums over ``src`` — ONE corpus reduce,
+    referenced from both tournament legs via its CTE name."""
     thrs = ", ".join(str(t) for t in _GBT_THRS)
     return f"""
-  SELECT c.t, c.nl, c.sl, c.nr, c.sr FROM (
     SELECT t.t,
            CAST(SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
            CAST(SUM(CASE WHEN x <= t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sl,
@@ -921,28 +920,28 @@ def _gbt_fit_sql(src: str, rcol: str) -> str:
     FROM {src} CROSS JOIN (SELECT unnest([{thrs}]) AS t) t
     GROUP BY t.t HAVING SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) > 0
                     AND SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) > 0
-  ) c JOIN (
-    SELECT t.t,
-           CAST(SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
-           CAST(SUM(CASE WHEN x <= t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sl,
-           CAST(SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) AS BIGINT) AS nr,
-           CAST(SUM(CASE WHEN x > t.t THEN {rcol} ELSE 0 END) AS BIGINT) AS sr
-    FROM {src} CROSS JOIN (SELECT unnest([{thrs}]) AS t) t
-    GROUP BY t.t HAVING SUM(CASE WHEN x <= t.t THEN 1 ELSE 0 END) > 0
-                    AND SUM(CASE WHEN x > t.t THEN 1 ELSE 0 END) > 0
-  ) d ON TRUE
+"""
+
+
+def _gbt_tourney_sql(cand: str) -> str:
+    """Exact-rational tournament over the named candidate CTE; yields
+    1 row. No positive-score guard: when every candidate scores zero
+    (degenerate constant corpus) the cross-multiplied comparison ties
+    everywhere and the d.t < c.t tie-break still crowns exactly one
+    winner — the same rule the Spark side applies."""
+    return f"""
+  SELECT c.t, c.nl, c.sl, c.nr, c.sr FROM {cand} c JOIN {cand} d ON TRUE
   GROUP BY c.t, c.nl, c.sl, c.nr, c.sr
   HAVING SUM(CASE
-    WHEN CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl > 0
-         AND ((CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl)
-                * (c.nl * c.nr)
-              > (CAST(c.sl AS HUGEINT)*c.sl*c.nr + CAST(c.sr AS HUGEINT)*c.sr*c.nl)
-                * (d.nl * d.nr)
-              OR ((CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl)
-                    * (c.nl * c.nr)
-                  = (CAST(c.sl AS HUGEINT)*c.sl*c.nr + CAST(c.sr AS HUGEINT)*c.sr*c.nl)
-                    * (d.nl * d.nr)
-                  AND d.t < c.t))
+    WHEN (CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl)
+           * (c.nl * c.nr)
+         > (CAST(c.sl AS HUGEINT)*c.sl*c.nr + CAST(c.sr AS HUGEINT)*c.sr*c.nl)
+           * (d.nl * d.nr)
+         OR ((CAST(d.sl AS HUGEINT)*d.sl*d.nr + CAST(d.sr AS HUGEINT)*d.sr*d.nl)
+               * (c.nl * c.nr)
+             = (CAST(c.sl AS HUGEINT)*c.sl*c.nr + CAST(c.sr AS HUGEINT)*c.sr*c.nl)
+               * (d.nl * d.nr)
+             AND d.t < c.t)
     THEN 1 ELSE 0 END) = 0
 """
 
@@ -960,7 +959,8 @@ g0 AS (
   FROM base
 ),
 r1 AS (SELECT b.x, b.yc * 10 - g.f0m AS r, g.f0m, g.n FROM base b CROSS JOIN g0 g),
-w1 AS ({_gbt_fit_sql('r1', 'r')}),
+c1 AS ({_gbt_cand_sql('r1', 'r')}),
+w1 AS ({_gbt_tourney_sql('c1')}),
 p1 AS (
   SELECT t AS thr1, nl AS nl1,
          CAST(floor(sl * 1.0 / nl + 0.5) AS BIGINT) AS pl1,
@@ -972,7 +972,8 @@ r2 AS (
          r1.r, r1.f0m, r1.n, p.thr1, p.nl1, p.pl1, p.pr1
   FROM r1 CROSS JOIN p1 p
 ),
-w2 AS ({_gbt_fit_sql('r2', 'r2')}),
+c2 AS ({_gbt_cand_sql('r2', 'r2')}),
+w2 AS ({_gbt_tourney_sql('c2')}),
 p2 AS (
   SELECT t AS thr2, nl AS nl2,
          CAST(floor(sl * 1.0 / nl + 0.5) AS BIGINT) AS pl2,
@@ -1061,7 +1062,11 @@ def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for t in _GBT_THRS
             ]
         )
-        cand = (
+        # Cached: the tournament references cand on BOTH legs of the
+        # self-join — uncached, the conditional-sum corpus reduce would
+        # execute twice per fit (caught by the r7e review via the
+        # PLANS.md snapshot's duplicated Scan branches).
+        cand = track_cache(
             one.select(F.explode(structs).alias("c"))
             .select("c.t", "c.nl", "c.sl", "c.nr", "c.sr")
             .filter((F.col("nl") > 0) & (F.col("nr") > 0))

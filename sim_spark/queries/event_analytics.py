@@ -108,6 +108,44 @@ def cohort_week_offset():
     ).cast("bigint")
 
 
+
+# Shared 30-minute-gap sessionization — THE session definition every
+# session-keyed operator in this module builds on (batch sessionize,
+# median session length, hourly occupancy). One Spark chain + one SQL
+# CTE text so the gap rule can never fork between keys.
+_SESS_CTE = """ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)"""
+
+
+def _session_numbers(e: DataFrame) -> DataFrame:
+    """(user_id, ts, session_no) under the 30-minute gap rule — the
+    Spark twin of _SESS_CTE (lag + running sum, both windows clustered
+    on user_id so Catalyst reuses one sort partitioning)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
+        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
+    )
+
+
 _COHORT_FIRST_WEEK_SQL = """
   SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
   FROM events GROUP BY user_id
@@ -156,21 +194,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sessionize_batch",
     oracle="""
-WITH ordered AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts,
-
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
-  FROM ordered
-)
+WITH """ + _SESS_CTE + """
 SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        COUNT(*) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -195,18 +219,7 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sim_spark.exprs import ts_str
 
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = (
-        prev.isNull()
-        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
-    ).cast("int")
-    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
-        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
-    )
+    sess = _session_numbers(e)
     return (
         sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no"))
         .agg(
@@ -754,20 +767,7 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_median_session_length",
     oracle="""
-WITH ordered AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
-  FROM ordered
-),
+WITH """ + _SESS_CTE + """,
 dur AS (
   SELECT user_id, session_no,
          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS d_us
@@ -801,17 +801,7 @@ def events_median_session_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = (
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
-    ).cast("int")
-    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
-        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
-    )
+    sess = _session_numbers(e)
     dur = sess.groupBy("user_id", "session_no").agg(
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("d_us")
     )
@@ -1022,20 +1012,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_hourly_occupancy",
     oracle="""
-WITH ordered AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
-  FROM ordered
-),
+WITH """ + _SESS_CTE + """,
 iv AS (
   SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
   FROM sess GROUP BY user_id, session_no
@@ -1072,15 +1049,7 @@ def events_hourly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sim_spark.exprs import ts_str
 
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = (
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
-    ).cast("int")
-    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess")).select(
-        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_no")
-    )
+    sess = _session_numbers(e)
     iv = sess.groupBy("user_id", "session_no").agg(
         F.unix_micros(F.min("ts")).alias("s_us"),
         F.unix_micros(F.max("ts")).alias("e_us"),

@@ -984,16 +984,24 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     pts = frames[0].unionAll(frames[1]).unionAll(frames[2])
-    cells = pts.groupBy(
-        F.expr(f"(lon_micro + 180000000) div {_DB_CELL}").alias("cx"),
-        F.expr(f"(lat_micro + 60000000) div {_DB_CELL}").alias("cy"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from sim_spark.ops.materialize import materialize
+
+    # Materialize the CELL frame (not just core): both the core filter
+    # and the border filter consume it, and an unmaterialized `cells`
+    # would re-run the 3-table point union + per-row hashing for the
+    # border stage (r7e review finding). Everything downstream is a
+    # cheap filter/select off the checkpointed counts.
+    cells = (
+        pts.groupBy(
+            F.expr(f"(lon_micro + 180000000) div {_DB_CELL}").alias("cx"),
+            F.expr(f"(lat_micro + 60000000) div {_DB_CELL}").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(materialize)
+    )
     core = cells.filter(F.col("n") >= _DB_MINPTS).select(
         "cx", "cy", "n", (F.col("cx") * 1000 + F.col("cy")).alias("cell_id")
     )
-    from sim_spark.ops.materialize import materialize
-
-    core = core.transform(materialize)  # feeds adjacency, labels, border
     # 8-neighborhood as an EQUI join: explode one side to its 3x3 cell
     # offsets and match on the exact (cx, cy) key (the
     # geo_cell_neighbor_join pattern) — constant fanout, never a

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sim_spark.exprs import h48
 from sim_spark.io import table
 from sim_spark.registry import query
 
@@ -761,12 +762,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     P = 2147483647
     r = e.filter(F.col("event_type") == "purchase").select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
-            ).cast("long")
-            % P
-        ).alias("h"),
+        (h48(F.col("event_id").cast("string")) % P).alias("h"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yc"),
     )
     ex = r.select(
@@ -980,8 +976,11 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((dx == 0) & (dy == 0), 1).otherwise(0).alias("txy"),
     )
     nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    return pairs.crossJoin(F.broadcast(nd)).agg(
-        F.max("n_days").alias("n_days"),
+    # n_days joins AFTER the pair aggregate (not threaded through the
+    # pair rows): with a degenerate single-day corpus the pair frame is
+    # empty and a threaded max(n_days) would yield NULL while the
+    # oracle's scalar subquery still counts days.
+    pair_agg = pairs.agg(
         F.sum("con").cast("bigint").alias("concordant"),
         F.sum("dis").cast("bigint").alias("discordant"),
         F.sum("tx").cast("bigint").alias("ties_x"),
@@ -999,4 +998,8 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("tau_b"),
+    )
+    return F.broadcast(nd).crossJoin(pair_agg).select(
+        "n_days", "concordant", "discordant", "ties_x", "ties_y",
+        "ties_both", "tau_b",
     )

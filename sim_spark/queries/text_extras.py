@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sim_spark.exprs import h48, sql_h48
 from sim_spark.io import table
 from sim_spark.ops.multimodal import binary_features
 from sim_spark.registry import query
@@ -658,7 +659,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
 grams AS (
   SELECT doc_id, i,
-         ('0x' || substr(md5(array_to_string(ws[i:i + 2], ' ')), 1, 12))::BIGINT AS h
+         (('0x' || substr(md5(array_to_string(ws[i:i + 2], ' ')), 1, 12))::BIGINT) AS h
   FROM (SELECT doc_id, ws,
                unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
         FROM toks)
@@ -713,7 +714,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select("doc_id", F.explode(grams_arr).alias("x")).select(
         "doc_id",
         F.col("x.i").alias("i"),
-        F.conv(F.substring(F.md5("x.g"), 1, 12), 16, 10).cast("long").alias("h"),
+        h48(F.col("x.g")).alias("h"),
     )
     wm = W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
     wc = W.partitionBy("doc_id")
