@@ -54,9 +54,13 @@ def sql_hash(col: str) -> str:
     return f"(('0x' || substr(md5({col}), 1, 12))::BIGINT % {P})"
 
 
-def _shingles(text: Column) -> Column:
-    """Distinct 3-word shingles of a space-tokenized document (in-row)."""
-    ws = F.split(text, " ")
+def _shingles(ws: Column) -> Column:
+    """Distinct 3-word shingles from a PRE-TOKENIZED word array (in-row).
+
+    Takes the token array, not the raw text: a split() spliced into the
+    transform lambda would re-evaluate per element on the interpreted
+    HOF path (dedup_onion_ngram note) — callers project the array into
+    a real column first."""
     starts = F.when(
         F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
     ).otherwise(F.array().cast("array<int>"))
@@ -74,12 +78,17 @@ def minhash_bands_narrow(d: DataFrame) -> DataFrame:
     the per-doc MIN aggregate of the exploded formulation.
     """
     hs = F.transform(
-        _shingles(F.col("text")),
+        _shingles(F.col("ws")),
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long") % P,
     )
-    sig = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), hs.alias("hs")
-    ).filter(F.size("hs") > 0)
+    sig = (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.split("text", " ").alias("ws"),
+        )
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+    )
     def _perm_min(a: int, b: int) -> Column:
         # closure factory: PySpark derives HOF arity from the lambda's
         # signature, so the constants must be captured, not defaulted

@@ -63,11 +63,15 @@ def dedup_minhash_exactperm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) → 4×4 banded LSH candidates → exact-Jaccard ≥ 0.8
     refine, every stage reproducible in SQL (see module docstring)."""
     d = table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # Tokenize ONCE into a real column (dedup_onion_ngram note): a
+    # split() spliced into the transform lambda re-evaluates per element
+    # on the interpreted HOF path.
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     starts = F.when(
         F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    sh = d.select(
+    sh = t.select(
         "doc_id",
         F.array_distinct(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, 3)))

@@ -612,9 +612,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count ~linear. One gram-keyed join + two tiny size joins (AQE
     broadcasts the size side)."""
     d = table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # Tokenize once (dedup_onion_ngram note: no split() inside the
+    # transform lambda).
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     g = (
-        d.select(
+        t.select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -701,7 +704,11 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    ws = F.split("text", " ")
+    # Tokenize ONCE into a real column (dedup_onion_ngram note): a
+    # split() spliced into the transform lambda re-evaluates per element
+    # on the interpreted HOF path.
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     starts = F.when(F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)).otherwise(
         F.array().cast("array<int>")
     )
@@ -711,7 +718,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             i.alias("i"), F.concat_ws(" ", F.slice(ws, i, 3)).alias("g")
         ),
     )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("x")).select(
+    grams = t.select("doc_id", F.explode(grams_arr).alias("x")).select(
         "doc_id",
         F.col("x.i").alias("i"),
         h48(F.col("x.g")).alias("h"),
