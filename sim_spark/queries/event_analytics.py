@@ -1306,3 +1306,81 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+@query(
+    "events_poisson_rate_test",
+    oracle="""
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1 FROM events
+),
+cells AS (
+  SELECT CASE WHEN epoch_us(e.ts) * 2 < b.t0 + b.t1 THEN 0 ELSE 1 END AS half,
+         CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events e CROSS JOIN bounds b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN half = 0 THEN is_err ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN half = 1 THEN is_err ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM cells
+)
+SELECT k1, k2, n1, n2,
+       ROUND(k1 * 1.0 / n1, 6) AS rate1,
+       ROUND(k2 * 1.0 / n2, 6) AS rate2,
+       ROUND((k1 * 1.0 / n1 - k2 * 1.0 / n2)
+             / sqrt((k1 + k2) * 1.0 / (n1 + n2)
+                    * (1.0 - (k1 + k2) * 1.0 / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+FROM agg
+""",
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample error-rate comparison between the first and second
+    half of the observation window (exposure split at the µs-exact
+    midpoint, so both engines cut the same events): pooled two-
+    proportion z statistic — the monitoring primitive behind "did the
+    error rate move after the deploy?". Every input to the statistic is
+    an exact integer count; rates and z are final scalar expressions
+    (one sqrt), so the whole test hash-matches. One conditional-sum
+    corpus reduce; the 2-row bounds frame broadcasts."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    )
+    cells = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.unix_micros(F.col("ts")) * 2 < F.col("t0") + F.col("t1"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    agg = cells.agg(
+        F.sum(F.when(F.col("half") == 0, F.col("is_err")).otherwise(0))
+        .cast("bigint")
+        .alias("k1"),
+        F.sum(F.when(F.col("half") == 1, F.col("is_err")).otherwise(0))
+        .cast("bigint")
+        .alias("k2"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    p = (F.col("k1") + F.col("k2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    return agg.select(
+        "k1",
+        "k2",
+        "n1",
+        "n2",
+        F.round(F.col("k1") * 1.0 / F.col("n1"), 6).alias("rate1"),
+        F.round(F.col("k2") * 1.0 / F.col("n2"), 6).alias("rate2"),
+        F.round(
+            (F.col("k1") * 1.0 / F.col("n1") - F.col("k2") * 1.0 / F.col("n2"))
+            / F.sqrt(
+                p * (1.0 - p) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

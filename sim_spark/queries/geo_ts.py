@@ -1231,3 +1231,110 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.idx").alias("idx"),
         F.round("r.value", 6).alias("value"),
     )
+
+
+@query(
+    "ts_yule_walker_ar2",
+    oracle=f"""
+WITH {_HOUR_SPINE_SQL},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS s FROM spine),
+c AS (
+  SELECT hr, nn * n - s AS cdev,
+         lead(nn * n - s, 1) OVER (ORDER BY hr) AS cdev_1,
+         lead(nn * n - s, 2) OVER (ORDER BY hr) AS cdev_2
+  FROM spine, tot
+),
+nums AS (
+  SELECT CAST(sum(cdev * cdev) AS BIGINT) AS num0,
+         CAST(sum(cdev * cdev_1) AS BIGINT) AS num1,
+         CAST(sum(cdev * cdev_2) AS BIGINT) AS num2
+  FROM c
+),
+r AS (
+  SELECT num1 * 1.0 / num0 AS r1, num2 * 1.0 / num0 AS r2 FROM nums
+),
+phi AS (
+  SELECT r1, r2,
+         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+  FROM r
+),
+lastc AS (
+  SELECT t.nn, t.s,
+         MAX(CASE WHEN rn = 1 THEN n END) AS y_t,
+         MAX(CASE WHEN rn = 2 THEN n END) AS y_t1
+  FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY hr DESC) AS rn FROM spine) x,
+       tot t
+  WHERE rn <= 2 GROUP BY t.nn, t.s
+)
+SELECT ROUND(p.r1, 6) AS r1, ROUND(p.r2, 6) AS r2,
+       ROUND(p.phi1, 6) AS phi1, ROUND(p.phi2, 6) AS phi2,
+       ROUND(1.0 - p.phi1 * p.r1 - p.phi2 * p.r2, 6) AS resid_var_ratio,
+       ROUND(CAST(l.s AS DOUBLE) / l.nn
+             + p.phi1 * (l.y_t - CAST(l.s AS DOUBLE) / l.nn)
+             + p.phi2 * (l.y_t1 - CAST(l.s AS DOUBLE) / l.nn), 6) AS forecast_next
+FROM phi p CROSS JOIN lastc l
+""",
+)
+def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by the Yule-Walker equations over the dense hourly
+    spine: autocorrelations r1/r2 come from the SAME exact-integer
+    centered products as `ts_autocorr` (int64 numerators, one division
+    each), the closed-form 2x2 solve and the one-step mean-reverting
+    forecast are final scalar expressions over those exact ratios, and
+    the residual-variance ratio 1 − φ1·r1 − φ2·r2 is the model-quality
+    readout. No iteration, no libm: the entire fit is one corpus-keyed
+    count reduce + one window pass on the time-bounded spine."""
+    spine = _hour_spine_spark(spark, sf_dir)
+    tot = spine.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("n").cast("long").alias("s"),
+    )
+    c = spine.crossJoin(F.broadcast(tot)).select(
+        "hr", "n", (F.col("nn") * F.col("n") - F.col("s")).alias("cdev")
+    )
+    w = W.orderBy("hr")
+    nums = c.select(
+        "cdev",
+        F.lead("cdev", 1).over(w).alias("cdev_1"),
+        F.lead("cdev", 2).over(w).alias("cdev_2"),
+    ).agg(
+        F.sum(F.col("cdev") * F.col("cdev")).cast("long").alias("num0"),
+        F.sum(F.col("cdev") * F.col("cdev_1")).cast("long").alias("num1"),
+        F.sum(F.col("cdev") * F.col("cdev_2")).cast("long").alias("num2"),
+    )
+    r1 = F.col("num1") * 1.0 / F.col("num0")
+    r2 = F.col("num2") * 1.0 / F.col("num0")
+    phi = nums.select(
+        r1.alias("r1"),
+        r2.alias("r2"),
+        (r1 * (1.0 - r2) / (1.0 - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (1.0 - r1 * r1)).alias("phi2"),
+    )
+    wd = W.orderBy(F.desc("hr"))
+    lastc = (
+        spine.select("n", F.row_number().over(wd).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nn", "s")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("y_t"),
+            F.max(F.when(F.col("rn") == 2, F.col("n"))).alias("y_t1"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("nn")
+    return phi.crossJoin(F.broadcast(lastc)).select(
+        F.round("r1", 6).alias("r1"),
+        F.round("r2", 6).alias("r2"),
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+        F.round(
+            1.0 - F.col("phi1") * F.col("r1") - F.col("phi2") * F.col("r2"), 6
+        ).alias("resid_var_ratio"),
+        F.round(
+            mean
+            + F.col("phi1") * (F.col("y_t") - mean)
+            + F.col("phi2") * (F.col("y_t1") - mean),
+            6,
+        ).alias("forecast_next"),
+    )
