@@ -1384,3 +1384,119 @@ def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "events_bot_interevent",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS g
+  FROM events
+),
+ranked AS (
+  SELECT user_id, g,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY g) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM gaps WHERE g IS NOT NULL
+),
+per_user AS (
+  SELECT user_id, CAST(MAX(cnt) + 1 AS BIGINT) AS n_events,
+         CAST(SUM(g) * (CASE WHEN MAX(cnt) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+           AS m2
+  FROM ranked
+  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+  GROUP BY user_id HAVING MAX(cnt) >= 19
+),
+gran AS (
+  SELECT m2, ROW_NUMBER() OVER (ORDER BY m2, user_id) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM per_user
+),
+g2 AS (
+  SELECT CAST(SUM(m2) * (CASE WHEN MAX(cnt) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+           AS g2
+  FROM gran WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+)
+SELECT p.user_id, p.n_events, p.m2 AS median_gap_x2_us,
+       (4 * p.m2 < g.g2) AS is_bot
+FROM per_user p CROSS JOIN g2 g
+ORDER BY p.m2, p.user_id LIMIT 10
+""",
+)
+def events_bot_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time abuse profile — the bot gate corpus pipelines
+    run before counting users: per user (>= 20 events) the exact median
+    inter-event gap (emitted as the 2x-median integer, the
+    events_median_session_length convention, so odd/even counts stay
+    exact), flagged as bot-like when the user's median gap is under
+    HALF the median-of-medians — a data-driven threshold that is one
+    integer comparison (4*m2 < G2), no float boundary. Returns the 10
+    fastest users.
+
+    Scale shape: one user-keyed lag window (gaps), per-user medians by
+    explicit order statistics inside the same user partitioning, and
+    the global median over the per-user frame (one row per scored
+    user). Nothing pairwise; the only global sort is over users."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    wr = W.partitionBy("user_id").orderBy("g")
+    wc = W.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "g",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    k1 = ((F.col("cnt") + 1) / 2).cast("long")
+    k2 = ((F.col("cnt") + 2) / 2).cast("long")
+    per_user = (
+        ranked.filter((F.col("rn") == k1) | (F.col("rn") == k2))
+        .groupBy("user_id")
+        .agg(
+            (F.max("cnt") + 1).cast("bigint").alias("n_events"),
+            (
+                F.sum("g")
+                * F.when(F.max("cnt") % 2 == 1, 2).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("m2"),
+            F.max("cnt").alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 19)
+        .drop("cnt")
+    )
+    wg = W.partitionBy().orderBy("m2", "user_id")
+    wall = W.partitionBy()
+    gran = per_user.select(
+        "m2",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    j1 = ((F.col("cnt") + 1) / 2).cast("long")
+    j2 = ((F.col("cnt") + 2) / 2).cast("long")
+    g2 = gran.filter((F.col("rn") == j1) | (F.col("rn") == j2)).agg(
+        (F.sum("m2") * F.when(F.max("cnt") % 2 == 1, 2).otherwise(1))
+        .cast("bigint")
+        .alias("g2")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(g2))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("m2").alias("median_gap_x2_us"),
+            (4 * F.col("m2") < F.col("g2")).alias("is_bot"),
+        )
+        .orderBy("median_gap_x2_us", "user_id")
+        .limit(10)
+    )

@@ -555,3 +555,136 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(mism)
         .crossJoin(exact)
     )
+
+
+_HLL_INTER_ORACLE = f"""
+WITH pu AS (
+  SELECT DISTINCT {_h48_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'purchase'
+),
+vu AS (
+  SELECT DISTINCT {_h48_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'view'
+),
+spine AS (SELECT CAST(x AS BIGINT) AS reg FROM range({_HLL_M}) s(x)),
+ra AS (
+  SELECT s.reg, COALESCE(r.rho, 0) AS rho FROM spine s LEFT JOIN (
+    SELECT h % {_HLL_M} AS reg,
+           max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M})) END) AS rho
+    FROM pu GROUP BY 1) r ON s.reg = r.reg
+),
+rb AS (
+  SELECT s.reg, COALESCE(r.rho, 0) AS rho FROM spine s LEFT JOIN (
+    SELECT h % {_HLL_M} AS reg,
+           max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M})) END) AS rho
+    FROM vu GROUP BY 1) r ON s.reg = r.reg
+),
+ru AS (
+  SELECT a.reg, GREATEST(a.rho, b.rho) AS rho FROM ra a JOIN rb b ON a.reg = b.reg
+),
+est AS (
+  SELECT
+    (SELECT round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                       THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zeros) ELSE raw END, 6)
+     FROM (SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / sum(power(2.0, -rho)) AS raw,
+                  sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM ra)) AS est_a,
+    (SELECT round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                       THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zeros) ELSE raw END, 6)
+     FROM (SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / sum(power(2.0, -rho)) AS raw,
+                  sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM rb)) AS est_b,
+    (SELECT round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                       THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zeros) ELSE raw END, 6)
+     FROM (SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / sum(power(2.0, -rho)) AS raw,
+                  sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM ru)) AS est_union
+)
+SELECT e.est_a, e.est_b, e.est_union,
+       ROUND(e.est_a + e.est_b - e.est_union, 6) AS est_intersection,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM pu JOIN vu ON pu.h = vu.h) AS exact_intersection
+FROM est e
+"""
+
+
+@query("sketch_hll_intersection", oracle=_HLL_INTER_ORACLE)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection estimate by inclusion-exclusion over explicit-
+    register HLL sketches (purchase users ∩ view users): |A∩B| ≈
+    est(A) + est(B) − est(max-merge(A,B)) — the only intersection a
+    mergeable-sketch store can serve without rescanning, reported next
+    to the exact join count so the estimator's error is measurable in
+    the result itself. Registers, max-merges, and zero counts are exact
+    integers; the estimates reuse the sketch_hll_exactreg formula."""
+    e = table(spark, sf_dir, "events")
+
+    def regs(etype: str) -> DataFrame:
+        hv = (
+            e.filter(F.col("event_type") == etype)
+            .select(_h48_spark(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+        rho = F.when(
+            F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)
+        ).otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}"))))
+        r = hv.select((F.col("h") % _HLL_M).alias("reg"), rho.alias("rho")).groupBy(
+            "reg"
+        ).agg(F.max("rho").alias("rho"))
+        spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
+        return spine.join(r, "reg", "left").select(
+            "reg", F.coalesce("rho", F.lit(0)).alias("rho")
+        )
+
+    ra, rb = regs("purchase"), regs("view")
+    ru = (
+        ra.withColumnRenamed("rho", "rho_a")
+        .join(rb.withColumnRenamed("rho", "rho_b"), "reg")
+        .select("reg", F.greatest("rho_a", "rho_b").alias("rho"))
+    )
+
+    def est(r: DataFrame, out: str) -> DataFrame:
+        agg = r.agg(
+            (
+                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+                / F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+            ).alias("raw"),
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+        )
+        lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros"))
+        return agg.select(
+            F.round(
+                F.when(
+                    (F.col("raw") <= 2.5 * _HLL_M) & (F.col("zeros") > 0), lin
+                ).otherwise(F.col("raw")),
+                6,
+            ).alias(out)
+        )
+
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(_h48_spark(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    vu = (
+        e.filter(F.col("event_type") == "view")
+        .select(_h48_spark(F.col("user_id").cast("string")).alias("ha"))
+        .distinct()
+    )
+    exact = pu.join(vu, pu.h == vu.ha).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    return (
+        est(ra, "est_a")
+        .crossJoin(est(rb, "est_b"))
+        .crossJoin(est(ru, "est_union"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
