@@ -694,3 +694,195 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = e.select("vec_id", "embedding", (F.col("label") == 2).cast("int").alias("y"))
     _, _, _, preds = logistic_gd(labeled, label_col="y", dim=64, n_epochs=6)
     return preds
+
+
+@query(
+    "ml_assoc_rules_lift",
+    oracle="""
+WITH bask AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+n_bask AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM bask),
+item_s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM bask GROUP BY item),
+pair_s AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS sab
+  FROM bask a JOIN bask b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+),
+scored AS (
+  SELECT p.ia, p.ib, p.sab, sa.s AS sa, sb.s AS sb, n.n,
+         CAST(floor(n.n * p.sab * 1000000000.0 / (sa.s * sb.s) + 0.5) AS BIGINT)
+           AS lift_nano
+  FROM pair_s p
+  JOIN item_s sa ON sa.item = p.ia
+  JOIN item_s sb ON sb.item = p.ib
+  CROSS JOIN n_bask n
+)
+SELECT ia, ib, sab AS support_pair, sa AS support_a, sb AS support_b,
+       ROUND(sab * 1.0 / sa, 6) AS confidence_a_to_b,
+       ROUND(lift_nano / 1000000000.0, 6) AS lift
+FROM scored
+ORDER BY lift_nano DESC, ia, ib LIMIT 15
+""",
+)
+def ml_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the co-purchase
+    graph's rule-mining sibling): pairwise support from the
+    basket-keyed self-join (equi on orderkey, never all-pairs),
+    confidence and LIFT from exact integer supports. Lift ordering is
+    nano-quantized BEFORE the top-15 cut — floor(n·s_ab·1e9/(s_a·s_b)
+    + 0.5) is one deterministic double expression of exact integers, so
+    the ranking (lift desc, pair asc) can never split on a float
+    boundary between engines. min-support 3 prunes the pair tail the
+    way a real frequent-itemset pass would.
+
+    Scale shape: support counting is one partial+final aggregate per
+    arity; the pair self-join shuffles on the basket key, whose fanout
+    is bounded by basket size (TPC-H ~7 lines) — the a-priori candidate
+    pattern, not a cross product."""
+    li = table(spark, sf_dir, "lineitem")
+    bask = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_bask = bask.agg(F.count_distinct("ok").cast("bigint").alias("n"))
+    item_s = bask.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a, b = bask.alias("a"), bask.alias("b")
+    pair_s = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sab"))
+        .filter(F.col("sab") >= 3)
+    )
+    scored = (
+        pair_s.join(item_s.select(F.col("item").alias("ia"), F.col("s").alias("sa")), "ia")
+        .join(item_s.select(F.col("item").alias("ib"), F.col("s").alias("sb")), "ib")
+        .crossJoin(F.broadcast(n_bask))
+        .select(
+            "ia",
+            "ib",
+            "sab",
+            "sa",
+            "sb",
+            F.floor(
+                F.col("n") * F.col("sab") * 1000000000.0 / (F.col("sa") * F.col("sb"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lift_nano"),
+        )
+    )
+    return (
+        scored.select(
+            "ia",
+            "ib",
+            F.col("sab").alias("support_pair"),
+            F.col("sa").alias("support_a"),
+            F.col("sb").alias("support_b"),
+            F.round(F.col("sab") * 1.0 / F.col("sa"), 6).alias("confidence_a_to_b"),
+            F.round(F.col("lift_nano") / 1000000000.0, 6).alias("lift"),
+            "lift_nano",
+        )
+        .orderBy(F.desc("lift_nano"), "ia", "ib")
+        .limit(15)
+        .drop("lift_nano")
+    )
+
+
+@query(
+    "ml_als_rank1",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey AS u, l_partkey AS it,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+uf AS (
+  SELECT u, CAST(floor(SUM(q) * 1000000000.0 / COUNT(*) + 0.5) AS BIGINT)
+           AS u_nano
+  FROM r GROUP BY u
+),
+vf AS (
+  SELECT r.it,
+         CAST(floor(CAST(SUM(r.q * uf.u_nano) AS DOUBLE) * 1000000000.0
+                    / CAST(SUM(CAST(uf.u_nano AS HUGEINT) * uf.u_nano) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS v_nano
+  FROM r JOIN uf ON uf.u = r.u GROUP BY r.it
+),
+ranked AS (
+  SELECT 'user' AS side, u AS id, u_nano AS nano,
+         ROW_NUMBER() OVER (ORDER BY u_nano DESC, u) AS rn
+  FROM uf
+  UNION ALL
+  SELECT 'item', it, v_nano, ROW_NUMBER() OVER (ORDER BY v_nano DESC, it)
+  FROM vf
+)
+SELECT side, id, ROUND(nano / 1000000000.0, 6) AS factor
+FROM ranked WHERE rn <= 10
+""",
+)
+def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank-1 ALS alternation over the customer x part quantity
+    matrix (v init = 1): the user half-step is the exact per-user mean
+    rating, the item half-step the u-weighted least-squares projection —
+    both closed-form divisions of exact integer reductions, nano-
+    quantized between half-steps so the alternation is reproducible at
+    any parallelism (the unrolled-ML recipe applied to the recommender
+    factorization). Top-10 users and items by factor.
+
+    Scale shape: ratings are one join + keyed aggregate; each half-step
+    is a single partial+final aggregate keyed on the entity being
+    solved, with the counterpart factors flowing through the join —
+    exactly how distributed ALS iterates, truncated to one exact
+    alternation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("q"))
+    )
+    uf = r.groupBy("u").agg(
+        F.floor(F.sum("q") * 1000000000.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("u_nano")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    vf = (
+        r.join(uf, "u")
+        .groupBy("it")
+        .agg(
+            F.floor(
+                F.sum(F.col("q") * F.col("u_nano")).cast("double")
+                * 1000000000.0
+                / F.sum(dec("u_nano") * F.col("u_nano")).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v_nano")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy().orderBy(F.desc("u_nano"), "u")
+    wi = W.partitionBy().orderBy(F.desc("v_nano"), "it")
+    users = uf.select(
+        F.lit("user").alias("side"),
+        F.col("u").alias("id"),
+        F.col("u_nano").alias("nano"),
+        F.row_number().over(wu).alias("rn"),
+    )
+    items = vf.select(
+        F.lit("item").alias("side"),
+        F.col("it").alias("id"),
+        F.col("v_nano").alias("nano"),
+        F.row_number().over(wi).alias("rn"),
+    )
+    return (
+        users.unionAll(items)
+        .filter(F.col("rn") <= 10)
+        .select("side", "id", F.round(F.col("nano") / 1000000000.0, 6).alias("factor"))
+    )
