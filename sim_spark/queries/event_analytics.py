@@ -1500,3 +1500,94 @@ def events_bot_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("median_gap_x2_us", "user_id")
         .limit(10)
     )
+
+
+@query(
+    "events_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END)
+              - SUM(CASE WHEN event_type = 'error' THEN 100 ELSE 0 END)
+           AS BIGINT) AS pnl_centi
+  FROM events GROUP BY 1
+),
+curve AS (
+  SELECT d, cum,
+         CAST(MAX(cum) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS peak
+  FROM (SELECT d, CAST(SUM(pnl_centi) OVER (ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM daily)
+),
+dd AS (
+  SELECT d, cum, peak, peak - cum AS drawdown,
+         ROW_NUMBER() OVER (ORDER BY peak - cum DESC, d) AS rn
+  FROM curve
+)
+SELECT strftime(d, '%Y-%m-%d') AS trough_day,
+       ROUND(drawdown / 100.0, 2) AS max_drawdown,
+       ROUND(peak / 100.0, 2) AS peak_value,
+       ROUND(cum / 100.0, 2) AS trough_value,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dd WHERE drawdown = 0) AS n_peak_days
+FROM dd WHERE rn = 1
+""",
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily net revenue curve (purchase value
+    minus a fixed error penalty): running cumulative sum, running peak,
+    and the deepest peak-to-trough gap — the risk metric every
+    monitoring dashboard wants next to the revenue line. All integer
+    centi-units through both nested running windows (a window OVER a
+    window aggregate), so the argmax day and every value hash-match;
+    earliest day breaks drawdown ties.
+
+    Scale shape: one corpus-keyed integer reduce to the daily frame,
+    then the window chain runs on the time-bounded curve. The nested
+    max-over-cumsum is the textbook single-pass drawdown; no self-join
+    over days."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            )
+            - F.sum(F.when(F.col("event_type") == "error", 100).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("pnl_centi")
+    )
+    wcum = W.partitionBy().orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    curve = daily.select(
+        "d", F.sum("pnl_centi").over(wcum).cast("bigint").alias("cum")
+    ).select("d", "cum", F.max("cum").over(wcum).cast("bigint").alias("peak"))
+    dd = curve.select(
+        "d",
+        "cum",
+        "peak",
+        (F.col("peak") - F.col("cum")).alias("drawdown"),
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc(F.col("peak") - F.col("cum")), "d"))
+        .alias("rn"),
+    )
+    n_peak = dd.filter(F.col("drawdown") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peak_days")
+    )
+    return (
+        dd.filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(n_peak))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("trough_day"),
+            F.round(F.col("drawdown") / 100.0, 2).alias("max_drawdown"),
+            F.round(F.col("peak") / 100.0, 2).alias("peak_value"),
+            F.round(F.col("cum") / 100.0, 2).alias("trough_value"),
+            "n_peak_days",
+        )
+    )
