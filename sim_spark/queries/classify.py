@@ -1299,3 +1299,110 @@ def ml_svm_hinge_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hinge_loss"),
         )
     )
+
+
+def _auc_oracle() -> str:
+    z = _LGD_Z
+    return (
+        "WITH " + ",\n".join(_lgd_cte_prefix()) + f""",
+scored AS (
+  SELECT f.y, {z} AS s FROM feat f CROSS JOIN w{_LGD_ITERS} w
+),
+ranked AS (
+  SELECT y, s,
+         RANK() OVER (ORDER BY s) AS mn,
+         COUNT(*) OVER (PARTITION BY s) AS tie
+  FROM scored
+)
+SELECT CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       ROUND((SUM(CASE WHEN y = 1.0 THEN mn + (tie - 1) / 2.0 ELSE 0 END)
+              - SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 1) / 2.0)
+             / (SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                * 1.0 * SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)), 6) AS auc,
+       ROUND(2.0 * ((SUM(CASE WHEN y = 1.0 THEN mn + (tie - 1) / 2.0 ELSE 0 END)
+              - SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 1) / 2.0)
+             / (SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                * 1.0 * SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END))) - 1.0, 6)
+         AS gini
+FROM ranked
+"""
+    )
+
+
+@query("ml_roc_auc_exact", oracle=_auc_oracle())
+def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the shared unrolled-logistic scores via the
+    Mann-Whitney identity: AUC = (Σ avg-ranks of positives − n⁺(n⁺+1)/2)
+    / (n⁺·n⁻), ties handled by midranks (RANK() + (tiecount−1)/2). The
+    scores are the SAME deterministic doubles ml_logistic_unrolled /
+    ml_calibration_bins train (shared CTE prefix), so their rank order
+    is engine-identical and the AUC hash-matches — the threshold-free
+    companion to ml_eval_prf's point metrics.
+
+    Scale shape: one global sort window over the scored corpus (the
+    same cost as any ranking metric) + one reduce; at extreme scale the
+    binned-ECDF AUC (stats_ks_binned's shape) substitutes."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts").cast("double") / 24.0).alias("x2"),
+    )
+    n = feat.agg(F.count(F.lit(1)).alias("n"))
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+
+    def z_expr():
+        return (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+
+    for _ in range(_LGD_ITERS):
+        z = z_expr()
+        s = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
+        joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
+        w = joined.agg(
+            *[
+                (
+                    F.max(f"w{j}")
+                    - _LGD_LR
+                    * (
+                        F.sum(
+                            F.floor(
+                                (s - F.col("y")) * F.col(f"x{j}") * _NANO + 0.5
+                            ).cast("long")
+                        ).cast("double")
+                        / (float(_NANO) * F.max("n"))
+                    )
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        )
+    scored = feat.crossJoin(F.broadcast(w)).select("y", z_expr().alias("s"))
+    ranked = scored.select(
+        "y",
+        "s",
+        F.rank().over(W.partitionBy().orderBy("s")).alias("mn"),
+        F.count(F.lit(1)).over(W.partitionBy("s")).alias("tie"),
+    )
+    pos = F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+    neg = F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0))
+    rank_sum = F.sum(
+        F.when(F.col("y") == 1.0, F.col("mn") + (F.col("tie") - 1) / 2.0).otherwise(
+            0.0
+        )
+    )
+    auc = (rank_sum - pos * (pos + 1) / 2.0) / (pos * 1.0 * neg)
+    return ranked.agg(
+        pos.cast("bigint").alias("n_pos"),
+        neg.cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
