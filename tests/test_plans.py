@@ -533,3 +533,38 @@ def test_bootstrap_is_single_pass_explode(spark):
     # ranked x point-estimate broadcast cross; the corpus side must
     # reduce through hash aggregates keyed by resample id.
     assert "hashpartitioning(b#" in p, p
+
+
+def test_assoc_rules_pair_join_is_equi_on_basket(spark):
+    """Pair-support generation must equi-join on the basket key (the
+    a-priori candidate pattern) — never a cartesian over items."""
+    p = plan(spark, "ml_assoc_rules_lift")
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+
+
+def test_drawdown_is_window_chain_no_self_join(spark):
+    """Max drawdown must be the single-pass cumsum -> running-max window
+    chain on the daily frame — no day x day self-join."""
+    p = plan(spark, "events_max_drawdown")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") >= 2, p
+
+
+def test_pit_feature_store_has_no_nested_loop(spark):
+    """Both composed as-of joins must stay keyed window passes — no
+    per-row subquery, no BNLJ against the feature tables."""
+    p = plan(spark, "join_pit_feature_store")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "Window" in p, p
+
+
+def test_survival_km_folds_on_broadcast_array(spark):
+    """The KM prefix products must run on the broadcast collected factor
+    array (one cross join of the bounded table against a 1-row frame) —
+    the corpus side contributes only keyed aggregates."""
+    p = plan(spark, "events_survival_km")
+    assert "CartesianProduct" not in p, p
+    assert "aggregate" in p.lower(), p
