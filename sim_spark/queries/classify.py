@@ -273,35 +273,40 @@ FROM feat f CROSS JOIN w{_LGD_ITERS} w CROSS JOIN n"""
     )
 
 
-@query("ml_logistic_unrolled", oracle=_lgd_oracle())
-def ml_logistic_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unrolled 3-iteration logistic fit, hash-oracled (header comment):
-    rational sigmoid + nano-unit integer gradient sums make every
-    intermediate bit-identical across engines and cluster sizes; the
-    1-row weight relation broadcasts back into the scan per round, so
-    training is a single driver-free Catalyst plan."""
-    e = table(spark, sf_dir, "events")
-    feat = e.select(
+
+
+def _lgd_z():
+    """w·x with the canonical column names — shared by every consumer of
+    the trained weights."""
+    return (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+
+
+def _lgd_feat(e: DataFrame) -> DataFrame:
+    """The (y, x0, x1, x2) feature map shared by the logistic family —
+    the Spark twin of _lgd_cte_prefix()'s feat CTE."""
+    return e.select(
         F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
         F.lit(1.0).alias("x0"),
         (F.col("value") / 100.0).alias("x1"),
         (F.hour("ts").cast("double") / 24.0).alias("x2"),
     )
-    n = feat.agg(F.count(F.lit(1)).alias("n"))
+
+
+def _lgd_train(spark: SparkSession, feat: DataFrame, n: DataFrame) -> DataFrame:
+    """The 3-iteration rational-sigmoid fit — ONE Spark implementation
+    mirroring _lgd_cte_prefix(), so ml_logistic_unrolled,
+    ml_calibration_bins, and ml_roc_auc_exact can never train on
+    diverging weights (the whole point of their shared-score contract)."""
     w = spark.range(1).select(
         F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
     )
-
-    def z_expr():
-        return (
-            F.col("w0") * F.col("x0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-        )
-
     for _ in range(_LGD_ITERS):
-        z = z_expr()
-        s = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
+        z = _lgd_z()
+        sgm = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
         joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
         w = joined.agg(
             *[
@@ -311,7 +316,7 @@ def ml_logistic_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (
                         F.sum(
                             F.floor(
-                                (s - F.col("y")) * F.col(f"x{j}") * _NANO + 0.5
+                                (sgm - F.col("y")) * F.col(f"x{j}") * _NANO + 0.5
                             ).cast("long")
                         ).cast("double")
                         / (float(_NANO) * F.max("n"))
@@ -320,7 +325,21 @@ def ml_logistic_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(3)
             ]
         )
-    z = z_expr()
+    return w
+
+
+@query("ml_logistic_unrolled", oracle=_lgd_oracle())
+def ml_logistic_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrolled 3-iteration logistic fit, hash-oracled (header comment):
+    rational sigmoid + nano-unit integer gradient sums make every
+    intermediate bit-identical across engines and cluster sizes; the
+    1-row weight relation broadcasts back into the scan per round, so
+    training is a single driver-free Catalyst plan."""
+    e = table(spark, sf_dir, "events")
+    feat = _lgd_feat(e)
+    n = feat.agg(F.count(F.lit(1)).alias("n"))
+    w = _lgd_train(spark, feat, n)
+    z = _lgd_z()
     final = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
     return final.agg(
         F.round(F.max("w0"), 6).alias("w0"),
@@ -616,47 +635,10 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     to `ml_eval_prf`; the whole evaluation remains one driver-free plan
     on top of the in-plan trained weights."""
     e = table(spark, sf_dir, "events")
-    feat = e.select(
-        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (F.col("value") / 100.0).alias("x1"),
-        (F.hour("ts").cast("double") / 24.0).alias("x2"),
-    )
+    feat = _lgd_feat(e)
     n = feat.agg(F.count(F.lit(1)).alias("n"))
-    w = spark.range(1).select(
-        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
-    )
-
-    def z_expr():
-        return (
-            F.col("w0") * F.col("x0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-        )
-
-    for _ in range(3):
-        z = z_expr()
-        s = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
-        joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
-        w = joined.agg(
-            *[
-                (
-                    F.max(f"w{j}")
-                    - 1.0
-                    * (
-                        F.sum(
-                            F.floor(
-                                (s - F.col("y")) * F.col(f"x{j}") * 1_000_000_000
-                                + 0.5
-                            ).cast("long")
-                        ).cast("double")
-                        / (1_000_000_000.0 * F.max("n"))
-                    )
-                ).alias(f"w{j}")
-                for j in range(3)
-            ]
-        )
-    z = z_expr()
+    w = _lgd_train(spark, feat, n)
+    z = _lgd_z()
     p = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
     scored = feat.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
     binned = scored.select(
@@ -1346,46 +1328,10 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cost as any ranking metric) + one reduce; at extreme scale the
     binned-ECDF AUC (stats_ks_binned's shape) substitutes."""
     e = table(spark, sf_dir, "events")
-    feat = e.select(
-        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (F.col("value") / 100.0).alias("x1"),
-        (F.hour("ts").cast("double") / 24.0).alias("x2"),
-    )
+    feat = _lgd_feat(e)
     n = feat.agg(F.count(F.lit(1)).alias("n"))
-    w = spark.range(1).select(
-        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
-    )
-
-    def z_expr():
-        return (
-            F.col("w0") * F.col("x0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-        )
-
-    for _ in range(_LGD_ITERS):
-        z = z_expr()
-        s = 0.5 + z / (2.0 * (1.0 + F.abs(z)))
-        joined = feat.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(n))
-        w = joined.agg(
-            *[
-                (
-                    F.max(f"w{j}")
-                    - _LGD_LR
-                    * (
-                        F.sum(
-                            F.floor(
-                                (s - F.col("y")) * F.col(f"x{j}") * _NANO + 0.5
-                            ).cast("long")
-                        ).cast("double")
-                        / (float(_NANO) * F.max("n"))
-                    )
-                ).alias(f"w{j}")
-                for j in range(3)
-            ]
-        )
-    scored = feat.crossJoin(F.broadcast(w)).select("y", z_expr().alias("s"))
+    w = _lgd_train(spark, feat, n)
+    scored = feat.crossJoin(F.broadcast(w)).select("y", _lgd_z().alias("s"))
     ranked = scored.select(
         "y",
         "s",

@@ -214,8 +214,6 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The streaming twin is `stream_session_30m` (session_window); at
     100 TB the batch form backfills history while the stream serves
     the live edge — same session semantics both sides."""
-    from pyspark.sql.window import Window as W
-
     from sim_spark.exprs import ts_str
 
     e = table(spark, sf_dir, "events")
@@ -1044,8 +1042,6 @@ def events_hourly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense and uniform (no skew), and all overlap arithmetic is integer
     epoch-µs (`div`-bucketing, no float boundary). One user-keyed window
     chain + one bucket-keyed aggregate; nothing pairwise."""
-    from pyspark.sql.window import Window as W
-
     from sim_spark.exprs import ts_str
 
     e = table(spark, sf_dir, "events")

@@ -311,33 +311,31 @@ def _hour_spine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAX_LAG = 6
-
-
-@query(
-    "ts_autocorr",
-    oracle=f"""
-WITH {_HOUR_SPINE_SQL},
-tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS s FROM spine),
+def _autocov_cte(max_lag: int) -> str:
+    """DuckDB CTE chain tot/c/nums: exact-integer centered lag products
+    over the dense hour spine — shared by ts_autocorr and
+    ts_yule_walker_ar2 so both keys reduce the SAME quantities."""
+    leads = ", ".join(
+        f"lead(nn * n - s, {k}) OVER (ORDER BY hr) AS cdev_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    sums = ", ".join(
+        f"CAST(sum(cdev * cdev_{k}) AS BIGINT) AS num{k}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS s FROM spine),
 c AS (
-  SELECT hr, nn * n - s AS cdev,
-         {", ".join(f"lead(nn * n - s, {k}) OVER (ORDER BY hr) AS cdev_{k}" for k in range(1, _MAX_LAG + 1))}
+  SELECT hr, nn * n - s AS cdev, {leads}
   FROM spine, tot
 ),
 nums AS (
-  SELECT CAST(sum(cdev * cdev) AS BIGINT) AS num0,
-         {", ".join(f"CAST(sum(cdev * cdev_{k}) AS BIGINT) AS num{k}" for k in range(1, _MAX_LAG + 1))}
+  SELECT CAST(sum(cdev * cdev) AS BIGINT) AS num0, {sums}
   FROM c
-)
-{" UNION ALL ".join(f"SELECT {k} AS lag, round(num{k} * 1.0 / num0, 6) AS autocorr FROM nums" for k in range(1, _MAX_LAG + 1))}
-ORDER BY lag
-""",
-)
-def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly-count autocorrelation at lags 1..6 in exact integer space
-    (module docstring): r_k = Σ cdev_t·cdev_{{t+k}} / Σ cdev_t² where
-    cdev = N·n − S is int64 — the only float op is the final division
-    of two exact integers, identical in any engine at any parallelism."""
+)"""
+
+
+def _autocov_nums(spark: SparkSession, sf_dir: str, max_lag: int) -> DataFrame:
+    """Spark twin of _autocov_cte: the 1-row (num0..num{max_lag}) frame."""
     spine = _hour_spine_spark(spark, sf_dir)
     tot = spine.agg(
         F.count(F.lit(1)).cast("long").alias("nn"),
@@ -349,15 +347,39 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("hr")
     leads = c.select(
         "cdev",
-        *[F.lead("cdev", k).over(w).alias(f"cdev_{k}") for k in range(1, _MAX_LAG + 1)],
+        *[
+            F.lead("cdev", k).over(w).alias(f"cdev_{k}")
+            for k in range(1, max_lag + 1)
+        ],
     )
-    nums = leads.agg(
+    return leads.agg(
         F.sum(F.col("cdev") * F.col("cdev")).cast("long").alias("num0"),
         *[
             F.sum(F.col("cdev") * F.col(f"cdev_{k}")).cast("long").alias(f"num{k}")
-            for k in range(1, _MAX_LAG + 1)
+            for k in range(1, max_lag + 1)
         ],
     )
+
+
+
+_MAX_LAG = 6
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+WITH {_HOUR_SPINE_SQL},
+{_autocov_cte(_MAX_LAG)}
+{" UNION ALL ".join(f"SELECT {k} AS lag, round(num{k} * 1.0 / num0, 6) AS autocorr FROM nums" for k in range(1, _MAX_LAG + 1))}
+ORDER BY lag
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count autocorrelation at lags 1..6 in exact integer space
+    (module docstring): r_k = Σ cdev_t·cdev_{{t+k}} / Σ cdev_t² where
+    cdev = N·n − S is int64 — the only float op is the final division
+    of two exact integers, identical in any engine at any parallelism."""
+    nums = _autocov_nums(spark, sf_dir, _MAX_LAG)
     lags = None
     for k in range(1, _MAX_LAG + 1):
         row = nums.select(
@@ -1237,19 +1259,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_yule_walker_ar2",
     oracle=f"""
 WITH {_HOUR_SPINE_SQL},
-tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS s FROM spine),
-c AS (
-  SELECT hr, nn * n - s AS cdev,
-         lead(nn * n - s, 1) OVER (ORDER BY hr) AS cdev_1,
-         lead(nn * n - s, 2) OVER (ORDER BY hr) AS cdev_2
-  FROM spine, tot
-),
-nums AS (
-  SELECT CAST(sum(cdev * cdev) AS BIGINT) AS num0,
-         CAST(sum(cdev * cdev_1) AS BIGINT) AS num1,
-         CAST(sum(cdev * cdev_2) AS BIGINT) AS num2
-  FROM c
-),
+{_autocov_cte(2)},
 r AS (
   SELECT num1 * 1.0 / num0 AS r1, num2 * 1.0 / num0 AS r2 FROM nums
 ),
@@ -1290,19 +1300,7 @@ def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("nn"),
         F.sum("n").cast("long").alias("s"),
     )
-    c = spine.crossJoin(F.broadcast(tot)).select(
-        "hr", "n", (F.col("nn") * F.col("n") - F.col("s")).alias("cdev")
-    )
-    w = W.orderBy("hr")
-    nums = c.select(
-        "cdev",
-        F.lead("cdev", 1).over(w).alias("cdev_1"),
-        F.lead("cdev", 2).over(w).alias("cdev_2"),
-    ).agg(
-        F.sum(F.col("cdev") * F.col("cdev")).cast("long").alias("num0"),
-        F.sum(F.col("cdev") * F.col("cdev_1")).cast("long").alias("num1"),
-        F.sum(F.col("cdev") * F.col("cdev_2")).cast("long").alias("num2"),
-    )
+    nums = _autocov_nums(spark, sf_dir, 2)
     r1 = F.col("num1") * 1.0 / F.col("num0")
     r2 = F.col("num2") * 1.0 / F.col("num0")
     phi = nums.select(

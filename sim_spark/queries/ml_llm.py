@@ -796,7 +796,7 @@ def ml_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH r AS (
   SELECT o_custkey AS u, l_partkey AS it,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ),
@@ -843,7 +843,15 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
-        .agg(F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("q"))
+        .agg(
+            # floor(x+0.5), never a raw double->long cast: DuckDB CAST
+            # rounds while Spark truncates (repo pitfall rule) — the
+            # fixture's quantities happen to be integral, but the
+            # contract must not depend on that.
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("q")
+        )
     )
     uf = r.groupBy("u").agg(
         F.floor(F.sum("q") * 1000000000.0 / F.count(F.lit(1)) + F.lit(0.5))

@@ -91,11 +91,15 @@ def word_5grams(df: DataFrame, *keep: str) -> DataFrame:
     an empty gram list like the oracle's generate_series. Shared by
     decontam_ngram_overlap and curate_pipeline_e2e so the guard lives in
     exactly one place."""
-    words = F.split("text", " ")
+    # Tokenize ONCE into a real column (dedup_onion_ngram note): a
+    # split() spliced into the transform lambda re-evaluates per element
+    # on the interpreted HOF path.
+    t = df.select(*keep, F.split("text", " ").alias("__ws"))
+    words = F.col("__ws")
     starts = F.when(
         F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
     ).otherwise(F.array().cast("array<int>"))
-    return df.select(
+    return t.select(
         *keep,
         F.explode(
             F.transform(starts, lambda i: F.array_join(F.slice(words, i, 5), " "))

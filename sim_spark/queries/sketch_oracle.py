@@ -453,6 +453,46 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL register-level union: the mergeability proof, oracled
 # --------------------------------------------------------------------------
 
+
+
+def _hll_rho() -> "F.Column":
+    """rho (leading-zero rank) of the shared-hash column h — the single
+    Spark definition of the register update, shared by every
+    explicit-register HLL key."""
+    return F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+    )
+
+
+def _hll_fill(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """Dense m-register view (missing registers = 0)."""
+    spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
+    return spine.join(regs, "reg", "left").select(
+        "reg", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+
+
+def _hll_estimate(regs: DataFrame, out: str) -> DataFrame:
+    """The canonical small-range-corrected HLL estimate — one shared
+    formula so no key can fork alpha or the linear-counting cutoff."""
+    est = regs.agg(
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+        ).alias("raw"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros"))
+    return est.select(
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLL_M) & (F.col("zeros") > 0), lin
+            ).otherwise(F.col("raw")),
+            6,
+        ).alias(out)
+    )
+
+
 _HLL_UNION_ORACLE = f"""
 WITH hv AS (
   SELECT DISTINCT event_type, {_h48_sql("CAST(user_id AS VARCHAR)")} AS h
@@ -504,41 +544,14 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = e.select(
         "event_type", _h48_spark(F.col("user_id").cast("string")).alias("h")
     ).distinct()
-    rho = F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
-    )
     cells = hv.select(
-        "event_type", (F.col("h") % _HLL_M).alias("reg"), rho.alias("rho")
+        "event_type", (F.col("h") % _HLL_M).alias("reg"), _hll_rho().alias("rho")
     )
     per_type = cells.groupBy("event_type", "reg").agg(F.max("rho").alias("rho"))
     merged = per_type.groupBy("reg").agg(F.max("rho").alias("rho"))
     direct = cells.groupBy("reg").agg(F.max("rho").alias("rho"))
-    spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
-
-    def full(regs: DataFrame) -> DataFrame:
-        return spine.join(regs, "reg", "left").select(
-            "reg", F.coalesce("rho", F.lit(0)).alias("rho")
-        )
-
-    m_full, d_full = full(merged), full(direct)
-
-    def estimate(regs: DataFrame, out: str) -> DataFrame:
-        est = regs.agg(
-            (
-                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
-                / F.sum(F.pow(F.lit(2.0), -F.col("rho")))
-            ).alias("raw"),
-            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
-        )
-        lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros"))
-        return est.select(
-            F.round(
-                F.when(
-                    (F.col("raw") <= 2.5 * _HLL_M) & (F.col("zeros") > 0), lin
-                ).otherwise(F.col("raw")),
-                6,
-            ).alias(out)
-        )
+    m_full, d_full = _hll_fill(spark, merged), _hll_fill(spark, direct)
+    estimate = _hll_estimate
 
     mism = (
         m_full.withColumnRenamed("rho", "rho_m")
@@ -616,61 +629,40 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the exact join count so the estimator's error is measurable in
     the result itself. Registers, max-merges, and zero counts are exact
     integers; the estimates reuse the sketch_hll_exactreg formula."""
+    from sim_spark.scratch import track_cache
+
     e = table(spark, sf_dir, "events")
 
-    def regs(etype: str) -> DataFrame:
-        hv = (
+    def hashes(etype: str) -> DataFrame:
+        # Cached: each set's distinct-hash frame feeds its register
+        # build AND the exact-intersection join (r7e review: uncached,
+        # the events corpus was scanned ~6 times).
+        return track_cache(
             e.filter(F.col("event_type") == etype)
             .select(_h48_spark(F.col("user_id").cast("string")).alias("h"))
             .distinct()
         )
-        rho = F.when(
-            F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)
-        ).otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}"))))
-        r = hv.select((F.col("h") % _HLL_M).alias("reg"), rho.alias("rho")).groupBy(
-            "reg"
-        ).agg(F.max("rho").alias("rho"))
-        spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
-        return spine.join(r, "reg", "left").select(
-            "reg", F.coalesce("rho", F.lit(0)).alias("rho")
-        )
 
-    ra, rb = regs("purchase"), regs("view")
+    pu, vu = hashes("purchase"), hashes("view")
+
+    def regs(hv: DataFrame) -> DataFrame:
+        r = (
+            hv.select((F.col("h") % _HLL_M).alias("reg"), _hll_rho().alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        return _hll_fill(spark, r)
+
+    ra, rb = regs(pu), regs(vu)
     ru = (
         ra.withColumnRenamed("rho", "rho_a")
         .join(rb.withColumnRenamed("rho", "rho_b"), "reg")
         .select("reg", F.greatest("rho_a", "rho_b").alias("rho"))
     )
 
-    def est(r: DataFrame, out: str) -> DataFrame:
-        agg = r.agg(
-            (
-                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
-                / F.sum(F.pow(F.lit(2.0), -F.col("rho")))
-            ).alias("raw"),
-            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
-        )
-        lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros"))
-        return agg.select(
-            F.round(
-                F.when(
-                    (F.col("raw") <= 2.5 * _HLL_M) & (F.col("zeros") > 0), lin
-                ).otherwise(F.col("raw")),
-                6,
-            ).alias(out)
-        )
-
-    pu = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(_h48_spark(F.col("user_id").cast("string")).alias("h"))
-        .distinct()
-    )
-    vu = (
-        e.filter(F.col("event_type") == "view")
-        .select(_h48_spark(F.col("user_id").cast("string")).alias("ha"))
-        .distinct()
-    )
-    exact = pu.join(vu, pu.h == vu.ha).agg(
+    est = _hll_estimate
+    vua = vu.withColumnRenamed("h", "ha")
+    exact = pu.join(vua, pu.h == vua.ha).agg(
         F.count(F.lit(1)).cast("long").alias("exact_intersection")
     )
     return (

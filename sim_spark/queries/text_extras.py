@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sim_spark.exprs import h48, sql_h48
+from sim_spark.exprs import h48
 from sim_spark.io import table
 from sim_spark.ops.multimodal import binary_features
 from sim_spark.registry import query
