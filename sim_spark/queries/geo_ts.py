@@ -1336,3 +1336,130 @@ def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DFT power at fixed periods — spectral analysis with LITERAL twiddles
+# ---------------------------------------------------------------------------
+#
+# sin/cos are libm (not guaranteed identical across engines), so the
+# twiddle factors are PRE-EVALUATED 17-digit literals generated once in
+# Python and embedded in BOTH engines — parsing the same decimal text
+# yields the same nearest double everywhere, and the angle index is
+# t mod P (exact integer), so no trig ever executes at query time.
+# Per-row products n_t * twiddle are nano-quantized to int64 before the
+# sum (reduction-order-proof); power = c^2 + s^2 from the two exact
+# sums. Periods 24/12/8/6 h — the harmonics of the daily cycle.
+
+
+@query(
+    "ts_dft_power_periods",
+    oracle=f"""
+WITH {_HOUR_SPINE_SQL},
+b AS (SELECT MIN(hr) AS h0 FROM spine),
+per AS (
+  SELECT 24 AS p,
+         CAST([1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.5000000000000001, 0.25881904510252074, 6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998, -0.7071067811865475, -0.8660254037844387, -0.9659258262890682, -1.0, -0.9659258262890683, -0.8660254037844388, -0.7071067811865479, -0.5000000000000004, -0.25881904510252063, -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001, 0.7071067811865474, 0.8660254037844384, 0.9659258262890681] AS DOUBLE[]) AS ct,
+         CAST([0.0, 0.25881904510252074, 0.49999999999999994, 0.7071067811865475, 0.8660254037844386, 0.9659258262890683, 1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.49999999999999994, 0.258819045102521, 1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997, -0.7071067811865471, -0.8660254037844384, -0.9659258262890683, -1.0, -0.9659258262890684, -0.8660254037844386, -0.7071067811865477, -0.5000000000000004, -0.25881904510252157] AS DOUBLE[]) AS st
+  UNION ALL
+  SELECT 12 AS p,
+         CAST([1.0, 0.8660254037844387, 0.5000000000000001, 6.123233995736766e-17, -0.4999999999999998, -0.8660254037844387, -1.0, -0.8660254037844388, -0.5000000000000004, -1.8369701987210297e-16, 0.5000000000000001, 0.8660254037844384] AS DOUBLE[]) AS ct,
+         CAST([0.0, 0.49999999999999994, 0.8660254037844386, 1.0, 0.8660254037844387, 0.49999999999999994, 1.2246467991473532e-16, -0.4999999999999997, -0.8660254037844384, -1.0, -0.8660254037844386, -0.5000000000000004] AS DOUBLE[]) AS st
+  UNION ALL
+  SELECT 8 AS p,
+         CAST([1.0, 0.7071067811865476, 6.123233995736766e-17, -0.7071067811865475, -1.0, -0.7071067811865477, -1.8369701987210297e-16, 0.7071067811865474] AS DOUBLE[]) AS ct,
+         CAST([0.0, 0.7071067811865475, 1.0, 0.7071067811865476, 1.2246467991473532e-16, -0.7071067811865475, -1.0, -0.7071067811865477] AS DOUBLE[]) AS st
+  UNION ALL
+  SELECT 6 AS p,
+         CAST([1.0, 0.5000000000000001, -0.4999999999999998, -1.0, -0.5000000000000004, 0.5000000000000001] AS DOUBLE[]) AS ct,
+         CAST([0.0, 0.8660254037844386, 0.8660254037844387, 1.2246467991473532e-16, -0.8660254037844384, -0.8660254037844386] AS DOUBLE[]) AS st
+),
+cells AS (
+  SELECT per.p,
+         CAST(floor(s.n * per.ct[CAST((s.hr - b.h0) % per.p AS INTEGER) + 1]
+                    * 1000000000.0 + 0.5) AS BIGINT) AS cq,
+         CAST(floor(s.n * per.st[CAST((s.hr - b.h0) % per.p AS INTEGER) + 1]
+                    * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM spine s CROSS JOIN b CROSS JOIN per
+)
+SELECT p AS period_hours,
+       CAST(SUM(cq) AS BIGINT) AS c_nano,
+       CAST(SUM(sq) AS BIGINT) AS s_nano,
+       ROUND(POWER(SUM(cq) / 1000000000.0, 2)
+             + POWER(SUM(sq) / 1000000000.0, 2), 4) AS power
+FROM cells GROUP BY p
+""",
+)
+def ts_dft_power_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier power of the hourly count series at the 24/12/
+    8/6-hour harmonics (block comment: literal twiddle tables, so the
+    whole spectrum needs zero runtime trig and the nano-quantized
+    projections hash-match). The engine-portable way to ask "how strong
+    is the daily cycle?" — the spectral companion to ts_seasonal_hod's
+    time-domain indices.
+
+    Scale shape: the corpus reduces to the hour spine once; the per-
+    period projection is a constant-fanout (4x) explode feeding one
+    partial+final integer aggregate keyed by period."""
+    spine = _hour_spine_spark(spark, sf_dir)
+    b = spine.agg(F.min("hr").alias("h0"))
+    per = F.array(
+        F.struct(
+            F.lit(24).cast("long").alias("p"),
+            F.array(*[F.lit(v) for v in [1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.5000000000000001, 0.25881904510252074, 6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998, -0.7071067811865475, -0.8660254037844387, -0.9659258262890682, -1.0, -0.9659258262890683, -0.8660254037844388, -0.7071067811865479, -0.5000000000000004, -0.25881904510252063, -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001, 0.7071067811865474, 0.8660254037844384, 0.9659258262890681]]).alias("ct"),
+            F.array(*[F.lit(v) for v in [0.0, 0.25881904510252074, 0.49999999999999994, 0.7071067811865475, 0.8660254037844386, 0.9659258262890683, 1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.49999999999999994, 0.258819045102521, 1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997, -0.7071067811865471, -0.8660254037844384, -0.9659258262890683, -1.0, -0.9659258262890684, -0.8660254037844386, -0.7071067811865477, -0.5000000000000004, -0.25881904510252157]]).alias("st"),
+        ),
+        F.struct(
+            F.lit(12).cast("long").alias("p"),
+            F.array(*[F.lit(v) for v in [1.0, 0.8660254037844387, 0.5000000000000001, 6.123233995736766e-17, -0.4999999999999998, -0.8660254037844387, -1.0, -0.8660254037844388, -0.5000000000000004, -1.8369701987210297e-16, 0.5000000000000001, 0.8660254037844384]]).alias("ct"),
+            F.array(*[F.lit(v) for v in [0.0, 0.49999999999999994, 0.8660254037844386, 1.0, 0.8660254037844387, 0.49999999999999994, 1.2246467991473532e-16, -0.4999999999999997, -0.8660254037844384, -1.0, -0.8660254037844386, -0.5000000000000004]]).alias("st"),
+        ),
+        F.struct(
+            F.lit(8).cast("long").alias("p"),
+            F.array(*[F.lit(v) for v in [1.0, 0.7071067811865476, 6.123233995736766e-17, -0.7071067811865475, -1.0, -0.7071067811865477, -1.8369701987210297e-16, 0.7071067811865474]]).alias("ct"),
+            F.array(*[F.lit(v) for v in [0.0, 0.7071067811865475, 1.0, 0.7071067811865476, 1.2246467991473532e-16, -0.7071067811865475, -1.0, -0.7071067811865477]]).alias("st"),
+        ),
+        F.struct(
+            F.lit(6).cast("long").alias("p"),
+            F.array(*[F.lit(v) for v in [1.0, 0.5000000000000001, -0.4999999999999998, -1.0, -0.5000000000000004, 0.5000000000000001]]).alias("ct"),
+            F.array(*[F.lit(v) for v in [0.0, 0.8660254037844386, 0.8660254037844387, 1.2246467991473532e-16, -0.8660254037844384, -0.8660254037844386]]).alias("st"),
+        ),
+    )
+    cells = (
+        spine.crossJoin(F.broadcast(b))
+        .select("hr", "n", "h0", F.explode(per).alias("x"))
+        .select(
+            F.col("x.p").alias("p"),
+            F.floor(
+                F.col("n")
+                * F.element_at(
+                    F.col("x.ct"),
+                    ((F.col("hr") - F.col("h0")) % F.col("x.p")).cast("int") + 1,
+                )
+                * 1000000000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq"),
+            F.floor(
+                F.col("n")
+                * F.element_at(
+                    F.col("x.st"),
+                    ((F.col("hr") - F.col("h0")) % F.col("x.p")).cast("int") + 1,
+                )
+                * 1000000000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    return cells.groupBy(F.col("p").alias("period_hours")).agg(
+        F.sum("cq").cast("bigint").alias("c_nano"),
+        F.sum("sq").cast("bigint").alias("s_nano"),
+        F.round(
+            F.pow(F.sum("cq") / 1000000000.0, 2)
+            + F.pow(F.sum("sq") / 1000000000.0, 2),
+            4,
+        ).alias("power"),
+    )
