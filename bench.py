@@ -161,20 +161,22 @@ def main() -> None:
         pass  # sanity column is best-effort
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "runs_per_query": RUNS,
-                "duckdb_sanity": duck,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "runs_per_query": RUNS,
+    }
+    # Full record (with the DuckDB sanity column) to stderr — context for
+    # humans. stdout carries ONLY the compact result as its final line:
+    # the external driver records a bounded tail of stdout, and r7's
+    # BENCH showed `parsed: null` because the 3.6 KB line (sanity column
+    # included) overflowed that tail window.
+    print(json.dumps({**result, "duckdb_sanity": duck}), file=sys.stderr)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -14,14 +14,20 @@ provides two optimizer rules, installed into the session's
 batch, applied to every subsequent plan including pure SQL strings):
 
 * ``simspark.SqlBandJoinRewrite`` — inner joins whose condition is a
-  bounded band over INTEGRAL attributes with no equi conjunct are
-  replanned as bucket-explode + equi-join + exact refine with the
-  ORIGINAL predicate (candidate superset — row-identical by
-  construction; the same algebra as ops/autojoin.py, decimal(38,0)
-  bucket arithmetic included).
+  bounded band over INTEGRAL, TIMESTAMP, or DATE attributes with no
+  equi conjunct are replanned as bucket-explode + equi-join + exact
+  refine with the ORIGINAL predicate (candidate superset —
+  row-identical by construction; the same algebra as ops/autojoin.py,
+  decimal(38,0) bucket arithmetic included). Timestamp and date axes
+  reduce to the integral machinery through their exact epoch mappings
+  (``unix_micros``/``unix_date``); interval offsets must be day-time
+  (fixed-width) literals.
 * ``simspark.NaiveBandJoinWarning`` — shapes the rewrite does not
-  cover (timestamp/double axes, exotic arithmetic) log a loud
-  warning naming auto_join/auto_asof and bump a counter.
+  cover (double axes, year-month intervals, exotic arithmetic) log a
+  loud warning naming auto_join/auto_asof and bump a counter. Both
+  counters dedupe on the condition's semanticHash (the optimizer
+  re-runs extra rules in its fixed-point batch and under AQE), so
+  they count distinct join conditions, not rule visits.
 
 Installation is purely additive and opportunistic: the jar loads
 through a child URLClassLoader of the live JVM (no session restart, no
@@ -33,9 +39,10 @@ way; only the PLAN differs (asserted in tests/test_plans.py, skipped
 when the extension is unavailable).
 
 Documented limitation (the honest fence SURVEY §4.3 asked to keep
-visible): SQL-string bands over timestamp/date/double axes still plan
-naively and WARN — the per-unit offset typing that makes those safe
-lives in the Python walker; use the DataFrame API (auto_join) there.
+visible, shrunk in r8): SQL-string bands over DOUBLE axes (and
+variable-width year-month intervals) still plan naively and WARN —
+float bucket arithmetic is not exact, so the rewrite stays integral;
+use the DataFrame API (auto_join) there.
 """
 
 from __future__ import annotations
@@ -51,6 +58,23 @@ _JAR = os.path.join(_EXT_DIR, "simspark-ext.jar")
 
 # app-id -> (installed?, diagnostics JavaObject or None)
 _INSTALLED: dict[str, tuple[bool, object]] = {}
+
+
+def _jar_stale() -> bool:
+    """True when any .scala source under ext/src is newer than the
+    committed jar — editing the rule source must trigger a rebuild, or
+    the session silently runs stale compiled rules (r7 ADVICE)."""
+    if not os.path.exists(_JAR):
+        return True
+    jar_mtime = os.path.getmtime(_JAR)
+    src_dir = os.path.join(_EXT_DIR, "src")
+    for root, _, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".scala") and os.path.getmtime(
+                os.path.join(root, f)
+            ) > jar_mtime:
+                return True
+    return False
 
 
 def _build_jar() -> bool:
@@ -83,8 +107,16 @@ def install_sql_band_extension(spark: SparkSession) -> bool:
     ok = False
     diag = None
     try:
-        if not os.path.exists(_JAR) and not _build_jar():
-            raise FileNotFoundError(_JAR)
+        if _jar_stale() and not _build_jar():
+            if not os.path.exists(_JAR):
+                raise FileNotFoundError(_JAR)
+            import warnings
+
+            warnings.warn(
+                "ext/src is newer than ext/simspark-ext.jar and the "
+                "rebuild failed — running the STALE compiled rules",
+                stacklevel=2,
+            )
         jvm = spark._jvm
         gw = spark.sparkContext._gateway
         url = jvm.java.io.File(_JAR).toURI().toURL()

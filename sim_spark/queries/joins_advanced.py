@@ -99,6 +99,36 @@ def join_sql_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_BAND_TEXT)
 
 
+_SQL_BAND_TS_TEXT = """
+SELECT e.event_id AS error_id, v.event_id AS view_id
+FROM events e JOIN events v
+  ON e.event_type = 'error' AND v.event_type = 'view'
+ AND v.ts <= e.ts
+ AND v.ts >= e.ts - INTERVAL 2 MINUTE
+ORDER BY error_id, view_id
+"""
+
+
+@query("join_sql_band_ts", oracle=_SQL_BAND_TS_TEXT)
+def join_sql_band_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every view within the 2 minutes before an error — any user, so no
+    equi key — written as a NAIVE timestamp band inside a spark.sql()
+    STRING. Round 8 extends the compiled Catalyst rule
+    (ext/src/SimSparkExtensions.scala) from integral axes to TIMESTAMP
+    and DATE axes: the analyzer folds ``ts - INTERVAL`` into
+    TimestampAddInterval(attr, day-time-literal), whose offset is exact
+    epoch MICROSECONDS, so the same decimal(38,0) bucket algebra applies
+    after a unix_micros mapping. The plan is a bucket equi-join + exact
+    refine (asserted BNLJ-free in tests/test_plans.py); DuckDB runs the
+    identical SQL text as the oracle. This shrinks the ops/sqlband.py
+    fence to double axes only."""
+    from sim_spark.ops.sqlband import install_sql_band_extension
+
+    install_sql_band_extension(spark)
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_SQL_BAND_TS_TEXT)
+
+
 @query(
     "join_asof",
     oracle="""

@@ -86,7 +86,15 @@ def idempotent_foreach_batch(
             out.write(bytearray(b"committed"))
         finally:
             out.close()
-        fs.rename(tmp, marker)
+        # HDFS-style FileSystems report rename failure by RETURNING false
+        # (dest already exists, tmp vanished) rather than throwing. A
+        # silently missing marker keeps the batch re-running on every
+        # restart — allowed for correctness, but it must be visible.
+        if not fs.rename(tmp, marker) and not fs.exists(marker):
+            raise IOError(
+                f"commit-marker rename failed: {tmp} -> {marker} "
+                "(batch output is written; the batch will re-run on restart)"
+            )
 
     return sink
 

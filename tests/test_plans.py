@@ -196,6 +196,22 @@ def test_sql_string_band_join_is_rewritten_to_equi(spark):
     assert diagnostics(spark)["rewrites"] > before
 
 
+def test_sql_string_timestamp_band_join_is_rewritten_to_equi(spark):
+    """Round 8: the rule also covers TIMESTAMP axes with INTERVAL-literal
+    bounds (exact epoch-micros mapping) — a naive ts band in SQL text
+    must plan as a bucket equi-join, not BNLJ."""
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+    before = diagnostics(spark)["rewrites"]
+    p = plan(spark, "join_sql_band_ts")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+    assert diagnostics(spark)["rewrites"] > before
+
+
 def test_image_dhash_band_join_is_equi_not_cartesian(spark):
     """Image near-dup candidates must come from the banded equi-join on
     (band_no, band_value) — an all-pairs Hamming scan (cartesian/BNLJ)
