@@ -95,7 +95,10 @@ SPECIAL = {
     "join_bucketed_colocated_read": _bucketed_read_leg,
 }
 
-RUNS = 3
+# Samples per query (median reported). Overridable for variance studies
+# (e.g. SPARK_GRAFT_BENCH_RUNS=5 for the r8 drift adjudication) without
+# touching the recorded default protocol.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _materialize(df) -> None:
@@ -130,6 +133,7 @@ def main() -> None:
     release_tracked_caches()
 
     times: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = SPECIAL.get(name) or QUERIES[name]
         _materialize(fn(spark, sf_dir))  # warm-up: JIT, code cache, file stats
@@ -137,28 +141,32 @@ def main() -> None:
         for _ in range(RUNS):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 4))
+        all_samples[name] = samples
         times[name] = round(statistics.median(samples), 3)
         # Per-QUERY release (not per-run): timed runs keep the same warm
         # cache profile as earlier rounds, but blocks never accumulate
         # across queries/sf_dirs for the session lifetime (ADVICE r5).
         release_tracked_caches()
 
-    # DuckDB sanity column (same parquet, oracle SQL) — context, not a gate.
+    # DuckDB sanity column (same parquet, oracle SQL) — context, not a
+    # gate. SPARK_GRAFT_SKIP_DUCK=1 skips it (its CC recursive CTE alone
+    # runs ~250 s at sf0.1 — pure overhead for variance studies).
     duck: dict[str, float] = {}
-    try:
-        from sim_spark.testing import duckdb_connect
+    if os.environ.get("SPARK_GRAFT_SKIP_DUCK") != "1":
+        try:
+            from sim_spark.testing import duckdb_connect
 
-        con = duckdb_connect(sf_dir)
-        for name in HEADLINE:
-            if name not in ORACLES:
-                continue
-            t0 = time.perf_counter()
-            con.execute(ORACLES[name]).fetchall()
-            duck[name] = round(time.perf_counter() - t0, 3)
-        con.close()
-    except Exception:
-        pass  # sanity column is best-effort
+            con = duckdb_connect(sf_dir)
+            for name in HEADLINE:
+                if name not in ORACLES:
+                    continue
+                t0 = time.perf_counter()
+                con.execute(ORACLES[name]).fetchall()
+                duck[name] = round(time.perf_counter() - t0, 3)
+            con.close()
+        except Exception:
+            pass  # sanity column is best-effort
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -176,6 +184,10 @@ def main() -> None:
     # BENCH showed `parsed: null` because the 3.6 KB line (sanity column
     # included) overflowed that tail window.
     print(json.dumps({**result, "duckdb_sanity": duck}), file=sys.stderr)
+    samples_out = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES_OUT")
+    if samples_out:  # raw per-run samples for variance studies
+        with open(samples_out, "w") as f:
+            json.dump({**result, "samples": all_samples}, f)
     print(json.dumps(result))
     spark.stop()
 

@@ -326,6 +326,63 @@ def gen_wav_payload(doc_id: int, n_chars: int) -> bytes:
     return encode_wav(samples.astype("<i2"), 8000 + (doc_id % 3) * 4000)
 
 
+# Quantized sine tables round(amp * sin(2*pi*i/64)) for amp 2000/1000/500,
+# pasted as LITERAL integers so Spark and DuckDB share the exact values —
+# the same trick as the r7 DFT twiddle tables; no runtime libm call can
+# diverge between engines.
+SIN64A = [
+    0, 196, 390, 581, 765, 943, 1111, 1269, 1414, 1546, 1663, 1764, 1848,
+    1914, 1962, 1990, 2000, 1990, 1962, 1914, 1848, 1764, 1663, 1546, 1414,
+    1269, 1111, 943, 765, 581, 390, 196, 0, -196, -390, -581, -765, -943,
+    -1111, -1269, -1414, -1546, -1663, -1764, -1848, -1914, -1962, -1990,
+    -2000, -1990, -1962, -1914, -1848, -1764, -1663, -1546, -1414, -1269,
+    -1111, -943, -765, -581, -390, -196,
+]
+SIN64B = [
+    0, 98, 195, 290, 383, 471, 556, 634, 707, 773, 831, 882, 924, 957, 981,
+    995, 1000, 995, 981, 957, 924, 882, 831, 773, 707, 634, 556, 471, 383,
+    290, 195, 98, 0, -98, -195, -290, -383, -471, -556, -634, -707, -773,
+    -831, -882, -924, -957, -981, -995, -1000, -995, -981, -957, -924, -882,
+    -831, -773, -707, -634, -556, -471, -383, -290, -195, -98,
+]
+SIN64C = [
+    0, 49, 98, 145, 191, 236, 278, 317, 354, 387, 416, 441, 462, 478, 490,
+    498, 500, 498, 490, 478, 462, 441, 416, 387, 354, 317, 278, 236, 191,
+    145, 98, 49, 0, -49, -98, -145, -191, -236, -278, -317, -354, -387,
+    -416, -441, -462, -478, -490, -498, -500, -498, -490, -478, -462, -441,
+    -416, -387, -354, -317, -278, -236, -191, -145, -98, -49,
+]
+
+
+def gen_wav_tone_payload(doc_id: int) -> bytes:
+    """Non-degenerate deterministic audio: 512 mono PCM16 samples = the
+    sum of three quantized sinusoids whose frequencies and phases depend
+    on the doc's GROUP (doc_id // 4), plus a tiny per-doc integer
+    perturbation — so the 4 docs of a group are near-duplicate
+    recordings and distinct groups are spectrally distinct.
+
+    Why a second WAV generator: :func:`gen_wav_payload` is a linear ramp
+    whose per-window energy derivative is constant, so any
+    energy-derivative fingerprint degenerates to all-pairs (the r7
+    SCALE.md note that blocked audio near-dup dedup). This one gives
+    fingerprints real structure while staying integer-exact and
+    table-driven, so DuckDB reproduces every sample in SQL."""
+    import numpy as np
+
+    g = doc_id // 4
+    i = np.arange(512, dtype=np.int64)
+    f1, f2, f3 = 1 + g % 5, 2 + g % 9, 3 + g % 13
+    p1, p2 = (g * 7) % 64, (g * 13) % 64
+    s = (
+        np.array(SIN64A, dtype=np.int64)[(f1 * i + p1) % 64]
+        + np.array(SIN64B, dtype=np.int64)[(f2 * i + p2) % 64]
+        + np.array(SIN64C, dtype=np.int64)[(f3 * i) % 64]
+        + (doc_id * 131 + i * 17) % 7
+        - 3
+    )
+    return encode_wav(s.astype("<i2"), 16000)
+
+
 def gen_bmp_payload(doc_id: int) -> bytes:
     """Deterministic synthetic image: 24-bpp BMP, width 4 + doc_id % 13
     (exercises non-multiple-of-4 stride padding), height 3 + doc_id % 7,

@@ -27,9 +27,13 @@ from pyspark.sql import functions as F
 
 from sim_spark.io import table
 from sim_spark.ops.multimodal import (
+    SIN64A,
+    SIN64B,
+    SIN64C,
     bmp_features,
     gen_bmp_payload,
     gen_wav_payload,
+    gen_wav_tone_payload,
     wav_features,
 )
 from sim_spark.registry import query
@@ -356,6 +360,178 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("hd", hd)
         .filter(F.col("hd") <= 4)
+        .groupBy(F.col("db").alias("doc_id"))
+        .agg(
+            F.min("da").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dups_smaller"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _gen_tone_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [gen_wav_tone_payload(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _wav_fingerprint_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each WAV and emit its 31-bit energy-derivative fingerprint
+    packed as 4 band values (3x8 bits + 1x7): window the 512 samples
+    into 32 frames of 16, take per-frame sum(|s|), and set bit w when
+    frame w+1 is louder than frame w — the classic landmark/Chromaprint
+    shape reduced to its integer-exact core."""
+    import numpy as np
+
+    from sim_spark.ops.multimodal import decode_wav
+
+    for pdf in batches:
+        rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, s = decode_wav(bytes(payload))
+            e = np.abs(s.astype(np.int64)).reshape(32, 16).sum(axis=1)
+            bits = (e[1:] > e[:-1]).astype(np.int64)  # 31 bits
+            rows["doc_id"].append(int(doc_id))
+            for k in range(4):
+                seg = bits[8 * k : 8 * k + 8]
+                rows[f"b{k}"].append(
+                    int(sum(int(seg[j]) << j for j in range(len(seg))))
+                )
+        yield pd.DataFrame(rows)
+
+
+def _lut(vals: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+_AUDIO_FP_ORACLE = f"""
+WITH luts AS (
+  SELECT {_lut(SIN64A)}::BIGINT[] AS sa,
+         {_lut(SIN64B)}::BIGINT[] AS sb,
+         {_lut(SIN64C)}::BIGINT[] AS sc
+),
+docs AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
+smp AS (
+  SELECT doc_id, i,
+         sa[1 + ((1 + g % 5) * i + (g * 7) % 64) % 64]
+       + sb[1 + ((2 + g % 9) * i + (g * 13) % 64) % 64]
+       + sc[1 + ((3 + g % 13) * i) % 64]
+       + (doc_id * 131 + i * 17) % 7 - 3 AS v
+  FROM docs, luts, (SELECT unnest(range(0, 512)) AS i) s
+),
+en AS (
+  SELECT doc_id, i // 16 AS w, SUM(abs(v)) AS e
+  FROM smp GROUP BY doc_id, i // 16
+),
+bits AS (
+  SELECT a.doc_id, a.w AS idx, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  WHERE a.w < 31
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN idx // 8 = 0 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN idx // 8 = 1 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN idx // 8 = 2 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN idx // 8 = 3 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM bands a
+  JOIN bands b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT da, db,
+         bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+       + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hd
+  FROM pairs
+)
+SELECT db AS doc_id, CAST(min(da) AS BIGINT) AS dup_of,
+       CAST(count(*) AS BIGINT) AS n_dups_smaller
+FROM ham WHERE hd <= 3 GROUP BY db ORDER BY doc_id
+"""
+
+
+@query("dedup_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup via banded energy-derivative fingerprints
+    over genuinely DECODED WAV samples — closing the last modality of
+    the dedup matrix (r7 verdict task #6; the old ramp fixture made this
+    degenerate, hence ops.multimodal.gen_wav_tone_payload).
+
+    Pipeline: synthesize a real PCM16 WAV per doc (4-doc groups share a
+    3-sinusoid signal, per-doc integer perturbation), decode it with the
+    chunk-walking RIFF parser inside Arrow-batched mapInPandas, window
+    into 32 frames, fingerprint = 31 louder-than-previous-frame bits
+    packed as 4 band values. Candidates come from a banded LSH
+    **equi-join** on (band_no, band_value) — never an all-pairs scan
+    (plan-asserted) — and the refine keeps exact Hamming distance <= 3
+    in-row via bit_count(xor). Output: each doc that near-duplicates a
+    smaller-id doc, with its canonical representative.
+
+    100 TB shape: identical to dedup_image_dhash — decode is per-row
+    narrow work, the only shuffle carries a 5-int signature frame keyed
+    on short band buckets, refine is constant-time per candidate.
+
+    The oracle recomputes every SAMPLE from the literal sine tables and
+    re-derives the fingerprints in SQL — it never sees the bytes — so a
+    WAV chunk-walk or windowing bug breaks the hash match."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(_gen_tone_batches, _PAYLOAD_SCHEMA)
+    sig = payloads.mapInPandas(
+        _wav_fingerprint_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
+            for k in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3", F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("bb.band_no").alias("band_no"),
+        F.col("bb.val").alias("val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"b.b{k}").alias(f"c{k}") for k in range(4)],
+        )
+        .distinct()  # a pair sharing several bands is one candidate
+    )
+    hd = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}"))) for k in range(4)
+    )
+    return (
+        pairs.withColumn("hd", hd)
+        .filter(F.col("hd") <= 3)
         .groupBy(F.col("db").alias("doc_id"))
         .agg(
             F.min("da").alias("dup_of"),

@@ -212,6 +212,16 @@ def test_sql_string_timestamp_band_join_is_rewritten_to_equi(spark):
     assert diagnostics(spark)["rewrites"] > before
 
 
+def test_audio_fingerprint_band_join_is_equi_not_cartesian(spark):
+    """Audio near-dup candidates must come from the banded equi-join on
+    (band_no, band_value) over the energy-derivative fingerprints — an
+    all-pairs scan is what the banding exists to avoid at 100 TB."""
+    p = plan(spark, "dedup_audio_fingerprint")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+
 def test_image_dhash_band_join_is_equi_not_cartesian(spark):
     """Image near-dup candidates must come from the banded equi-join on
     (band_no, band_value) — an all-pairs Hamming scan (cartesian/BNLJ)
