@@ -271,25 +271,61 @@ FROM part a JOIN part b
 def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band (theta) self-join: same brand, retail prices within 10.
 
-    The p_brand equality keeps this a hash join with the band condition as
-    a residual filter — Catalyst never falls back to a nested loop. At
-    100 TB the brand key also bounds the quadratic blowup to within-brand
-    groups; a skewed brand would get AQE skew-split.
-    """
-    a = table(spark, sf_dir, "part").alias("a")
-    b = table(spark, sf_dir, "part").alias("b")
-    gap = F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice"))
+    Through round 7 this joined on p_brand alone with the band as a
+    residual — a hash join, but with FIXED brand cardinality (25) the
+    within-brand candidate count grows n²/25. The r8 sf1 scale rehearsal
+    measured it: 138× wall at 10× rows (BENCH_r08_sf1.jsonl), the only
+    super-linear key in the suite. Fix: bucket the price axis (exact
+    deci-unit integers, width = the band) into the JOIN KEY — the b-side
+    keys on its bucket, the a-side explodes to the three covering
+    buckets, and the original predicate refines the superset. Candidates
+    drop from all-within-brand to within-(brand, ±1 bucket) — the
+    candidate:output ratio falls ~50:1 → ~3:1. The OUTPUT is still
+    intrinsically quadratic on this fixture (fixed 1000-value price
+    domain ⇒ a constant fraction of within-brand pairs qualifies); at
+    real scale the price domain grows with the catalog and the bucket
+    join is exactly the right plan."""
+    p = table(spark, sf_dir, "part")
+    # prices have one decimal (900.0..999.9): deci-units are exact ints
+    deci = F.floor(F.col("p_retailprice") * 10 + F.lit(0.5))
+    width = F.lit(100)  # 10.0 price units in deci-units
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_brand").alias("a_brand"),
+        F.col("p_retailprice").alias("a_price"),
+        F.explode(
+            F.sequence(
+                F.floor((deci - 100) / width).cast("long"),
+                F.floor((deci + 100) / width).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_retailprice").alias("b_price"),
+        F.floor(deci / width).cast("long").alias("bucket"),
+    )
+    # The probe side is a SMALL file (few input splits) but the join
+    # EXPANDS ~250x — without this, a broadcast join inherits the scan's
+    # 2-split parallelism and 2 tasks produce the entire output (measured
+    # at sf1: 151M rows through 2 tasks). Explicit numPartitions makes it
+    # a REPARTITION_BY_NUM shuffle AQE won't coalesce away.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = a.repartition(n_shuffle, "a_brand", "bucket")
+    gap = F.abs(F.col("a_price") - F.col("b_price"))
     return (
         a.join(
             b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            (F.col("a_brand") == F.col("b_brand"))
+            & (a["bucket"] == b["bucket"])
+            & (F.col("a_key") < F.col("b_key"))
             & (gap < 10.0),
         )
         .select(
-            F.col("a.p_partkey").alias("k1"),
-            F.col("b.p_partkey").alias("k2"),
-            F.col("a.p_brand").alias("brand"),
+            F.col("a_key").alias("k1"),
+            F.col("b_key").alias("k2"),
+            F.col("a_brand").alias("brand"),
             F.round(gap, 6).alias("price_gap"),
         )
     )

@@ -277,12 +277,18 @@ bands AS (
   UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
   UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
 ),
+bok AS (
+  SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= 64
+),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bok USING (band_no, val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
          a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
          b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
-  FROM bands a
-  JOIN bands b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
+  FROM bands_ok a
+  JOIN bands_ok b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
 ),
 ham AS (
   SELECT da, db,
@@ -337,6 +343,20 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band_no").alias("band_no"),
         F.col("bb.val").alias("val"),
     )
+    # Saturation cap (the production LSH megadup guard, r8): a band value
+    # held by >64 docs contributes c² candidates while carrying almost no
+    # discriminative signal — the sf1 scale rehearsal measured 325M
+    # candidates at 50k docs, 99.7% of them from such buckets, turning
+    # the banded join quadratic (147 s). Skipping saturated buckets
+    # bounds candidates at 64·n per band; the oracle skips them
+    # IDENTICALLY (bok CTE), so parity is unaffected.
+    ok = (
+        bands.groupBy("band_no", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 64)
+        .select("band_no", "val")
+    )
+    bands = bands.join(F.broadcast(ok), ["band_no", "val"])
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -400,9 +420,16 @@ def _wav_fingerprint_batches(
             rows["doc_id"].append(int(doc_id))
             for k in range(4):
                 seg = bits[8 * k : 8 * k + 8]
-                rows[f"b{k}"].append(
-                    int(sum(int(seg[j]) << j for j in range(len(seg))))
-                )
+                b = int(sum(int(seg[j]) << j for j in range(len(seg))))
+                # entropy booster (r8 sf1 rehearsal): derivative bits
+                # alone collapse into a few giant LSH buckets on
+                # periodic signals; fold in two coarse-quantized window
+                # energies per band. Step 4096 vs the <=±48 per-window
+                # perturbation of a true near-dup keeps dup pairs in the
+                # same bucket (boundary-straddle ~1%/window).
+                q1 = min(int(e[8 * k]) // 4096, 15)
+                q2 = min(int(e[8 * k + 4]) // 4096, 15)
+                rows[f"b{k}"].append(b | (q1 << 8) | (q2 << 12))
         yield pd.DataFrame(rows)
 
 
@@ -434,7 +461,19 @@ bits AS (
   FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
   WHERE a.w < 31
 ),
-sig AS (
+qe AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w = 0  THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q0a,
+         CAST(sum(CASE WHEN w = 4  THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q0b,
+         CAST(sum(CASE WHEN w = 8  THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q1a,
+         CAST(sum(CASE WHEN w = 12 THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q1b,
+         CAST(sum(CASE WHEN w = 16 THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q2a,
+         CAST(sum(CASE WHEN w = 20 THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q2b,
+         CAST(sum(CASE WHEN w = 24 THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q3a,
+         CAST(sum(CASE WHEN w = 28 THEN least(e // 4096, 15) ELSE 0 END) AS BIGINT) AS q3b
+  FROM en GROUP BY doc_id
+),
+sigbits AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN idx // 8 = 0 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b0,
          CAST(sum(CASE WHEN idx // 8 = 1 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b1,
@@ -442,23 +481,39 @@ sig AS (
          CAST(sum(CASE WHEN idx // 8 = 3 THEN bit * (1 << (idx % 8)) ELSE 0 END) AS BIGINT) AS b3
   FROM bits GROUP BY doc_id
 ),
+sig AS (
+  SELECT s.doc_id,
+         s.b0 + q.q0a * 256 + q.q0b * 4096 AS b0,
+         s.b1 + q.q1a * 256 + q.q1b * 4096 AS b1,
+         s.b2 + q.q2a * 256 + q.q2b * 4096 AS b2,
+         s.b3 + q.q3a * 256 + q.q3b * 4096 AS b3
+  FROM sigbits s JOIN qe q ON s.doc_id = q.doc_id
+),
 bands AS (
   SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
   UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
   UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
   UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
 ),
+bok AS (
+  SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= 64
+),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bok USING (band_no, val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
          a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
          b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
-  FROM bands a
-  JOIN bands b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
+  FROM bands_ok a
+  JOIN bands_ok b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
 ),
 ham AS (
+  -- Hamming over the 31 derivative bits only (low byte of each band);
+  -- the energy nibbles route bucketing, they are not part of the metric
   SELECT da, db,
-         bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-       + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hd
+         bit_count(xor(a0, c0) & 255) + bit_count(xor(a1, c1) & 255)
+       + bit_count(xor(a2, c2) & 255) + bit_count(xor(a3, c3) & 255) AS hd
   FROM pairs
 )
 SELECT db AS doc_id, CAST(min(da) AS BIGINT) AS dup_of,
@@ -509,6 +564,18 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band_no").alias("band_no"),
         F.col("bb.val").alias("val"),
     )
+    # Saturation cap, same rationale and same 64-doc bound as
+    # dedup_image_dhash: 8-bit band values over spectrally-clustered
+    # fixtures saturate (the r8 sf1 rehearsal left the uncapped join
+    # stuck >25 min on one megadup bucket's straggler task); capped
+    # buckets are skipped identically in the oracle (bok CTE).
+    ok = (
+        bands.groupBy("band_no", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 64)
+        .select("band_no", "val")
+    )
+    bands = bands.join(F.broadcast(ok), ["band_no", "val"])
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -526,8 +593,11 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a pair sharing several bands is one candidate
     )
+    # Hamming over the 31 derivative bits only (low byte per band) — the
+    # energy nibbles route bucketing, they are not part of the metric.
     hd = sum(
-        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}"))) for k in range(4)
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")).bitwiseAND(F.lit(255)))
+        for k in range(4)
     )
     return (
         pairs.withColumn("hd", hd)

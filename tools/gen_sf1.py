@@ -1,0 +1,293 @@
+#!/usr/bin/env python
+"""Generate an sf1 test dataset (10x sf0.1) for the round-8 scale
+rehearsal — the r7 verdict's top task: measure the scaling claims
+instead of asserting them.
+
+/root/testdata is read-only and holds only sf{0.001,0.01,0.1}; the
+driver's generator is not in-repo, and sf0.01 is NOT a row-subset of
+sf0.1 (verified), so extension is impossible. This generator reproduces
+the SCHEMA exactly and the DISTRIBUTION SHAPES measured from sf0.1
+(documented inline per table), which is what scaling measurements need:
+same plans, same selectivities, same join fanouts, same near-dup
+density, 10x the rows. It does NOT reproduce the driver's exact values
+(different seed stream), so sf1 results are timing evidence, not
+correctness evidence — correctness stays pinned by the DuckDB oracle at
+sf0.01/sf0.1.
+
+Output: ./testdata_sf1/*.parquet (gitignored, ~500 MB). Row counts:
+customer 150k, supplier 10k, part 200k, orders 1.5M, lineitem ~6M
+(Poisson(4) lines/order, zero-line orders absent — matches sf0.1's
+147234/150000 orders with lines), events 1M, documents 50k,
+embeddings 8000 (embeddings scale 4x/decade in the fixtures:
+500/500/2000), region/nation copied verbatim from sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(REPO, "testdata_sf1")
+SEED = 4242
+
+# measured from sf0.1: 30-word vocab + the 'dup' token planted in 5% of
+# docs (the near-duplicate structure the dedup keys feed on)
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "line", "order", "batch", "part", "sort", "fast", "scan",
+    "hash", "slow", "group", "query", "agg", "the", "a", "big", "small",
+    "join", "filter", "row", "key", "data", "customer",
+]
+LANGS = ["en", "de", "zh", "fr", "es"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+ADJ = ["red", "cold", "large", "hot", "blue", "old", "small", "new"]
+NOUN = ["widget", "ring", "gear", "bolt", "plate", "rod", "anvil", "gizmo"]
+PTYPES = ["ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL", "PROMO"]
+ETYPES = ["view", "click", "purchase", "signup", "error"]
+
+DAY_US = 86_400_000_000
+
+
+def _write(name: str, table: pa.Table, row_group_size: int = 262_144) -> None:
+    path = os.path.join(OUT, f"{name}.parquet")
+    pq.write_table(table, path, row_group_size=row_group_size)
+    print(f"{name}: {table.num_rows} rows -> {path}")
+
+
+def _ts_array(us: np.ndarray) -> pa.Array:
+    return pa.array(us.astype("int64"), type=pa.timestamp("us"))
+
+
+def gen_dims(rng: np.random.Generator) -> None:
+    for t in ("region", "nation"):  # fixed dims: copy verbatim
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+        print(f"{t}: copied from sf0.1")
+
+    n_cust = 150_000
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust), type=pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n_cust), type=pa.int32()
+            ),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+            "c_mktsegment": pa.array(
+                np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]
+            ),
+        }
+    )
+    _write("customer", cust)
+
+    n_supp = 10_000
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp), type=pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, n_supp), type=pa.int32()
+            ),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+        }
+    )
+    _write("supplier", supp)
+
+    n_part = 200_000
+    k = np.arange(n_part)
+    part = pa.table(
+        {
+            "p_partkey": pa.array(k, type=pa.int64()),
+            "p_name": [
+                f"{ADJ[a]} {NOUN[b]}"
+                for a, b in zip(
+                    rng.integers(0, 8, n_part), rng.integers(0, 8, n_part)
+                )
+            ],
+            "p_brand": [f"Brand#{b}" for b in rng.integers(0, 25, n_part)],
+            "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
+            "p_size": pa.array(rng.integers(1, 51, n_part), type=pa.int32()),
+            # measured: retailprice cycles 900.0..999.9 by partkey % 1000
+            "p_retailprice": np.round(900.0 + (k % 1000) / 10.0, 1),
+        }
+    )
+    _write("part", part)
+
+
+def gen_facts(rng: np.random.Generator) -> None:
+    n_orders = 1_500_000
+    okey = np.arange(n_orders)
+    # orderdate: uniform 1995-01-01 .. 2001-08-01 at day granularity
+    d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype("int64")
+    d1 = np.datetime64("2001-08-01").astype("datetime64[us]").astype("int64")
+    n_days = (d1 - d0) // DAY_US
+    odate = d0 + rng.integers(0, n_days + 1, n_orders) * DAY_US
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(okey, type=pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, 150_000, n_orders), type=pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
+            ),
+            "o_totalprice": np.round(rng.uniform(1000, 500_000, n_orders), 2),
+            "o_orderdate": _ts_array(odate),
+            "o_orderpriority": pa.array(
+                np.array(PRIORITIES)[rng.integers(0, 5, n_orders)]
+            ),
+        }
+    )
+    _write("orders", orders)
+
+    # lineitem: Poisson(4) lines per order (measured shape; ~1.8% of
+    # orders get zero lines and are simply absent from lineitem)
+    lines = rng.poisson(4.0, n_orders)
+    l_orderkey = np.repeat(okey, lines)
+    n_li = l_orderkey.size
+    linenumber = np.concatenate(
+        [np.arange(1, c + 1) for c in lines if c > 0]
+    ) if n_li else np.array([], dtype=np.int64)
+    qty = rng.integers(1, 51, n_li).astype("float64")
+    unit = rng.uniform(900, 2100, n_li)
+    s0 = np.datetime64("1995-01-02").astype("datetime64[us]").astype("int64")
+    s1 = np.datetime64("2001-11-04").astype("datetime64[us]").astype("int64")
+    sdays = (s1 - s0) // DAY_US
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_orderkey, type=pa.int64()),
+            "l_partkey": pa.array(
+                rng.integers(0, 200_000, n_li), type=pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(0, 10_000, n_li), type=pa.int64()
+            ),
+            "l_linenumber": pa.array(linenumber, type=pa.int32()),
+            "l_quantity": qty,
+            "l_extendedprice": np.round(qty * unit, 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
+            ),
+            "l_linestatus": pa.array(
+                np.array(["F", "O"])[rng.integers(0, 2, n_li)]
+            ),
+            "l_shipdate": _ts_array(
+                s0 + rng.integers(0, sdays + 1, n_li) * DAY_US
+            ),
+        }
+    )
+    _write("lineitem", lineitem)
+
+
+def gen_events(rng: np.random.Generator) -> None:
+    n_ev = 1_000_000
+    t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype("int64")
+    span = 30 * DAY_US
+    ts = np.sort(t0 + rng.integers(0, span, n_ev))
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_ev), type=pa.int64()),
+            "ts": _ts_array(ts),
+            "user_id": pa.array(
+                rng.integers(0, 15_000, n_ev), type=pa.int64()
+            ),
+            "event_type": pa.array(
+                np.array(ETYPES)[rng.integers(0, 5, n_ev)]
+            ),
+            "value": np.round(
+                np.minimum(rng.exponential(50.0, n_ev), 600.0), 2
+            ),
+            "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
+        }
+    )
+    _write("events", events)
+
+
+def gen_documents(rng: np.random.Generator) -> None:
+    n_docs = 50_000
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if r < 0.05 and i > 10:
+            # near-dup: copy an earlier doc, splice in the 'dup' marker
+            # token and perturb a few words (measured: 5% of sf0.1 docs
+            # carry 'dup'; plus a handful of exact dups)
+            base = texts[int(rng.integers(0, i))].split(" ")
+            for _ in range(max(1, len(base) // 20)):
+                base[int(rng.integers(0, len(base)))] = vocab[
+                    int(rng.integers(0, len(vocab)))
+                ]
+            base.insert(int(rng.integers(0, len(base))), "dup")
+            texts.append(" ".join(base))
+        elif r < 0.0516 and i > 10:
+            texts.append(texts[int(rng.integers(0, i))])  # exact dup
+        else:
+            n_words = int(rng.integers(8, 106))
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words)]))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
+            "text": texts,
+            "lang": pa.array(
+                np.array(LANGS)[
+                    rng.choice(5, n_docs, p=np.array(LANG_P) / sum(LANG_P))
+                ]
+            ),
+            "source": [f"src{s}" for s in rng.integers(0, 20, n_docs)],
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts]), type=pa.int64()
+            ),
+        }
+    )
+    _write("documents", docs)
+
+
+def gen_embeddings(rng: np.random.Generator) -> None:
+    n_vec, dim, n_lab = 8000, 64, 10
+    centers = rng.normal(0, 0.5, (n_lab, dim))
+    labels = rng.integers(0, n_lab, n_vec)
+    v = centers[labels] + rng.normal(0, 1.0, (n_vec, dim))
+    v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype("float32")
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vec), type=pa.int64()),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    _write("embeddings", emb)
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    gen_dims(rng)
+    gen_facts(rng)
+    gen_events(rng)
+    gen_documents(rng)
+    gen_embeddings(rng)
+    manifest = {
+        "seed": SEED,
+        "source_profile": SRC,
+        "note": "distribution-matched 10x of sf0.1 for scaling "
+        "measurements; NOT the driver's value stream",
+    }
+    with open(os.path.join(OUT, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print("sf1 generation complete")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
