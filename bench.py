@@ -69,6 +69,9 @@ HEADLINE = [
     "dedup_onion_ngram",
     "text_winnowing_fingerprint",
     "stats_bootstrap_ci",
+    # r8 additions
+    "join_sql_band_ts",
+    "dedup_audio_fingerprint",
 ]
 
 

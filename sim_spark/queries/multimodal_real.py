@@ -402,11 +402,13 @@ def _gen_tone_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def _wav_fingerprint_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Decode each WAV and emit its 31-bit energy-derivative fingerprint
-    packed as 4 band values (3x8 bits + 1x7): window the 512 samples
-    into 32 frames of 16, take per-frame sum(|s|), and set bit w when
-    frame w+1 is louder than frame w — the classic landmark/Chromaprint
-    shape reduced to its integer-exact core."""
+    """Decode each WAV and emit its audio fingerprint as 4 band values:
+    window the 512 samples into 32 frames of 16, take per-frame
+    sum(|s|), set derivative bit w when frame w+1 is louder than frame w
+    (31 bits, 8 per band) — the classic landmark/Chromaprint shape
+    reduced to its integer-exact core — and fold two coarse-quantized
+    frame energies per band into bits 8..15 of the bucket value (the r8
+    entropy booster; see the query docstring)."""
     import numpy as np
 
     from sim_spark.ops.multimodal import decode_wav
