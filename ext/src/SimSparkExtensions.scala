@@ -45,30 +45,34 @@ object BandDiagnostics {
   @volatile var naiveBandWarnings: Long = 0L
   @volatile var bandRewrites: Long = 0L
   // Dedupe sets: fixed-point batches and AQE re-optimization re-visit the
-  // same condition; count each distinct (by semanticHash) condition once.
-  // Bounded so a long-lived session can never leak (clear-when-full is
-  // fine: worst case a recount, never a miss).
+  // same condition; count each distinct condition once. Keys are the full
+  // canonicalized-condition strings (collision-free — a 32-bit hash key
+  // could silently suppress a genuinely new query); bounded so a
+  // long-lived session can never leak (clear-when-full is fine: worst
+  // case a recount, never a miss). mark() is synchronized: the increment
+  // is a read-modify-write and optimizer invocations can be concurrent.
   private val seenWarnings =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val seenRewrites =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val MaxSeen = 8192
 
-  private def mark(set: java.util.Set[Int], h: Int): Boolean = {
+  // callers hold the object monitor
+  private def mark(set: java.util.Set[String], k: String): Boolean = {
     if (set.size > MaxSeen) set.clear()
-    set.add(h)
+    set.add(k)
   }
-  def markRewrite(h: Int): Boolean = {
-    val fresh = mark(seenRewrites, h)
+  def markRewrite(k: String): Boolean = synchronized {
+    val fresh = mark(seenRewrites, k)
     if (fresh) bandRewrites += 1
     fresh
   }
-  def markWarning(h: Int): Boolean = {
-    val fresh = mark(seenWarnings, h)
+  def markWarning(k: String): Boolean = synchronized {
+    val fresh = mark(seenWarnings, k)
     if (fresh) naiveBandWarnings += 1
     fresh
   }
-  def reset(): Unit = {
+  def reset(): Unit = synchronized {
     naiveBandWarnings = 0L; bandRewrites = 0L
     seenWarnings.clear(); seenRewrites.clear()
   }
@@ -246,7 +250,7 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
             val newJoin = Join(
               gen, proj, Inner,
               Some(And(EqualTo(bucketL, rAlias.toAttribute), cond)), hint)
-            if (BandDiagnostics.markRewrite(cond.semanticHash())) {
+            if (BandDiagnostics.markRewrite(cond.canonicalized.toString)) {
               logInfo(s"sim_spark: rewrote naive band join on " +
                 s"(${lAttr.name}, ${rAttr.name}) [kind=$kind lo=$lo hi=$hi] " +
                 "to bucket-equi + refine")
@@ -275,7 +279,7 @@ class NaiveBandJoinWarning extends Rule[LogicalPlan] with BandAlgebra with Loggi
           case _ => false
         }
         if (!hasEqui && crossCmp &&
-            BandDiagnostics.markWarning(cond.semanticHash())) {
+            BandDiagnostics.markWarning(cond.canonicalized.toString)) {
           logWarning(
             "sim_spark: inner join with a non-equi cross-side predicate " +
               s"(${cond.sql}) will plan as BroadcastNestedLoopJoin/" +

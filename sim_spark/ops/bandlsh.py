@@ -1,0 +1,129 @@
+"""Shared banded-LSH near-dup machinery (r8 review consolidation).
+
+`dedup_image_dhash` and `dedup_audio_fingerprint` run the identical
+candidate-generation/refine scaffold over a 4-band signature frame:
+band-struct explode, the >cap saturation guard (SCALE.md §18), the
+(band_no, val) self equi-join + DISTINCT, the in-row bit_count(xor)
+Hamming refine, and the min/count canonical-representative grouping.
+Keeping one copy here (and one oracle CTE template below) means a change
+like the r8 saturation cap is one edit, not four.
+
+The signature frame is `track_cache`d: the cap aggregate, and both sides
+of the self-join, would otherwise each re-execute the expensive
+mapInPandas decode/fingerprint pipeline that produces it (3 source runs
+per query run, measured in the r8 review).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sim_spark.scratch import track_cache
+
+N_BANDS = 4
+CAP = 64
+
+
+def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> DataFrame:
+    """(doc_id, b0..b3) signatures → (doc_id, dup_of, n_dups_smaller).
+
+    Candidates come from the banded equi-join on (band_no, val) with the
+    ≤``CAP`` saturation guard; the refine keeps exact Hamming distance
+    ≤ ``hd_max`` over the band values (low bits only when ``hd_mask`` is
+    given — bucket-routing bits excluded from the metric)."""
+    sig = track_cache(sig)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
+            for k in range(N_BANDS)
+        ]
+    )
+    bcols = [f"b{k}" for k in range(N_BANDS)]
+    bands = sig.select(
+        "doc_id", *bcols, F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id", *bcols,
+        F.col("bb.band_no").alias("band_no"),
+        F.col("bb.val").alias("val"),
+    )
+    # Saturation cap (production LSH megadup guard): a band value held by
+    # more than CAP docs contributes c² candidates and almost no signal —
+    # see SCALE.md §18 for the measured sf1 blowups this prevents. The
+    # oracle applies the identical guard (bok CTE in banded_dedup_oracle).
+    ok = (
+        bands.groupBy("band_no", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= CAP)
+        .select("band_no", "val")
+    )
+    bands = bands.join(F.broadcast(ok), ["band_no", "val"])
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(N_BANDS)],
+            *[F.col(f"b.b{k}").alias(f"c{k}") for k in range(N_BANDS)],
+        )
+        .distinct()  # a pair sharing several bands is one candidate
+    )
+    xors = [F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")) for k in range(N_BANDS)]
+    if hd_mask is not None:
+        xors = [x.bitwiseAND(F.lit(hd_mask)) for x in xors]
+    hd = sum(F.bit_count(x) for x in xors)
+    return (
+        pairs.withColumn("hd", hd)
+        .filter(F.col("hd") <= hd_max)
+        .groupBy(F.col("db").alias("doc_id"))
+        .agg(
+            F.min("da").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dups_smaller"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def banded_dedup_oracle(sig_ctes: str, hd_max: int, hd_mask: int | None = None) -> str:
+    """The DuckDB twin of :func:`banded_dedup`. ``sig_ctes`` is the
+    query-specific WITH-clause body (no trailing comma) whose final CTE
+    must be ``sig(doc_id, b0, b1, b2, b3)``."""
+    mask = f" & {hd_mask}" if hd_mask is not None else ""
+    return f"""
+WITH {sig_ctes},
+bands AS (
+  SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
+),
+bok AS (
+  SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= {CAP}
+),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN bok USING (band_no, val)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM bands_ok a
+  JOIN bands_ok b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT da, db,
+         bit_count(xor(a0, c0){mask}) + bit_count(xor(a1, c1){mask})
+       + bit_count(xor(a2, c2){mask}) + bit_count(xor(a3, c3){mask}) AS hd
+  FROM pairs
+)
+SELECT db AS doc_id, CAST(min(da) AS BIGINT) AS dup_of,
+       CAST(count(*) AS BIGINT) AS n_dups_smaller
+FROM ham WHERE hd <= {hd_max} GROUP BY db ORDER BY doc_id
+"""

@@ -66,7 +66,11 @@ def _jar_stale() -> bool:
     the session silently runs stale compiled rules (r7 ADVICE)."""
     if not os.path.exists(_JAR):
         return True
-    jar_mtime = os.path.getmtime(_JAR)
+    # 2 s slack: a fresh git checkout writes sources and the committed
+    # jar at essentially the same instant in arbitrary order — a few-ms
+    # "newer" source must not trigger a scalac rebuild (or a spurious
+    # stale warning where the compiler is unavailable).
+    jar_mtime = os.path.getmtime(_JAR) + 2.0
     src_dir = os.path.join(_EXT_DIR, "src")
     for root, _, files in os.walk(src_dir):
         for f in files:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sim_spark.io import table
+from sim_spark.ops.bandlsh import banded_dedup, banded_dedup_oracle
 from sim_spark.ops.multimodal import (
     SIN64A,
     SIN64B,
@@ -237,10 +238,7 @@ def _bmp_dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(rows)
 
 
-@query(
-    "dedup_image_dhash",
-    oracle="""
-WITH dims AS (
+_IMG_SIG_CTES = """dims AS (
   SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h FROM documents
 ),
 grid AS (
@@ -270,37 +268,10 @@ sig AS (
          CAST(sum(CASE WHEN idx // 16 = 2 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
          CAST(sum(CASE WHEN idx // 16 = 3 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
   FROM bits GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
-),
-bok AS (
-  SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= 64
-),
-bands_ok AS (
-  SELECT b.* FROM bands b JOIN bok USING (band_no, val)
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
-         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
-  FROM bands_ok a
-  JOIN bands_ok b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT da, db,
-         bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-       + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hd
-  FROM pairs
-)
-SELECT db AS doc_id, CAST(min(da) AS BIGINT) AS dup_of,
-       CAST(count(*) AS BIGINT) AS n_dups_smaller
-FROM ham WHERE hd <= 4 GROUP BY db ORDER BY doc_id
-""",
-)
+)"""
+
+
+@query("dedup_image_dhash", oracle=banded_dedup_oracle(_IMG_SIG_CTES, hd_max=4))
 def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup via difference hash over the genuinely
     DECODED BMP pixels — the last cell of the multimodal-dedup matrix.
@@ -319,8 +290,11 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: decode is per-row mapInPandas work (no shuffle); the
     only shuffle is the 5-int signature frame keyed on short (band_no,
-    val) buckets, and the refine is a constant-time bit op per
-    candidate. Bucket skew (a megadup band value) is AQE-splittable.
+    val) buckets, with the >64-doc saturation cap guarding megadup band
+    values (SCALE.md §18: 99.7% of the sf1 candidate volume came from
+    such buckets before the cap), and the refine is a constant-time bit
+    op per candidate. The banding/cap/refine scaffold is shared with
+    dedup_audio_fingerprint in ops/bandlsh.py.
 
     The oracle recomputes every sampled gray value from the synthesis
     formula — it never sees the bytes — so a decode bug (stride, bottom-up
@@ -330,63 +304,7 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = payloads.mapInPandas(
         _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
-            for k in range(4)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", "b0", "b1", "b2", "b3", F.explode(band_structs).alias("bb")
-    ).select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.col("bb.band_no").alias("band_no"),
-        F.col("bb.val").alias("val"),
-    )
-    # Saturation cap (the production LSH megadup guard, r8): a band value
-    # held by >64 docs contributes c² candidates while carrying almost no
-    # discriminative signal — the sf1 scale rehearsal measured 325M
-    # candidates at 50k docs, 99.7% of them from such buckets, turning
-    # the banded join quadratic (147 s). Skipping saturated buckets
-    # bounds candidates at 64·n per band; the oracle skips them
-    # IDENTICALLY (bok CTE), so parity is unaffected.
-    ok = (
-        bands.groupBy("band_no", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= 64)
-        .select("band_no", "val")
-    )
-    bands = bands.join(F.broadcast(ok), ["band_no", "val"])
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
-            *[F.col(f"b.b{k}").alias(f"c{k}") for k in range(4)],
-        )
-        .distinct()  # a pair sharing several bands is one candidate
-    )
-    hd = sum(
-        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}"))) for k in range(4)
-    )
-    return (
-        pairs.withColumn("hd", hd)
-        .filter(F.col("hd") <= 4)
-        .groupBy(F.col("db").alias("doc_id"))
-        .agg(
-            F.min("da").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_dups_smaller"),
-        )
-        .orderBy("doc_id")
-    )
+    return banded_dedup(sig, hd_max=4)
 
 
 def _gen_tone_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -439,8 +357,7 @@ def _lut(vals: list[int]) -> str:
     return "[" + ", ".join(str(v) for v in vals) + "]"
 
 
-_AUDIO_FP_ORACLE = f"""
-WITH luts AS (
+_AUDIO_SIG_CTES = f"""luts AS (
   SELECT {_lut(SIN64A)}::BIGINT[] AS sa,
          {_lut(SIN64B)}::BIGINT[] AS sb,
          {_lut(SIN64C)}::BIGINT[] AS sc
@@ -490,41 +407,15 @@ sig AS (
          s.b2 + q.q2a * 256 + q.q2b * 4096 AS b2,
          s.b3 + q.q3a * 256 + q.q3b * 4096 AS b3
   FROM sigbits s JOIN qe q ON s.doc_id = q.doc_id
-),
-bands AS (
-  SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
-),
-bok AS (
-  SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= 64
-),
-bands_ok AS (
-  SELECT b.* FROM bands b JOIN bok USING (band_no, val)
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
-         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
-  FROM bands_ok a
-  JOIN bands_ok b ON a.band_no = b.band_no AND a.val = b.val AND a.doc_id < b.doc_id
-),
-ham AS (
-  -- Hamming over the 31 derivative bits only (low byte of each band);
-  -- the energy nibbles route bucketing, they are not part of the metric
-  SELECT da, db,
-         bit_count(xor(a0, c0) & 255) + bit_count(xor(a1, c1) & 255)
-       + bit_count(xor(a2, c2) & 255) + bit_count(xor(a3, c3) & 255) AS hd
-  FROM pairs
+)"""
+
+
+# hd over the 31 derivative bits only (mask 255): the energy nibbles
+# route bucketing, they are not part of the metric.
+@query(
+    "dedup_audio_fingerprint",
+    oracle=banded_dedup_oracle(_AUDIO_SIG_CTES, hd_max=3, hd_mask=255),
 )
-SELECT db AS doc_id, CAST(min(da) AS BIGINT) AS dup_of,
-       CAST(count(*) AS BIGINT) AS n_dups_smaller
-FROM ham WHERE hd <= 3 GROUP BY db ORDER BY doc_id
-"""
-
-
-@query("dedup_audio_fingerprint", oracle=_AUDIO_FP_ORACLE)
 def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup dedup via banded energy-derivative fingerprints
     over genuinely DECODED WAV samples — closing the last modality of
@@ -543,7 +434,11 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to dedup_image_dhash — decode is per-row
     narrow work, the only shuffle carries a 5-int signature frame keyed
-    on short band buckets, refine is constant-time per candidate.
+    on short band buckets with the >64-doc saturation cap (SCALE.md
+    §18), refine is constant-time per candidate. The banding/cap/refine
+    scaffold is shared with dedup_image_dhash in ops/bandlsh.py; the
+    Hamming metric reads only the 31 derivative bits (mask 255) — the
+    energy nibbles exist to route bucketing.
 
     The oracle recomputes every SAMPLE from the literal sine tables and
     re-derives the fingerprints in SQL — it never sees the bytes — so a
@@ -553,64 +448,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = payloads.mapInPandas(
         _wav_fingerprint_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
-            for k in range(4)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", "b0", "b1", "b2", "b3", F.explode(band_structs).alias("bb")
-    ).select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.col("bb.band_no").alias("band_no"),
-        F.col("bb.val").alias("val"),
-    )
-    # Saturation cap, same rationale and same 64-doc bound as
-    # dedup_image_dhash: 8-bit band values over spectrally-clustered
-    # fixtures saturate (the r8 sf1 rehearsal left the uncapped join
-    # stuck >25 min on one megadup bucket's straggler task); capped
-    # buckets are skipped identically in the oracle (bok CTE).
-    ok = (
-        bands.groupBy("band_no", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= 64)
-        .select("band_no", "val")
-    )
-    bands = bands.join(F.broadcast(ok), ["band_no", "val"])
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
-            *[F.col(f"b.b{k}").alias(f"c{k}") for k in range(4)],
-        )
-        .distinct()  # a pair sharing several bands is one candidate
-    )
-    # Hamming over the 31 derivative bits only (low byte per band) — the
-    # energy nibbles route bucketing, they are not part of the metric.
-    hd = sum(
-        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")).bitwiseAND(F.lit(255)))
-        for k in range(4)
-    )
-    return (
-        pairs.withColumn("hd", hd)
-        .filter(F.col("hd") <= 3)
-        .groupBy(F.col("db").alias("doc_id"))
-        .agg(
-            F.min("da").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_dups_smaller"),
-        )
-        .orderBy("doc_id")
-    )
+    return banded_dedup(sig, hd_max=3, hd_mask=255)
 
 
 @query(

@@ -90,11 +90,17 @@ def idempotent_foreach_batch(
         # (dest already exists, tmp vanished) rather than throwing. A
         # silently missing marker keeps the batch re-running on every
         # restart — allowed for correctness, but it must be visible.
-        if not fs.rename(tmp, marker) and not fs.exists(marker):
-            raise IOError(
-                f"commit-marker rename failed: {tmp} -> {marker} "
-                "(batch output is written; the batch will re-run on restart)"
-            )
+        if not fs.rename(tmp, marker):
+            if not fs.exists(marker):
+                raise IOError(
+                    f"commit-marker rename failed: {tmp} -> {marker} "
+                    "(batch output is written; the batch will re-run on "
+                    "restart)"
+                )
+            # marker exists (concurrent committer / replay race): success,
+            # but remove the orphaned tmp so contended batches don't
+            # accumulate .commit.tmp litter in commit_dir.
+            fs.delete(tmp, False)
 
     return sink
 
