@@ -805,6 +805,38 @@ def ml_pca_power_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8  # 8 subspaces × 8 dims, 16 codes each
 
 
+def _pq_vlong(e: DataFrame) -> DataFrame:
+    """Long layout of the embedding matrix: (vid, sub, sdim, vx) — shared
+    by the PQ encode, ADC search, and IVF+PQ keys (r8 consolidation)."""
+    return e.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding")).alias("i", "fx"),
+    ).select(
+        "vid",
+        (F.col("i") / _PQ_SUB).cast("int").alias("sub"),
+        (F.col("i") % _PQ_SUB).alias("sdim"),
+        F.col("fx").cast("double").alias("vx"),
+    )
+
+
+def _pq_nano_dists(vlong: DataFrame) -> DataFrame:
+    """(vid, sub, code, dn): nano-unit integer squared distance of every
+    vector's sub-block to every fixed-codebook centroid (vid < _PQ_K)."""
+    books = vlong.filter(F.col("vid") < _PQ_K).select(
+        F.col("vid").alias("code"), "sub", "sdim", F.col("vx").alias("cx")
+    )
+    diff = F.col("vx") - F.col("cx")
+    return (
+        vlong.join(F.broadcast(books), ["sub", "sdim"])
+        .groupBy("vid", "sub", "code")
+        .agg(
+            F.sum(
+                F.floor(diff * diff * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("dn")
+        )
+    )
+
+
 @query(
     "embed_pq_fixed_codebook",
     oracle=f"""
@@ -847,28 +879,7 @@ def embed_pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-(vid, sub) top-1. This is how you compress a 100 TB
     embedding store to 8 bytes/vector without moving the corpus."""
     e = table(spark, sf_dir, "embeddings")
-    vlong = e.select(
-        F.col("vec_id").alias("vid"),
-        F.posexplode(F.col("embedding")).alias("i", "fx"),
-    ).select(
-        "vid",
-        (F.col("i") / _PQ_SUB).cast("int").alias("sub"),
-        (F.col("i") % _PQ_SUB).alias("sdim"),
-        F.col("fx").cast("double").alias("vx"),
-    )
-    books = vlong.filter(F.col("vid") < _PQ_K).select(
-        F.col("vid").alias("code"), "sub", "sdim", F.col("vx").alias("cx")
-    )
-    diff = F.col("vx") - F.col("cx")
-    d = (
-        vlong.join(F.broadcast(books), ["sub", "sdim"])
-        .groupBy("vid", "sub", "code")
-        .agg(
-            F.sum(
-                F.floor(diff * diff * F.lit(1000000000) + F.lit(0.5)).cast("long")
-            ).alias("dn")
-        )
-    )
+    d = _pq_nano_dists(_pq_vlong(e))
     w = W.partitionBy("vid", "sub").orderBy("dn", "code")
     enc = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
@@ -953,28 +964,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k. The ADC distances are exact integers, so the whole
     search result (not just recall) hash-matches the oracle."""
     e = table(spark, sf_dir, "embeddings")
-    vlong = e.select(
-        F.col("vec_id").alias("vid"),
-        F.posexplode(F.col("embedding")).alias("i", "fx"),
-    ).select(
-        "vid",
-        (F.col("i") / _PQ_SUB).cast("int").alias("sub"),
-        (F.col("i") % _PQ_SUB).alias("sdim"),
-        F.col("fx").cast("double").alias("vx"),
-    )
-    books = vlong.filter(F.col("vid") < _PQ_K).select(
-        F.col("vid").alias("code"), "sub", "sdim", F.col("vx").alias("cx")
-    )
-    diff = F.col("vx") - F.col("cx")
-    d = (
-        vlong.join(F.broadcast(books), ["sub", "sdim"])
-        .groupBy("vid", "sub", "code")
-        .agg(
-            F.sum(
-                F.floor(diff * diff * F.lit(1000000000) + F.lit(0.5)).cast("long")
-            ).alias("dn")
-        )
-    )
+    d = _pq_nano_dists(_pq_vlong(e))
     wenc = W.partitionBy("vid", "sub").orderBy("dn", "code")
     enc = (
         d.withColumn("rn", F.row_number().over(wenc))
@@ -987,6 +977,157 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         enc.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("dn").alias("adc_nano"))
+    )
+    wq = W.partitionBy("qid").orderBy("adc_nano", "vid")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("vid").alias("vec_id"),
+            "adc_nano",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# sim_topk_ivfpq_adc — IVF coarse gate + PQ ADC refine, fully oracled.
+
+_IVF_LO, _IVF_HI = 100, 108  # coarse centroids: vectors 100..107 (nlist=8)
+_IVF_NPROBE = 2
+
+
+@query(
+    "sim_topk_ivfpq_adc",
+    oracle=f"""
+WITH vlong AS (
+  SELECT vec_id AS vid, i // {_PQ_SUB} AS sub, i % {_PQ_SUB} AS sdim,
+         CAST(embedding[i + 1] AS DOUBLE) AS vx
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {_PQ_M * _PQ_SUB})) AS i)
+),
+coarse AS (
+  SELECT vid AS cell, sub, sdim, vx AS cx FROM vlong
+  WHERE vid >= {_IVF_LO} AND vid < {_IVF_HI}
+),
+cdist AS (
+  SELECT v.vid, c.cell,
+         SUM(CAST(floor((v.vx - c.cx) * (v.vx - c.cx) * {_NANO} + 0.5) AS BIGINT)) AS dn
+  FROM vlong v JOIN coarse c ON c.sub = v.sub AND c.sdim = v.sdim
+  GROUP BY v.vid, c.cell
+),
+assign AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dn, cell) AS rn
+    FROM cdist) WHERE rn = 1
+),
+probes AS (
+  SELECT vid AS qid, cell FROM (
+    SELECT vid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dn, cell) AS rn
+    FROM cdist WHERE vid IN {_PQ_PROBES}) WHERE rn <= {_IVF_NPROBE}
+),
+books AS (
+  SELECT vid AS code, sub, sdim, vx AS cx FROM vlong WHERE vid < {_PQ_K}
+),
+d AS (
+  SELECT v.vid, v.sub, b.code,
+         SUM(CAST(floor((v.vx - b.cx) * (v.vx - b.cx) * {_NANO} + 0.5) AS BIGINT)) AS dn
+  FROM vlong v JOIN books b ON b.sub = v.sub AND b.sdim = v.sdim
+  GROUP BY v.vid, v.sub, b.code
+),
+enc AS (
+  SELECT vid, sub, code FROM (
+    SELECT vid, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dn, code) AS rn
+    FROM d) WHERE rn = 1
+),
+lut AS (
+  SELECT vid AS qid, sub, code, dn FROM d WHERE vid IN {_PQ_PROBES}
+),
+cand AS (
+  SELECT p.qid, a.vid FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vid <> p.qid
+),
+adc AS (
+  SELECT c.qid, c.vid, CAST(SUM(l.dn) AS BIGINT) AS adc_nano
+  FROM cand c
+  JOIN enc e ON e.vid = c.vid
+  JOIN lut l ON l.qid = c.qid AND l.sub = e.sub AND l.code = e.code
+  GROUP BY c.qid, c.vid
+)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, vid AS vec_id, adc_nano
+FROM (
+  SELECT qid, vid, adc_nano,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_nano, vid) AS rnk
+  FROM adc)
+WHERE rnk <= {_PQ_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ top-k search — the full production ANN layout (Jégou et
+    al.'s IVFADC), composing the two halves this repo already oracles:
+    an inverted-file COARSE GATE (every corpus vector is assigned to its
+    nearest of nlist=8 fixed coarse centroids; each query probes its
+    nprobe=2 nearest cells, and only vectors in probed cells are scored)
+    and the PQ ADC refine of `sim_topk_pq_adc` (8 integer LUT adds per
+    candidate, no float math against the corpus). Coarse assignment,
+    probing, and ADC all rank by exact nano-unit integers with id
+    tie-breaks, so the complete search result hash-matches the oracle —
+    not just its recall.
+
+    100 TB shape: the candidate gate is an equi-join on cell id between
+    a 6-row broadcast probe list and the (vid, cell) assignment frame —
+    the corpus is never scanned per query; scored rows shrink by
+    ~nprobe/nlist before any distance work. nlist here is fixture-
+    sized; production grows it ~sqrt(n) so cells stay constant-size
+    (SCALE.md §18)."""
+    e = table(spark, sf_dir, "embeddings")
+    vlong = _pq_vlong(e)
+    coarse = vlong.filter(
+        (F.col("vid") >= _IVF_LO) & (F.col("vid") < _IVF_HI)
+    ).select(F.col("vid").alias("cell"), "sub", "sdim", F.col("vx").alias("cx"))
+    cdiff = F.col("vx") - F.col("cx")
+    cdist = (
+        vlong.join(F.broadcast(coarse), ["sub", "sdim"])
+        .groupBy("vid", "cell")
+        .agg(
+            F.sum(
+                F.floor(cdiff * cdiff * F.lit(1000000000) + F.lit(0.5)).cast("long")
+            ).alias("dn")
+        )
+    )
+    wv = W.partitionBy("vid").orderBy("dn", "cell")
+    ranked = cdist.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("rn") == 1).select("vid", "cell")
+    probes = (
+        ranked.filter(F.col("vid").isin(*_PQ_PROBES))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vid").alias("qid"), "cell")
+    )
+    d = _pq_nano_dists(vlong)
+    wenc = W.partitionBy("vid", "sub").orderBy("dn", "code")
+    enc = (
+        d.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub", "code")
+    )
+    lut = d.filter(F.col("vid").isin(*_PQ_PROBES)).select(
+        F.col("vid").alias("qid"), "sub", "code", "dn"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+    )
+    adc = (
+        cand.join(enc, "vid")
+        .join(F.broadcast(lut), ["qid", "sub", "code"])
         .groupBy("qid", "vid")
         .agg(F.sum("dn").alias("adc_nano"))
     )

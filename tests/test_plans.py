@@ -212,6 +212,16 @@ def test_sql_string_timestamp_band_join_is_rewritten_to_equi(spark):
     assert diagnostics(spark)["rewrites"] > before
 
 
+def test_ivfpq_candidate_gate_is_cell_equi_join(spark):
+    """The IVF stage must gate candidates through the equi-join on cell
+    id (broadcast probe list x assignment frame) — scoring the whole
+    corpus per query, or any cartesian/BNLJ, defeats the inverted file."""
+    p = plan(spark, "sim_topk_ivfpq_adc")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_audio_fingerprint_band_join_is_equi_not_cartesian(spark):
     """Audio near-dup candidates must come from the banded equi-join on
     (band_no, band_value) over the energy-derivative fingerprints — an
