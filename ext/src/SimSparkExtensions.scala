@@ -7,24 +7,26 @@
 // "User Provided Optimizers" batch), so SQL strings are covered too:
 //
 //  * SqlBandJoinRewrite — inner joins whose condition is a bounded band
-//    over INTEGRAL, TIMESTAMP, or DATE attributes (lo <= r.x - l.y <= hi,
-//    written as any conjunction of two attr±literal inequalities; for
-//    timestamps the offsets are day-time INTERVAL literals, for dates
-//    date_add/date_sub day counts) with no equi conjunct are replanned
-//    as bucket-explode + equi-join + exact refine with the ORIGINAL
-//    predicate (candidate superset — row-identical by construction,
-//    mirroring ops/autojoin.py's algebra). Timestamp/date axes reduce to
-//    the integral machinery through their exact epoch mappings
-//    (unix_micros / unix_date), so one decimal(38,0) bucket arithmetic
-//    serves all three.
+//    over INTEGRAL, TIMESTAMP, DATE, or (r9) DOUBLE/FLOAT/narrow-DECIMAL
+//    attributes (lo <= r.x - l.y <= hi, written as any conjunction of
+//    two attr±literal inequalities; for timestamps the offsets are
+//    day-time INTERVAL literals, for dates date_add/date_sub day counts,
+//    for fractional axes plain numeric literals) with no equi conjunct
+//    are replanned as bucket-explode + equi-join + exact refine with the
+//    ORIGINAL predicate (candidate superset — row-identical by
+//    construction, mirroring ops/autojoin.py's algebra). Timestamp/date
+//    axes reduce to the integral machinery through their exact epoch
+//    mappings (unix_micros / unix_date) in decimal(38,0) bucket
+//    arithmetic; fractional axes use double floor-division with a ±1
+//    bucket margin (exactly ops/autojoin.py's epsilon-tolerant path).
 //  * NaiveBandJoinWarning — any remaining non-equi cross-side
-//    comparison join (double axes, exotic arithmetic, year-month
-//    intervals — NOT fixed-width) logs a loud warning naming auto_join,
+//    comparison join (exotic arithmetic, year-month intervals — NOT
+//    fixed-width, wide decimals) logs a loud warning naming auto_join,
 //    and bumps a counter tests can read.
 //
-// Scope (documented, honest): double axes and year-month (variable
-// length) intervals still warn rather than rewrite; the DataFrame-side
-// auto_join covers doubles with per-unit offset typing.
+// Scope (documented, honest): year-month (variable length) intervals
+// and DECIMALs wider than 15 integral digits still warn rather than
+// rewrite.
 //
 // Counter semantics: the optimizer applies extraOptimizations inside a
 // fixed-point batch and re-runs them on AQE re-optimization, so a naive
@@ -47,21 +49,28 @@ object BandDiagnostics {
   // Dedupe sets: fixed-point batches and AQE re-optimization re-visit the
   // same condition; count each distinct condition once. Keys are the full
   // canonicalized-condition strings (collision-free — a 32-bit hash key
-  // could silently suppress a genuinely new query); bounded so a
-  // long-lived session can never leak (clear-when-full is fine: worst
-  // case a recount, never a miss). mark() is synchronized: the increment
-  // is a read-modify-write and optimizer invocations can be concurrent.
-  private val seenWarnings =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val seenRewrites =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // could silently suppress a genuinely new query); bounded as an
+  // access-ordered LRU so a long-lived session can never leak. Eviction
+  // is oldest-first (r8 ADVICE: a full clear-when-full recounted every
+  // in-flight condition and discarded dedupe state AQE was still using;
+  // LRU shrinks the worst case to re-counting only the evicted oldest —
+  // still never a miss). mark() callers hold the object monitor: the
+  // increment is a read-modify-write, optimizer invocations can be
+  // concurrent, and LinkedHashMap is not thread-safe.
   private val MaxSeen = 8192
+  private def lruSet(): java.util.Set[String] =
+    java.util.Collections.newSetFromMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > MaxSeen
+      })
+  private val seenWarnings = lruSet()
+  private val seenRewrites = lruSet()
 
   // callers hold the object monitor
-  private def mark(set: java.util.Set[String], k: String): Boolean = {
-    if (set.size > MaxSeen) set.clear()
+  private def mark(set: java.util.Set[String], k: String): Boolean =
     set.add(k)
-  }
   def markRewrite(k: String): Boolean = synchronized {
     val fresh = mark(seenRewrites, k)
     if (fresh) bandRewrites += 1
@@ -84,11 +93,27 @@ object BandDiagnostics {
   *
   * Axis kinds: 'i' = integral (bucket on the value), 't' = timestamp
   * (bucket on unix_micros, offsets in microseconds), 'd' = date (bucket
-  * on unix_date, offsets in days). Each is an EXACT integral mapping, so
-  * the bucket arithmetic is identical across kinds.
+  * on unix_date, offsets in days) — each an EXACT integral mapping —
+  * plus 'f' = fractional (DOUBLE/FLOAT/narrow DECIMAL axes, r9): the
+  * bucket function there is double floor-division with a ±1 bucket
+  * margin, the same epsilon-tolerant algebra ops/autojoin.py uses (the
+  * margin absorbs any ulp disagreement between the bucket arithmetic
+  * and the refine predicate's own arithmetic; the refine restores
+  * exactness either way). Offsets are carried as BigDecimal so the
+  * exact kinds never round-trip through a double (a snowflake-scale
+  * long offset near 2^60 would quantize to 256-unit steps).
   */
 trait BandAlgebra extends PredicateHelper {
   private val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** Fractional axes must survive an exact cast to double: a DECIMAL
+    * whose integral digits exceed double's 2^53 exactness could strand
+    * a true match outside the ±1 bucket margin. */
+  private def fractionalAxis(t: DataType): Boolean = t match {
+    case DoubleType | FloatType => true
+    case d: DecimalType => d.precision - d.scale <= 15
+    case _ => false
+  }
 
   protected def attrSide(
       a: Attribute, left: LogicalPlan, right: LogicalPlan): Option[Char] =
@@ -96,21 +121,34 @@ trait BandAlgebra extends PredicateHelper {
     else if (right.outputSet.contains(a)) Some('r')
     else None
 
+  /** A band-axis base term: a bare attribute, or an analyzer-inserted
+    * numeric cast of one (decimal promotion / int-vs-double mixing).
+    * Integral-to-integral casts stay exact ('i'); any fractional attr
+    * or cast target is the double path ('f'). */
+  private def baseTerm(e: Expression): Option[(AttributeReference, Char)] = e match {
+    case a: AttributeReference if integral.contains(a.dataType) => Some((a, 'i'))
+    case a: AttributeReference if a.dataType == TimestampType => Some((a, 't'))
+    case a: AttributeReference if a.dataType == DateType => Some((a, 'd'))
+    case a: AttributeReference if fractionalAxis(a.dataType) => Some((a, 'f'))
+    case Cast(a: AttributeReference, t, _, _)
+        if integral.contains(t) && integral.contains(a.dataType) =>
+      Some((a, 'i'))
+    case Cast(a: AttributeReference, t, _, _)
+        if fractionalAxis(t) &&
+          (integral.contains(a.dataType) || fractionalAxis(a.dataType)) =>
+      Some((a, 'f'))
+    case _ => None
+  }
+
   /** attr ± fixed-width literal → (attr, offset-in-axis-units, kind). */
   protected def parseSide(
-      e: Expression): Option[(AttributeReference, Long, Char)] = e match {
-    case a: AttributeReference if integral.contains(a.dataType) =>
-      Some((a, 0L, 'i'))
-    case a: AttributeReference if a.dataType == TimestampType =>
-      Some((a, 0L, 't'))
-    case a: AttributeReference if a.dataType == DateType =>
-      Some((a, 0L, 'd'))
-    case Add(a: AttributeReference, Literal(v, t), _) if integral.contains(t) =>
-      Some((a, lit2long(v, t), 'i'))
-    case Add(Literal(v, t), a: AttributeReference, _) if integral.contains(t) =>
-      Some((a, lit2long(v, t), 'i'))
-    case Subtract(a: AttributeReference, Literal(v, t), _) if integral.contains(t) =>
-      Some((a, -lit2long(v, t), 'i'))
+      e: Expression): Option[(AttributeReference, BigDecimal, Char)] = e match {
+    case Add(x, Literal(v, t), _) if isNum(t) =>
+      baseTerm(x).flatMap { case (a, k) => combine(a, k, lit2dec(v, t), t) }
+    case Add(Literal(v, t), x, _) if isNum(t) =>
+      baseTerm(x).flatMap { case (a, k) => combine(a, k, lit2dec(v, t), t) }
+    case Subtract(x, Literal(v, t), _) if isNum(t) =>
+      baseTerm(x).flatMap { case (a, k) => combine(a, k, -lit2dec(v, t), t) }
     // ts ± INTERVAL '…' (day-time): the analyzer folds both signs into
     // TimestampAddInterval(attr, literal-micros). Year-month intervals
     // are variable-width — deliberately NOT matched (fall to warning).
@@ -118,23 +156,42 @@ trait BandAlgebra extends PredicateHelper {
       (t.children(0), t.children(1)) match {
         case (a: AttributeReference, Literal(v: Long, _: DayTimeIntervalType))
             if a.dataType == TimestampType =>
-          Some((a, v, 't'))
+          Some((a, BigDecimal(v), 't'))
         case _ => None
       }
     // date_add / date_sub with a literal day count.
     case DateAdd(a: AttributeReference, Literal(v, t)) if integral.contains(t) =>
-      Some((a, lit2long(v, t), 'd'))
+      Some((a, lit2dec(v, t), 'd'))
     case DateSub(a: AttributeReference, Literal(v, t)) if integral.contains(t) =>
-      Some((a, -lit2long(v, t), 'd'))
-    case _ => None
+      Some((a, -lit2dec(v, t), 'd'))
+    case other => baseTerm(other).map { case (a, k) => (a, BigDecimal(0), k) }
   }
 
-  private def lit2long(v: Any, t: DataType): Long = v match {
-    case b: Byte => b.toLong
-    case s: Short => s.toLong
-    case i: Int => i.toLong
-    case l: Long => l
-    case other => throw new IllegalStateException(s"non-integral literal $other: $t")
+  /** Attach a numeric-literal offset to a base term: time axes only take
+    * their dedicated interval/day forms (a bare numeric offset on a
+    * timestamp attr is unit-ambiguous — reject); an integral base with a
+    * fractional offset promotes the whole side to the double path. */
+  private def combine(a: AttributeReference, kind: Char, off: BigDecimal,
+      litType: DataType): Option[(AttributeReference, BigDecimal, Char)] =
+    kind match {
+      case 't' | 'd' => None
+      case 'i' if integral.contains(litType) => Some((a, off, 'i'))
+      case _ => Some((a, off, 'f'))
+    }
+
+  private def isNum(t: DataType): Boolean =
+    integral.contains(t) || t == DoubleType || t == FloatType ||
+      t.isInstanceOf[DecimalType]
+
+  private def lit2dec(v: Any, t: DataType): BigDecimal = v match {
+    case b: Byte => BigDecimal(b.toLong)
+    case s: Short => BigDecimal(s.toLong)
+    case i: Int => BigDecimal(i.toLong)
+    case l: Long => BigDecimal(l)
+    case f: Float => BigDecimal(java.math.BigDecimal.valueOf(f.toDouble))
+    case d: Double => BigDecimal(java.math.BigDecimal.valueOf(d))
+    case d: Decimal => BigDecimal(d.toJavaBigDecimal)
+    case other => throw new IllegalStateException(s"non-numeric literal $other: $t")
   }
 
   /** Bare-attribute equi conjunct across the two sides? */
@@ -150,10 +207,14 @@ trait BandAlgebra extends PredicateHelper {
   /** One conjunct → Some((lAttr, rAttr, kind, isLower, delta)): the bound
     * `r - l >= delta` (isLower) or `r - l <= delta` in axis units, with
     * strictness widened away (the refine re-applies the original
-    * predicate). Both sides must live on the same axis kind. */
+    * predicate). Sides must share an axis kind, except that an integral
+    * side paired with a fractional one promotes to 'f' (both axes get
+    * cast to double — exact for integrals within 2^53, which 'i' attrs
+    * narrower than LongType always are; a LongType-vs-double pairing
+    * only arises when the analyzer already compared them as doubles). */
   protected def classifyBound(
       c: Expression, l: LogicalPlan, r: LogicalPlan)
-      : Option[(AttributeReference, AttributeReference, Char, Boolean, Long)] = {
+      : Option[(AttributeReference, AttributeReference, Char, Boolean, BigDecimal)] = {
     val (a, b, op) = c match {
       case GreaterThanOrEqual(x, y) => (x, y, ">=")
       case GreaterThan(x, y) => (x, y, ">=") // widen: superset only
@@ -164,7 +225,7 @@ trait BandAlgebra extends PredicateHelper {
     for {
       (attrA, offA, kindA) <- parseSide(a)
       (attrB, offB, kindB) <- parseSide(b)
-      if kindA == kindB
+      kind <- unifyKinds(kindA, kindB)
       sa <- attrSide(attrA, l, r)
       sb <- attrSide(attrB, l, r)
       if sa != sb
@@ -175,9 +236,14 @@ trait BandAlgebra extends PredicateHelper {
         else ((attrB, offB), (attrA, offA), op)
       // rt.attr + rt.off (op) lt.attr + lt.off  =>  r - l (op) delta
       val delta = lt._2 - rt._2
-      (lt._1, rt._1, kindA, normOp == ">=", delta)
+      (lt._1, rt._1, kind, normOp == ">=", delta)
     }
   }
+
+  private def unifyKinds(a: Char, b: Char): Option[Char] =
+    if (a == b) Some(a)
+    else if (Set(a, b) == Set('i', 'f')) Some('f')
+    else None
 }
 
 /** Replan `SELECT ... FROM a JOIN b ON lo <= b.x - a.y <= hi` (no equi
@@ -209,32 +275,60 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
         // over the same pair always agree on it.
         val bounds = scala.collection.mutable.LinkedHashMap
           .empty[(ExprId, ExprId), (AttributeReference, AttributeReference,
-            Char, Option[Long], Option[Long])]
+            Char, Option[BigDecimal], Option[BigDecimal])]
         conjuncts.foreach { c =>
           classifyBound(c, left, right).foreach {
-            case (la, ra, kind, isLower, d) =>
+            case (la, ra, kind0, isLower, d) =>
               val k = (la.exprId, ra.exprId)
-              val (_, _, _, lo, hi) =
-                bounds.getOrElse(k, (la, ra, kind, None, None))
-              val nlo = if (isLower) Some(lo.fold(d)(math.max(_, d))) else lo
-              val nhi = if (!isLower) Some(hi.fold(d)(math.min(_, d))) else hi
+              val (_, _, kindPrev, lo, hi) =
+                bounds.getOrElse(k, (la, ra, kind0, None, None))
+              // a pair bounded by one exact and one fractional conjunct
+              // (e.g. `r - l >= 0 AND r - l <= 0.5`) buckets on doubles
+              val kind = if (kind0 == 'f' || kindPrev == 'f') 'f' else kind0
+              val nlo = if (isLower) Some(lo.fold(d)(_.max(d))) else lo
+              val nhi = if (!isLower) Some(hi.fold(d)(_.min(d))) else hi
               bounds(k) = (la, ra, kind, nlo, nhi)
           }
         }
         bounds.values.collectFirst {
-          // hi - lo >= 0 guards Long overflow on pathological bounds
-          case (la, ra, kind, Some(lo), Some(hi)) if hi >= lo && hi - lo >= 0 =>
+          // exact kinds: bounds must fit Long arithmetic (BigDecimal
+          // offsets are whole there by construction); 'f' needs no guard
+          case (la, ra, kind, Some(lo), Some(hi))
+              if hi >= lo && (kind == 'f' ||
+                (lo.isValidLong && hi.isValidLong && (hi - lo).isValidLong)) =>
             (la, ra, kind, lo, hi)
         } match {
           case None => j
-          case Some((lAttr, rAttr, kind, lo, hi)) =>
-            val w = math.max(hi - lo, 1L)
-            // left: explode the covered bucket range (±1 margin is
-            // unnecessary on exact integer axes but harmless; omit to
-            // keep fanout at most ceil((hi-lo)/w)+1 = 2)
-            val lAxis = axisExpr(lAttr, kind)
-            val lob = IntegralDivide(Add(lAxis, dec(lo)), dec(w))
-            val hib = IntegralDivide(Add(lAxis, dec(hi)), dec(w))
+          case Some((lAttr, rAttr, kind, loD, hiD)) =>
+            // Per-kind bucket triple (left-lo, left-hi, right-bucket),
+            // every expression LongType-valued.
+            val (lob, hib, rBucket): (Expression, Expression, Expression) =
+              if (kind == 'f') {
+                // Fractional axes: double floor-division with a ±1
+                // bucket margin (ops/autojoin.py's algebra) — a value
+                // one ulp across a bucket edge relative to the refine's
+                // own arithmetic still lands in a candidate bucket;
+                // fanout is at most 4 ids, refine restores exactness.
+                val w = (hiD - loD).max(BigDecimal(1)).doubleValue
+                def litD(x: Double) = Literal(x, DoubleType)
+                val lAxis = Cast(lAttr, DoubleType)
+                val rAxis = Cast(rAttr, DoubleType)
+                (Subtract(Floor(Divide(
+                   Add(lAxis, litD(loD.doubleValue)), litD(w))), Literal(1L)),
+                 Add(Floor(Divide(
+                   Add(lAxis, litD(hiD.doubleValue)), litD(w))), Literal(1L)),
+                 Floor(Divide(rAxis, litD(w))))
+              } else {
+                val lo = loD.toLongExact
+                val hi = hiD.toLongExact
+                val w = math.max(hi - lo, 1L)
+                // exact integer axes need no margin: fanout at most
+                // ceil((hi-lo)/w)+1 = 2
+                val lAxis = axisExpr(lAttr, kind)
+                (IntegralDivide(Add(lAxis, dec(lo)), dec(w)),
+                 IntegralDivide(Add(lAxis, dec(hi)), dec(w)),
+                 IntegralDivide(axisExpr(rAttr, kind), dec(w)))
+              }
             // Sequence is TimeZoneAwareExpression: without an explicit
             // timeZoneId it reports unresolved and fails plan validation
             val seq = new Sequence(
@@ -244,15 +338,14 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
               BUCKET + "_l", LongType, nullable = seqType.containsNull)()
             val gen = Generate(
               Explode(seq), Nil, outer = false, None, Seq(bucketL), left)
-            val rAlias = Alias(
-              IntegralDivide(axisExpr(rAttr, kind), dec(w)), BUCKET + "_r")()
+            val rAlias = Alias(rBucket, BUCKET + "_r")()
             val proj = Project(right.output :+ rAlias, right)
             val newJoin = Join(
               gen, proj, Inner,
               Some(And(EqualTo(bucketL, rAlias.toAttribute), cond)), hint)
             if (BandDiagnostics.markRewrite(cond.canonicalized.toString)) {
               logInfo(s"sim_spark: rewrote naive band join on " +
-                s"(${lAttr.name}, ${rAttr.name}) [kind=$kind lo=$lo hi=$hi] " +
+                s"(${lAttr.name}, ${rAttr.name}) [kind=$kind lo=$loD hi=$hiD] " +
                 "to bucket-equi + refine")
             }
             Project(j.output, newJoin)
@@ -285,8 +378,8 @@ class NaiveBandJoinWarning extends Rule[LogicalPlan] with BandAlgebra with Loggi
               s"(${cond.sql}) will plan as BroadcastNestedLoopJoin/" +
               "CartesianProduct. For bounded bands use " +
               "sim_spark.ops.autojoin.auto_join (DataFrame API) or an " +
-              "integral/timestamp/date-axis band in SQL (rewritten " +
-              "automatically); as-of shapes: " +
+              "integral/timestamp/date/double-axis band in SQL " +
+              "(rewritten automatically); as-of shapes: " +
               "sim_spark.ops.autojoin.auto_asof.")
         }
       case _ =>

@@ -31,7 +31,14 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
     Candidates come from the banded equi-join on (band_no, val) with the
     ≤``CAP`` saturation guard; the refine keeps exact Hamming distance
     ≤ ``hd_max`` over the band values (low bits only when ``hd_mask`` is
-    given — bucket-routing bits excluded from the metric)."""
+    given — bucket-routing bits excluded from the metric).
+
+    Recall caveat: a true near-dup pair whose EVERY shared band value is
+    saturated (>``CAP`` members) is never generated as a candidate — the
+    cap trades that recall for bounded candidate counts (SCALE.md §18
+    measured the audio fixture at 4918→75 dups under cap-alone before the
+    entropy booster restored band selectivity). Callers tuning ``CAP``
+    should keep at least one discriminative band per expected dup class."""
     sig = track_cache(sig)
     band_structs = F.array(
         *[
@@ -51,13 +58,16 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
     # more than CAP docs contributes c² candidates and almost no signal —
     # see SCALE.md §18 for the measured sf1 blowups this prevents. The
     # oracle applies the identical guard (bok CTE in banded_dedup_oracle).
-    ok = (
+    # Broadcast the OVER-cap list (tiny: #buckets with >CAP members, not
+    # ~4x corpus like the keep-list) and strip it with a left_anti join —
+    # identical semantics, bounded driver/executor broadcast at any scale.
+    over = (
         bands.groupBy("band_no", "val")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= CAP)
+        .filter(F.col("c") > CAP)
         .select("band_no", "val")
     )
-    bands = bands.join(F.broadcast(ok), ["band_no", "val"])
+    bands = bands.join(F.broadcast(over), ["band_no", "val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -14,20 +14,25 @@ provides two optimizer rules, installed into the session's
 batch, applied to every subsequent plan including pure SQL strings):
 
 * ``simspark.SqlBandJoinRewrite`` — inner joins whose condition is a
-  bounded band over INTEGRAL, TIMESTAMP, or DATE attributes with no
-  equi conjunct are replanned as bucket-explode + equi-join + exact
-  refine with the ORIGINAL predicate (candidate superset —
-  row-identical by construction; the same algebra as ops/autojoin.py,
-  decimal(38,0) bucket arithmetic included). Timestamp and date axes
-  reduce to the integral machinery through their exact epoch mappings
+  bounded band over INTEGRAL, TIMESTAMP, DATE, or (r9)
+  DOUBLE/FLOAT/narrow-DECIMAL attributes with no equi conjunct are
+  replanned as bucket-explode + equi-join + exact refine with the
+  ORIGINAL predicate (candidate superset — row-identical by
+  construction; the same algebra as ops/autojoin.py, decimal(38,0)
+  bucket arithmetic included). Timestamp and date axes reduce to the
+  integral machinery through their exact epoch mappings
   (``unix_micros``/``unix_date``); interval offsets must be day-time
-  (fixed-width) literals.
+  (fixed-width) literals. Fractional axes (doubles, floats, decimals
+  with <=15 integral digits — exact under the double cast) bucket via
+  double floor-division with a ±1 bucket margin, ops/autojoin.py's
+  epsilon-tolerant path.
 * ``simspark.NaiveBandJoinWarning`` — shapes the rewrite does not
-  cover (double axes, year-month intervals, exotic arithmetic) log a
+  cover (year-month intervals, wide decimals, exotic arithmetic) log a
   loud warning naming auto_join/auto_asof and bump a counter. Both
-  counters dedupe on the condition's semanticHash (the optimizer
-  re-runs extra rules in its fixed-point batch and under AQE), so
-  they count distinct join conditions, not rule visits.
+  counters dedupe on the condition's canonicalized string under a
+  bounded LRU (the optimizer re-runs extra rules in its fixed-point
+  batch and under AQE), so they count distinct join conditions, not
+  rule visits.
 
 Installation is purely additive and opportunistic: the jar loads
 through a child URLClassLoader of the live JVM (no session restart, no
@@ -39,10 +44,9 @@ way; only the PLAN differs (asserted in tests/test_plans.py, skipped
 when the extension is unavailable).
 
 Documented limitation (the honest fence SURVEY §4.3 asked to keep
-visible, shrunk in r8): SQL-string bands over DOUBLE axes (and
-variable-width year-month intervals) still plan naively and WARN —
-float bucket arithmetic is not exact, so the rewrite stays integral;
-use the DataFrame API (auto_join) there.
+visible, shrunk again in r9): SQL-string bands over variable-width
+YEAR-MONTH intervals and DECIMALs wider than 15 integral digits still
+plan naively and WARN; use the DataFrame API (auto_join) there.
 """
 
 from __future__ import annotations

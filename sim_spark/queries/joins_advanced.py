@@ -129,6 +129,45 @@ def join_sql_band_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_BAND_TS_TEXT)
 
 
+_SQL_BAND_DEC_TEXT = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+              * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS bal
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST((b.bal - a.bal) * 100 AS BIGINT) AS diff_cents
+FROM c a JOIN c b
+  ON b.bal >= a.bal - 0.05 AND b.bal <= a.bal + 0.05
+ AND a.c_custkey < b.c_custkey
+ORDER BY cust_a, cust_b
+"""
+
+
+@query("join_sql_band_dec", oracle=_SQL_BAND_DEC_TEXT)
+def join_sql_band_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate balances (|diff| <= 5 cents) as a NAIVE band join
+    over a DECIMAL(12,2) axis inside a spark.sql() STRING — the last
+    numeric-axis shape the compiled Catalyst rule did not cover until r9.
+    The rule's fractional path buckets both sides with double
+    floor-division plus a ±1 bucket margin (ops/autojoin.py's
+    epsilon-tolerant algebra — the margin absorbs any ulp disagreement
+    between bucket arithmetic and the refine predicate; the exact refine
+    restores row-identity), guarded to DECIMALs with <=15 integral
+    digits so the double cast is exact. Plan asserted BNLJ-free in
+    tests/test_plans.py; DuckDB runs the identical SQL text. The
+    decimal axis itself is built EXACTLY (integer cents * 0.01 — never a
+    double->decimal cast, whose rounding mode differs between engines).
+    This shrinks the ops/sqlband.py fence to year-month intervals and
+    wide decimals only."""
+    from sim_spark.ops.sqlband import install_sql_band_extension
+
+    install_sql_band_extension(spark)
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_SQL_BAND_DEC_TEXT)
+
+
 @query(
     "join_asof",
     oracle="""

@@ -212,6 +212,23 @@ def test_sql_string_timestamp_band_join_is_rewritten_to_equi(spark):
     assert diagnostics(spark)["rewrites"] > before
 
 
+def test_sql_string_decimal_band_join_is_rewritten_to_equi(spark):
+    """Round 9: the rule's fractional path covers DECIMAL/DOUBLE axes —
+    double floor-division bucketing with a ±1 bucket margin (the
+    ops/autojoin.py epsilon algebra) — so a naive decimal band in SQL
+    text must plan as a bucket equi-join, not BNLJ."""
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+    before = diagnostics(spark)["rewrites"]
+    p = plan(spark, "join_sql_band_dec")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+    assert diagnostics(spark)["rewrites"] > before
+
+
 def test_ivfpq_candidate_gate_is_cell_equi_join(spark):
     """The IVF stage must gate candidates through the equi-join on cell
     id (broadcast probe list x assignment frame) — scoring the whole
