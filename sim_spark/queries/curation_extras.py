@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import h48
 from sim_spark.io import table
+from sim_spark.ops.ladders import pow2_sqrt_ladder, pow2_sqrt_ladder_sql
 from sim_spark.scratch import track_cache
 from sim_spark.registry import query
 
@@ -658,15 +659,21 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup — semantic dedup inside k-means clusters
 # --------------------------------------------------------------------------
 
-_SEM_K = 10       # fixed centroids: first K vectors (deterministic)
 _SEM_T = 0.4      # cosine threshold (fixture max pair score ~0.51)
+
+# K centroids = corpus-count-keyed √n ladder (r9, closing the r8
+# perf-weak flag: a FIXED K made per-cell candidates grow n²/K —
+# 13.5x wall at 10x rows measured at sf1). The ladder is integer-only
+# and recomputed identically by the oracle from COUNT(*), so the key
+# stays hash-oracled at every SF; centroids remain "first K vectors".
+_SEM_K_SQL = pow2_sqrt_ladder_sql("embeddings")
 
 
 @query(
     "dedup_semantic_clusters",
     oracle=f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
-           WHERE vec_id < {_SEM_K}),
+           WHERE vec_id < {_SEM_K_SQL}),
 prod AS (
   SELECT v.vec_id AS vid, c.cid,
          unnest(v.embedding) AS vx, unnest(c.c_emb) AS cx
@@ -719,12 +726,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and hash-oracled end to end: assign by rounded-argmin
     distance, intra-cluster pairs via an equi-join on the cluster id
     with dot-product refine (round-then-compare at the threshold), drop
-    the higher id of every duplicate pair. At 100 TB the cluster id is
-    the shuffle key (the IVF-cell pattern from sim_ann_ivf) and K scales
-    to ~sqrt(n); the per-cluster report (members, dup pairs, dropped,
-    kept) is the curation ledger a SemDeDup run ships."""
+    the higher id of every duplicate pair. K follows the deterministic
+    √n ladder (ops/ladders.py — r9, closing the r8 perf-weak flag):
+    per-cell membership grows ~√n so the quadratic-within-cell stage
+    grows LINEARLY with corpus size, and the oracle recomputes the
+    identical K from COUNT(*), keeping the key hash-oracled at every
+    SF. At 100 TB the cluster id is the shuffle key (the IVF-cell
+    pattern from sim_ann_ivf); the per-cluster report (members, dup
+    pairs, dropped, kept) is the curation ledger a SemDeDup run
+    ships."""
     e = table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < _SEM_K).select(
+    sem_k = pow2_sqrt_ladder(e.count())
+    cents = e.filter(F.col("vec_id") < sem_k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     v = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"))
