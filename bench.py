@@ -126,13 +126,22 @@ def main() -> None:
 
     # Suite-level JIT warm-up (BASELINE.md already excludes session
     # startup): the FIRST query in the loop otherwise pays C2 compilation
-    # for the shared codegen/shuffle/scan stack — measured 1.51 s cold vs
-    # 0.85 s steady-state for agg_q1_pricing at sf0.1. Two untimed
-    # flagship runs warm those shared paths so every recorded number is
-    # steady-state; the per-query warm-up below still covers
-    # query-specific code.
-    for _ in range(2):
+    # for the shared codegen/shuffle/scan stack. A FIXED warm-up count is
+    # not enough on a cold process — VARIANCE_r08 item 2 measured the
+    # flagship ramp 4.09 → 1.17 s over 5 samples, so two untimed runs
+    # still left the first timed median ~3x its steady floor in driver
+    # runs. r9: run the flagship plan family until two consecutive
+    # untimed samples agree within 15% (capped at 8 runs so a genuinely
+    # noisy box cannot stall the bench); the per-query warm-up below
+    # still covers query-specific code.
+    prev = None
+    for _ in range(8):
+        t0 = time.perf_counter()
         _materialize(QUERIES["agg_q1_pricing"](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        if prev is not None and max(prev, dt) <= 1.15 * min(prev, dt):
+            break
+        prev = dt
     release_tracked_caches()
 
     times: dict[str, float] = {}
