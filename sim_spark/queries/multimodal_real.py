@@ -32,7 +32,11 @@ from sim_spark.ops.multimodal import (
     SIN64B,
     SIN64C,
     bmp_features,
+    decode_bmp,
+    decode_png,
     gen_bmp_payload,
+    gen_png_payload,
+    gen_png_twin_payload,
     gen_wav_payload,
     gen_wav_tone_payload,
     wav_features,
@@ -213,29 +217,39 @@ def _bmp_tile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(rows)
 
 
-def _bmp_dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_dhash_batches(decode_fn):
+    """Container-generic dhash signature extractor: decode via
+    ``decode_fn`` (BMP or PNG parser — both return top-down (w, h,
+    pixel-bytes)), grayscale by exact channel sum, nearest-neighbor
+    sample to the canonical 8x9 grid, pack the 64
+    brighter-to-the-right bits as 4x16-bit band values."""
     import numpy as np
 
-    from sim_spark.ops.multimodal import decode_bmp
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_fn(bytes(payload))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+                gray = a.sum(axis=2)  # exact int channel sum, 0..765
+                # nearest-neighbor "resize" to the canonical 8x9 dhash grid
+                ri = (np.arange(8) * h) // 8
+                cj = (np.arange(9) * w) // 9
+                g = gray[np.ix_(ri, cj)]  # 8 rows x 9 cols
+                # 64 bits, row-major: bit(r,c) = brighter-to-the-right
+                flat = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
+                rows["doc_id"].append(int(doc_id))
+                for k in range(4):
+                    rows[f"b{k}"].append(
+                        int(sum(int(flat[16 * k + i]) << i for i in range(16)))
+                    )
+            yield pd.DataFrame(rows)
 
-    for pdf in batches:
-        rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            w, h, px = decode_bmp(bytes(payload))
-            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
-            gray = a.sum(axis=2)  # exact int channel sum, 0..765
-            # nearest-neighbor "resize" to the canonical 8x9 dhash grid
-            ri = (np.arange(8) * h) // 8
-            cj = (np.arange(9) * w) // 9
-            g = gray[np.ix_(ri, cj)]  # 8 rows x 9 cols
-            # 64 bits, row-major: bit(r,c) = brighter-to-the-right
-            flat = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
-            rows["doc_id"].append(int(doc_id))
-            for k in range(4):
-                rows[f"b{k}"].append(
-                    int(sum(int(flat[16 * k + i]) << i for i in range(16)))
-                )
-        yield pd.DataFrame(rows)
+    return _batches
+
+
+_bmp_dhash_batches = _make_dhash_batches(decode_bmp)
+_png_dhash_batches = _make_dhash_batches(decode_png)
 
 
 _IMG_SIG_CTES = """dims AS (
@@ -303,6 +317,116 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
     sig = payloads.mapInPandas(
         _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    return banded_dedup(sig, hd_max=4)
+
+
+def _gen_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [gen_png_payload(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _gen_png_twin_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [gen_png_twin_payload(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _png_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_png(bytes(payload))
+            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+            rows.append(
+                (
+                    int(doc_id), w, h, int(a.sum()), int(a[0].sum()),
+                    int(a[:, 0].sum()), int(a.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "px_sum", "top_row_sum",
+                     "left_col_sum", "px_max"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 5 + (doc_id % 11) AS w, 3 + (doc_id % 5) AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, rr.r, cc.c, hh.ch,
+         (3 * doc_id + 11 * rr.r + 17 * cc.c + 31 * hh.ch) % 256 AS val
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, 3)) AS ch) hh
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT) AS top_row_sum,
+       CAST(sum(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT) AS left_col_sum,
+       CAST(max(val) AS BIGINT) AS px_max
+FROM cells GROUP BY doc_id, w, h
+""",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode end-to-end (r9, shrinking the r8 decode fence):
+    synthesize real non-interlaced RGB8 PNGs — DEFLATE-compressed via
+    stdlib zlib, filter type cycling r % 5 so every image exercises
+    several of the five PNG predictors, the zlib stream split across two
+    IDAT chunks — then parse them back with the chunk-walking
+    CRC-verifying decoder (ops/multimodal.decode_png) and aggregate
+    per-doc pixel statistics. ``top_row_sum`` pins the Up/Average/Paeth
+    prior-row reconstruction; ``left_col_sum`` pins the in-row Sub/Paeth
+    left-neighbor reconstruction. The oracle recomputes every channel
+    byte from the synthesis formula — it never sees the bytes — so an
+    unfilter, chunk-walk, or inflate-reassembly bug cannot cancel out.
+    Same 100 TB shape as the BMP/WAV twins: per-row mapInPandas decode,
+    no shuffle until the tiny feature frame."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    payloads = d.mapInPandas(_gen_png_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _png_feature_batches,
+        "doc_id long, width long, height long, px_sum long, "
+        "top_row_sum long, left_col_sum long, px_max long",
+    )
+
+
+@query(
+    "dedup_image_dhash_png",
+    oracle=banded_dedup_oracle(_IMG_SIG_CTES, hd_max=4),
+)
+def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_image_dhash` over PNG containers (r9): the SAME pixel
+    formula as the BMP key, carried through a completely different
+    decode path — DEFLATE inflate + five-filter un-prediction + top-down
+    rows instead of raw bytes + stride padding + bottom-up rows — must
+    yield bit-identical dhash signatures and therefore the identical
+    dedup report. The oracle is literally the BMP key's oracle
+    (_IMG_SIG_CTES recomputes gray values from the formula), so ANY
+    divergence between the two container decoders breaks the hash
+    match. Candidate generation is the shared banded-LSH scaffold
+    (ops/bandlsh.py): equi-join on (band_no, band_value) with the
+    saturation cap, exact in-row Hamming refine — never all-pairs."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    payloads = d.mapInPandas(_gen_png_twin_batches, _PAYLOAD_SCHEMA)
+    sig = payloads.mapInPandas(
+        _png_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
     return banded_dedup(sig, hd_max=4)
 

@@ -97,3 +97,63 @@ def test_gen_bmp_known_values():
     a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
     r, c, ch = np.indices((h, w, 3))
     np.testing.assert_array_equal(a, ((1 + 7 * r + 13 * c + 29 * ch) % 256))
+
+
+# --- PNG (r9: stdlib-zlib decoder; non-interlaced RGB8) ---------------------
+
+
+def test_png_roundtrip_all_filters():
+    from sim_spark.ops.multimodal import decode_png, encode_png
+
+    # 10 rows: filter cycle r % 5 hits every predictor twice
+    px = bytes(((i * 37 + 11) % 256) for i in range(10 * 6 * 3))
+    payload = encode_png(6, 10, px)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert payload.count(b"IDAT") == 2  # multi-IDAT reassembly exercised
+    assert decode_png(payload) == (6, 10, px)
+
+
+def test_png_crc_is_verified():
+    from sim_spark.ops.multimodal import decode_png, encode_png
+
+    p = bytearray(encode_png(4, 4, bytes(48)))
+    idat = p.index(b"IDAT")
+    p[idat + 5] ^= 0xFF  # corrupt one IDAT byte; CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(p))
+
+
+def test_png_rejects_unsupported_shapes():
+    from sim_spark.ops.multimodal import decode_png, encode_png
+
+    p = bytearray(encode_png(2, 2, bytes(12)))
+    # IHDR data starts at offset 16 (8 sig + 4 len + 4 type);
+    # interlace byte is IHDR data[12]
+    p[16 + 12] = 1  # Adam7
+    import zlib
+
+    crc = zlib.crc32(bytes(p[12:16]) + bytes(p[16 : 16 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", p, 16 + 13, crc)
+    with pytest.raises(ValueError, match="non-interlaced RGB8 only"):
+        decode_png(bytes(p))
+
+
+def test_png_container_independence():
+    """The BMP payload and its PNG twin decode to identical pixel
+    arrays — the invariant dedup_image_dhash_png pins end-to-end."""
+    from sim_spark.ops.multimodal import gen_png_twin_payload
+    from sim_spark.ops.multimodal import decode_png
+
+    for d in (0, 1, 12, 91, 400):
+        assert decode_png(gen_png_twin_payload(d)) == decode_bmp(
+            gen_bmp_payload(d)
+        )
+
+
+def test_png_dispatch_and_remaining_fence():
+    from sim_spark.ops.multimodal import decode, gen_png_payload
+
+    out = decode(gen_png_payload(7))
+    assert out["kind"] == "png" and out["width"] == 5 + 7 % 11
+    with pytest.raises(NotImplementedError):  # JPEG/MP3 stay fenced
+        decode(b"\xff\xd8\xff\xe0 jpeg-ish")

@@ -260,6 +260,16 @@ def test_image_dhash_band_join_is_equi_not_cartesian(spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
 
 
+def test_png_dhash_band_join_is_equi_not_cartesian(spark):
+    """The PNG-container dhash dedup shares the banded-LSH scaffold —
+    same plan contract as the BMP twin: candidates from the (band_no,
+    band_value) equi-join, never an all-pairs scan."""
+    p = plan(spark, "dedup_image_dhash_png")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+
 def test_minhash_band_join_is_equi_not_cartesian(spark):
     """LSH banding exists to make candidate generation an equi-join on
     (band_no, band_value) — a cartesian/BNLJ here would defeat it."""
