@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sim_spark.exprs import h48
-from sim_spark.io import table
+from sim_spark.io import register_views, table
 from sim_spark.ops.ladders import pow2_sqrt_ladder, pow2_sqrt_ladder_sql
 from sim_spark.scratch import track_cache
 from sim_spark.registry import query
@@ -1239,3 +1239,123 @@ def curate_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
     )
+
+
+_BPE_ROUNDS = 6   # merges applied (rank order), unrolled
+_BPE_TOPN = 30    # resulting vocabulary rows reported
+
+
+def _bpe_apply_sql(split_words: str, series: str) -> str:
+    """Dialect-parametrized BPE-apply SQL (identical structure for Spark
+    and DuckDB — only the split/series spellings differ).
+
+    Per merge round r, over the (word, pos, tok) frame: mark positions
+    whose (tok, next-tok) equals merge #r, resolve overlapping marks
+    with the tokenizer's greedy left-to-right rule — within each maximal
+    run of consecutive marks, keep every other one, computed as
+    (pos - run_start) % 2 = 0 with run_start from a running MAX window
+    over the last unmarked position (pure ANSI windows; no sequential
+    fold, so no DuckDB list_reduce in-place hazard) — then merge kept
+    positions with their successor and renumber. One greedy pass per
+    merge is exhaustive for that merge: a merged token can never
+    re-form its own pair."""
+    ctes = [
+        f"""words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT {split_words} AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+),
+cpairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+  FROM (SELECT w, freq, {series("length(w) - 1")} AS i FROM words)
+),
+merges AS (
+  SELECT a, b, rnk FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, a || b) AS rnk
+    FROM cpairs GROUP BY a, b
+  ) WHERE rnk <= {_BPE_ROUNDS}
+),
+t0 AS (
+  SELECT w, freq, i - 1 AS pos, substr(w, i, 1) AS tok
+  FROM (SELECT w, freq, {series("length(w)")} AS i FROM words)
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""m{r} AS (
+  SELECT t.w, t.freq, t.pos, t.tok,
+         CASE WHEN t.tok = mg.a
+               AND LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos) = mg.b
+              THEN 1 ELSE 0 END AS m
+  FROM t{r - 1} t LEFT JOIN (SELECT a, b FROM merges WHERE rnk = {r}) mg
+       ON true
+),
+s{r} AS (
+  SELECT *, CASE WHEN m = 1
+                  AND (pos - (COALESCE(lz, -1) + 1)) % 2 = 0
+                 THEN 1 ELSE 0 END AS sel
+  FROM (
+    SELECT *, MAX(CASE WHEN m = 0 THEN pos END) OVER (
+                PARTITION BY w ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lz
+    FROM m{r})
+),
+t{r} AS (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         CASE WHEN sel = 1 THEN tok || nxt ELSE tok END AS tok
+  FROM (SELECT *, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+               LAG(sel) OVER (PARTITION BY w ORDER BY pos) AS psel
+        FROM s{r})
+  WHERE COALESCE(psel, 0) = 0
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT tok AS token,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_token_positions,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM t{_BPE_ROUNDS}
+GROUP BY tok
+ORDER BY n_occurrences DESC, token LIMIT {_BPE_TOPN}
+"""
+    )
+
+
+_BPE_APPLY_SPARK = _bpe_apply_sql(
+    "explode(split(text, ' '))", lambda hi: f"explode(sequence(1, {hi}))"
+)
+_BPE_APPLY_DUCK = _bpe_apply_sql(
+    "unnest(str_split(text, ' '))", lambda hi: f"unnest(generate_series(1, {hi}))"
+)
+
+
+@query("curate_bpe_apply", oracle=_BPE_APPLY_DUCK)
+def curate_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of BPE (r9, completing `curate_bpe_merge_pairs`):
+    rank the top-{rounds} merge candidates from the corpus pair
+    statistics, then apply them IN RANK ORDER to every vocabulary
+    word's character sequence with the tokenizer's greedy
+    left-to-right non-overlapping rule, and report the resulting token
+    vocabulary (corpus-frequency-weighted). The overlap rule — "aaa"
+    under merge (a,a) yields [aa, a], never [a, aa] — is resolved
+    relationally: mark matching positions, group maximal runs of
+    consecutive marks via a running-MAX window over the last unmarked
+    position, keep alternate positions within each run. One greedy
+    pass per merge is exhaustive for that merge, so {rounds} unrolled
+    rounds apply the whole table.
+
+    Scale shape: the only corpus-sized stage is the word-frequency
+    reduce (one shuffle on word, same as merge_pairs); every merge
+    round then runs on the VOCABULARY token frame (distinct words ×
+    chars — sublinear in corpus), which is exactly how production
+    tokenizer trainers decouple (count once, merge in vocab space).
+    All windows partition by word, so rounds never reshuffle. The
+    merge table here is the round-1 top-K (a pretrained merges.txt
+    stands in the same place in production); the apply machinery is
+    rank-general — token equality is on full token strings, so
+    multi-character merge components work unchanged."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_BPE_APPLY_SPARK)

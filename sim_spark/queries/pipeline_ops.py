@@ -545,6 +545,118 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+v AS (SELECT count(DISTINCT word) AS vs FROM tok),
+bg AS (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2)
+),
+lm2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+lm1 AS (SELECT a, count(*) AS c1 FROM bg GROUP BY a),
+dc AS (SELECT doc_id, a, b, count(*) AS cnt FROM bg GROUP BY doc_id, a, b),
+terms AS (
+  SELECT dc.doc_id,
+         CAST(floor(dc.cnt * ln(CAST(lm2.c2 + 1 AS DOUBLE) / (lm1.c1 + v.vs))
+                    * 1000000000 + 0.5) AS BIGINT) AS nano
+  FROM dc JOIN lm2 USING (a, b) JOIN lm1 USING (a), v
+),
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb_terms,
+         CAST(sum(nano) AS BIGINT) AS nano_sum
+  FROM terms GROUP BY doc_id
+),
+nb AS (SELECT doc_id, len(ws) - 1 AS n_bigrams FROM w WHERE len(ws) >= 2),
+score AS (
+  SELECT nb.doc_id, CAST(nb.n_bigrams AS BIGINT) AS n_bigrams,
+         CAST((((((-s.nano_sum) + nb.n_bigrams // 2) // nb.n_bigrams) + 500)
+               // 1000) AS BIGINT) AS mean_nll_micro
+  FROM nb JOIN s ON nb.doc_id = s.doc_id
+)
+SELECT doc_id, n_bigrams, mean_nll_micro,
+       CAST(ntile(10) OVER (ORDER BY mean_nll_micro, doc_id) AS BIGINT)
+         AS ppl_decile,
+       ntile(10) OVER (ORDER BY mean_nll_micro, doc_id) BETWEEN 2 AND 9
+         AS keep
+FROM score
+""",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (r9): per-document BIGRAM
+    negative-log-likelihood under the corpus's own add-1-smoothed
+    bigram LM — p(b|a) = (c(a,b)+1) / (c(a)+V) with context counts from
+    the bigram table and V the full vocabulary size — reported in exact
+    integer micro-nats (perplexity = exp(mean NLL); the integer NLL is
+    what stays hash-oracled — exp's last ulp differs between libms, and
+    the gate only needs the monotone rank anyway). Deciles over
+    (score, doc_id) via NTILE; keep = middle deciles 2..9, CCNet's
+    drop-the-head-boilerplate-and-tail-gibberish rule.
+
+    Cross-engine float discipline: each (doc, bigram) log term is
+    snapped to integer nano-units BEFORE the per-doc sum (the
+    text_unigram_surprisal idiom — associative long SUM, no partition-
+    order drift), and the mean + micro-rounding are all-integer.
+
+    Scale shape: the LM is two vocab²-bounded aggregates broadcast
+    back; the doc side runs on (doc, DISTINCT bigram) rows; the per-doc
+    reduce is one keyed long SUM. The NTILE window sorts only the
+    per-DOC score table (corpus-sublinear); at 100 TB swap in
+    approx-quantile decile cutoffs broadcast against the same scores."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    tok = w.select(F.explode("ws").alias("word"))
+    v = tok.agg(F.countDistinct("word").alias("vs"))
+    w2 = w.filter(F.size("ws") >= 2)
+    bg = w2.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.element_at("ws", F.col("i")).alias("a"),
+        F.element_at("ws", F.col("i") + 1).alias("b"),
+    )
+    lm2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c1"))
+    dc = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    term = F.col("cnt") * F.log(
+        (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("vs"))
+    )
+    terms = (
+        dc.join(F.broadcast(lm2), ["a", "b"])
+        .join(F.broadcast(lm1), "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(term * 1000000000 + 0.5).cast("long").alias("nano"),
+        )
+    )
+    s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
+    nb = w2.select("doc_id", (F.size("ws") - 1).alias("n_bigrams"))
+    pos = -F.col("nano_sum")
+    mean_nano = (
+        (pos + (F.col("n_bigrams") / 2).cast("long")) / F.col("n_bigrams")
+    ).cast("long")
+    micro = ((mean_nano + 500) / 1000).cast("long")
+    score = nb.join(s, "doc_id").select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        micro.alias("mean_nll_micro"),
+    )
+    dec = F.ntile(10).over(W.orderBy("mean_nll_micro", "doc_id"))
+    return score.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_nll_micro",
+        dec.cast("bigint").alias("ppl_decile"),
+        dec.between(2, 9).alias("keep"),
+    )
+
+
 _DOMAIN_CAP = 50
 
 

@@ -393,3 +393,67 @@ def test_polygon_inside_subset_and_stump_rank_valid(spark):
     stump = QUERIES["ml_decision_stump"](spark, SF).collect()
     ranks = sorted(r["rank"] for r in stump)
     assert ranks == list(range(1, len(stump) + 1))
+
+
+def test_bpe_apply_matches_pure_python_reference(spark):
+    """The relational greedy-merge machinery (runs-of-marks windows)
+    against an INDEPENDENT pure-Python tokenizer reference: count
+    words, rank top-K char pairs, apply each merge in rank order with
+    the classic left-to-right scan. Both the oracle and the Spark key
+    share SQL structure, so this is the check a shared logic bug
+    cannot pass."""
+    from collections import Counter
+
+    from sim_spark.queries.curation_extras import _BPE_ROUNDS, _BPE_TOPN
+
+    docs = table(spark, SF, "documents").select("text").collect()
+    freq = Counter(
+        w for r in docs for w in r["text"].split(" ") if len(w) >= 2
+    )
+    pairs = Counter()
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += f
+    merges = [
+        p for p, _ in sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_BPE_ROUNDS]
+
+    def apply_merges(word: str) -> list[str]:
+        toks = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(toks):  # greedy left-to-right, non-overlapping
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    expect = Counter()
+    expect_words = {}
+    expect_positions = Counter()
+    for w, f in freq.items():
+        for t in apply_merges(w):
+            expect[t] += f
+            expect_positions[t] += 1
+            expect_words.setdefault(t, set()).add(w)
+    want = sorted(
+        (
+            (t, len(expect_words[t]), expect_positions[t], occ)
+            for t, occ in expect.items()
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:_BPE_TOPN]
+
+    got = [
+        (r["token"], r["n_words"], r["n_token_positions"], r["n_occurrences"])
+        for r in QUERIES["curate_bpe_apply"](spark, SF).collect()
+    ]
+    assert got == want
+    # merges actually fire: at least one multi-char token must exist
+    assert any(len(t) > 1 for t, *_ in got) or any(
+        len(t) > 1 for t in expect
+    )
