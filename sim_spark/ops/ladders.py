@@ -36,6 +36,29 @@ def pow2_sqrt_ladder(n: int, shift: int = 0, floor: int = 8) -> int:
     return max(floor, 1 << max(0, j - shift))
 
 
+def pow10_suffix_ladder(n: int, target: int = 150, max_k: int = 6) -> int:
+    """Digit-suffix blocking-key length: smallest k with 10^k · target
+    >= n, capped — i.e. enough suffix digits that uniform blocks hold
+    ~target members no matter the corpus size. Pure integers;
+    bit-identical to :func:`pow10_suffix_ladder_sql`."""
+    k = 1
+    while k < max_k and 10**k * target < n:
+        k += 1
+    return k
+
+
+def pow10_suffix_ladder_sql(count_from: str, target: int = 150,
+                            max_k: int = 6) -> str:
+    """DuckDB scalar twin of :func:`pow10_suffix_ladder`. 10^j is built
+    as CAST('1' || repeat('0', j) AS BIGINT) — exact integer, no float
+    power boundary hazard."""
+    return (
+        f"(SELECT COALESCE(MIN(t.j), {max_k}) FROM range(1, {max_k + 1}) t(j) "
+        f"WHERE CAST('1' || repeat('0', t.j) AS BIGINT) * {target} >= "
+        f"(SELECT COUNT(*) FROM {count_from}))"
+    )
+
+
 def pow2_sqrt_ladder_sql(count_from: str, shift: int = 0, floor: int = 8) -> str:
     """DuckDB scalar-subquery twin of :func:`pow2_sqrt_ladder`.
 

@@ -52,7 +52,12 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import h48
 from sim_spark.io import register_views, table
-from sim_spark.ops.ladders import pow2_sqrt_ladder, pow2_sqrt_ladder_sql
+from sim_spark.ops.ladders import (
+    pow2_sqrt_ladder,
+    pow2_sqrt_ladder_sql,
+    pow10_suffix_ladder,
+    pow10_suffix_ladder_sql,
+)
 from sim_spark.scratch import track_cache
 from sim_spark.registry import query
 
@@ -379,12 +384,17 @@ def curate_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_ER_BLK_K_SQL = pow10_suffix_ladder_sql("customer")
+
+
 @query(
     "er_blocking_pairs",
-    oracle="""
-WITH blocked AS (
-  SELECT c_custkey, c_name, substr(c_name, length(c_name) - 1, 2) AS blk
-  FROM customer
+    oracle=f"""
+WITH kk AS (SELECT {_ER_BLK_K_SQL} AS k),
+blocked AS (
+  SELECT c_custkey, c_name,
+         substr(c_name, length(c_name) - kk.k + 1, kk.k) AS blk
+  FROM customer, kk
 ),
 pairs AS (
   SELECT a.blk, a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -404,12 +414,22 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-then-refine shape turns O(n^2) comparisons into per-block
     micro-joins whose shuffle key is the block id; matched pairs feed
     the existing dedup_connected_components clustering. Block sizes are
-    uniform by construction (digit suffixes), so no salting needed."""
+    uniform by construction (digit suffixes), so no salting needed.
+
+    r9 scale fix (sf1 sweep): the suffix length was FIXED at 2 — 100
+    blocks whatever the corpus, so per-block pairs grew n²/200 and the
+    key WEDGED >15 min at sf1 (150k names → 112M refine pairs). The
+    suffix length now follows the deterministic digit ladder
+    (ops/ladders.py pow10_suffix_ladder: smallest k with 10^k·150 ≥ n,
+    recomputed identically by the oracle from COUNT(*)), holding
+    blocks at ~150 members — candidate volume is ~75·n at every
+    scale. Zero-padded digit tails stay uniform at any k."""
     c = table(spark, sf_dir, "customer")
+    blk_k = pow10_suffix_ladder(c.count())
     blocked = c.select(
         "c_custkey",
         "c_name",
-        F.substring(F.col("c_name"), -2, 2).alias("blk"),
+        F.expr(f"substring(c_name, -{blk_k}, {blk_k})").alias("blk"),
     )
     a = blocked.alias("a")
     b = blocked.alias("b")

@@ -264,8 +264,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset, refined by the exact bit_count(xor) ≤ 5 predicate. Same
     rows as the all-pairs formulation (the oracle is the all-pairs SQL);
     at 100 TB the band join shuffles on short keys instead of scanning
-    n² fingerprint pairs."""
-    fp = dedup_simhash(spark, sf_dir)
+    n² fingerprint pairs.
+
+    Scale note (r9 sf1 sweep, SCALE.md §20): on THIS fixture the output
+    itself is dense — a 30-word vocabulary collapses 50k docs onto 21k
+    distinct 32-bit hashes (largest equal-hash class 4,494 docs), so
+    the exact hd≤5 pair list is 418.5M rows at sf1 (3.9M at sf0.1):
+    the 29× wall at 10× docs is 107× OUTPUT at improving per-row
+    throughput, not candidate waste. A real corpus's vocabulary
+    diversity (and a 64/128-bit simhash) makes the same plan sparse.
+    The signature frame is track_cache'd — both join sides would
+    otherwise recompute the full text→simhash pipeline."""
+    from sim_spark.scratch import track_cache
+
+    fp = track_cache(dedup_simhash(spark, sf_dir))
     bands, off = [], 0
     for i, width in enumerate((6, 6, 5, 5, 5, 5)):
         bands.append(
@@ -405,24 +417,40 @@ WHERE levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) <= 22
 )
 def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching on 30-char prefixes over a banded
-    candidate set (same lang, id-distance ≤ 3; ≤22 keeps the bottom quartile of the fixture's 14-29 distance range — levenshtein is O(n·m)
-    per pair, so real pipelines ALWAYS pre-band it behind a cheap
-    blocking key; the id band is this fixture's stand-in for one).
-    Spark and DuckDB agree on unit-cost Levenshtein semantics."""
+    candidate set (same lang, id-distance ≤ 3; ≤22 keeps the bottom
+    quartile of the fixture's 14-29 distance range — levenshtein is
+    O(n·m) per pair, so real pipelines ALWAYS pre-band it behind a
+    cheap blocking key; the id band is this fixture's stand-in for
+    one). Spark and DuckDB agree on unit-cost Levenshtein semantics.
+
+    r9 scale fix (sf1 sweep): the naive join's only EQUI key was
+    `lang` — a handful of values — so the id band ran as a POST-join
+    filter and every same-lang pair paid a 30x30 Levenshtein:
+    measured 50 s at sf0.1 (~3M distance calls), quadratic at sf1.
+    Routed through ops/autojoin.auto_join, which hashes on
+    (id-bucket, lang) and re-applies the original predicate, so
+    candidates are ~4 per doc and the distance runs only on true band
+    pairs — the same bucket-equi shape as join_theta_band."""
+    from sim_spark.ops.autojoin import auto_join
+
     d = table(spark, sf_dir, "documents")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
                  F.substring("text", 1, 30).alias("pref_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
                  F.substring("text", 1, 30).alias("pref_b"))
     dist = F.levenshtein("pref_a", "pref_b")
+    joined = auto_join(
+        a,
+        b,
+        # attr ± literal form (the walker's recognized band spelling;
+        # the difference form `id_b - id_a <= 3` parses as attr-minus-
+        # attr and would fall back to the naive plan)
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("id_b") <= F.col("id_a") + 3),
+    )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.col("id_b") - F.col("id_a") <= 3),
-        )
-        .filter(dist <= 22)
+        joined.filter(dist <= 22)
         .select("id_a", "id_b", dist.alias("edit_dist"))
     )
 

@@ -443,6 +443,21 @@ def test_er_blocking_is_hash_join_not_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_fuzzy_levenshtein_band_is_bucket_equi_join(spark):
+    """r9 sf1 sweep fix: the id band must reach the hash-join key via
+    the auto_join bucket rewrite — with `lang` (a handful of values) as
+    the only equi key, every same-lang pair paid a 30x30 Levenshtein
+    (measured 50 s at sf0.1, quadratic beyond)."""
+    import re as _re
+
+    p = plan(spark, "text_fuzzy_levenshtein")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # the bucket column participates in the join, so explode must
+    # appear below it (the auto_join left-side explode)
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+    assert "Generate explode" in p or "explode" in p.lower(), p
+
+
 def test_key_skew_profile_is_take_ordered(spark):
     """Top-10 heavy hitters must come from orderBy+limit
     (TakeOrderedAndProject), not a global row_number window that drags
