@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import DEC, dsum, sql_davg, sql_dsum
 from sim_spark.io import table
+from sim_spark.ops.ladders import pow2_sqrt_ladder, pow2_sqrt_ladder_sql
 from sim_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -996,21 +997,28 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # sim_topk_ivfpq_adc — IVF coarse gate + PQ ADC refine, fully oracled.
 
-_IVF_LO, _IVF_HI = 100, 108  # coarse centroids: vectors 100..107 (nlist=8)
-_IVF_NPROBE = 2
+_IVF_LO = 100  # coarse centroids: vectors [100, 100 + nlist)
+# nlist follows the deterministic corpus-count √n ladder (r9 — the same
+# dial that closed the r8 sim_ann weak flags; the oracle recomputes the
+# identical nlist from COUNT(*), keeping the key hash-exact at every
+# SF). nprobe = max(2, nlist // 8). At sf0.01 (n=500) the ladder gives
+# nlist=8, nprobe=2 — exactly the former fixed values.
+_IVF_NLIST_SQL = pow2_sqrt_ladder_sql("embeddings", shift=2)
+_IVF_NPROBE_SQL = f"GREATEST(2, kk.k // 8)"
 
 
 @query(
     "sim_topk_ivfpq_adc",
     oracle=f"""
-WITH vlong AS (
+WITH kk AS (SELECT {_IVF_NLIST_SQL} AS k),
+vlong AS (
   SELECT vec_id AS vid, i // {_PQ_SUB} AS sub, i % {_PQ_SUB} AS sdim,
          CAST(embedding[i + 1] AS DOUBLE) AS vx
   FROM embeddings, LATERAL (SELECT unnest(range(0, {_PQ_M * _PQ_SUB})) AS i)
 ),
 coarse AS (
-  SELECT vid AS cell, sub, sdim, vx AS cx FROM vlong
-  WHERE vid >= {_IVF_LO} AND vid < {_IVF_HI}
+  SELECT vid AS cell, sub, sdim, vx AS cx FROM vlong, kk
+  WHERE vid >= {_IVF_LO} AND vid < {_IVF_LO} + kk.k
 ),
 cdist AS (
   SELECT v.vid, c.cell,
@@ -1028,7 +1036,7 @@ probes AS (
   SELECT vid AS qid, cell FROM (
     SELECT vid, cell,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dn, cell) AS rn
-    FROM cdist WHERE vid IN {_PQ_PROBES}) WHERE rn <= {_IVF_NPROBE}
+    FROM cdist WHERE vid IN {_PQ_PROBES}), kk WHERE rn <= {_IVF_NPROBE_SQL}
 ),
 books AS (
   SELECT vid AS code, sub, sdim, vx AS cx FROM vlong WHERE vid < {_PQ_K}
@@ -1081,15 +1089,19 @@ def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just its recall.
 
     100 TB shape: the candidate gate is an equi-join on cell id between
-    a 6-row broadcast probe list and the (vid, cell) assignment frame —
-    the corpus is never scanned per query; scored rows shrink by
-    ~nprobe/nlist before any distance work. nlist here is fixture-
-    sized; production grows it ~sqrt(n) so cells stay constant-size
-    (SCALE.md §18)."""
+    a broadcast probe list and the (vid, cell) assignment frame — the
+    corpus is never scanned per query; scored rows shrink by
+    ~nprobe/nlist before any distance work. nlist follows the
+    deterministic corpus-count √n ladder (ops/ladders.py, r9 — cells
+    stay ~√n-sized at any corpus; the oracle recomputes the identical
+    nlist from COUNT(*) so the key stays hash-exact), nprobe =
+    max(2, nlist/8)."""
     e = table(spark, sf_dir, "embeddings")
+    nlist = pow2_sqrt_ladder(e.count(), shift=2)
+    nprobe = max(2, nlist // 8)
     vlong = _pq_vlong(e)
     coarse = vlong.filter(
-        (F.col("vid") >= _IVF_LO) & (F.col("vid") < _IVF_HI)
+        (F.col("vid") >= _IVF_LO) & (F.col("vid") < _IVF_LO + nlist)
     ).select(F.col("vid").alias("cell"), "sub", "sdim", F.col("vx").alias("cx"))
     cdiff = F.col("vx") - F.col("cx")
     cdist = (
@@ -1106,7 +1118,7 @@ def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ranked.filter(F.col("rn") == 1).select("vid", "cell")
     probes = (
         ranked.filter(F.col("vid").isin(*_PQ_PROBES))
-        .filter(F.col("rn") <= _IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select(F.col("vid").alias("qid"), "cell")
     )
     d = _pq_nano_dists(vlong)
