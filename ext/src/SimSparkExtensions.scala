@@ -309,15 +309,31 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 // one ulp across a bucket edge relative to the refine's
                 // own arithmetic still lands in a candidate bucket;
                 // fanout is at most 4 ids, refine restores exactness.
-                val w = (hiD - loD).max(BigDecimal(1)).doubleValue
+                // Width is the actual band width (a 1.0 floor would
+                // over-fetch ~1/width for sub-unit bands — r9 review);
+                // the floor only guards the hi == lo degenerate case.
+                val w =
+                  if (hiD > loD) (hiD - loD).doubleValue else 1.0
+                // Clamp bucket ids to ±2^62 BEFORE the ±1 margin: an
+                // Infinity / |v|≥2^63 axis value otherwise saturates
+                // Floor to Long.MaxValue and the +1 overflows (ANSI
+                // abort / illegal Sequence bounds) where the naive
+                // plan returned rows. Clamping is monotone, so the
+                // bucket-overlap superset property is preserved; the
+                // saturated rows just co-bucket and the exact refine
+                // keeps naive semantics (NaN axes floor to bucket 0 on
+                // both sides and the refine drops them, as naive does).
+                val bound = 1L << 62
+                def clamp(e: Expression): Expression =
+                  Least(Seq(Greatest(Seq(e, Literal(-bound))), Literal(bound)))
                 def litD(x: Double) = Literal(x, DoubleType)
                 val lAxis = Cast(lAttr, DoubleType)
                 val rAxis = Cast(rAttr, DoubleType)
-                (Subtract(Floor(Divide(
-                   Add(lAxis, litD(loD.doubleValue)), litD(w))), Literal(1L)),
-                 Add(Floor(Divide(
-                   Add(lAxis, litD(hiD.doubleValue)), litD(w))), Literal(1L)),
-                 Floor(Divide(rAxis, litD(w))))
+                (Subtract(clamp(Floor(Divide(
+                   Add(lAxis, litD(loD.doubleValue)), litD(w)))), Literal(1L)),
+                 Add(clamp(Floor(Divide(
+                   Add(lAxis, litD(hiD.doubleValue)), litD(w)))), Literal(1L)),
+                 clamp(Floor(Divide(rAxis, litD(w)))))
               } else {
                 val lo = loD.toLongExact
                 val hi = hiD.toLongExact

@@ -124,6 +124,24 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# (sf_dir, table) -> COUNT(*). The fixture dirs are immutable for a
+# process lifetime, and the corpus-count ladder dials (ops/ladders.py)
+# re-derive their K at every query build — without the memo each bench
+# sample pays a fresh full-table count job (r9 review).
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized COUNT(*) of a fixture table — for data-deterministic
+    scale dials (ladders), not for query results."""
+    import os
+
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = table(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy; no driver-side data).
 

@@ -365,11 +365,28 @@ def auto_join(
             .drop("__aj_ax")
         )
     else:
-        width = max(hi - lo, 1.0)
-        lo_b = (F.floor((l_val + F.lit(lo)) / F.lit(width)) - 1).cast("long")
-        hi_b = (F.floor((l_val + F.lit(hi)) / F.lit(width)) + 1).cast("long")
-        l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
-        r_bkt = right.withColumn(_BUCKET, F.floor(r_val / F.lit(width)).cast("long"))
+        # Actual band width (a 1.0 floor over-fetched ~1/width candidates
+        # for sub-unit bands — r9 review); 1.0 only for the hi == lo
+        # degenerate band. Bucket ids clamp to ±2^62 BEFORE the ±1
+        # margin: an Infinity / |v|>=2^63 axis value otherwise saturates
+        # floor-to-long and the ±1 overflows where the naive join
+        # returned rows. Clamping is monotone, so the bucket-overlap
+        # superset survives; saturated rows co-bucket and the exact
+        # refine restores naive semantics.
+        width = (hi - lo) if hi > lo else 1.0
+        bound = 1 << 62
+
+        def _clamp(c: Column) -> Column:
+            return F.least(F.greatest(c, F.lit(-bound)), F.lit(bound))
+
+        lo_b = _clamp(F.floor((l_val + F.lit(lo)) / F.lit(width))) - 1
+        hi_b = _clamp(F.floor((l_val + F.lit(hi)) / F.lit(width))) + 1
+        l_exp = left.withColumn(
+            _BUCKET, F.explode(F.sequence(lo_b.cast("long"), hi_b.cast("long")))
+        )
+        r_bkt = right.withColumn(
+            _BUCKET, _clamp(F.floor(r_val / F.lit(width))).cast("long")
+        )
 
     if eq_pairs:
         # bucket + every equi conjunct as join keys (all reach the hash)

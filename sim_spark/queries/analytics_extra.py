@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sim_spark.exprs import DEC, dsum, sql_davg, sql_dsum
-from sim_spark.io import table
+from sim_spark.io import table, table_count
 from sim_spark.ops.ladders import pow2_sqrt_ladder, pow2_sqrt_ladder_sql
 from sim_spark.registry import query
 
@@ -1097,7 +1097,7 @@ def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist from COUNT(*) so the key stays hash-exact), nprobe =
     max(2, nlist/8)."""
     e = table(spark, sf_dir, "embeddings")
-    nlist = pow2_sqrt_ladder(e.count(), shift=2)
+    nlist = pow2_sqrt_ladder(table_count(spark, sf_dir, "embeddings"), shift=2)
     nprobe = max(2, nlist // 8)
     vlong = _pq_vlong(e)
     coarse = vlong.filter(

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sim_spark.exprs import h48
-from sim_spark.io import register_views, table
+from sim_spark.io import register_views, table, table_count
 from sim_spark.ops.ladders import (
     pow2_sqrt_ladder,
     pow2_sqrt_ladder_sql,
@@ -425,7 +425,7 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks at ~150 members — candidate volume is ~75·n at every
     scale. Zero-padded digit tails stay uniform at any k."""
     c = table(spark, sf_dir, "customer")
-    blk_k = pow10_suffix_ladder(c.count())
+    blk_k = pow10_suffix_ladder(table_count(spark, sf_dir, "customer"))
     blocked = c.select(
         "c_custkey",
         "c_name",
@@ -756,7 +756,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, dropped, kept) is the curation ledger a SemDeDup run
     ships."""
     e = table(spark, sf_dir, "embeddings")
-    sem_k = pow2_sqrt_ladder(e.count())
+    sem_k = pow2_sqrt_ladder(table_count(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < sem_k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )

@@ -46,27 +46,31 @@ from sim_spark.registry import query
 _PAYLOAD_SCHEMA = "doc_id long, payload binary"
 
 
-def _gen_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [
-                    gen_wav_payload(int(d), int(n))
+def _make_gen_batches(gen_fn, with_n_chars: bool = False):
+    """One mapInPandas payload-synthesis wrapper for every generator
+    (r9 review: the per-format copies only differed in the gen call)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if with_n_chars:
+                payloads = [
+                    gen_fn(int(d), int(n))
                     for d, n in zip(pdf["doc_id"], pdf["n_chars"])
-                ],
-            }
-        )
+                ]
+            else:
+                payloads = [gen_fn(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return _batches
 
 
-def _gen_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [gen_bmp_payload(int(d)) for d in pdf["doc_id"]],
-            }
-        )
+_gen_wav_batches = _make_gen_batches(gen_wav_payload, with_n_chars=True)
+_gen_bmp_batches = _make_gen_batches(gen_bmp_payload)
 
 
 @query(
@@ -321,24 +325,8 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_dedup(sig, hd_max=4)
 
 
-def _gen_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [gen_png_payload(int(d)) for d in pdf["doc_id"]],
-            }
-        )
-
-
-def _gen_png_twin_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [gen_png_twin_payload(int(d)) for d in pdf["doc_id"]],
-            }
-        )
+_gen_png_batches = _make_gen_batches(gen_png_payload)
+_gen_png_twin_batches = _make_gen_batches(gen_png_twin_payload)
 
 
 def _png_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -431,14 +419,7 @@ def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_dedup(sig, hd_max=4)
 
 
-def _gen_tone_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [gen_wav_tone_payload(int(d)) for d in pdf["doc_id"]],
-            }
-        )
+_gen_tone_batches = _make_gen_batches(gen_wav_tone_payload)
 
 
 def _wav_fingerprint_batches(

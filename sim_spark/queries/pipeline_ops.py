@@ -530,14 +530,15 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
     n = d.select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
-    # All-integer mean + final round ((x + n/2)/n, then (+500)/1000):
-    # float ROUND after quantization creates exact 6dp half-ties where
-    # the engines' ROUNDs disagree (measured ~2% of ties).
-    pos = -F.col("nano_sum")
-    mean_nano = ((pos + (F.col("n_words") / 2).cast("long")) / F.col("n_words")).cast(
-        "long"
+    # All-integer mean + final round ((x + n/2) div n, then (+500) div
+    # 1000): float ROUND after quantization creates exact 6dp half-ties
+    # where the engines' ROUNDs disagree (measured ~2% of ties). The
+    # divisions are Spark's integral `div` — a double `/` + cast would
+    # lose exactness once the nano sum exceeds ~2^52 (r9 review; the
+    # oracle's // is exact at any magnitude).
+    micro = F.expr(
+        "((((-nano_sum) + n_words div 2) div n_words) + 500) div 1000"
     )
-    micro = ((mean_nano + 500) / 1000).cast("long")
     return n.join(s, "doc_id").select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
@@ -637,11 +638,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
     nb = w2.select("doc_id", (F.size("ws") - 1).alias("n_bigrams"))
-    pos = -F.col("nano_sum")
-    mean_nano = (
-        (pos + (F.col("n_bigrams") / 2).cast("long")) / F.col("n_bigrams")
-    ).cast("long")
-    micro = ((mean_nano + 500) / 1000).cast("long")
+    # integral `div` end to end — a double `/` + cast loses exactness
+    # once -nano_sum exceeds ~2^52 (docs with >~4e5 bigrams), where the
+    # oracle's // stays exact (r9 review)
+    micro = F.expr(
+        "((((-nano_sum) + n_bigrams div 2) div n_bigrams) + 500) div 1000"
+    )
     score = nb.join(s, "doc_id").select(
         "doc_id",
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),

@@ -22,7 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sim_spark.io import table
+from sim_spark.io import table, table_count
 from sim_spark.ops.ladders import pow2_sqrt_ladder
 from sim_spark.registry import query
 
@@ -68,7 +68,11 @@ def _cells(spark: SparkSession, sf_dir: str, n_assign: int = 1):
     from sim_spark.ops.kmeans_relational import kmeans_fit
 
     e = table(spark, sf_dir, "embeddings")
-    nlist = pow2_sqrt_ladder(e.count(), shift=_NLIST_SHIFT, floor=_NLIST_FLOOR)
+    nlist = pow2_sqrt_ladder(
+        table_count(spark, sf_dir, "embeddings"),
+        shift=_NLIST_SHIFT,
+        floor=_NLIST_FLOOR,
+    )
     nprobe = max(NPROBE, math.isqrt(nlist))
     sample = e.sample(fraction=0.3, seed=42)
     base, cent_list, _ = kmeans_fit(sample, k=nlist, n_iter=5, dim=64)
