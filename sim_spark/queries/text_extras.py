@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from sim_spark.exprs import h48
 from sim_spark.io import table
+from sim_spark.ops.bandlsh import banded_dedup_oracle
 from sim_spark.ops.multimodal import binary_features
 from sim_spark.registry import query
 
@@ -306,6 +307,115 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 5)
         .distinct()  # a pair may collide in several bands
     )
+
+
+# --- 64-bit TF-weighted SimHash (r9): the production-sparse variant ---------
+#
+# The 32-bit distinct-word key above is intrinsically dense on this
+# fixture (SCALE.md §20: 418M exact pairs at sf1). This is the variant a
+# production pipeline runs: 64 bits from md5 digits 0..15, votes
+# WEIGHTED by per-doc term frequency (Charikar's original formulation),
+# so fingerprints depend on the full count vector, not the word set —
+# near-identical docs stay at tiny Hamming distance while the corpus
+# spreads out. Banding is the shared ops/bandlsh.py scaffold: 4×16-bit
+# bands (pigeonhole: hd≤3 pairs agree on ≥1 whole band), saturation
+# cap, in-row bit_count refine, canonical smaller-id report.
+
+_SH64_BITS = 64
+
+
+def _sh64_votes_sql() -> str:
+    return ",\n         ".join(
+        "CAST(SUM(CASE WHEN (strpos('0123456789abcdef', "
+        f"substring(md5(word), {b // 4 + 1}, 1)) - 1) & {1 << (3 - b % 4)} > 0 "
+        f"THEN cnt ELSE -cnt END) AS BIGINT) AS v{b}"
+        for b in range(_SH64_BITS)
+    )
+
+
+def _sh64_band_sql(k: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN v{16 * k + i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+
+
+_SH64_SIG_CTES = f"""tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+votes AS (
+  SELECT doc_id,
+         {_sh64_votes_sql()}
+  FROM tf GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST({_sh64_band_sql(0)} AS BIGINT) AS b0,
+         CAST({_sh64_band_sql(1)} AS BIGINT) AS b1,
+         CAST({_sh64_band_sql(2)} AS BIGINT) AS b2,
+         CAST({_sh64_band_sql(3)} AS BIGINT) AS b3
+  FROM votes
+)"""
+
+
+@query(
+    "dedup_simhash64_tf",
+    oracle=banded_dedup_oracle(_SH64_SIG_CTES, hd_max=3),
+)
+def dedup_simhash64_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit TF-weighted SimHash near-dup dedup — the production-shaped
+    complement to `dedup_simhash_pairs` (whose 32-bit distinct-word
+    hash is intrinsically dense on this fixture — SCALE.md §20). Votes
+    are weighted by per-doc term frequency, so the fingerprint encodes
+    the count vector: near-identical docs differ in a few low-weight
+    positions (small Hamming distance) while unrelated docs spread
+    across the 64-bit space, keeping the pair list sparse at any scale.
+    Candidates come from the shared banded-LSH scaffold
+    (ops/bandlsh.py: 4×16-bit bands, pigeonhole-complete for the hd≤3
+    refine, saturation cap, exact in-row bit_count(xor) refine) and
+    the output is the canonical smaller-id dedup report — rows ∝ true
+    near-dups, never ∝ n². Fully hash-oracled: DuckDB recomputes every
+    vote from md5 hex digits."""
+    from sim_spark.ops.bandlsh import banded_dedup
+    from sim_spark.scratch import track_cache
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hexed = tf.withColumn("h16", F.substring(F.md5("word"), 1, 16))
+    digits = hexed.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.conv(F.substring("h16", j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            for j in range(16)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (3 - b % 4))) > 0,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(_SH64_BITS)
+    ]
+    voted = digits.groupBy("doc_id").agg(*votes)
+    bands = []
+    for k in range(4):
+        b = F.lit(0).cast("bigint")
+        for i in range(16):
+            b = b + F.when(
+                F.col(f"v{16 * k + i}") > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(0)
+        bands.append(b.alias(f"b{k}"))
+    sig = track_cache(voted.select("doc_id", *bands))
+    return banded_dedup(sig, hd_max=3)
 
 
 # --- multimodal binary features ---------------------------------------------

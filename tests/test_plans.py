@@ -270,6 +270,15 @@ def test_png_dhash_band_join_is_equi_not_cartesian(spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
 
 
+def test_simhash64_band_join_is_equi_not_cartesian(spark):
+    """The 64-bit TF-weighted simhash dedup must generate candidates
+    from the shared banded-LSH equi-join, never an all-pairs scan."""
+    p = plan(spark, "dedup_simhash64_tf")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+
 def test_minhash_band_join_is_equi_not_cartesian(spark):
     """LSH banding exists to make candidate generation an equi-join on
     (band_no, band_value) — a cartesian/BNLJ here would defeat it."""
