@@ -1263,6 +1263,44 @@ def curate_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ROUNDS = 6   # merges applied (rank order), unrolled
 _BPE_TOPN = 30    # resulting vocabulary rows reported
+# Iterative-trainer rounds (stats recomputed per round): 9 reaches the
+# fixture's first MERGED-component merges ('p'+'ar' at round 8,
+# 'm'+'er' at round 9) — the dependency the fixed-table apply cannot
+# express, asserted in tests/test_invariants.py.
+_BPE_TRAIN_ROUNDS = 9
+
+
+def _bpe_round_ctes(r: int, best_cte: str) -> str:
+    """The shared merge-application round (mark → greedy-run select →
+    rebuild): one CTE chain taking token frame t{r-1} and the 1-row
+    merge table ``best_cte``(a, b) to t{r}. Used by both the
+    fixed-table apply and the iterative trainer."""
+    return f"""m{r} AS (
+  SELECT t.w, t.freq, t.pos, t.tok,
+         CASE WHEN t.tok = mg.a
+               AND LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos) = mg.b
+              THEN 1 ELSE 0 END AS m
+  FROM t{r - 1} t LEFT JOIN {best_cte} mg ON true
+),
+s{r} AS (
+  SELECT *, CASE WHEN m = 1
+                  AND (pos - (COALESCE(lz, -1) + 1)) % 2 = 0
+                 THEN 1 ELSE 0 END AS sel
+  FROM (
+    SELECT *, MAX(CASE WHEN m = 0 THEN pos END) OVER (
+                PARTITION BY w ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lz
+    FROM m{r})
+),
+t{r} AS (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         CASE WHEN sel = 1 THEN tok || nxt ELSE tok END AS tok
+  FROM (SELECT *, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+               LAG(sel) OVER (PARTITION BY w ORDER BY pos) AS psel
+        FROM s{r})
+  WHERE COALESCE(psel, 0) = 0
+)"""
 
 
 def _bpe_apply_sql(split_words: str, series: str) -> str:
@@ -1302,33 +1340,9 @@ t0 AS (
 )"""
     ]
     for r in range(1, _BPE_ROUNDS + 1):
-        ctes.append(f"""m{r} AS (
-  SELECT t.w, t.freq, t.pos, t.tok,
-         CASE WHEN t.tok = mg.a
-               AND LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos) = mg.b
-              THEN 1 ELSE 0 END AS m
-  FROM t{r - 1} t LEFT JOIN (SELECT a, b FROM merges WHERE rnk = {r}) mg
-       ON true
-),
-s{r} AS (
-  SELECT *, CASE WHEN m = 1
-                  AND (pos - (COALESCE(lz, -1) + 1)) % 2 = 0
-                 THEN 1 ELSE 0 END AS sel
-  FROM (
-    SELECT *, MAX(CASE WHEN m = 0 THEN pos END) OVER (
-                PARTITION BY w ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lz
-    FROM m{r})
-),
-t{r} AS (
-  SELECT w, freq,
-         ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
-         CASE WHEN sel = 1 THEN tok || nxt ELSE tok END AS tok
-  FROM (SELECT *, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt,
-               LAG(sel) OVER (PARTITION BY w ORDER BY pos) AS psel
-        FROM s{r})
-  WHERE COALESCE(psel, 0) = 0
-)""")
+        ctes.append(
+            _bpe_round_ctes(r, f"(SELECT a, b FROM merges WHERE rnk = {r})")
+        )
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1379,3 +1393,162 @@ def curate_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-character merge components work unchanged."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_BPE_APPLY_SPARK)
+
+
+def _bpe_train_sql(split_words: str, series) -> str:
+    """Dialect-parametrized ITERATIVE BPE trainer: per round, recompute
+    frequency-weighted adjacent-pair statistics over the CURRENT token
+    frame (LEAD adjacency — overlapping occurrences count, as real BPE
+    counts them), pick the argmax pair (count desc, then (a, b) text),
+    apply it with the shared greedy-run machinery, repeat. Unlike
+    `curate_bpe_apply`'s fixed round-1 table, later rounds here can and
+    do select merges whose components are MERGED tokens — the real
+    training dependency chain. Output: the learned merges.txt (round,
+    pair, count at selection time)."""
+    ctes = [
+        f"""words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT {split_words} AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+),
+t0 AS (
+  SELECT w, freq, i - 1 AS pos, substr(w, i, 1) AS tok
+  FROM (SELECT w, freq, {series("length(w)")} AS i FROM words)
+)"""
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT tok AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT w, freq, tok,
+               LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM t{r - 1})
+  WHERE nxt IS NOT NULL GROUP BY tok, nxt
+),
+best{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(_bpe_round_ctes(r, f"best{r}"))
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, cnt AS n_occurrences "
+        f"FROM best{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n{union}\nORDER BY round\n"
+    )
+
+
+_BPE_TRAIN_DUCK = _bpe_train_sql(
+    "unnest(str_split(text, ' '))", lambda hi: f"unnest(generate_series(1, {hi}))"
+)
+
+
+@query("curate_bpe_train_iterative", oracle=_BPE_TRAIN_DUCK)
+def curate_bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL BPE training loop (r9): iterations of (recompute
+    frequency-weighted pair statistics over the current token frame) →
+    (argmax pair, count-desc then text tie-break) → (greedy
+    left-to-right merge application) — so later rounds can select
+    merges whose components are tokens CREATED by earlier rounds, the
+    dependency `curate_bpe_apply`'s fixed round-1 table cannot express
+    (on this fixture 'm'+'er' fires by round 6; asserted against an
+    independent pure-Python trainer in tests/test_invariants.py).
+    Output is the learned merge table (merges.txt): one row per round
+    with the chosen pair and its occurrence count at selection time.
+
+    Spark side = a per-round materialized loop (ops/materialize.py,
+    the same lineage-cut idiom as PageRank/betweenness): a 9-round
+    single plan exceeds the analyzer's fixed-point budget and would
+    deepen without bound at a real merge budget, so each round's token
+    frame and 1-row argmax are checkpointed. Nothing reaches the
+    driver — the argmax stays a DataFrame broadcast into the next
+    round. The oracle runs the identical recursion as one chained-CTE
+    SQL (DuckDB's analyzer handles the unrolled depth).
+
+    Scale shape: one corpus-sized word-count shuffle, then every
+    per-round stats pass and merge pass runs on the VOCABULARY token
+    frame (all windows partition by word; the per-round argmax is a
+    vocab²-bounded aggregate + LIMIT 1). Bounded rounds = the fixed
+    merge budget every real tokenizer trainer sets."""
+    from sim_spark.ops.materialize import materialize
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    t = words.select(
+        "w",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+    ).select(
+        "w",
+        "freq",
+        (F.col("i") - 1).alias("pos"),
+        F.col("w").substr(F.col("i"), F.lit(1)).alias("tok"),
+    )
+    t = materialize(t)
+    wlead = W.partitionBy("w").orderBy("pos")
+    bests = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            t.withColumn("nxt", F.lead("tok").over(wlead))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = materialize(
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        marked = (
+            t.join(F.broadcast(best.select("a", "b")), F.lit(True), "left")
+            .withColumn(
+                "m",
+                F.when(
+                    (F.col("tok") == F.col("a"))
+                    & (F.lead("tok").over(wlead) == F.col("b")),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "lz",
+                F.max(F.when(F.col("m") == 0, F.col("pos"))).over(
+                    wlead.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+            .withColumn(
+                "sel",
+                F.when(
+                    (F.col("m") == 1)
+                    & ((F.col("pos") - (F.coalesce("lz", F.lit(-1)) + 1)) % 2 == 0),
+                    1,
+                ).otherwise(0),
+            )
+        )
+        t = materialize(
+            marked.withColumn("nxt", F.lead("tok").over(wlead))
+            .withColumn("psel", F.lag("sel").over(wlead))
+            .filter(F.coalesce("psel", F.lit(0)) == 0)
+            .select(
+                "w",
+                "freq",
+                (F.row_number().over(wlead) - 1).alias("pos"),
+                F.when(F.col("sel") == 1, F.concat("tok", "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("round")

@@ -457,3 +457,56 @@ def test_bpe_apply_matches_pure_python_reference(spark):
     assert any(len(t) > 1 for t, *_ in got) or any(
         len(t) > 1 for t in expect
     )
+
+
+def test_bpe_train_iterative_matches_pure_python_reference(spark):
+    """The unrolled trainer against an independent Python loop: per
+    round, frequency-weighted adjacent-pair counts over the CURRENT
+    tokenization (overlapping adjacencies count, as real BPE counts
+    them), argmax with (count desc, pair text) tie-break, greedy
+    left-to-right apply."""
+    from collections import Counter
+
+    from sim_spark.queries.curation_extras import _BPE_TRAIN_ROUNDS
+
+    docs = table(spark, SF, "documents").select("text").collect()
+    freq = Counter(
+        w for r in docs for w in r["text"].split(" ") if len(w) >= 2
+    )
+    toks = {w: list(w) for w in freq}
+    want = []
+    for _ in range(_BPE_TRAIN_ROUNDS):
+        pairs = Counter()
+        for w, f in freq.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                pairs[(t[i], t[i + 1])] += f
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((a, b, cnt))
+        for w in toks:
+            t, out, i = toks[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(t[i] + t[i + 1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+
+    got = [
+        (r["pair_a"], r["pair_b"], r["n_occurrences"])
+        for r in QUERIES["curate_bpe_train_iterative"](spark, SF).collect()
+    ]
+    assert got == want
+    # the dependency the fixed-table apply cannot express must actually
+    # occur: some round's merge uses a component built by an earlier one
+    built = set()
+    dependent = False
+    for a, b, _ in want:
+        if a in built or b in built:
+            dependent = True
+        built.add(a + b)
+    assert dependent, want
