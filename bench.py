@@ -72,6 +72,13 @@ HEADLINE = [
     # r8 additions
     "join_sql_band_ts",
     "dedup_audio_fingerprint",
+    # r9 additions
+    "join_sql_band_dec",
+    "multimodal_png_decode",
+    "text_bigram_perplexity",
+    "dedup_simhash64_tf",
+    "curate_bpe_train_iterative",
+    "text_fuzzy_levenshtein",
 ]
 
 
