@@ -291,11 +291,14 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
           }
         }
         bounds.values.collectFirst {
-          // exact kinds: bounds must fit Long arithmetic (BigDecimal
-          // offsets are whole there by construction); 'f' needs no guard
+          // exact kinds: bounds must fit Long arithmetic with headroom
+          // (|offset| ≤ 2^61 so clamped-axis + offset stays inside
+          // Long; BigDecimal offsets are whole there by construction);
+          // 'f' needs no guard — its path clamps in doubles
           case (la, ra, kind, Some(lo), Some(hi))
               if hi >= lo && (kind == 'f' ||
-                (lo.isValidLong && hi.isValidLong && (hi - lo).isValidLong)) =>
+                (lo.abs <= BigDecimal(1L << 61) &&
+                  hi.abs <= BigDecimal(1L << 61))) =>
             (la, ra, kind, lo, hi)
         } match {
           case None => j
@@ -339,11 +342,19 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 val hi = hiD.toLongExact
                 val w = math.max(hi - lo, 1L)
                 // exact integer axes need no margin: fanout at most
-                // ceil((hi-lo)/w)+1 = 2
-                val lAxis = axisExpr(lAttr, kind)
+                // ceil((hi-lo)/w)+1 = 2. The axis clamps to ±2^62 in
+                // decimal BEFORE the offset add (r9): a LongType value
+                // within `hi` of Long.MaxValue would otherwise push
+                // IntegralDivide's long result past the boundary (ANSI
+                // abort where the naive plan returned rows). Clamp is
+                // monotone → bucket-overlap superset preserved; with
+                // |offset| ≤ 2^61 (guard above) every quotient fits.
+                def clampAxis(e: Expression): Expression =
+                  Least(Seq(Greatest(Seq(e, dec(-(1L << 62)))), dec(1L << 62)))
+                val lAxis = clampAxis(axisExpr(lAttr, kind))
                 (IntegralDivide(Add(lAxis, dec(lo)), dec(w)),
                  IntegralDivide(Add(lAxis, dec(hi)), dec(w)),
-                 IntegralDivide(axisExpr(rAttr, kind), dec(w)))
+                 IntegralDivide(clampAxis(axisExpr(rAttr, kind)), dec(w)))
               }
             // Sequence is TimeZoneAwareExpression: without an explicit
             // timeZoneId it reports unresolved and fails plan validation

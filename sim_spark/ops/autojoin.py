@@ -348,20 +348,27 @@ def auto_join(
         import math
 
         lo_i, hi_i = int(math.floor(lo)), int(math.ceil(hi))
+        if max(abs(lo_i), abs(hi_i)) > (1 << 61):
+            return left.join(right, on, how)  # absurd band: stay naive
         w_int = max(hi_i - lo_i, 1)
         # DECIMAL(38,0) axis: the band offset addition can overflow a
         # long for values near Long.MAX/MIN (ANSI abort where the naive
-        # join succeeds); decimal headroom makes it total, and decimal
-        # IntegralDivide still returns an exact long bucket id.
+        # join succeeds); decimal headroom makes the ADD total, and the
+        # axis additionally clamps to ±2^62 (r9) so the `div` quotient
+        # itself always fits a long too. Clamp is monotone → the
+        # bucket-overlap superset survives; extreme values co-bucket at
+        # the boundary and the exact refine restores naive semantics.
+        _B = 1 << 62
+        clamped = f"least(greatest(__aj_ax, {-_B}), {_B})"
         l2 = left.withColumn("__aj_ax", l_val.cast("decimal(38,0)"))
-        lo_b = F.expr(f"((__aj_ax + {lo_i}) div {w_int}) - 1")
-        hi_b = F.expr(f"((__aj_ax + {hi_i}) div {w_int}) + 1")
+        lo_b = F.expr(f"(({clamped} + {lo_i}) div {w_int}) - 1")
+        hi_b = F.expr(f"(({clamped} + {hi_i}) div {w_int}) + 1")
         l_exp = l2.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b))).drop(
             "__aj_ax"
         )
         r_bkt = (
             right.withColumn("__aj_ax", r_val.cast("decimal(38,0)"))
-            .withColumn(_BUCKET, F.expr(f"__aj_ax div {w_int}"))
+            .withColumn(_BUCKET, F.expr(f"{clamped} div {w_int}"))
             .drop("__aj_ax")
         )
     else:

@@ -122,6 +122,32 @@ def test_bmp_roundtrip_property(width, height, data):
     assert out == pixels
 
 
+@given(
+    width=st.integers(min_value=1, max_value=17),
+    height=st.integers(min_value=1, max_value=11),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_property(width, height, data):
+    """decode(encode(px)) == px for arbitrary dims/bytes — heights up
+    to 11 exercise all five filter predictors (encoder cycles r % 5),
+    widths cover the bpp-boundary Sub/Paeth left-neighbor edge."""
+    from sim_spark.ops.multimodal import decode_png, encode_png
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    w, h, out = decode_png(encode_png(width, height, pixels))
+    assert (w, h) == (width, height)
+    assert out == pixels
+
+
 # ---------------------------------------------------------------------------
 # auto_join: randomized band predicates must be row-identical to the
 # naive join — the rewriter is a predicate parser, exactly where
