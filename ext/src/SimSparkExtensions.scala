@@ -321,11 +321,17 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 // Infinity / |v|≥2^63 axis value otherwise saturates
                 // Floor to Long.MaxValue and the +1 overflows (ANSI
                 // abort / illegal Sequence bounds) where the naive
-                // plan returned rows. Clamping is monotone, so the
-                // bucket-overlap superset property is preserved; the
+                // plan returned rows. Clamping the POST-division
+                // bucket id is monotone AND offset-consistent (an
+                // axis-space clamp would shift the two sides by the
+                // band offset and drop matches for bands away from
+                // zero), so the bucket-overlap superset holds; the
                 // saturated rows just co-bucket and the exact refine
                 // keeps naive semantics (NaN axes floor to bucket 0 on
-                // both sides and the refine drops them, as naive does).
+                // both sides and the refine drops them, as naive
+                // does). Pathological |value|/width > 2^62 collapses
+                // those rows into the saturation bucket — the refine
+                // there costs what the pre-rewrite BNLJ cost anyway.
                 val bound = 1L << 62
                 def clamp(e: Expression): Expression =
                   Least(Seq(Greatest(Seq(e, Literal(-bound))), Literal(bound)))
@@ -342,19 +348,28 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 val hi = hiD.toLongExact
                 val w = math.max(hi - lo, 1L)
                 // exact integer axes need no margin: fanout at most
-                // ceil((hi-lo)/w)+1 = 2. The axis clamps to ±2^62 in
-                // decimal BEFORE the offset add (r9): a LongType value
-                // within `hi` of Long.MaxValue would otherwise push
-                // IntegralDivide's long result past the boundary (ANSI
-                // abort where the naive plan returned rows). Clamp is
-                // monotone → bucket-overlap superset preserved; with
-                // |offset| ≤ 2^61 (guard above) every quotient fits.
-                def clampAxis(e: Expression): Expression =
-                  Least(Seq(Greatest(Seq(e, dec(-(1L << 62)))), dec(1L << 62)))
-                val lAxis = clampAxis(axisExpr(lAttr, kind))
-                (IntegralDivide(Add(lAxis, dec(lo)), dec(w)),
-                 IntegralDivide(Add(lAxis, dec(hi)), dec(w)),
-                 IntegralDivide(clampAxis(axisExpr(rAttr, kind)), dec(w)))
+                // ceil((hi-lo)/w)+1 = 2. Overflow safety (r9, corrected
+                // by review): the quotient is computed as DECIMAL
+                // floor-division and the BUCKET ID clamps to ±2^62
+                // before the long cast — clamping in bucket space is
+                // 1-Lipschitz-safe (an axis-space clamp shifts the two
+                // sides by the band offset and silently DROPS matches
+                // for bands not straddling zero). |axis| ≤ ~9.3e18
+                // (long) + |offset| ≤ 2^61 keeps the decimal quotient
+                // exact in (38,6); IntegralDivide would ANSI-abort on
+                // the long conversion first, hence the decimal route.
+                def bucket(e: Expression): Expression = {
+                  val q = Floor(Divide(e, dec(w)))
+                  val qt = q.dataType
+                  def qd(x: Long) = Cast(Literal(x), qt)
+                  Cast(
+                    Least(Seq(Greatest(Seq(q, qd(-(1L << 62)))), qd(1L << 62))),
+                    LongType)
+                }
+                val lAxis = axisExpr(lAttr, kind)
+                (bucket(Add(lAxis, dec(lo))),
+                 bucket(Add(lAxis, dec(hi))),
+                 bucket(axisExpr(rAttr, kind)))
               }
             // Sequence is TimeZoneAwareExpression: without an explicit
             // timeZoneId it reports unresolved and fails plan validation

@@ -353,22 +353,32 @@ def auto_join(
         w_int = max(hi_i - lo_i, 1)
         # DECIMAL(38,0) axis: the band offset addition can overflow a
         # long for values near Long.MAX/MIN (ANSI abort where the naive
-        # join succeeds); decimal headroom makes the ADD total, and the
-        # axis additionally clamps to ±2^62 (r9) so the `div` quotient
-        # itself always fits a long too. Clamp is monotone → the
-        # bucket-overlap superset survives; extreme values co-bucket at
-        # the boundary and the exact refine restores naive semantics.
+        # join succeeds); decimal headroom makes the ADD total, the
+        # quotient is a DECIMAL floor-division, and the BUCKET ID
+        # clamps to ±2^62 before the long cast (r9, corrected by
+        # review: clamping in bucket space is offset-consistent — an
+        # axis-space clamp shifts the two sides by the band offset and
+        # silently drops matches for bands away from zero). Extreme
+        # values co-bucket at the saturation boundary and the exact
+        # refine restores naive semantics at the pre-rewrite BNLJ's
+        # own cost.
         _B = 1 << 62
-        clamped = f"least(greatest(__aj_ax, {-_B}), {_B})"
+
+        def _bucket(expr: str) -> str:
+            return (
+                f"CAST(least(greatest(floor(({expr}) / {w_int}), {-_B}),"
+                f" {_B}) AS BIGINT)"
+            )
+
         l2 = left.withColumn("__aj_ax", l_val.cast("decimal(38,0)"))
-        lo_b = F.expr(f"(({clamped} + {lo_i}) div {w_int}) - 1")
-        hi_b = F.expr(f"(({clamped} + {hi_i}) div {w_int}) + 1")
+        lo_b = F.expr(_bucket(f"__aj_ax + {lo_i}") + " - 1")
+        hi_b = F.expr(_bucket(f"__aj_ax + {hi_i}") + " + 1")
         l_exp = l2.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b))).drop(
             "__aj_ax"
         )
         r_bkt = (
             right.withColumn("__aj_ax", r_val.cast("decimal(38,0)"))
-            .withColumn(_BUCKET, F.expr(f"{clamped} div {w_int}"))
+            .withColumn(_BUCKET, F.expr(_bucket("__aj_ax")))
             .drop("__aj_ax")
         )
     else:

@@ -1263,10 +1263,13 @@ def curate_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ROUNDS = 6   # merges applied (rank order), unrolled
 _BPE_TOPN = 30    # resulting vocabulary rows reported
-# Iterative-trainer rounds (stats recomputed per round): 9 reaches the
-# fixture's first MERGED-component merges ('p'+'ar' at round 8,
-# 'm'+'er' at round 9) — the dependency the fixed-table apply cannot
-# express, asserted in tests/test_invariants.py.
+# Iterative-trainer rounds (stats recomputed per round): 9 reaches
+# MERGED-component merges at every fixture SF — sf0.001 selects
+# 'p'+'ar' at round 8 and 'm'+'er' at round 9; sf0.01 selects 'm'+'er'
+# already at round 6 (per-SF corpora are generated independently, so
+# the merge order differs). That dependency is what the fixed-table
+# apply cannot express; asserted in tests/test_invariants.py at
+# sf0.001, so rounds must stay >= 8.
 _BPE_TRAIN_ROUNDS = 9
 
 
@@ -1451,8 +1454,9 @@ def curate_bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right merge application) — so later rounds can select
     merges whose components are tokens CREATED by earlier rounds, the
     dependency `curate_bpe_apply`'s fixed round-1 table cannot express
-    (on this fixture 'm'+'er' fires by round 6; asserted against an
-    independent pure-Python trainer in tests/test_invariants.py).
+    ('m'+'er' fires by round 6 at sf0.01, rounds 8-9 at sf0.001 — the
+    per-SF corpora are independent; asserted against an independent
+    pure-Python trainer in tests/test_invariants.py).
     Output is the learned merge table (merges.txt): one row per round
     with the chosen pair and its occurrence count at selection time.
 
