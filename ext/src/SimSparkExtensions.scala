@@ -293,12 +293,19 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
         bounds.values.collectFirst {
           // exact kinds: bounds must fit Long arithmetic with headroom
           // (|offset| ≤ 2^61 so clamped-axis + offset stays inside
-          // Long; BigDecimal offsets are whole there by construction);
-          // 'f' needs no guard — its path clamps in doubles
+          // Long; BigDecimal offsets are whole there by construction).
+          // 'f' instead requires a non-denormal band width: a width
+          // < ~1e-300 makes the double Divide yield ±Infinity with
+          // OPPOSITE signs when the band straddles zero, so lob/hib
+          // clamp to opposite saturation ids and Sequence would try to
+          // explode ~2^52 elements — fall to the naive plan (r9
+          // ADVICE).
           case (la, ra, kind, Some(lo), Some(hi))
-              if hi >= lo && (kind == 'f' ||
-                (lo.abs <= BigDecimal(1L << 61) &&
-                  hi.abs <= BigDecimal(1L << 61))) =>
+              if hi >= lo && (if (kind == 'f')
+                hi == lo || (hi - lo).doubleValue >= 1e-300
+              else
+                lo.abs <= BigDecimal(1L << 61) &&
+                  hi.abs <= BigDecimal(1L << 61)) =>
             (la, ra, kind, lo, hi)
         } match {
           case None => j
@@ -317,22 +324,29 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 // the floor only guards the hi == lo degenerate case.
                 val w =
                   if (hiD > loD) (hiD - loD).doubleValue else 1.0
-                // Clamp bucket ids to ±2^62 BEFORE the ±1 margin: an
-                // Infinity / |v|≥2^63 axis value otherwise saturates
-                // Floor to Long.MaxValue and the +1 overflows (ANSI
-                // abort / illegal Sequence bounds) where the naive
-                // plan returned rows. Clamping the POST-division
-                // bucket id is monotone AND offset-consistent (an
-                // axis-space clamp would shift the two sides by the
-                // band offset and drop matches for bands away from
-                // zero), so the bucket-overlap superset holds; the
-                // saturated rows just co-bucket and the exact refine
-                // keeps naive semantics (NaN axes floor to bucket 0 on
-                // both sides and the refine drops them, as naive
-                // does). Pathological |value|/width > 2^62 collapses
-                // those rows into the saturation bucket — the refine
-                // there costs what the pre-rewrite BNLJ cost anyway.
-                val bound = 1L << 62
+                // Clamp bucket ids to ±2^51 BEFORE the ±1 margin. Two
+                // hazards share this clamp: (a) an Infinity / |v|≥2^63
+                // axis value saturates Floor to Long.MaxValue and the
+                // +1 overflows (ANSI abort / illegal Sequence bounds)
+                // where the naive plan returned rows; (b) double
+                // floor-division is only accurate to <1 bucket while
+                // |axis+offset|/width < ~2^52 (53-bit mantissa) — for
+                // larger quotients the id can be several buckets off
+                // and a true match would fall OUTSIDE the ±1 margin
+                // (r9 ADVICE: the old 2^62 clamp silently dropped such
+                // rows, e.g. epoch-ns-scale DOUBLE axes with a narrow
+                // band). Clamping at 2^51 co-buckets every quotient
+                // beyond the accuracy horizon at the saturation id.
+                // Clamping the POST-division bucket id is monotone AND
+                // offset-consistent (an axis-space clamp would shift
+                // the two sides by the band offset and drop matches
+                // for bands away from zero), so the bucket-overlap
+                // superset holds; the saturated rows just co-bucket
+                // and the exact refine keeps naive semantics (NaN axes
+                // floor to bucket 0 on both sides and the refine drops
+                // them, as naive does); the refine there costs what
+                // the pre-rewrite BNLJ cost anyway.
+                val bound = 1L << 51
                 def clamp(e: Expression): Expression =
                   Least(Seq(Greatest(Seq(e, Literal(-bound))), Literal(bound)))
                 def litD(x: Double) = Literal(x, DoubleType)

@@ -384,14 +384,28 @@ def auto_join(
     else:
         # Actual band width (a 1.0 floor over-fetched ~1/width candidates
         # for sub-unit bands — r9 review); 1.0 only for the hi == lo
-        # degenerate band. Bucket ids clamp to ±2^62 BEFORE the ±1
-        # margin: an Infinity / |v|>=2^63 axis value otherwise saturates
-        # floor-to-long and the ±1 overflows where the naive join
-        # returned rows. Clamping is monotone, so the bucket-overlap
-        # superset survives; saturated rows co-bucket and the exact
-        # refine restores naive semantics.
+        # degenerate band. A denormal/near-zero width (pathological
+        # literal band narrower than ~1e-300) would make the double
+        # Divide yield ±Infinity with opposite signs when the band
+        # straddles zero, clamping lo_b/hi_b to opposite saturation ids
+        # and exploding a ~2^52-element Sequence — stay naive instead
+        # (r9 ADVICE).
         width = (hi - lo) if hi > lo else 1.0
-        bound = 1 << 62
+        if width < 1e-300:
+            return left.join(right, on, how)
+        # Bucket ids clamp to ±2^51 BEFORE the ±1 margin. Two hazards
+        # share this clamp: (a) an Infinity / huge axis value saturates
+        # floor-to-long and the ±1 overflows where the naive join
+        # returned rows; (b) double floor-division is only accurate to
+        # <1 bucket while |axis+offset|/width < ~2^52 (53-bit mantissa)
+        # — for larger quotients the computed id can be several buckets
+        # off and a true match would fall OUTSIDE the ±1 margin (r9
+        # ADVICE: the old 2^62 clamp silently dropped such rows).
+        # Clamping at 2^51 makes every quotient beyond the accuracy
+        # horizon co-bucket at the saturation id; clamping is monotone,
+        # so the bucket-overlap superset survives and the exact refine
+        # restores naive semantics.
+        bound = 1 << 51
 
         def _clamp(c: Column) -> Column:
             return F.least(F.greatest(c, F.lit(-bound)), F.lit(bound))

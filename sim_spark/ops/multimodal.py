@@ -275,6 +275,12 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            # a corrupt/oversized clen would otherwise silently truncate
+            # `data` via slicing (defeating the CRC check) and the CRC
+            # unpack would raise struct.error instead of the documented
+            # ValueError
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)

@@ -138,6 +138,23 @@ def test_png_rejects_unsupported_shapes():
         decode_png(bytes(p))
 
 
+def test_png_truncated_chunk_raises_valueerror():
+    """A truncated payload or an oversized chunk length must raise the
+    documented ValueError, not struct.error, and must not let a
+    silently-truncated data slice reach the CRC check (r9 ADVICE)."""
+    from sim_spark.ops.multimodal import decode_png, encode_png
+
+    p = encode_png(4, 4, bytes(48))
+    # cut mid-IDAT: the chunk header promises more bytes than remain
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(p[: p.index(b"IDAT") + 7])
+    # inflate the IDAT length field far beyond the payload end
+    q = bytearray(p)
+    struct.pack_into(">I", q, q.index(b"IDAT") - 4, 1 << 20)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(bytes(q))
+
+
 def test_png_container_independence():
     """The BMP payload and its PNG twin decode to identical pixel
     arrays — the invariant dedup_image_dhash_png pins end-to-end."""

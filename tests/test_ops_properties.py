@@ -706,3 +706,114 @@ def test_sql_band_rule_preserves_rows_randomized(spark):
         if x is not None and y is not None and x - 7 <= y <= x + 2
     )
     assert got == want, f"{len(got)} rewritten vs {len(want)} naive"
+
+
+def test_auto_join_epoch_ns_scale_double_axis(spark):
+    """DOUBLE axes at epoch-ns magnitude (~1.6e18) with a narrow band
+    push the bucket quotient past the 53-bit float-division accuracy
+    horizon; the ±2^51 clamp must co-bucket those rows so the refine
+    keeps them (the old ±2^62 clamp left multi-bucket rounding error
+    inside the "trusted" range and silently dropped matches — r9
+    ADVICE). Mixed magnitudes prove saturated and normal buckets
+    coexist."""
+    from sim_spark.ops.autojoin import auto_join
+
+    base = 1_600_000_000_000_000_000
+    lrows = [(i, float(base + 37 * i)) for i in range(120)]
+    lrows += [(200 + i, float(i) * 3) for i in range(40)]  # normal scale
+    rrows = [(i, float(base + 37 * i + (i % 5) * 20 - 40)) for i in range(120)]
+    rrows += [(200 + i, float(i) * 5) for i in range(40)]
+    L = spark.createDataFrame(lrows, "lid long, lv double")
+    R = spark.createDataFrame(rrows, "rid long, rv double")
+    cond = (F.col("rv") >= F.col("lv") - 50.0) & (F.col("rv") <= F.col("lv") + 50.0)
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_auto_join_denormal_width_stays_naive(spark):
+    """A pathological band narrower than ~1e-300 must fall back to the
+    naive join: the double divide yields ±Infinity with OPPOSITE signs
+    for zero-straddling axis values, so lo/hi clamp to opposite
+    saturation ids and Sequence would try to explode ~2^52 elements
+    (r9 ADVICE)."""
+    from sim_spark.ops.autojoin import auto_join
+
+    L = spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, 1.0)], "lid long, lv double"
+    )
+    R = spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, 2.0)], "rid long, rv double"
+    )
+    eps = 2.5e-310
+    cond = (F.col("rv") >= F.col("lv") - eps) & (F.col("rv") <= F.col("lv") + eps)
+    got = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_sql_band_rule_huge_double_axis(spark):
+    """The compiled rule's fractional path on epoch-ns-scale DOUBLE axes:
+    quotients beyond 2^51 saturate-co-bucket; rows must equal the
+    Python-computed naive expectation and the rule must still fire."""
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+
+    base = 1_600_000_000_000_000_000
+    lrows = [(i, float(base + 37 * i)) for i in range(100)]
+    lrows += [(200 + i, float(i) * 3) for i in range(30)]
+    rrows = [(i, float(base + 37 * i + (i % 5) * 20 - 40)) for i in range(100)]
+    rrows += [(200 + i, float(i) * 5) for i in range(30)]
+    spark.createDataFrame(lrows, "lid long, x double").createOrReplaceTempView(
+        "sqlband_hl"
+    )
+    spark.createDataFrame(rrows, "rid long, y double").createOrReplaceTempView(
+        "sqlband_hr"
+    )
+    before = diagnostics(spark)["rewrites"]
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT lid, rid FROM sqlband_hl JOIN sqlband_hr "
+                "ON y >= x - 50.0 AND y <= x + 50.0"
+            ).collect(),
+        )
+    )
+    assert diagnostics(spark)["rewrites"] > before, "rule did not fire"
+    want = sorted(
+        (lid, rid)
+        for lid, x in lrows
+        for rid, y in rrows
+        if x - 50.0 <= y <= x + 50.0
+    )
+    assert got == want, f"{len(got)} rewritten vs {len(want)} naive"
+
+
+def test_sql_band_rule_denormal_width_stays_naive(spark):
+    """A sub-1e-300 band width in SQL text must NOT replan (the double
+    divide hazard above); the naive plan's answer stands."""
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+
+    spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, 1.0)], "lid long, x double"
+    ).createOrReplaceTempView("sqlband_dl")
+    spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, 2.0)], "rid long, y double"
+    ).createOrReplaceTempView("sqlband_dr")
+    before = diagnostics(spark)["rewrites"]
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT lid, rid FROM sqlband_dl JOIN sqlband_dr "
+                "ON y >= x - 2.5e-310 AND y <= x + 2.5e-310"
+            ).collect(),
+        )
+    )
+    assert diagnostics(spark)["rewrites"] == before, "rule fired on denormal width"
+    assert got == [(1, 1), (2, 2)]
