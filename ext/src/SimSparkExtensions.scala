@@ -7,7 +7,7 @@
 // "User Provided Optimizers" batch), so SQL strings are covered too:
 //
 //  * SqlBandJoinRewrite — inner joins whose condition is a bounded band
-//    over INTEGRAL, TIMESTAMP, DATE, or (r9) DOUBLE/FLOAT/narrow-DECIMAL
+//    over INTEGRAL, TIMESTAMP, DATE, or (r9) DOUBLE/FLOAT/DECIMAL
 //    attributes (lo <= r.x - l.y <= hi, written as any conjunction of
 //    two attr±literal inequalities; for timestamps the offsets are
 //    day-time INTERVAL literals, for dates date_add/date_sub day counts,
@@ -19,14 +19,23 @@
 //    mappings (unix_micros / unix_date) in decimal(38,0) bucket
 //    arithmetic; fractional axes use double floor-division with a ±1
 //    bucket margin (exactly ops/autojoin.py's epsilon-tolerant path).
+//    (r10) YEAR-MONTH INTERVAL offsets get their own exact bucket
+//    space: add_months arithmetic is variable-width in microseconds but
+//    EXACT in month-index space (year*12 + month), so `ts BETWEEN
+//    ts2 - INTERVAL '2' MONTH AND ts2` buckets both sides on the month
+//    index with whole-month offsets — the same integral machinery, one
+//    more axis mapping. Wide DECIMALs (integral digits > 15) ride the
+//    fractional path: the ±2^51 bucket-id clamp caps the double
+//    floor-division quotient inside its accuracy horizon, so the ±1
+//    margin provably covers the cast's rounding at ANY axis magnitude.
 //  * NaiveBandJoinWarning — any remaining non-equi cross-side
-//    comparison join (exotic arithmetic, year-month intervals — NOT
-//    fixed-width, wide decimals) logs a loud warning naming auto_join,
-//    and bumps a counter tests can read.
+//    comparison join (exotic arithmetic over attributes, mixed
+//    month + day-time offsets on one axis pair) logs a loud warning
+//    naming auto_join, and bumps a counter tests can read.
 //
-// Scope (documented, honest): year-month (variable length) intervals
-// and DECIMALs wider than 15 integral digits still warn rather than
-// rewrite.
+// Scope (documented, honest): a year-month offset mixed with a NONZERO
+// day-time/day offset on the same attribute pair has no common exact
+// bucket unit and still warns rather than rewrites.
 //
 // Counter semantics: the optimizer applies extraOptimizations inside a
 // fixed-point batch and re-runs them on AQE re-optimization, so a naive
@@ -93,8 +102,12 @@ object BandDiagnostics {
   *
   * Axis kinds: 'i' = integral (bucket on the value), 't' = timestamp
   * (bucket on unix_micros, offsets in microseconds), 'd' = date (bucket
-  * on unix_date, offsets in days) — each an EXACT integral mapping —
-  * plus 'f' = fractional (DOUBLE/FLOAT/narrow DECIMAL axes, r9): the
+  * on unix_date, offsets in days), 'm' = year-month (bucket on the
+  * month index year*12+month, offsets in whole months — exact because
+  * add_months always lands exactly `n` month indexes away regardless of
+  * day clamping, and the month index is monotone in the axis value) —
+  * each an EXACT integral mapping —
+  * plus 'f' = fractional (DOUBLE/FLOAT/DECIMAL axes, r9): the
   * bucket function there is double floor-division with a ±1 bucket
   * margin, the same epsilon-tolerant algebra ops/autojoin.py uses (the
   * margin absorbs any ulp disagreement between the bucket arithmetic
@@ -106,12 +119,16 @@ object BandDiagnostics {
 trait BandAlgebra extends PredicateHelper {
   private val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
 
-  /** Fractional axes must survive an exact cast to double: a DECIMAL
-    * whose integral digits exceed double's 2^53 exactness could strand
-    * a true match outside the ±1 bucket margin. */
+  /** Fractional axes bucket through a cast to double. ANY decimal width
+    * is safe (r10): the cast is monotone and applied identically to both
+    * sides, and the ±2^51 bucket-id clamp keeps the floor-division
+    * quotient inside the 53-bit accuracy horizon, so the combined
+    * rounding error stays under the ±1 bucket margin at any magnitude
+    * (beyond the horizon both sides co-bucket at the saturation id and
+    * the exact refine restores naive semantics). */
   private def fractionalAxis(t: DataType): Boolean = t match {
     case DoubleType | FloatType => true
-    case d: DecimalType => d.precision - d.scale <= 15
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -129,6 +146,10 @@ trait BandAlgebra extends PredicateHelper {
     case a: AttributeReference if integral.contains(a.dataType) => Some((a, 'i'))
     case a: AttributeReference if a.dataType == TimestampType => Some((a, 't'))
     case a: AttributeReference if a.dataType == DateType => Some((a, 'd'))
+    // NTZ has no exact epoch-micros expression here, so it never joined
+    // the 't' space; its wall-clock month index IS exact (Cast to date
+    // is tz-free), so a bare NTZ attr is a month-space axis (r10).
+    case a: AttributeReference if a.dataType == TimestampNTZType => Some((a, 'm'))
     case a: AttributeReference if fractionalAxis(a.dataType) => Some((a, 'f'))
     case Cast(a: AttributeReference, t, _, _)
         if integral.contains(t) && integral.contains(a.dataType) =>
@@ -143,20 +164,35 @@ trait BandAlgebra extends PredicateHelper {
   /** attr ± fixed-width literal → (attr, offset-in-axis-units, kind). */
   protected def parseSide(
       e: Expression): Option[(AttributeReference, BigDecimal, Char)] = e match {
-    case Add(x, Literal(v, t), _) if isNum(t) =>
+    case Add(x, Literal(v, t), _) if isNum(t) && finiteLit(v) =>
       baseTerm(x).flatMap { case (a, k) => combine(a, k, lit2dec(v, t), t) }
-    case Add(Literal(v, t), x, _) if isNum(t) =>
+    case Add(Literal(v, t), x, _) if isNum(t) && finiteLit(v) =>
       baseTerm(x).flatMap { case (a, k) => combine(a, k, lit2dec(v, t), t) }
-    case Subtract(x, Literal(v, t), _) if isNum(t) =>
+    case Subtract(x, Literal(v, t), _) if isNum(t) && finiteLit(v) =>
       baseTerm(x).flatMap { case (a, k) => combine(a, k, -lit2dec(v, t), t) }
     // ts ± INTERVAL '…' (day-time): the analyzer folds both signs into
-    // TimestampAddInterval(attr, literal-micros). Year-month intervals
-    // are variable-width — deliberately NOT matched (fall to warning).
+    // TimestampAddInterval(attr, literal-micros).
     case t: TimestampAddInterval =>
       (t.children(0), t.children(1)) match {
         case (a: AttributeReference, Literal(v: Long, _: DayTimeIntervalType))
             if a.dataType == TimestampType =>
           Some((a, BigDecimal(v), 't'))
+        case _ => None
+      }
+    // ts/date ± INTERVAL '…' MONTH/YEAR (r10): variable-width in micros
+    // but EXACT in month-index units — the literal carries whole months.
+    case t: TimestampAddYMInterval =>
+      (t.children(0), t.children(1)) match {
+        case (a: AttributeReference, Literal(v: Int, _: YearMonthIntervalType))
+            if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+          Some((a, BigDecimal(v), 'm'))
+        case _ => None
+      }
+    case d: DateAddYMInterval =>
+      (d.children(0), d.children(1)) match {
+        case (a: AttributeReference, Literal(v: Int, _: YearMonthIntervalType))
+            if a.dataType == DateType =>
+          Some((a, BigDecimal(v), 'm'))
         case _ => None
       }
     // date_add / date_sub with a literal day count.
@@ -167,6 +203,16 @@ trait BandAlgebra extends PredicateHelper {
     case other => baseTerm(other).map { case (a, k) => (a, BigDecimal(0), k) }
   }
 
+  /** Constant folding can mint non-finite double/float literals (e.g.
+    * 1e308 * 10); BigDecimal.valueOf would throw inside the optimizer —
+    * reject the side instead (the join stays naive, which is what a
+    * ±Infinity band means anyway). */
+  private def finiteLit(v: Any): Boolean = v match {
+    case d: Double => !d.isNaN && !d.isInfinite
+    case f: Float => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
+
   /** Attach a numeric-literal offset to a base term: time axes only take
     * their dedicated interval/day forms (a bare numeric offset on a
     * timestamp attr is unit-ambiguous — reject); an integral base with a
@@ -174,7 +220,7 @@ trait BandAlgebra extends PredicateHelper {
   private def combine(a: AttributeReference, kind: Char, off: BigDecimal,
       litType: DataType): Option[(AttributeReference, BigDecimal, Char)] =
     kind match {
-      case 't' | 'd' => None
+      case 't' | 'd' | 'm' => None
       case 'i' if integral.contains(litType) => Some((a, off, 'i'))
       case _ => Some((a, off, 'f'))
     }
@@ -225,7 +271,7 @@ trait BandAlgebra extends PredicateHelper {
     for {
       (attrA, offA, kindA) <- parseSide(a)
       (attrB, offB, kindB) <- parseSide(b)
-      kind <- unifyKinds(kindA, kindB)
+      kind <- unifyKinds(kindA, offA, kindB, offB)
       sa <- attrSide(attrA, l, r)
       sb <- attrSide(attrB, l, r)
       if sa != sb
@@ -240,10 +286,19 @@ trait BandAlgebra extends PredicateHelper {
     }
   }
 
-  private def unifyKinds(a: Char, b: Char): Option[Char] =
+  private def unifyKinds(
+      a: Char, offA: BigDecimal, b: Char, offB: BigDecimal): Option[Char] =
     if (a == b) Some(a)
     else if (Set(a, b) == Set('i', 'f')) Some('f')
-    else None
+    // A bare (offset-0) timestamp/date term is a valid month-space axis
+    // too — its month index is exact and offset-free — so `r <= addYM(l,
+    // k)` unifies. A NONZERO micros/day offset mixed with a month offset
+    // in one conjunct has no common exact unit: reject (falls to the
+    // warning rule).
+    else if (Set(a, b) == Set('t', 'm') || Set(a, b) == Set('d', 'm')) {
+      val bareOff = if (a == 'm') offB else offA
+      if (bareOff == BigDecimal(0)) Some('m') else None
+    } else None
 }
 
 /** Replan `SELECT ... FROM a JOIN b ON lo <= b.x - a.y <= hi` (no equi
@@ -261,6 +316,17 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
       case 'i' => toDec(a)
       case 't' => toDec(UnixMicros(a)) // exact epoch micros
       case 'd' => toDec(UnixDate(a))   // exact epoch days
+      case 'm' =>
+        // month index year*12 + month: monotone in the axis value, and
+        // add_months lands exactly `n` indexes away (day clamping only
+        // moves days WITHIN the target month). Timestamps reduce through
+        // the session-tz date — the same zone TimestampAddYMInterval
+        // itself evaluates in, so both sides of the superset argument
+        // use one calendar.
+        val d: Expression =
+          if (a.dataType == DateType) a
+          else Cast(a, DateType, Option(conf.sessionLocalTimeZone))
+        toDec(Add(Multiply(Year(d), Literal(12)), Month(d)))
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -269,25 +335,36 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
       val conjuncts = splitConjunctivePredicates(cond)
       if (conjuncts.exists(isEqui(_, left, right))) j
       else {
-        // accumulate lo/hi per (lAttr, rAttr) pair, exactly like the
-        // Python walker: max of lower bounds, min of upper bounds.
-        // Axis kind is determined by the attrs' datatypes, so conjuncts
-        // over the same pair always agree on it.
+        // accumulate lo/hi per (lAttr, rAttr, UNIT SPACE): max of lower
+        // bounds, min of upper bounds, exactly like the Python walker.
+        // 'i' and 'f' share the value space (a pair bounded by one exact
+        // and one fractional conjunct buckets on doubles); 't', 'd' and
+        // 'm' are each their own unit — merging a micros delta with a
+        // month delta would be unit salad, so they accumulate apart and
+        // only a space holding BOTH bounds rewrites. A ZERO-delta
+        // timestamp/date bound (`r <= l`) is additionally a valid
+        // month-space bound (the month index is monotone), which is
+        // what completes the canonical `r BETWEEN addYM(l, -k) AND l`.
+        def space(k: Char): Char = if (k == 'i' || k == 'f') 'v' else k
         val bounds = scala.collection.mutable.LinkedHashMap
-          .empty[(ExprId, ExprId), (AttributeReference, AttributeReference,
+          .empty[(ExprId, ExprId, Char), (AttributeReference, AttributeReference,
             Char, Option[BigDecimal], Option[BigDecimal])]
         conjuncts.foreach { c =>
           classifyBound(c, left, right).foreach {
             case (la, ra, kind0, isLower, d) =>
-              val k = (la.exprId, ra.exprId)
-              val (_, _, kindPrev, lo, hi) =
-                bounds.getOrElse(k, (la, ra, kind0, None, None))
-              // a pair bounded by one exact and one fractional conjunct
-              // (e.g. `r - l >= 0 AND r - l <= 0.5`) buckets on doubles
-              val kind = if (kind0 == 'f' || kindPrev == 'f') 'f' else kind0
-              val nlo = if (isLower) Some(lo.fold(d)(_.max(d))) else lo
-              val nhi = if (!isLower) Some(hi.fold(d)(_.min(d))) else hi
-              bounds(k) = (la, ra, kind, nlo, nhi)
+              def deposit(kindD: Char, dd: BigDecimal): Unit = {
+                val k = (la.exprId, ra.exprId, space(kindD))
+                val (_, _, kindPrev, lo, hi) =
+                  bounds.getOrElse(k, (la, ra, kindD, None, None))
+                val kind = if (kindD == 'f' || kindPrev == 'f') 'f' else kindD
+                val nlo = if (isLower) Some(lo.fold(dd)(_.max(dd))) else lo
+                val nhi = if (!isLower) Some(hi.fold(dd)(_.min(dd))) else hi
+                bounds(k) = (la, ra, kind, nlo, nhi)
+              }
+              deposit(kind0, d)
+              if ((kind0 == 't' || kind0 == 'd') && d == BigDecimal(0)) {
+                deposit('m', BigDecimal(0))
+              }
           }
         }
         bounds.values.collectFirst {
@@ -434,9 +511,9 @@ class NaiveBandJoinWarning extends Rule[LogicalPlan] with BandAlgebra with Loggi
               s"(${cond.sql}) will plan as BroadcastNestedLoopJoin/" +
               "CartesianProduct. For bounded bands use " +
               "sim_spark.ops.autojoin.auto_join (DataFrame API) or an " +
-              "integral/timestamp/date/double-axis band in SQL " +
-              "(rewritten automatically); as-of shapes: " +
-              "sim_spark.ops.autojoin.auto_asof.")
+              "integral/timestamp/date/month-interval/decimal/double-" +
+              "axis band in SQL (rewritten automatically); as-of " +
+              "shapes: sim_spark.ops.autojoin.auto_asof.")
         }
       case _ =>
     }

@@ -84,20 +84,45 @@ def _interval_us(text: str) -> int | None:
     return int(m.group(1)) * _INTERVAL_US[unit]
 
 
+def _interval_months(text: str) -> int | None:
+    """Parse ``INTERVAL <n> MONTH|YEAR`` forms to whole months (r10):
+    variable-width in microseconds but exact in month-index space."""
+    m = re.fullmatch(
+        r"\s*INTERVAL\s+'?(-?\d+)'?\s+(MONTH|YEAR)S?\s*",
+        text,
+        flags=re.IGNORECASE,
+    )
+    if not m:
+        return None
+    n = int(m.group(1))
+    return n * 12 if m.group(2).lower() == "year" else n
+
+
 def _offset_value(n) -> tuple[float, str] | None:
     """A literal offset node → (value, unit). Numeric literals carry the
-    axis-native unit; SqlExpression INTERVALs are microseconds."""
+    axis-native unit; SqlExpression INTERVALs are microseconds (day-time
+    forms) or whole months (year-month forms). Non-finite numeric
+    literals (a folded 1e308*10, a NaN) are rejected — an infinite band
+    bound has no bucket arithmetic; the caller falls back to the naive
+    join, which is what such a bound means anyway."""
+    import math
+
     c = _cls(n)
     if c == "Literal":
         v = n.value()
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             return None
+        if not math.isfinite(v):
+            return None
         return (float(v), "native")
     if c == "SqlExpression":
         us = _interval_us(n.expression())
-        if us is None:
-            return None
-        return (float(us), "us")
+        if us is not None:
+            return (float(us), "us")
+        months = _interval_months(n.expression())
+        if months is not None:
+            return (float(months), "months")
+        return None
     return None
 
 
@@ -293,9 +318,12 @@ def auto_join(
             return F.unix_date(F.col(name)).cast("long")
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             return F.col(name).cast("long")  # exact: no double round-trip
-        if isinstance(dt, T.DecimalType) and dt.precision - dt.scale > 15:
-            return None  # unscaled value can exceed double's 2^53 exactness
         if isinstance(dt, T.NumericType):
+            # DECIMALs of ANY width ride the double path (r10): the cast
+            # is monotone and identical on both sides, and the ±2^51
+            # bucket-id clamp keeps the floor-division quotient inside
+            # the 53-bit accuracy horizon, so the ±1 margin provably
+            # covers the rounding at any magnitude.
             return F.col(name).cast("double")
         return None  # strings/other types: don't guess an axis — fall back
 
@@ -307,23 +335,50 @@ def auto_join(
             return "days"
         return "native"
 
-    # Every non-zero offset's unit must agree with the shared axis unit:
-    # a µs axis accepts only INTERVAL offsets (a day-granular date_add
-    # offset on a timestamp axis would shrink the band 86400e6x and
-    # silently DROP matches — found by review, repro 63 -> 0 rows);
-    # a date axis counts days (plain ints resolve to date arithmetic,
-    # so "native" means days there); numeric axes take plain numbers.
-    _AXIS_OK = {"us": {"us"}, "days": {"days", "native"}, "native": {"native"}}
-    l_val, r_val = axis(left, l_attr), axis(right, r_attr)
-    if (
-        l_val is None
-        or r_val is None
-        # a mixed-unit band (date vs timestamp) would bucket µs against
-        # days — internally inconsistent, could strand true matches
-        or axis_unit(left, l_attr) != axis_unit(right, r_attr)
-        or not units <= _AXIS_OK[axis_unit(left, l_attr)]
-    ):
-        return left.join(right, on, how)
+    # Year-month offsets (r10) get their own exact bucket space: the
+    # month index year*12+month is monotone in the axis value and
+    # add_months lands exactly `n` indexes away (day clamping only moves
+    # days WITHIN the target month), so pure-month bands bucket on the
+    # month index with whole-month offsets through the exact integral
+    # machinery. A month offset MIXED with a nonzero micros/day offset
+    # on the same pair has no common exact unit — fall back. Timestamp
+    # month indexes are session-tz (the same zone ts ± INTERVAL MONTH
+    # evaluates in); NTZ/date indexes are tz-free — month boundaries
+    # have no DST hazard either way.
+    months_band = "months" in units
+    if months_band:
+        if units != {"months"} or not all(
+            isinstance(
+                df.schema[n].dataType,
+                (T.DateType, T.TimestampType, T.TimestampNTZType),
+            )
+            for df, n in ((left, l_attr), (right, r_attr))
+        ):
+            return left.join(right, on, how)
+        l_val = (F.year(l_attr) * 12 + F.month(l_attr)).cast("long")
+        r_val = (F.year(r_attr) * 12 + F.month(r_attr)).cast("long")
+    else:
+        # Every non-zero offset's unit must agree with the shared axis
+        # unit: a µs axis accepts only INTERVAL offsets (a day-granular
+        # date_add offset on a timestamp axis would shrink the band
+        # 86400e6x and silently DROP matches — found by review, repro
+        # 63 -> 0 rows); a date axis counts days (plain ints resolve to
+        # date arithmetic, so "native" means days there); numeric axes
+        # take plain numbers.
+        _AXIS_OK = {
+            "us": {"us"}, "days": {"days", "native"}, "native": {"native"},
+        }
+        l_val, r_val = axis(left, l_attr), axis(right, r_attr)
+        if (
+            l_val is None
+            or r_val is None
+            # a mixed-unit band (date vs timestamp) would bucket µs
+            # against days — internally inconsistent, could strand true
+            # matches
+            or axis_unit(left, l_attr) != axis_unit(right, r_attr)
+            or not units <= _AXIS_OK[axis_unit(left, l_attr)]
+        ):
+            return left.join(right, on, how)
 
     eq_pairs = [(p[1], p[2]) for p in parsed if p is not None and p[0] == "eq"]
 

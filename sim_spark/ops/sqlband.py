@@ -14,25 +14,29 @@ provides two optimizer rules, installed into the session's
 batch, applied to every subsequent plan including pure SQL strings):
 
 * ``simspark.SqlBandJoinRewrite`` — inner joins whose condition is a
-  bounded band over INTEGRAL, TIMESTAMP, DATE, or (r9)
-  DOUBLE/FLOAT/narrow-DECIMAL attributes with no equi conjunct are
-  replanned as bucket-explode + equi-join + exact refine with the
-  ORIGINAL predicate (candidate superset — row-identical by
-  construction; the same algebra as ops/autojoin.py, decimal(38,0)
-  bucket arithmetic included). Timestamp and date axes reduce to the
-  integral machinery through their exact epoch mappings
-  (``unix_micros``/``unix_date``); interval offsets must be day-time
-  (fixed-width) literals. Fractional axes (doubles, floats, decimals
-  with <=15 integral digits — exact under the double cast) bucket via
-  double floor-division with a ±1 bucket margin, ops/autojoin.py's
+  bounded band over INTEGRAL, TIMESTAMP, DATE, or (r9) DOUBLE/FLOAT/
+  DECIMAL attributes with no equi conjunct are replanned as
+  bucket-explode + equi-join + exact refine with the ORIGINAL predicate
+  (candidate superset — row-identical by construction; the same algebra
+  as ops/autojoin.py, decimal(38,0) bucket arithmetic included).
+  Timestamp and date axes reduce to the integral machinery through
+  their exact epoch mappings (``unix_micros``/``unix_date``) for
+  day-time (fixed-width) interval offsets; (r10) YEAR-MONTH interval
+  offsets bucket on the exact month index (year*12+month — add_months
+  lands exactly n indexes away, and the index is monotone), which also
+  admits TIMESTAMP_NTZ axes (wall-clock month index, tz-free).
+  Fractional axes (doubles, floats, decimals of ANY width — r10
+  unfenced) bucket via double floor-division with a ±1 bucket margin
+  whose ±2^51 bucket-id clamp keeps the quotient inside the 53-bit
+  accuracy horizon at any magnitude, ops/autojoin.py's
   epsilon-tolerant path.
 * ``simspark.NaiveBandJoinWarning`` — shapes the rewrite does not
-  cover (year-month intervals, wide decimals, exotic arithmetic) log a
-  loud warning naming auto_join/auto_asof and bump a counter. Both
-  counters dedupe on the condition's canonicalized string under a
-  bounded LRU (the optimizer re-runs extra rules in its fixed-point
-  batch and under AQE), so they count distinct join conditions, not
-  rule visits.
+  cover (month offsets mixed with nonzero day-time offsets on one
+  pair, exotic arithmetic over attributes) log a loud warning naming
+  auto_join/auto_asof and bump a counter. Both counters dedupe on the
+  condition's canonicalized string under a bounded LRU (the optimizer
+  re-runs extra rules in its fixed-point batch and under AQE), so they
+  count distinct join conditions, not rule visits.
 
 Installation is purely additive and opportunistic: the jar loads
 through a child URLClassLoader of the live JVM (no session restart, no
@@ -44,9 +48,10 @@ way; only the PLAN differs (asserted in tests/test_plans.py, skipped
 when the extension is unavailable).
 
 Documented limitation (the honest fence SURVEY §4.3 asked to keep
-visible, shrunk again in r9): SQL-string bands over variable-width
-YEAR-MONTH intervals and DECIMALs wider than 15 integral digits still
-plan naively and WARN; use the DataFrame API (auto_join) there.
+visible, shrunk again in r10 — year-month intervals and wide decimals
+now rewrite): a month offset mixed with a NONZERO day-time/day offset
+on the same attribute pair has no common exact bucket unit and still
+plans naively with a WARN; use the DataFrame API (auto_join) there.
 """
 
 from __future__ import annotations

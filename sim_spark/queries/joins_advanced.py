@@ -168,6 +168,44 @@ def join_sql_band_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_BAND_DEC_TEXT)
 
 
+_SQL_BAND_YM_TEXT = """
+SELECT a.o_orderkey AS anchor_key,
+       COUNT(*) AS n_prior,
+       CAST(SUM(CAST(floor(b.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders a JOIN orders b
+  ON b.o_orderdate >= a.o_orderdate - INTERVAL '1' MONTH
+ AND b.o_orderdate <= a.o_orderdate
+ AND a.o_orderkey % 5000 = 7
+GROUP BY a.o_orderkey
+ORDER BY anchor_key
+"""
+
+
+@query("join_sql_band_ym", oracle=_SQL_BAND_YM_TEXT)
+def join_sql_band_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume in the month before each sampled anchor order — a
+    NAIVE year-month-interval band inside a spark.sql() STRING, the last
+    band-axis kind the compiled rule did not cover until r10. Month
+    offsets are variable-width in microseconds (so the epoch-micros
+    machinery can't bucket them) but EXACT in month-index space:
+    add_months always lands exactly n indexes away, and year*12+month is
+    monotone in the timestamp, so the rule buckets both sides on the
+    month index with whole-month offsets — the same integral bucket
+    algebra, one more axis mapping (the zero-offset `b <= a` bound is
+    month-space-valid too, which completes the band). Plan asserted
+    BNLJ-free in tests/test_plans.py; DuckDB runs the identical SQL
+    text (both engines clamp month arithmetic to month ends the same
+    way). Anchors are sampled by orderkey residue so the anchor count —
+    and the output — scales linearly with SF while the band stays a
+    bounded two-bucket explode."""
+    from sim_spark.ops.sqlband import install_sql_band_extension
+
+    install_sql_band_extension(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SQL_BAND_YM_TEXT)
+
+
 @query(
     "join_asof",
     oracle="""

@@ -817,3 +817,149 @@ def test_sql_band_rule_denormal_width_stays_naive(spark):
     )
     assert diagnostics(spark)["rewrites"] == before, "rule fired on denormal width"
     assert got == [(1, 1), (2, 2)]
+
+
+def test_auto_join_month_interval_band(spark):
+    """Year-month-interval bands (r10) bucket on the exact month index
+    (year*12+month): DATE and TIMESTAMP axes, MONTH and YEAR units, with
+    day-clamping anchors (month-end dates) in play — must be
+    row-identical to the naive join and BNLJ-free."""
+    import datetime
+
+    from sim_spark.ops.autojoin import auto_join
+
+    d0 = datetime.date(2023, 1, 31)  # month-end: add_months clamping hit
+    L = spark.createDataFrame(
+        [(i, d0 + datetime.timedelta(days=13 * i)) for i in range(70)],
+        "lid long, ld date",
+    )
+    R = spark.createDataFrame(
+        [(i, d0 + datetime.timedelta(days=8 * i + 2)) for i in range(70)],
+        "rid long, rd date",
+    )
+    cond = (F.col("rd") >= F.col("ld") - F.expr("INTERVAL '3' MONTH")) & (
+        F.col("rd") <= F.col("ld")
+    )
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b and len(a) > 0
+    p = auto_join(L, R, cond)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    t0 = datetime.datetime(2022, 2, 28, 23, 59)
+    LT = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(days=40 * i, hours=i)) for i in range(40)],
+        "lid long, lt timestamp",
+    )
+    RT = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(days=25 * i + 5, hours=3 * i)) for i in range(40)],
+        "rid long, rt timestamp",
+    )
+    c2 = (F.col("rt") >= F.col("lt") - F.expr("INTERVAL '1' YEAR")) & (
+        F.col("rt") < F.col("lt")
+    )
+    a2 = sorted(map(tuple, LT.join(RT, c2).select("lid", "rid").collect()))
+    b2 = sorted(map(tuple, auto_join(LT, RT, c2).select("lid", "rid").collect()))
+    assert a2 == b2 and len(a2) > 0
+
+
+def test_auto_join_month_mixed_daytime_falls_back(spark):
+    """A month offset mixed with a NONZERO day-time offset on the same
+    pair has no common exact bucket unit — auto_join must stay naive
+    (row-identical), never bucket month deltas against micros."""
+    import datetime
+
+    from sim_spark.ops.autojoin import auto_join
+
+    t0 = datetime.datetime(2024, 1, 15)
+    L = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(days=11 * i)) for i in range(30)],
+        "lid long, lt timestamp",
+    )
+    R = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(days=7 * i + 1)) for i in range(30)],
+        "rid long, rt timestamp",
+    )
+    cond = (F.col("rt") >= F.col("lt") - F.expr("INTERVAL '1' MONTH")) & (
+        F.col("rt") <= F.col("lt") + F.expr("INTERVAL '1' DAY")
+    )
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_auto_join_wide_decimal_axis(spark):
+    """DECIMAL axes wider than 15 integral digits (r10 unfence): the
+    double cast rounds, but the ±2^51 bucket clamp keeps the quotient
+    inside the accuracy horizon, so the ±1 margin covers it — naive
+    row-identity on 20-integral-digit values with fractional cents."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from sim_spark.ops.autojoin import auto_join
+
+    sl = T.StructType(
+        [T.StructField("lid", T.LongType()), T.StructField("x", T.DecimalType(25, 2))]
+    )
+    sr = T.StructType(
+        [T.StructField("rid", T.LongType()), T.StructField("y", T.DecimalType(25, 2))]
+    )
+    L = spark.createDataFrame(
+        [(i, Decimal(10**19 + i * 7) + Decimal("0.25")) for i in range(60)], sl
+    )
+    R = spark.createDataFrame(
+        [(i, Decimal(10**19 + i * 11 + 3) + Decimal("0.50")) for i in range(60)], sr
+    )
+    cond = (F.col("y") >= F.col("x") - 20) & (F.col("y") <= F.col("x") + 20)
+    a = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+    b = sorted(map(tuple, auto_join(L, R, cond).select("lid", "rid").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sql_band_rule_month_interval_preserves_rows(spark):
+    """The compiled rule's month-index path must be row-identical to the
+    Python-computed naive expectation, including add_months day-clamping
+    anchors, and must fire (rewrites counter)."""
+    import calendar
+    import datetime
+
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+
+    d0 = datetime.date(2024, 1, 15)
+    lrows = [(i, d0 + datetime.timedelta(days=11 * i)) for i in range(60)]
+    rrows = [(i, d0 + datetime.timedelta(days=7 * i + 3)) for i in range(60)]
+    spark.createDataFrame(lrows, "lid long, x date").createOrReplaceTempView(
+        "sqlband_ml"
+    )
+    spark.createDataFrame(rrows, "rid long, y date").createOrReplaceTempView(
+        "sqlband_mr"
+    )
+    before = diagnostics(spark)["rewrites"]
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT lid, rid FROM sqlband_ml JOIN sqlband_mr "
+                "ON y >= x - INTERVAL '2' MONTH AND y <= x"
+            ).collect(),
+        )
+    )
+    assert diagnostics(spark)["rewrites"] > before, "rule did not fire"
+
+    def add_months(d, k):
+        m = d.month - 1 + k
+        y = d.year + m // 12
+        m = m % 12 + 1
+        return datetime.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+
+    want = sorted(
+        (lid, rid)
+        for lid, x in lrows
+        for rid, y in rrows
+        if add_months(x, -2) <= y <= x
+    )
+    assert got == want, f"{len(got)} rewritten vs {len(want)} naive"

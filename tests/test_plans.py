@@ -229,6 +229,23 @@ def test_sql_string_decimal_band_join_is_rewritten_to_equi(spark):
     assert diagnostics(spark)["rewrites"] > before
 
 
+def test_sql_string_ym_band_join_is_rewritten_to_equi(spark):
+    """Round 10: year-month-interval bands rewrite via the month-index
+    (year*12+month) bucket space — a naive `ts BETWEEN ts2 - INTERVAL
+    MONTH AND ts2` in SQL text must plan as a bucket equi-join, not
+    BNLJ."""
+    from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
+
+    if not install_sql_band_extension(spark):
+        pytest.skip("band extension jar unavailable and unbuildable here")
+    before = diagnostics(spark)["rewrites"]
+    p = plan(spark, "join_sql_band_ym")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+    assert diagnostics(spark)["rewrites"] > before
+
+
 def test_ivfpq_candidate_gate_is_cell_equi_join(spark):
     """The IVF stage must gate candidates through the equi-join on cell
     id (broadcast probe list x assignment frame) — scoring the whole
