@@ -24,15 +24,26 @@ DEC = "decimal(30,6)"
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent sum of a double expression → DOUBLE."""
+    """Order-independent sum of a double expression → DOUBLE.
+
+    The output double is produced as CAST(µ-unit integer total AS
+    DOUBLE) / 1e6 rather than a direct decimal(30,6)→double cast: Spark
+    casts decimals through BigDecimal.doubleValue (correctly rounded)
+    while DuckDB computes double(unscaled)/10^scale, and once the
+    unscaled total exceeds 2^53 the two can land one ulp apart (found
+    by the r10 sf1 drive on sums ~2.3e11). Routing BOTH engines through
+    the identical int→double→divide sequence — integer-valued decimals
+    cast correctly-rounded everywhere, and /1e6 is one more correctly-
+    rounded IEEE op — makes the output bit-identical at any magnitude."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    micro = F.sum((c.cast(DEC) * 1000000).cast("decimal(38,0)"))
+    return micro.cast("double") / F.lit(1000000.0)
 
 
 def davg(col: Column | str, ndigits: int = 6) -> Column:
     """Order-independent average of a double expression → DOUBLE."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), ndigits)
+    return F.round(dsum(c) / F.count(c), ndigits)
 
 
 def r6(col: Column | str, ndigits: int = 6) -> Column:
@@ -46,16 +57,18 @@ def ts_str(col: Column | str) -> Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
-# DuckDB-side equivalents, for building oracle SQL strings.
+# DuckDB-side equivalents, for building oracle SQL strings (the µ-unit
+# int→double→/1e6 sequence mirrors dsum — see its docstring for why a
+# direct decimal→double cast diverges between engines past 2^53).
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return (
+        f"(CAST(SUM(CAST(CAST(({expr}) AS DECIMAL(30,6)) * 1000000"
+        f" AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)"
+    )
 
 
 def sql_davg(expr: str, ndigits: int = 6) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {ndigits})"
-    )
+    return f"ROUND({sql_dsum(expr)} / COUNT({expr}), {ndigits})"
 
 
 def sql_ts_str(expr: str) -> str:

@@ -27,6 +27,28 @@ Limitations (documented, loud): inner joins only; left/right column
 names must be disjoint (the refine filter re-resolves by name); the
 band must relate ONE left attribute to ONE right attribute with
 literal / simple-INTERVAL offsets.
+
+Deploy-mode behavior matrix (r10 — every cell loud or routed, no
+silent BNLJ):
+
+===========  ======================  ===================================
+API          classic PySpark         Spark Connect
+===========  ======================  ===================================
+DataFrame    Python walker rewrite   `on._jc` unreadable → RuntimeWarning
+(auto_join)  (this module)           naming ops/sqlband, plain join; the
+                                     COMPILED rule still bucket-rewrites
+                                     it when the server ships
+                                     spark.sql.extensions (it matches the
+                                     resolved Join plan regardless of the
+                                     condition's origin)
+SQL string   compiled Catalyst rule  compiled rule iff configured
+             (ops/sqlband installs   server-side (no runtime injection
+             into the live JVM)      without a JVM gateway — the
+                                     ops/sqlband.py fence); else naive +
+                                     the rule's own NaiveBandJoinWarning
+                                     is unavailable, so plans should be
+                                     reviewed
+===========  ======================  ===================================
 """
 
 from __future__ import annotations
@@ -275,6 +297,28 @@ def auto_join(
         # untouched when unsupported".
         parsed = [_classify(c, lcols, rcols) for c in _conjuncts(on._jc.node())]
     except Exception:
+        # LOUD fallback (r9 verdict task #4): under Connect the silent
+        # path would hand Catalyst a naive BNLJ with no signal. Name the
+        # compiled rule, which routes what's routable — it matches the
+        # RESOLVED logical Join regardless of whether the condition came
+        # from a SQL string or this DataFrame API, so when
+        # ops.sqlband.install_sql_band_extension ran (classic) or the
+        # cluster ships spark.sql.extensions server-side (Connect), the
+        # plain join below still replans as bucket-equi + refine
+        # JVM-side (asserted in tests/test_ops_properties.py).
+        import warnings
+
+        warnings.warn(
+            "auto_join could not read the Column expression tree "
+            "(Spark Connect, or PySpark internals drift): falling back "
+            "to the plain join. If the simspark SQL-band extension is "
+            "active (sim_spark.ops.sqlband.install_sql_band_extension, "
+            "or spark.sql.extensions server-side), band conditions are "
+            "still bucket-rewritten JVM-side; otherwise expect a "
+            "BroadcastNestedLoopJoin.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return left.join(right, on, how)
     # collect bounds per (l_attr, r_attr) pair; [lo, hi, offset-unit set]
     bounds: dict[tuple[str, str], list] = {}

@@ -25,21 +25,11 @@ N_BANDS = 4
 CAP = 64
 
 
-def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> DataFrame:
-    """(doc_id, b0..b3) signatures → (doc_id, dup_of, n_dups_smaller).
-
-    Candidates come from the banded equi-join on (band_no, val) with the
-    ≤``CAP`` saturation guard; the refine keeps exact Hamming distance
-    ≤ ``hd_max`` over the band values (low bits only when ``hd_mask`` is
-    given — bucket-routing bits excluded from the metric).
-
-    Recall caveat: a true near-dup pair whose EVERY shared band value is
-    saturated (>``CAP`` members) is never generated as a candidate — the
-    cap trades that recall for bounded candidate counts (SCALE.md §18
-    measured the audio fixture at 4918→75 dups under cap-alone before the
-    entropy booster restored band selectivity). Callers tuning ``CAP``
-    should keep at least one discriminative band per expected dup class."""
-    sig = track_cache(sig)
+def _band_candidates(sig: DataFrame, capped: bool = True) -> DataFrame:
+    """Banded candidate pairs (da < db) with both signatures carried
+    along: (da, db, a0..a3, c0..c3), DISTINCT. ``capped`` applies the
+    >``CAP`` saturation guard (the production path); ``capped=False``
+    exists only for the recall diagnostic below."""
     band_structs = F.array(
         *[
             F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
@@ -61,15 +51,16 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
     # Broadcast the OVER-cap list (tiny: #buckets with >CAP members, not
     # ~4x corpus like the keep-list) and strip it with a left_anti join —
     # identical semantics, bounded driver/executor broadcast at any scale.
-    over = (
-        bands.groupBy("band_no", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > CAP)
-        .select("band_no", "val")
-    )
-    bands = bands.join(F.broadcast(over), ["band_no", "val"], "left_anti")
+    if capped:
+        over = (
+            bands.groupBy("band_no", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > CAP)
+            .select("band_no", "val")
+        )
+        bands = bands.join(F.broadcast(over), ["band_no", "val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
@@ -85,12 +76,36 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
         )
         .distinct()  # a pair sharing several bands is one candidate
     )
+
+
+def _hamming(hd_mask: int | None):
     xors = [F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")) for k in range(N_BANDS)]
     if hd_mask is not None:
         xors = [x.bitwiseAND(F.lit(hd_mask)) for x in xors]
-    hd = sum(F.bit_count(x) for x in xors)
+    return sum(F.bit_count(x) for x in xors)
+
+
+def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> DataFrame:
+    """(doc_id, b0..b3) signatures → (doc_id, dup_of, n_dups_smaller).
+
+    Candidates come from the banded equi-join on (band_no, val) with the
+    ≤``CAP`` saturation guard; the refine keeps exact Hamming distance
+    ≤ ``hd_max`` over the band values (low bits only when ``hd_mask`` is
+    given — bucket-routing bits excluded from the metric).
+
+    Recall caveat: a true near-dup pair whose EVERY shared band value is
+    saturated (>``CAP`` members) is never generated as a candidate — the
+    cap trades that recall for bounded candidate counts (SCALE.md §18
+    measured the audio fixture at 4918→75 dups under cap-alone before the
+    entropy booster restored band selectivity). Callers tuning ``CAP``
+    should keep at least one discriminative band per expected dup class.
+    :func:`band_recall` MEASURES that loss against the exact pair set
+    (r9 verdict task #3); the per-fixture floors are regression-guarded
+    in tests/test_scale_ops.py and tabulated in SCALE.md §21."""
+    sig = track_cache(sig)
+    pairs = _band_candidates(sig, capped=True)
     return (
-        pairs.withColumn("hd", hd)
+        pairs.withColumn("hd", _hamming(hd_mask))
         .filter(F.col("hd") <= hd_max)
         .groupBy(F.col("db").alias("doc_id"))
         .agg(
@@ -99,6 +114,46 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
         )
         .orderBy("doc_id")
     )
+
+
+def band_recall(
+    sig: DataFrame, hd_max: int, hd_mask: int | None = None
+) -> dict[str, float]:
+    """Measure the banded candidate generator's recall against the EXACT
+    Hamming pair set (diagnostic harness, never a production path — the
+    exact leg is an all-pairs scan).
+
+    Returns ``n_true`` (exact pairs at hd ≤ hd_max), ``n_hit`` /
+    ``recall`` for the CAPPED generator (the shipping path), and
+    ``n_hit_uncapped`` / ``recall_uncapped`` isolating the saturation
+    cap's marginal loss from the band scheme's intrinsic loss (a pair
+    can differ by one bit in EVERY band when hd_max ≥ N_BANDS and then
+    shares no band value — pigeonhole only guarantees a shared band for
+    hd_max < N_BANDS)."""
+    sig = track_cache(sig)
+    a = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(N_BANDS)],
+    )
+    true_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("hd", _hamming(hd_mask))
+        .filter(F.col("hd") <= hd_max)
+        .select("da", "db")
+    )
+    n_true = true_pairs.count()
+    out: dict[str, float] = {"n_true": n_true}
+    for label, capped in (("", True), ("_uncapped", False)):
+        cand = _band_candidates(sig, capped=capped).select("da", "db")
+        hit = true_pairs.join(cand, ["da", "db"], "left_semi").count()
+        out[f"n_hit{label}"] = hit
+        out[f"recall{label}"] = (hit / n_true) if n_true else 1.0
+    return out
 
 
 def banded_dedup_oracle(sig_ctes: str, hd_max: int, hd_mask: int | None = None) -> str:

@@ -97,10 +97,17 @@ def grouped_exact_sums(
         *[F.sum(f"__c_{a}").alias(f"n_{a}") for a in measures],
         F.sum("__pn").alias(count_alias),
     )
+    # Output double = CAST(µ-int total AS DOUBLE) / 1e6 — NOT a
+    # decimal-divide-then-cast: integer-valued decimals cast to double
+    # correctly rounded in BOTH engines, while DuckDB's fractional
+    # decimal→double (double(unscaled)/10^scale) drifts one ulp from
+    # Spark's BigDecimal.doubleValue once the unscaled total passes 2^53
+    # (r10 sf1 drive). Identical sequence in exprs.dsum / sql_dsum keeps
+    # this helper bit-identical to the dsum formulation.
     return stage2.select(
         *keys,
         *[
-            (F.col(f"__t_{a}") / F.lit(_SCALE)).cast("double").alias(a)
+            (F.col(f"__t_{a}").cast("double") / F.lit(float(_SCALE))).alias(a)
             for a in measures
         ],
         *[F.col(f"n_{a}") for a in measures],

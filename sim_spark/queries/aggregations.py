@@ -314,8 +314,9 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_mean",
     oracle="""
 SELECT l_returnflag,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))
-                     * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,6)) AS DOUBLE)
+       CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+            AS DOUBLE) / 100.0
          / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wmean_price,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -323,20 +324,24 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 )
 def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted mean price per flag: the weighted numerator is
-    an exact DECIMAL sum (price is 2-dp money, weights integral), so
-    the ratio is one division of identical values — no reduction-order
-    float hazard, unlike a naive sum(w*x)/sum(w) in doubles. One
-    partial+final aggregate."""
+    an exact integer-cents sum (price is 2-dp money, weights integral;
+    cents reconstructed with the engine-identical floor(x*100+0.5)),
+    summed in DECIMAL(38,0) so no long ever overflows, and cast to
+    DOUBLE only as an integer — the correctly-rounded int→double path
+    both engines share (a fractional decimal→double cast drifts one ulp
+    past 2^53 unscaled; this key tripped it at sf1 in the r10 drive).
+    The ratio is then one division of identical doubles — no
+    reduction-order float hazard. One partial+final aggregate."""
     li = table(spark, sf_dir, "lineitem")
-    num = F.sum(
-        F.col("l_extendedprice").cast("decimal(30,6)")
-        * F.col("l_quantity").cast("long")
-    ).cast("decimal(38,6)")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    num = F.sum((cents * F.col("l_quantity").cast("long")).cast("decimal(38,0)"))
     den = F.sum(F.col("l_quantity").cast("long"))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            (num.cast("double") / den.cast("double")).alias("wmean_price"),
+            (num.cast("double") / F.lit(100.0) / den.cast("double")).alias(
+                "wmean_price"
+            ),
             den.cast("long").alias("total_weight"),
         )
         .orderBy("l_returnflag")

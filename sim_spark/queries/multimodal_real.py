@@ -317,12 +317,18 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes every sampled gray value from the synthesis
     formula — it never sees the bytes — so a decode bug (stride, bottom-up
     rows, channel order) shifts some bit and breaks the hash match."""
+    return banded_dedup(bmp_dhash_sig(spark, sf_dir), hd_max=4)
+
+
+def bmp_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP key's signature frame (doc_id, b0..b3) — exposed so the
+    band_recall diagnostic (tests/test_scale_ops.py, SCALE.md §21) can
+    measure the capped generator against the exact pair set."""
     d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
-    sig = payloads.mapInPandas(
+    return payloads.mapInPandas(
         _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    return banded_dedup(sig, hd_max=4)
 
 
 _gen_png_batches = _make_gen_batches(gen_png_payload)
@@ -411,12 +417,16 @@ def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     match. Candidate generation is the shared banded-LSH scaffold
     (ops/bandlsh.py): equi-join on (band_no, band_value) with the
     saturation cap, exact in-row Hamming refine — never all-pairs."""
+    return banded_dedup(png_dhash_sig(spark, sf_dir), hd_max=4)
+
+
+def png_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG twin's signature frame — see :func:`bmp_dhash_sig`."""
     d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_png_twin_batches, _PAYLOAD_SCHEMA)
-    sig = payloads.mapInPandas(
+    return payloads.mapInPandas(
         _png_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    return banded_dedup(sig, hd_max=4)
 
 
 _gen_tone_batches = _make_gen_batches(gen_wav_tone_payload)
@@ -548,12 +558,16 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes every SAMPLE from the literal sine tables and
     re-derives the fingerprints in SQL — it never sees the bytes — so a
     WAV chunk-walk or windowing bug breaks the hash match."""
+    return banded_dedup(wav_fingerprint_sig(spark, sf_dir), hd_max=3, hd_mask=255)
+
+
+def wav_fingerprint_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio key's signature frame — see :func:`bmp_dhash_sig`."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(_gen_tone_batches, _PAYLOAD_SCHEMA)
-    sig = payloads.mapInPandas(
+    return payloads.mapInPandas(
         _wav_fingerprint_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    return banded_dedup(sig, hd_max=3, hd_mask=255)
 
 
 @query(

@@ -49,6 +49,32 @@ def _dot(a: str, b: str):
     )
 
 
+# Trained-quantizer share (r9 verdict task #6): the Lloyd fit is fully
+# deterministic (seed-stable sample, deterministic init, fixed iteration
+# count) and its output is just nlist x 64 doubles, so the SECOND key
+# that needs the same (sf_dir, nlist) quantizer — sim_ann_ivf and
+# dedup_embedding_ann both route through _cells — reuses the centroid
+# list instead of re-running the 5-iteration job chain. Keyed on
+# sf_tag(sf_dir) (full-path sha1: two dirs with equal basenames never
+# share) + nlist; the cache holds plain Python floats, so it is valid
+# across Spark sessions in one process.
+_COARSE_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _coarse_centroids(spark: SparkSession, sf_dir: str, nlist: int) -> list:
+    from sim_spark.ops.kmeans_relational import kmeans_fit
+    from sim_spark.scratch import sf_tag
+
+    key = (sf_tag(sf_dir), nlist)
+    if key not in _COARSE_CACHE:
+        e = table(spark, sf_dir, "embeddings")
+        sample = e.sample(fraction=0.3, seed=42)
+        base, cent_list, _ = kmeans_fit(sample, k=nlist, n_iter=5, dim=64)
+        base.unpersist()
+        _COARSE_CACHE[key] = cent_list
+    return _COARSE_CACHE[key]
+
+
 def _cells(spark: SparkSession, sf_dir: str, n_assign: int = 1):
     """(vectors with cell assignment, centroid table, nprobe). ``n_assign
     > 1`` multi-assigns each vector to its top-n cells (recall knob for
@@ -58,15 +84,14 @@ def _cells(spark: SparkSession, sf_dir: str, n_assign: int = 1):
     (ops/kmeans_relational.kmeans_fit — deterministic init, fixed
     iteration count, seed-stable sample), so cells track the actual
     data distribution instead of whichever vectors happen to carry the
-    lowest ids. Only k x dim centroid doubles reach the driver.
+    lowest ids. Only k x dim centroid doubles reach the driver, and the
+    trained list is memoized per (sf_dir, nlist) — see _COARSE_CACHE.
 
     nlist follows the deterministic √n ladder (ops/ladders.py) and
     nprobe grows as √nlist, the standard IVF dials: per-query probe
     cost is nprobe·n/nlist ≈ n/nlist^0.5 ∝ √n, and the dedup path's
     candidate volume is n²/nlist — both shrink with the ladder where a
     fixed nlist grew super-linearly (measured at sf1 in r8)."""
-    from sim_spark.ops.kmeans_relational import kmeans_fit
-
     e = table(spark, sf_dir, "embeddings")
     nlist = pow2_sqrt_ladder(
         table_count(spark, sf_dir, "embeddings"),
@@ -74,9 +99,7 @@ def _cells(spark: SparkSession, sf_dir: str, n_assign: int = 1):
         floor=_NLIST_FLOOR,
     )
     nprobe = max(NPROBE, math.isqrt(nlist))
-    sample = e.sample(fraction=0.3, seed=42)
-    base, cent_list, _ = kmeans_fit(sample, k=nlist, n_iter=5, dim=64)
-    base.unpersist()
+    cent_list = _coarse_centroids(spark, sf_dir, nlist)
     cents = spark.createDataFrame(
         [(cid, emb) for cid, emb in cent_list],
         "cid int, c_emb array<double>",

@@ -382,10 +382,14 @@ ranked AS (
   FROM spend
 ),
 s AS (
+  -- (10,0) x (28,0): rank fits 10 digits at any plausible SF and the
+  -- 38-digit product stays exact in BOTH engines (DuckDB keeps an
+  -- 18x18 multiply in 18-wide arithmetic and overflows at sf1 --
+  -- 149986 * 6.7e12 > 1e18; found by the r10 sf1 drive)
   SELECT max(n) AS n,
-         CAST(sum(CAST(rnk AS DECIMAL(18,0)) * CAST(x_micro AS DECIMAL(18,0)))
+         CAST(sum(CAST(rnk AS DECIMAL(10,0)) * CAST(x_micro AS DECIMAL(28,0)))
               AS DECIMAL(38,0)) AS s1,
-         CAST(sum(CAST(x_micro AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx
+         CAST(sum(CAST(x_micro AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sx
   FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
@@ -418,14 +422,16 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy("x_micro", "o_custkey")).alias("rnk"),
         F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
     )
+    # (10,0) x (28,0) mirrors the oracle: exact 38-digit product in both
+    # engines (DuckDB overflows an 18x18 multiply at sf1 — r10 drive)
     s = ranked.agg(
         F.max("n").alias("n"),
         F.sum(
-            F.col("rnk").cast("decimal(18,0)") * F.col("x_micro").cast("decimal(18,0)")
+            F.col("rnk").cast("decimal(10,0)") * F.col("x_micro").cast("decimal(28,0)")
         )
         .cast("decimal(38,0)")
         .alias("s1"),
-        F.sum(F.col("x_micro").cast("decimal(18,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x_micro").cast("decimal(28,0)")).cast("decimal(38,0)").alias("sx"),
     )
     nd = F.col("n").cast("double")
     return s.select(

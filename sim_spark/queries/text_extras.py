@@ -379,6 +379,14 @@ def dedup_simhash64_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups, never ∝ n². Fully hash-oracled: DuckDB recomputes every
     vote from md5 hex digits."""
     from sim_spark.ops.bandlsh import banded_dedup
+
+    return banded_dedup(simhash64_sig(spark, sf_dir), hd_max=3)
+
+
+def simhash64_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-weighted 64-bit simhash signature frame (doc_id, b0..b3) —
+    exposed so the band_recall diagnostic (tests/test_scale_ops.py,
+    SCALE.md §21) can measure the capped generator's recall."""
     from sim_spark.scratch import track_cache
 
     d = table(spark, sf_dir, "documents")
@@ -414,8 +422,7 @@ def dedup_simhash64_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"v{16 * k + i}") > 0, F.lit(1 << i).cast("bigint")
             ).otherwise(0)
         bands.append(b.alias(f"b{k}"))
-    sig = track_cache(voted.select("doc_id", *bands))
-    return banded_dedup(sig, hd_max=3)
+    return track_cache(voted.select("doc_id", *bands))
 
 
 # --- multimodal binary features ---------------------------------------------

@@ -24,6 +24,24 @@ from sim_spark.testing import canonicalize, duckdb_connect
 ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else None
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
+
+def _out_path() -> str:
+    tag = (
+        ""
+        if SF_DIR.rstrip("/").endswith("sf0.01")
+        else "_" + os.path.basename(SF_DIR.rstrip("/"))
+    )
+    return f"/root/repo/DRIVE_r{ROUND:02d}{tag}.json"
+
+
+def _write_partial(results: dict) -> None:
+    """Crash insurance for long (sf1) sweeps: persist after every key so a
+    kill/OOM preserves the evidence gathered so far."""
+    if ROUND is None:
+        return
+    with open(_out_path() + ".partial", "w") as f:
+        json.dump(results, f, indent=2)
+
 spark = get_spark("drive", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 t0 = time.time()
 df = ep.entry(spark)
@@ -34,6 +52,60 @@ print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s schema={df.schema.sim
 qs, os_ = ep.queries(), ep.oracle_sql()
 sf = SF_DIR
 con = duckdb_connect(sf)
+
+# Keys whose OUTPUT is too large to materialize through pandas at a given
+# scale (dedup_simhash_pairs defines a 418M-row pair list at sf1 —
+# SCALE.md §20; two pandas legs + canonicalize tuples would exceed RAM).
+# For these, compare COUNT(*) plus an order-independent md5 checksum of
+# the canonical row string, aggregated INSIDE each engine — value-level
+# evidence without materialization. Only sound for all-integer outputs
+# (string-casting floats is engine-formatting-dependent); asserted below.
+CHECKSUM_KEYS = (
+    set(os.environ.get("DRIVE_CHECKSUM_KEYS", "dedup_simhash_pairs").split(","))
+    if "sf1" in os.path.basename(SF_DIR.rstrip("/")) or os.environ.get("DRIVE_CHECKSUM_KEYS")
+    else set()
+)
+
+
+def _checksum_compare(k: str) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    sdf = qs[k](spark, sf)
+    cols = sorted(sdf.columns)
+    assert all(
+        isinstance(sdf.schema[c].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        for c in cols
+    ), f"{k}: checksum compare needs all-integer columns"
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])), 1, 12
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    srow = sdf.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(h).alias("checksum")
+    ).collect()[0]
+    concat = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    orow = con.execute(
+        f"SELECT COUNT(*) AS n, SUM(CAST(CONCAT('0x', substring(md5("
+        f"concat_ws('|', {concat})), 1, 12)) AS BIGINT)) AS checksum "
+        f"FROM ({os_[k]}) __t"
+    ).fetchone()
+    s_n, s_h = int(srow["n"]), int(srow["checksum"] or 0)
+    o_n, o_h = int(orow[0]), int(orow[1] or 0)
+    return {
+        "rows_match": s_n == o_n,
+        "schema_match": True,
+        "hash_match": s_h == o_h,
+        "spark_rows": s_n,
+        "oracle_rows": o_n,
+        "err": None,
+        "compare": "md5-checksum (output too large to materialize)",
+    }
+
+
 results: dict[str, dict] = {}
 failed: list[str] = []
 for k in sorted(qs):
@@ -45,6 +117,24 @@ for k in sorted(qs):
         "oracle_rows": None,
         "err": None,
     }
+    if k in CHECKSUM_KEYS and k in os_:
+        try:
+            rec = _checksum_compare(k)
+            ok = rec["rows_match"] and rec["hash_match"]
+            if not ok:
+                failed.append(k)
+            print(
+                f"  {k}: {'MATCH' if ok else 'MISMATCH'} (checksum, "
+                f"{rec['spark_rows']} rows)"
+            )
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            failed.append(k)
+            print(f"  {k}: ERROR {rec['err']}")
+        results[k] = rec
+        release_tracked_caches()
+        _write_partial(results)
+        continue
     try:
         scols, srows = canonicalize(qs[k](spark, sf).toPandas())
         rec["spark_rows"] = len(srows)
@@ -77,10 +167,10 @@ for k in sorted(qs):
         print(f"  {k}: ERROR {rec['err']}")
     results[k] = rec
     release_tracked_caches()  # per-key: no cross-sf cache accumulation
+    _write_partial(results)
 
 if ROUND is not None:
-    tag = "" if sf.rstrip("/").endswith("sf0.01") else "_" + os.path.basename(sf.rstrip("/"))
-    out = f"/root/repo/DRIVE_r{ROUND:02d}{tag}.json"
+    out = _out_path()
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
