@@ -79,6 +79,8 @@ HEADLINE = [
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",
     "text_fuzzy_levenshtein",
+    # r10 additions
+    "join_sql_band_ym",
 ]
 
 

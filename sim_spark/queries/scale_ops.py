@@ -178,27 +178,58 @@ def _cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
     return exact_cosine_pairs(e, threshold)
 
 
+def _cc_min_label_cte(rounds: int = 16) -> str:
+    """Chained min-label-propagation CTEs computing per-node component
+    min-ids over the ``edges`` CTE — the DuckDB twin of the Spark
+    fixpoint loop. Each round takes min(own label, neighbors' labels,
+    label-of-label) — the third leg is pointer jumping, so label depth
+    HALVES per round and 16 rounds converge for any component diameter
+    up to 2^16. Replaces the old all-pairs ``reach`` reachability
+    closure, whose row count is Σ|component|² — the r10 sf1 drive found
+    the 0.4-cosine graph merges into ONE 7,991-node component there
+    (64M reach rows × degree-41 joins, an hour-scale oracle; this form
+    is 17 joins over ≤|V|+|E| rows, seconds)."""
+    # AS MATERIALIZED is load-bearing: every round references the
+    # previous one THREE times (self + edge join + pointer jump), so an
+    # inlining planner would expand lp16 into 3^16 copies of the scan —
+    # materialization makes it 16 cheap hash joins.
+    parts = [
+        "lp0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM embeddings)"
+    ]
+    for k in range(1, rounds + 1):
+        p = f"lp{k - 1}"
+        parts.append(
+            f"lp{k} AS MATERIALIZED (SELECT node, MIN(lbl) AS lbl FROM ("
+            f"SELECT node, lbl FROM {p}"
+            f" UNION ALL SELECT e.d AS node, l.lbl FROM {p} l"
+            f" JOIN edges e ON l.node = e.s"
+            f" UNION ALL SELECT a.node, b.lbl FROM {p} a"
+            f" JOIN {p} b ON a.lbl = b.node"
+            f") __u{k} GROUP BY node)"
+        )
+    return ",\n".join(parts)
+
+
+_CC_ROUNDS = 16
+
+
 @query(
     "dedup_connected_components",
-    oracle="""
-WITH RECURSIVE prod AS (
+    oracle=f"""
+WITH prod AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b
   FROM prod GROUP BY id_a, id_b
   HAVING ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) > 0.4
 ),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
-reach(a, b) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
+{_cc_min_label_cte(_CC_ROUNDS)},
+comp AS (SELECT node AS doc_id, lbl AS component_id FROM lp{_CC_ROUNDS})
 SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) > 1 AS in_dup_group
 FROM comp
@@ -626,25 +657,21 @@ def sort_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_canonical",
-    oracle="""
-WITH RECURSIVE prod AS (
+    oracle=f"""
+WITH prod AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b
   FROM prod GROUP BY id_a, id_b
   HAVING ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) > 0.4
 ),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
-reach(a, b) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+{_cc_min_label_cte(_CC_ROUNDS)},
+comp AS (SELECT node AS doc_id, lbl AS component_id FROM lp{_CC_ROUNDS}),
 ranked AS (
   SELECT c.component_id, c.doc_id, e.label,
          row_number() OVER (PARTITION BY c.component_id
