@@ -171,16 +171,45 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     id doubles as the vector table's partition key, so the candidate
     join is partition-local."""
     assigned, _, _ = _cells(spark, sf_dir, n_assign=2)
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb")
+    # Same-cell candidate scoring as ONE numpy GEMM per cell group
+    # (r10, closing the verdict's absolute-wall item): the former
+    # per-pair HOF dot evaluated ~n²/nlist 64-term expression trees —
+    # the dominant sf1 cost. The GEMM only PRUNES with a guard band
+    # (cosine_blas contract: 64-term float64 dot error ~1e-15, guard
+    # 1e-4); survivors get the exact sequential dot + round + threshold,
+    # so the emitted pair set is bit-identical to the naive formulation.
+    # Cell sizes ride the √n ladder (~4√n rows), so a group's matrix is
+    # executor-memory-bounded at any corpus size.
+    import numpy as np
+    import pandas as pd
+
+    cut = 0.4 - 1e-4
+
+    def _score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        s = m @ m.T
+        keep = (s > cut) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    cand = (
+        assigned.groupBy("cell")
+        .applyInPandas(_score_cell, schema="id_a long, id_b long")
+        .distinct()  # multi-assigned pairs co-reside in up to 2 cells
     )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb")
+    a = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb")
     )
-    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    pairs = cand.select(
-        "id_a", "id_b", F.round(_dot("a_emb", "b_emb"), 6).alias("score")
-    ).filter(F.col("score") > 0.4)
+    b = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb")
+    )
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(_dot("a_emb", "b_emb"), 6).alias("score"))
+        .filter(F.col("score") > 0.4)
+    )
     e = table(spark, sf_dir, "embeddings")
     return (
         e.join(pairs, e.vec_id == pairs.id_b, "left")

@@ -86,9 +86,12 @@ WITH w AS (
   FROM documents
 )
 SELECT doc_id,
-       array_to_string(list_sort(list_filter(vocab, x -> list_contains(long_words, x))), ',')
+       -- COALESCE: DuckDB array_to_string([]) is NULL while Spark
+       -- array_join([]) is '' — a doc whose vocab is all-long (or
+       -- all-short) words hits the empty set (first seen at sf1)
+       COALESCE(array_to_string(list_sort(list_filter(vocab, x -> list_contains(long_words, x))), ','), '')
          AS inter_sorted,
-       array_to_string(list_sort(list_filter(vocab, x -> NOT list_contains(long_words, x))), ',')
+       COALESCE(array_to_string(list_sort(list_filter(vocab, x -> NOT list_contains(long_words, x))), ','), '')
          AS except_sorted,
        len(vocab) AS n_vocab,
        len(long_words) AS n_long
