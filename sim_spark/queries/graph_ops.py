@@ -29,8 +29,8 @@ from sim_spark.io import table
 from sim_spark.registry import query
 
 _EDGES_CTE = """
-WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-e AS (SELECT DISTINCT a.p AS u, b.p AS v
+WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
       FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
 """
 

@@ -26,18 +26,18 @@ def _pagerank_oracle(n_iter: int = 10) -> str:
     the residual float noise is summation order, ~1e-16, absorbed by the
     micro-unit rounding in the final select."""
     ctes = [
-        "pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,"
+        "pairs AS MATERIALIZED (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,"
         " 't:' || event_type AS t FROM events)",
-        "e AS (SELECT u AS src, t AS dst FROM pairs"
+        "e AS MATERIALIZED (SELECT u AS src, t AS dst FROM pairs"
         " UNION ALL SELECT t AS src, u AS dst FROM pairs)",
-        "n AS (SELECT DISTINCT src AS id FROM e)",
-        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "n AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)",
         "nn AS (SELECT count(*) AS n_nodes FROM n)",
         "r0 AS (SELECT id, 1.0 / (SELECT n_nodes FROM nn) AS rank FROM n)",
     ]
     for k in range(1, n_iter + 1):
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT n.id,
          (1.0 - 0.85) / (SELECT n_nodes FROM nn)
            + 0.85 * COALESCE(c.contrib, 0.0) AS rank

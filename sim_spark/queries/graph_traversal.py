@@ -34,7 +34,7 @@ from sim_spark.registry import query
 # Undirected graph: mirror the canonical (u < v) edge list both ways.
 _E2_CTE = (
     _EDGES_CTE
-    + ", e2 AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e)"
+    + ", e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e)"
 )
 
 BFS_ROUNDS = 4
@@ -65,7 +65,7 @@ def _bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
     ]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT node, min(dist) AS dist FROM (
     SELECT node, dist FROM d{k - 1}
     UNION ALL
@@ -119,13 +119,13 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sssp_oracle(rounds: int = SSSP_ROUNDS) -> str:
     ctes = [
         # symmetric deterministic weight: 1 + (u+v) % 5, same both ways
-        "ew AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e2)",
+        "ew AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e2)",
         "src0 AS (SELECT min(u) AS s FROM e)",
         "s0 AS (SELECT s AS node, 0 AS dist FROM src0)",
     ]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""s{k} AS (
+            f"""s{k} AS MATERIALIZED (
   SELECT node, min(dist) AS dist FROM (
     SELECT node, dist FROM s{k - 1}
     UNION ALL
@@ -186,7 +186,7 @@ def _lpa_cte_chain(rounds: int) -> list[str]:
     ctes = ["l0 AS (SELECT DISTINCT src AS node, src AS label FROM e2)"]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT node, label FROM (
     SELECT e2.dst AS node, l{k - 1}.label, count(*) AS c,
            row_number() OVER (
@@ -376,17 +376,17 @@ def _bc_oracle() -> str:
             f"AND NOT EXISTS (SELECT 1 FROM l{j} x WHERE x.src = p.src AND x.node = ed.dst)"
             for j in range(k)
         )
-        layers.append(f"""l{k} AS (
+        layers.append(f"""l{k} AS MATERIALIZED (
   SELECT p.src, ed.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
   FROM l{k - 1} p JOIN e2 ed ON ed.src = p.node
   WHERE TRUE
     {anti}
   GROUP BY p.src, ed.dst)""")
     backs = [
-        f"d{_BC_DEPTH} AS (SELECT src, node, sigma, CAST(0 AS BIGINT) AS dq FROM l{_BC_DEPTH})"
+        f"d{_BC_DEPTH} AS MATERIALIZED (SELECT src, node, sigma, CAST(0 AS BIGINT) AS dq FROM l{_BC_DEPTH})"
     ]
     for k in range(_BC_DEPTH - 1, 0, -1):
-        backs.append(f"""d{k} AS (
+        backs.append(f"""d{k} AS MATERIALIZED (
   SELECT v.src, v.node, v.sigma,
          COALESCE(CAST(SUM(CAST(floor(v.sigma * (1000000000.0 + w.dq)
                                       / w.sigma + 0.5) AS BIGINT)) AS BIGINT),

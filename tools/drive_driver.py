@@ -108,7 +108,28 @@ def _checksum_compare(k: str) -> dict:
 
 results: dict[str, dict] = {}
 failed: list[str] = []
+
+# Resume support for long sf1 sweeps: DRIVE_RESUME=<path to a .partial
+# JSON> preloads prior results and skips keys that already passed (or
+# were rows-only); failed/errored/missing keys re-run. The final JSON is
+# still written complete.
+_resume = os.environ.get("DRIVE_RESUME")
+_skip: dict[str, dict] = {}
+if _resume and os.path.exists(_resume):
+    with open(_resume) as f:
+        for rk, rv in json.load(f).items():
+            ok = (
+                rv.get("err") == "no_oracle"
+                or (rv.get("rows_match") and rv.get("hash_match"))
+            )
+            if ok:
+                _skip[rk] = rv
+    print(f"resuming: {len(_skip)} keys carried from {_resume}")
+
 for k in sorted(qs):
+    if k in _skip:
+        results[k] = _skip[k]
+        continue
     rec = {
         "rows_match": None,
         "schema_match": None,
