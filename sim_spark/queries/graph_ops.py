@@ -142,14 +142,14 @@ def _kcore_oracle() -> str:
     promotion trick): each round drops nodes whose degree in the
     SURVIVING subgraph is < k and restricts the edge list to survivors.
     All-integer, so the per-round (n_nodes, n_edges) trace hash-matches."""
-    ctes = [_EDGES_CTE.strip().removeprefix("WITH "), "e0 AS (SELECT u, v FROM e)"]
+    ctes = [_EDGES_CTE.strip().removeprefix("WITH "), "e0 AS MATERIALIZED (SELECT u, v FROM e)"]
     for r in range(1, _KCORE_ROUNDS + 1):
         p = r - 1
         ctes.append(
-            f"""d{r} AS (SELECT n, count(*) AS deg
+            f"""d{r} AS MATERIALIZED (SELECT n, count(*) AS deg
   FROM (SELECT u AS n FROM e{p} UNION ALL SELECT v AS n FROM e{p}) GROUP BY n),
-k{r} AS (SELECT n FROM d{r} WHERE deg >= {_KCORE_K}),
-e{r} AS (SELECT e.u, e.v FROM e{p} e
+k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
   JOIN k{r} a ON e.u = a.n JOIN k{r} b ON e.v = b.n)"""
         )
     rounds_sql = " UNION ALL ".join(
