@@ -311,17 +311,24 @@ WITH r AS (
   FROM lineitem
 ),
 s AS (
+  -- rank-square sums exceed int64 at sf1 (2M-row groups, 2n-scaled
+  -- ranks: sum(rx*rx) ~ 3e19) — accumulate in DECIMAL(38,0); the
+  -- per-row product still fits int64 (r10 sf1 drive)
   SELECT grp, count(*) AS n,
          CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-         CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
-         CAST(sum(rx * ry) AS BIGINT) AS sxy
+         sum(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(ry * ry AS DECIMAL(38,0))) AS syy,
+         sum(CAST(rx * ry AS DECIMAL(38,0))) AS sxy
   FROM r GROUP BY grp
 )
 SELECT grp,
        CAST(n AS BIGINT) AS n,
-       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)), 6)
          + 0.0 AS spearman
 FROM s ORDER BY grp
 """,
@@ -350,18 +357,20 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2("l_quantity").alias("rx"),
         r2("l_extendedprice").alias("ry"),
     )
+    # rank-square sums exceed int64 at sf1 (2M-row groups, 2n-scaled
+    # ranks) — accumulate in DECIMAL(38,0); per-row products fit long
     s = r.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rx").cast("long").alias("sx"),
         F.sum("ry").cast("long").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,0)")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    d1 = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    d2 = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    d1 = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    d2 = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
     return s.select(
         "grp",
         F.col("n").cast("long").alias("n"),

@@ -59,6 +59,14 @@ def get_spark(app: str = "sim_spark", cpus: int | None = None) -> SparkSession:
         # maxPartitionBytes cap dominates and this setting is inert.
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pair-list keys legitimately return millions of rows at sf1
+        # (join_theta_band ~1.1 GiB serialized); the 1g default aborted
+        # a collect the 8g driver heap handles fine. Deploy-scale note:
+        # a real cluster sizes this with the driver container.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
