@@ -122,33 +122,46 @@ def exact_topk_cosine(
     ``corpus``: (cid, c_emb); ``queries``: (qid, q_emb). The corpus is
     hashed into ``n_blocks`` row blocks and the query set replicated to
     each block (queries are the bounded side by construction); one GEMM
-    per block scores block × all-queries via a cogrouped
-    ``applyInPandas`` — no driver materialization of either side."""
+    per block scores block × all-queries inside ``applyInPandas`` over a
+    side-tagged UNION (the same single-grouped shape
+    :func:`cosine_candidate_pairs` uses) — no driver materialization of
+    either side. Deliberately NOT a cogrouped applyInPandas: the r10 sf1
+    drive caught the cogroup form silently dropping whole blocks at
+    higher shuffle parallelism (24 partitions: corpus blocks 1/4/6
+    produced zero rows while the same plan was complete at 8 — the two
+    grouped children co-partition inconsistently), and a union feeding
+    ONE groupBy cannot misalign with itself."""
     from pyspark.sql.window import Window
 
-    c_blk = corpus.select(
-        "cid", "c_emb", F.pmod(F.col("cid"), F.lit(n_blocks)).alias("blk")
+    c_tag = corpus.select(
+        F.pmod(F.col("cid"), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.lit(0).alias("side"),
+        F.col("cid").alias("id"),
+        F.col("c_emb").alias("emb"),
     )
-    q_rep = queries.select(
-        "qid",
-        "q_emb",
+    q_tag = queries.select(
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
+        F.lit(1).alias("side"),
+        F.col("qid").alias("id"),
+        F.col("q_emb").alias("emb"),
     )
 
-    def score_block(c_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        c_pdf = pdf[pdf["side"] == 0]
+        q_pdf = pdf[pdf["side"] == 1]
         if c_pdf.empty or q_pdf.empty:
             return pd.DataFrame({"qid": [], "cid": [], "g": []}).astype(
                 {"qid": "int64", "cid": "int64", "g": "float64"}
             )
-        c_ids = c_pdf["cid"].to_numpy(dtype=np.int64)
-        q_ids = q_pdf["qid"].to_numpy(dtype=np.int64)
-        s = _mat(c_pdf["c_emb"]) @ _mat(q_pdf["q_emb"]).T  # (block, queries)
+        c_ids = c_pdf["id"].to_numpy(dtype=np.int64)
+        q_ids = q_pdf["id"].to_numpy(dtype=np.int64)
+        s = _mat(c_pdf["emb"]) @ _mat(q_pdf["emb"]).T  # (block, queries)
         ci, qi = np.nonzero(c_ids[:, None] != q_ids[None, :])
         return pd.DataFrame({"qid": q_ids[qi], "cid": c_ids[ci], "g": s[ci, qi]})
 
     gemm = (
-        c_blk.groupby("blk")
-        .cogroup(q_rep.groupby("blk"))
+        c_tag.unionAll(q_tag)
+        .groupBy("blk")
         .applyInPandas(score_block, schema="qid long, cid long, g double")
     )
 

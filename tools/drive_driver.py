@@ -55,16 +55,37 @@ con = duckdb_connect(sf)
 
 # Keys whose OUTPUT is too large to materialize through pandas at a given
 # scale (dedup_simhash_pairs defines a 418M-row pair list at sf1 —
-# SCALE.md §20; two pandas legs + canonicalize tuples would exceed RAM).
-# For these, compare COUNT(*) plus an order-independent md5 checksum of
-# the canonical row string, aggregated INSIDE each engine — value-level
-# evidence without materialization. Only sound for all-integer outputs
-# (string-casting floats is engine-formatting-dependent); asserted below.
+# SCALE.md §20; join_theta_band's pair list is likewise quadratic in the
+# fixed-band-density fixture: 15k → 1.5M → ~151M rows, 4.2 GiB
+# serialized, over any driver result cap). For these, compare COUNT(*)
+# plus an order-independent md5 checksum of the canonical row string,
+# aggregated INSIDE each engine — value-level evidence without
+# materialization. Only sound for all-integer outputs (string-casting
+# floats is engine-formatting-dependent); asserted below.
 CHECKSUM_KEYS = (
-    set(os.environ.get("DRIVE_CHECKSUM_KEYS", "dedup_simhash_pairs").split(","))
+    set(
+        os.environ.get(
+            "DRIVE_CHECKSUM_KEYS", "dedup_simhash_pairs,join_theta_band"
+        ).split(",")
+    )
     if "sf1" in os.path.basename(SF_DIR.rstrip("/")) or os.environ.get("DRIVE_CHECKSUM_KEYS")
     else set()
 )
+
+
+# Engine-identical canonicalizing projections for checksum keys whose
+# raw output has a float column: the SAME expression text runs through
+# Spark selectExpr and around the DuckDB oracle, mapping exact-grid
+# doubles to integers (join_theta_band's price_gap is an exact multiple
+# of 0.1 — one-decimal retail prices — so deci-units are engine-exact).
+CHECKSUM_PROJ: dict[str, list[str]] = {
+    "join_theta_band": [
+        "k1",
+        "k2",
+        "brand",
+        "CAST(floor(price_gap * 10 + 0.5) AS BIGINT) AS gap_deci",
+    ],
+}
 
 
 def _checksum_compare(k: str) -> dict:
@@ -72,11 +93,17 @@ def _checksum_compare(k: str) -> dict:
     from pyspark.sql import types as T
 
     sdf = qs[k](spark, sf)
+    proj = CHECKSUM_PROJ.get(k)
+    if proj:
+        sdf = sdf.selectExpr(*proj)
     cols = sorted(sdf.columns)
     assert all(
-        isinstance(sdf.schema[c].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        isinstance(
+            sdf.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+        )
         for c in cols
-    ), f"{k}: checksum compare needs all-integer columns"
+    ), f"{k}: checksum compare needs integer/string columns"
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])), 1, 12
@@ -88,10 +115,13 @@ def _checksum_compare(k: str) -> dict:
         F.count(F.lit(1)).alias("n"), F.sum(h).alias("checksum")
     ).collect()[0]
     concat = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    osql = os_[k]
+    if proj:
+        osql = f"SELECT {', '.join(proj)} FROM ({osql}) __t0"
     orow = con.execute(
         f"SELECT COUNT(*) AS n, SUM(CAST(CONCAT('0x', substring(md5("
         f"concat_ws('|', {concat})), 1, 12)) AS BIGINT)) AS checksum "
-        f"FROM ({os_[k]}) __t"
+        f"FROM ({osql}) __t"
     ).fetchone()
     s_n, s_h = int(srow["n"]), int(srow["checksum"] or 0)
     o_n, o_h = int(orow[0]), int(orow[1] or 0)
