@@ -116,6 +116,109 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
     )
 
 
+def banded_canonical(
+    sig: DataFrame, hd_max: int, hd_mask: int | None = None
+) -> DataFrame:
+    """(doc_id, b0..b3) → (doc_id, canonical_id, is_near_dup): the
+    megadup-robust dedup REPORT (one row per doc, linear output).
+
+    Two-stage production shape (the exact answer SCALE.md §21's recall
+    measurement points to): an exact-signature pre-pass collapses every
+    hd=0 dup class to its min-doc at LINEAR cost — a groupBy on the full
+    signature, so a 10k-member megadup class costs 10k rows, never 10k²
+    pairs — and the banded-LSH stage then links DISTINCT signatures
+    (one row per signature value) one hop at hd ≤ ``hd_max``. Band
+    buckets hold distinct signatures rather than docs, so the ``CAP``
+    saturation guard reflects signature diversity, not dup-class size —
+    the cap-vs-megadup recall cliff §21 measured cannot occur for hd=0
+    members (they never reach the banded stage).
+
+    ``canonical_id`` = min doc over the doc's own signature class and
+    every signature within one hop (same one-hop min-linkage contract as
+    ``dedup_embedding_cosine``; transitive closure stays the
+    connected-components key's job)."""
+    sig = track_cache(sig)
+    bcols = [f"b{k}" for k in range(N_BANDS)]
+    classes = track_cache(
+        sig.groupBy(*bcols).agg(F.min("doc_id").alias("rep"))
+    )
+    pairs = _band_candidates(
+        classes.select(F.col("rep").alias("doc_id"), *bcols), capped=True
+    )
+    hits = pairs.withColumn("hd", _hamming(hd_mask)).filter(
+        F.col("hd") <= hd_max
+    )
+    # one-hop neighbor min per representative, BOTH directions
+    nbr = (
+        hits.select(F.col("da").alias("rep"), F.col("db").alias("other"))
+        .unionAll(hits.select(F.col("db").alias("rep"), F.col("da").alias("other")))
+        .groupBy("rep")
+        .agg(F.min("other").alias("nbr_min"))
+    )
+    cls = classes.join(nbr, "rep", "left").select(
+        *bcols, F.least(F.col("rep"), F.coalesce("nbr_min", "rep")).alias("canon")
+    )
+    return (
+        sig.join(cls, bcols)
+        .select(
+            "doc_id",
+            F.col("canon").alias("canonical_id"),
+            (F.col("canon") < F.col("doc_id")).alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def banded_canonical_oracle(
+    sig_ctes: str, hd_max: int, hd_mask: int | None = None
+) -> str:
+    """The DuckDB twin of :func:`banded_canonical` (same ``sig_ctes``
+    contract as :func:`banded_dedup_oracle`)."""
+    mask = f" & {hd_mask}" if hd_mask is not None else ""
+    return f"""
+WITH {sig_ctes},
+classes AS MATERIALIZED (
+  SELECT b0, b1, b2, b3, MIN(doc_id) AS rep FROM sig GROUP BY 1, 2, 3, 4
+),
+bands AS MATERIALIZED (
+  SELECT rep AS doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM classes
+  UNION ALL SELECT rep, 1, b1, b0, b1, b2, b3 FROM classes
+  UNION ALL SELECT rep, 2, b2, b0, b1, b2, b3 FROM classes
+  UNION ALL SELECT rep, 3, b3, b0, b1, b2, b3 FROM classes
+),
+bok AS MATERIALIZED (
+  SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= {CAP}
+),
+bands_ok AS MATERIALIZED (
+  SELECT b.* FROM bands b JOIN bok USING (band_no, val)
+),
+hits AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands_ok a
+  JOIN bands_ok b ON a.band_no = b.band_no AND a.val = b.val
+                 AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0){mask}) + bit_count(xor(a.b1, b.b1){mask})
+      + bit_count(xor(a.b2, b.b2){mask}) + bit_count(xor(a.b3, b.b3){mask})
+        <= {hd_max}
+),
+nbr AS MATERIALIZED (
+  SELECT rep, MIN(other) AS nbr_min FROM (
+    SELECT da AS rep, db AS other FROM hits
+    UNION ALL SELECT db, da FROM hits
+  ) GROUP BY rep
+),
+cls AS MATERIALIZED (
+  SELECT c.b0, c.b1, c.b2, c.b3,
+         LEAST(c.rep, COALESCE(n.nbr_min, c.rep)) AS canon
+  FROM classes c LEFT JOIN nbr n ON n.rep = c.rep
+)
+SELECT s.doc_id, CAST(c.canon AS BIGINT) AS canonical_id,
+       c.canon < s.doc_id AS is_near_dup
+FROM sig s JOIN cls c USING (b0, b1, b2, b3)
+ORDER BY s.doc_id
+"""
+
+
 def band_recall(
     sig: DataFrame, hd_max: int, hd_mask: int | None = None
 ) -> dict[str, float]:

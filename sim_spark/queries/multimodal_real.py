@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sim_spark.io import table
-from sim_spark.ops.bandlsh import banded_dedup, banded_dedup_oracle
+from sim_spark.ops.bandlsh import (
+    banded_canonical_oracle,
+    banded_dedup,
+    banded_dedup_oracle,
+)
 from sim_spark.ops.multimodal import (
     SIN64A,
     SIN64B,
@@ -329,6 +333,32 @@ def bmp_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
+
+
+@query(
+    "dedup_image_dhash_megadup",
+    oracle=banded_canonical_oracle(_IMG_SIG_CTES, hd_max=4),
+)
+def dedup_image_dhash_megadup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Megadup-robust image dedup (r10): the production two-stage shape
+    SCALE.md §21's recall measurement demanded. An exact-signature
+    pre-pass collapses every hd=0 dup class to its min-doc at LINEAR
+    cost (a groupBy on the full 64-bit dhash — a 10k-member megadup
+    class costs 10k rows, never 10k² pairs), then the shared banded-LSH
+    scaffold links DISTINCT signatures one hop at Hamming ≤ 4. Band
+    buckets hold signature VALUES, not docs, so the saturation cap
+    reflects signature diversity and the §21-measured cap-vs-megadup
+    recall cliff cannot drop hd=0 members — on the sf0.1 fixture this
+    raises doc-level dup coverage from the pair key's capped 4.6%
+    candidate recall to full coverage of identical-signature classes
+    plus one-hop near-signature linkage. Output is one row per doc
+    (doc_id, canonical_id, is_near_dup) — LINEAR at any dup density,
+    the report a 100 TB curation pipeline actually consumes. Fully
+    hash-oracled: DuckDB recomputes signatures from the synthesis
+    formula and replays the identical class/band/one-hop algebra."""
+    from sim_spark.ops.bandlsh import banded_canonical
+
+    return banded_canonical(bmp_dhash_sig(spark, sf_dir), hd_max=4)
 
 
 _gen_png_batches = _make_gen_batches(gen_png_payload)

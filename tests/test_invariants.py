@@ -510,3 +510,28 @@ def test_bpe_train_iterative_matches_pure_python_reference(spark):
             dependent = True
         built.add(a + b)
     assert dependent, want
+
+
+def test_megadup_dedup_collapses_exact_classes(spark):
+    """banded_canonical's contract: every member of an identical-
+    signature class maps to the class min (hd=0 recall is 100% by
+    construction — the §21-measured cap cliff cannot drop them), and
+    canonical_id <= doc_id always."""
+    import pandas as pd
+
+    from sim_spark.queries.multimodal_real import (
+        bmp_dhash_sig,
+        dedup_image_dhash_megadup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sig = bmp_dhash_sig(spark, sf).toPandas()
+    out = dedup_image_dhash_megadup(spark, sf).toPandas()
+    m = sig.merge(out, on="doc_id")
+    assert (m.canonical_id <= m.doc_id).all()
+    grp = m.groupby(["b0", "b1", "b2", "b3"])
+    # within one signature class: a single shared canonical, <= class min
+    assert (grp.canonical_id.nunique() == 1).all()
+    assert (grp.canonical_id.max() <= grp.doc_id.min()).all()
+    # at least one multi-member class exists (fixture sanity)
+    assert (grp.size() > 1).any()

@@ -672,3 +672,13 @@ def test_survival_km_folds_on_broadcast_array(spark):
     p = plan(spark, "events_survival_km")
     assert "CartesianProduct" not in p, p
     assert "aggregate" in p.lower(), p
+
+
+def test_megadup_dedup_is_class_groupby_plus_band_equi(spark):
+    """The megadup-robust dedup's exact-signature pre-pass must be a
+    plain groupBy (linear) and its signature-linkage stage the banded
+    equi-join — never an all-pairs scan."""
+    p = plan(spark, "dedup_image_dhash_megadup")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
