@@ -81,6 +81,7 @@ HEADLINE = [
     "text_fuzzy_levenshtein",
     # r10 additions
     "join_sql_band_ym",
+    "dedup_image_dhash_megadup",
 ]
 
 
