@@ -242,7 +242,9 @@ def band_recall(
         F.col("doc_id").alias("db"),
         *[F.col(f"b{k}").alias(f"c{k}") for k in range(N_BANDS)],
     )
-    true_pairs = (
+    # cached: the all-pairs scan is the diagnostic's dominant cost and
+    # is read three times (count + one semi-join per generator)
+    true_pairs = track_cache(
         a.crossJoin(b)
         .filter(F.col("da") < F.col("db"))
         .withColumn("hd", _hamming(hd_mask))

@@ -17,9 +17,12 @@ sums the JVM can keep in registers.
    rows stay 6 orders of magnitude under 2^63. The shuffle carries one
    row per (group, partition) — same volume as a plain partial agg.
 2. Per group: the handful of long partials are summed as DECIMAL(38,0)
-   (exact, trivially few rows) and re-scaled (/1e6 in decimal — the
-   division result carries scale >= 6, so it is exact) before the single
-   final cast to DOUBLE.
+   (exact, trivially few rows); the OUTPUT double is then
+   CAST(µ-int total AS DOUBLE) / 1e6 — cast FIRST, divide in double
+   (r10): an integer-valued decimal casts correctly-rounded in both
+   engines and /1e6 is one more correctly-rounded IEEE op, whereas a
+   decimal-divide-then-cast diverged one ulp from DuckDB once the
+   unscaled total passed 2^53 (the sf1 drive's finding).
 
 One rounding happens per row (the decimal cast) and one at the end
 (decimal -> double) — exactly the roundings ``dsum`` performs, so results

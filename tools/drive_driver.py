@@ -93,6 +93,13 @@ def _checksum_compare(k: str) -> dict:
     from pyspark.sql import types as T
 
     sdf = qs[k](spark, sf)
+    # real schema compare (review r10: hardcoding True would hide
+    # column drift exactly where only the checksum path runs) — DESCRIBE
+    # binds the oracle without executing its CTE chain
+    ocols_raw = sorted(
+        r[0] for r in con.execute(f"DESCRIBE SELECT * FROM ({os_[k]}) __t").fetchall()
+    )
+    schema_ok = sorted(sdf.columns) == ocols_raw
     proj = CHECKSUM_PROJ.get(k)
     if proj:
         sdf = sdf.selectExpr(*proj)
@@ -127,7 +134,7 @@ def _checksum_compare(k: str) -> dict:
     o_n, o_h = int(orow[0]), int(orow[1] or 0)
     return {
         "rows_match": s_n == o_n,
-        "schema_match": True,
+        "schema_match": schema_ok,
         "hash_match": s_h == o_h,
         "spark_rows": s_n,
         "oracle_rows": o_n,
@@ -150,7 +157,12 @@ if _resume and os.path.exists(_resume):
         for rk, rv in json.load(f).items():
             ok = (
                 rv.get("err") == "no_oracle"
-                or (rv.get("rows_match") and rv.get("hash_match"))
+                or (
+                    rv.get("rows_match")
+                    and rv.get("hash_match")
+                    # a schema-only failure must re-run too (review r10)
+                    and rv.get("schema_match") is not False
+                )
             )
             if ok:
                 _skip[rk] = rv
@@ -171,7 +183,7 @@ for k in sorted(qs):
     if k in CHECKSUM_KEYS and k in os_:
         try:
             rec = _checksum_compare(k)
-            ok = rec["rows_match"] and rec["hash_match"]
+            ok = rec["rows_match"] and rec["hash_match"] and rec["schema_match"]
             if not ok:
                 failed.append(k)
             print(

@@ -32,17 +32,24 @@ def load(path: str) -> dict[str, float]:
 
 def main() -> None:
     a, b = load(sys.argv[1]), load(sys.argv[2])
-    shared = sorted(set(a) & set(b), key=lambda k: -(b[k] / a[k] if a[k] else 0))
+
+    def ratio(k: str) -> float:
+        return b[k] / a[k] if a[k] else float("inf")
+
+    shared = sorted(set(a) & set(b), key=lambda k: -ratio(k))
     print("| key | sf0.1 s | sf1 s | ratio |")
     print("|---|---|---|---|")
     for k in shared:
-        r = b[k] / a[k] if a[k] else float("inf")
-        print(f"| {k} | {a[k]:.2f} | {b[k]:.2f} | {r:.1f}x |")
+        print(f"| {k} | {a[k]:.2f} | {b[k]:.2f} | {ratio(k):.1f}x |")
+    if not shared:
+        print("\n(no shared keys between the two files)")
+        return
     tot_a, tot_b = sum(a[k] for k in shared), sum(b[k] for k in shared)
+    wall = f"{tot_b / tot_a:.1f}x" if tot_a else "n/a"
     print(
         f"\n{len(shared)} keys; suite wall {tot_a:.1f}s -> {tot_b:.1f}s "
-        f"({tot_b / tot_a:.1f}x); keys over 12x: "
-        f"{[k for k in shared if a[k] and b[k] / a[k] > 12]}"
+        f"({wall}); keys over 12x: "
+        f"{[k for k in shared if ratio(k) > 12]}"
     )
 
 
