@@ -25,9 +25,11 @@
 //    ts2 - INTERVAL '2' MONTH AND ts2` buckets both sides on the month
 //    index with whole-month offsets — the same integral machinery, one
 //    more axis mapping. Wide DECIMALs (integral digits > 15) ride the
-//    fractional path: the ±2^51 bucket-id clamp caps the double
-//    floor-division quotient inside its accuracy horizon, so the ±1
-//    margin provably covers the cast's rounding at ANY axis magnitude.
+//    fractional path: the ±2^50 bucket-id clamp caps the double
+//    floor-division quotient inside its accuracy horizon with per-side
+//    rounding ≤~0.375 buckets — the TWO-SIDED sum stays under the ±1
+//    margin at ANY axis magnitude (r10 ADVICE: a 2^51 clamp let
+//    adversarially aligned per-side roundings sum past 1 bucket).
 //  * NaiveBandJoinWarning — any remaining non-equi cross-side
 //    comparison join (exotic arithmetic over attributes, mixed
 //    month + day-time offsets on one axis pair) logs a loud warning
@@ -121,9 +123,10 @@ trait BandAlgebra extends PredicateHelper {
 
   /** Fractional axes bucket through a cast to double. ANY decimal width
     * is safe (r10): the cast is monotone and applied identically to both
-    * sides, and the ±2^51 bucket-id clamp keeps the floor-division
-    * quotient inside the 53-bit accuracy horizon, so the combined
-    * rounding error stays under the ±1 bucket margin at any magnitude
+    * sides, and the ±2^50 bucket-id clamp keeps the floor-division
+    * quotient inside the 53-bit accuracy horizon with ≤~0.375 buckets
+    * of rounding PER SIDE, so the two-sided sum of left-id and
+    * right-id drift stays under the ±1 bucket margin at any magnitude
     * (beyond the horizon both sides co-bucket at the saturation id and
     * the exact refine restores naive semantics). */
   private def fractionalAxis(t: DataType): Boolean = t match {
@@ -401,18 +404,23 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 // the floor only guards the hi == lo degenerate case.
                 val w =
                   if (hiD > loD) (hiD - loD).doubleValue else 1.0
-                // Clamp bucket ids to ±2^51 BEFORE the ±1 margin. Two
+                // Clamp bucket ids to ±2^50 BEFORE the ±1 margin. Two
                 // hazards share this clamp: (a) an Infinity / |v|≥2^63
                 // axis value saturates Floor to Long.MaxValue and the
                 // +1 overflows (ANSI abort / illegal Sequence bounds)
                 // where the naive plan returned rows; (b) double
-                // floor-division is only accurate to <1 bucket while
-                // |axis+offset|/width < ~2^52 (53-bit mantissa) — for
-                // larger quotients the id can be several buckets off
-                // and a true match would fall OUTSIDE the ±1 margin
-                // (r9 ADVICE: the old 2^62 clamp silently dropped such
-                // rows, e.g. epoch-ns-scale DOUBLE axes with a narrow
-                // band). Clamping at 2^51 co-buckets every quotient
+                // floor-division rounding (cast + offset add + divide)
+                // drifts the computed id on BOTH sides independently,
+                // and the two drifts SUM across the comparison — the
+                // per-side budget must stay < 0.5 buckets for the ±1
+                // margin to cover the pair. At 2^50 the quotient keeps
+                // ≥3 mantissa bits below the bucket unit: per-side
+                // error ≤~0.375 buckets, two-sided ≤0.75 < 1 (r10
+                // ADVICE: a 2^51 clamp let per-side error reach
+                // ~0.5–0.75 near saturation so aligned roundings could
+                // sum past 1; the old 2^62 clamp was multiple buckets
+                // off — r9 ADVICE, e.g. epoch-ns-scale DOUBLE axes with
+                // a narrow band). Clamping co-buckets every quotient
                 // beyond the accuracy horizon at the saturation id.
                 // Clamping the POST-division bucket id is monotone AND
                 // offset-consistent (an axis-space clamp would shift
@@ -423,7 +431,7 @@ class SqlBandJoinRewrite extends Rule[LogicalPlan] with BandAlgebra {
                 // floor to bucket 0 on both sides and the refine drops
                 // them, as naive does); the refine there costs what
                 // the pre-rewrite BNLJ cost anyway.
-                val bound = 1L << 51
+                val bound = 1L << 50
                 def clamp(e: Expression): Expression =
                   Least(Seq(Greatest(Seq(e, Literal(-bound))), Literal(bound)))
                 def litD(x: Double) = Literal(x, DoubleType)

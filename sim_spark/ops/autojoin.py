@@ -364,7 +364,7 @@ def auto_join(
             return F.col(name).cast("long")  # exact: no double round-trip
         if isinstance(dt, T.NumericType):
             # DECIMALs of ANY width ride the double path (r10): the cast
-            # is monotone and identical on both sides, and the ±2^51
+            # is monotone and identical on both sides, and the ±2^50
             # bucket-id clamp keeps the floor-division quotient inside
             # the 53-bit accuracy horizon, so the ±1 margin provably
             # covers the rounding at any magnitude.
@@ -492,19 +492,26 @@ def auto_join(
         width = (hi - lo) if hi > lo else 1.0
         if width < 1e-300:
             return left.join(right, on, how)
-        # Bucket ids clamp to ±2^51 BEFORE the ±1 margin. Two hazards
+        # Bucket ids clamp to ±2^50 BEFORE the ±1 margin. Two hazards
         # share this clamp: (a) an Infinity / huge axis value saturates
         # floor-to-long and the ±1 overflows where the naive join
-        # returned rows; (b) double floor-division is only accurate to
-        # <1 bucket while |axis+offset|/width < ~2^52 (53-bit mantissa)
-        # — for larger quotients the computed id can be several buckets
-        # off and a true match would fall OUTSIDE the ±1 margin (r9
-        # ADVICE: the old 2^62 clamp silently dropped such rows).
-        # Clamping at 2^51 makes every quotient beyond the accuracy
-        # horizon co-bucket at the saturation id; clamping is monotone,
-        # so the bucket-overlap superset survives and the exact refine
+        # returned rows; (b) double floor-division accumulates rounding
+        # error (axis cast + offset add + divide, each ≤0.5 ulp) that
+        # must stay under the margin. The error budget applies to BOTH
+        # sides independently — the left id (with offset) and the right
+        # id (no offset) each drift, and adversarially aligned roundings
+        # SUM across the comparison — so the per-side budget must be
+        # < 0.5 buckets for the ±1 margin to cover the pair (r10
+        # ADVICE: at a 2^51 clamp the per-side budget reaches ~0.5–0.75
+        # buckets near saturation and the two-sided sum can cross 1; the
+        # even older 2^62 clamp was multiple buckets off, r9 ADVICE).
+        # At 2^50 the quotient keeps ≥3 mantissa bits below the bucket
+        # unit, bounding each side's error ≤~0.375 buckets and the
+        # two-sided sum ≤0.75 < 1. Quotients beyond the horizon
+        # co-bucket at the saturation id; clamping is monotone, so the
+        # bucket-overlap superset survives and the exact refine
         # restores naive semantics.
-        bound = 1 << 51
+        bound = 1 << 50
 
         def _clamp(c: Column) -> Column:
             return F.least(F.greatest(c, F.lit(-bound)), F.lit(bound))

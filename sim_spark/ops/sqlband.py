@@ -27,7 +27,7 @@ batch, applied to every subsequent plan including pure SQL strings):
   admits TIMESTAMP_NTZ axes (wall-clock month index, tz-free).
   Fractional axes (doubles, floats, decimals of ANY width — r10
   unfenced) bucket via double floor-division with a ±1 bucket margin
-  whose ±2^51 bucket-id clamp keeps the quotient inside the 53-bit
+  whose ±2^50 bucket-id clamp keeps the quotient inside the 53-bit
   accuracy horizon at any magnitude, ops/autojoin.py's
   epsilon-tolerant path.
 * ``simspark.NaiveBandJoinWarning`` — shapes the rewrite does not

@@ -56,16 +56,36 @@ def _dot(a: str, b: str):
 # dedup_embedding_ann both route through _cells — reuses the centroid
 # list instead of re-running the 5-iteration job chain. Keyed on
 # sf_tag(sf_dir) (full-path sha1: two dirs with equal basenames never
-# share) + nlist; the cache holds plain Python floats, so it is valid
-# across Spark sessions in one process.
-_COARSE_CACHE: dict[tuple[str, int], list] = {}
+# share) + a cheap data fingerprint (parquet file size + mtime_ns, one
+# os.stat — r10 ADVICE: a path-only key silently reused stale centroids
+# when a fixture at the same path was regenerated in-process) + nlist;
+# the cache holds plain Python floats, so it is valid across Spark
+# sessions in one process.
+_COARSE_CACHE: dict[tuple[str, str, int], list] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> str:
+    """size+mtime of the embeddings parquet (file or directory of part
+    files) — changes whenever the fixture is rewritten."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stats = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        stats.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(stats)
 
 
 def _coarse_centroids(spark: SparkSession, sf_dir: str, nlist: int) -> list:
     from sim_spark.ops.kmeans_relational import kmeans_fit
     from sim_spark.scratch import sf_tag
 
-    key = (sf_tag(sf_dir), nlist)
+    key = (sf_tag(sf_dir), _emb_fingerprint(sf_dir), nlist)
     if key not in _COARSE_CACHE:
         e = table(spark, sf_dir, "embeddings")
         sample = e.sample(fraction=0.3, seed=42)

@@ -711,7 +711,7 @@ def test_sql_band_rule_preserves_rows_randomized(spark):
 def test_auto_join_epoch_ns_scale_double_axis(spark):
     """DOUBLE axes at epoch-ns magnitude (~1.6e18) with a narrow band
     push the bucket quotient past the 53-bit float-division accuracy
-    horizon; the ±2^51 clamp must co-bucket those rows so the refine
+    horizon; the ±2^50 clamp must co-bucket those rows so the refine
     keeps them (the old ±2^62 clamp left multi-bucket rounding error
     inside the "trusted" range and silently dropped matches — r9
     ADVICE). Mixed magnitudes prove saturated and normal buckets
@@ -753,7 +753,7 @@ def test_auto_join_denormal_width_stays_naive(spark):
 
 def test_sql_band_rule_huge_double_axis(spark):
     """The compiled rule's fractional path on epoch-ns-scale DOUBLE axes:
-    quotients beyond 2^51 saturate-co-bucket; rows must equal the
+    quotients beyond 2^50 saturate-co-bucket; rows must equal the
     Python-computed naive expectation and the rule must still fire."""
     from sim_spark.ops.sqlband import diagnostics, install_sql_band_extension
 
@@ -890,7 +890,7 @@ def test_auto_join_month_mixed_daytime_falls_back(spark):
 
 def test_auto_join_wide_decimal_axis(spark):
     """DECIMAL axes wider than 15 integral digits (r10 unfence): the
-    double cast rounds, but the ±2^51 bucket clamp keeps the quotient
+    double cast rounds, but the ±2^50 bucket clamp keeps the quotient
     inside the accuracy horizon, so the ±1 margin covers it — naive
     row-identity on 20-integral-digit values with fractional cents."""
     from decimal import Decimal

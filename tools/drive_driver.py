@@ -156,7 +156,11 @@ if _resume and os.path.exists(_resume):
     with open(_resume) as f:
         for rk, rv in json.load(f).items():
             ok = (
-                rv.get("err") == "no_oracle"
+                # a prior no_oracle verdict only carries if the key is
+                # STILL oracle-less — if it has since gained an oracle
+                # (the common direction of travel) it must re-run
+                # (r10 ADVICE)
+                (rv.get("err") == "no_oracle" and rk not in os_)
                 or (
                     rv.get("rows_match")
                     and rv.get("hash_match")
