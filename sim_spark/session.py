@@ -67,9 +67,21 @@ def get_spark(app: str = "sim_spark", cpus: int | None = None) -> SparkSession:
             "spark.driver.maxResultSize",
             os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port churn in tests); SPARK_GRAFT_UI=1 turns
+        # it on for the REST peak-memory probe (tools/peak_memory.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
+    # SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" — session-build-time confs a tool
+    # needs (e.g. tools/peak_memory.py sets the executor-metrics polling
+    # interval, which cannot be set at runtime)
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in kv:
+            ck, cv = kv.split("=", 1)
+            b = b.config(ck.strip(), cv.strip())
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1018,3 +1018,111 @@ def test_auto_join_connect_degradation_is_loud_and_routed(spark):
     finally:
         autojoin._conjuncts = orig
     assert got2 == want
+
+
+# --- Connect prefix-grammar text front-end (r11, r10 verdict task #3) -------
+
+
+def test_text_walker_parses_connect_prefix_grammar():
+    """The Connect client reprs conditions in a prefix grammar
+    (`and(>=(rv, -(lv, 4.0)), <=(rv, +(lv, 4.0)))`); the text front-end
+    must classify the SAME band/eq shapes the JVM walker produces —
+    bands with numeric offsets, INTERVAL offsets, abs-bands, equi
+    conjuncts, date_add — and refuse non-bands and the classic infix
+    repr."""
+    from sim_spark.ops.autojoin import _classify, _conjuncts_from_text
+
+    class FakeCol:
+        def __init__(self, text):
+            self._t = text
+
+        def __repr__(self):
+            return f"Column<'{self._t}'>"
+
+    lcols, rcols = {"lv", "lt", "lu"}, {"rv", "rt", "ru"}
+
+    def shapes(text):
+        cj = _conjuncts_from_text(FakeCol(text))
+        if cj is None:
+            return None
+        return [_classify(c, lcols, rcols) for c in cj]
+
+    # plain numeric band, both inequalities
+    got = shapes("and(>=(rv, -(lv, 4.0)), <=(rv, +(lv, 2.0)))")
+    assert got == [
+        ("bound", "lv", "rv", -4.0, None, {"native"}),
+        ("bound", "lv", "rv", None, 2.0, {"native"}),
+    ]
+    # INTERVAL offsets on a timestamp pair + an equi conjunct
+    got = shapes(
+        "and(and(==(lu, ru), >=(rt, -(lt, INTERVAL '1' HOUR))), <=(rt, lt))"
+    )
+    assert got == [
+        ("eq", "lu", "ru"),
+        ("bound", "lt", "rt", -3_600_000_000.0, None, {"us"}),
+        ("bound", "lt", "rt", None, 0.0, set()),
+    ]
+    # abs-band (symmetric)
+    got = shapes("<(abs(-(rv, lv)), 7)")
+    assert got == [("bound", "lv", "rv", -7, 7, {"native"})]
+    # date_add offset: day-unit band
+    got = shapes("and(>=(rt, date_sub(lt, 3)), <=(rt, date_add(lt, 2)))")
+    assert got == [
+        ("bound", "lt", "rt", -3.0, None, {"days"}),
+        ("bound", "lt", "rt", None, 2.0, {"days"}),
+    ]
+    # not a band: same-side compare classifies to None but parses
+    got = shapes(">=(rv, 100)")
+    assert got == [None]
+    # classic infix repr must NOT parse as this grammar
+    assert shapes("((rv >= (lv - 4.0)) AND (rv <= (lv + 4.0)))") is None
+    # malformed text must not raise
+    assert shapes("and(>=(rv, -(lv, 4.0)") is None
+
+
+def test_auto_join_connect_text_path_rewrites(spark):
+    """Simulated Connect (JVM walker raises, condition text delivered in
+    the Connect prefix grammar): auto_join must rewrite CLIENT-side via
+    the text front-end — naive-identical rows, TEXT_PARSES bumped, no
+    warning, and a nested-loop-free plan. This is the behavior-matrix
+    cell the r10 verdict flagged (Connect x DataFrame-API)."""
+    import warnings
+
+    from sim_spark.ops import autojoin
+    from sim_spark.ops.autojoin import auto_join
+
+    L = spark.createDataFrame(
+        [(i, float(i) * 3) for i in range(80)], "lid long, lv double"
+    )
+    R = spark.createDataFrame(
+        [(i, float(i) * 5 + 1) for i in range(80)], "rid long, rv double"
+    )
+    cond = (F.col("rv") >= F.col("lv") - 4.0) & (F.col("rv") <= F.col("lv") + 4.0)
+    want = sorted(map(tuple, L.join(R, cond).select("lid", "rid").collect()))
+
+    orig_conj, orig_text = autojoin._conjuncts, autojoin._column_text
+    autojoin._conjuncts = lambda n, _o=orig_conj: (
+        (_ for _ in ()).throw(AttributeError("connect"))
+        if not isinstance(n, autojoin._TxtShim)
+        else _o(n)
+    )
+    autojoin._column_text = (
+        lambda on: "and(>=(rv, -(lv, 4.0)), <=(rv, +(lv, 4.0)))"
+    )
+    before = autojoin.TEXT_PARSES
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = auto_join(L, R, cond)
+            got = sorted(map(tuple, out.select("lid", "rid").collect()))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        autojoin._conjuncts = orig_conj
+        autojoin._column_text = orig_text
+    assert got == want and len(got) > 0
+    assert autojoin.TEXT_PARSES == before + 1
+    assert not [
+        w for w in caught if issubclass(w.category, RuntimeWarning)
+        and "auto_join" in str(w.message)
+    ]
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -26,11 +26,12 @@ SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 
 def _out_path() -> str:
-    tag = (
-        ""
-        if SF_DIR.rstrip("/").endswith("sf0.01")
-        else "_" + os.path.basename(SF_DIR.rstrip("/"))
-    )
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("testdata_"):  # repo-local fixtures: testdata_sf10 -> sf10
+        base = base[len("testdata_"):]
+    tag = "" if base == "sf0.01" else "_" + base
+    if os.environ.get("DRIVE_KEYS"):
+        tag += "_subset"
     return f"/root/repo/DRIVE_r{ROUND:02d}{tag}.json"
 
 
@@ -50,6 +51,16 @@ assert len(rows) > 0, "entry returned 0 rows"
 print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s schema={df.schema.simpleString()[:80]}")
 
 qs, os_ = ep.queries(), ep.oracle_sql()
+# DRIVE_KEYS=k1,k2,... scopes the sweep to a named key subset (the sf10
+# rehearsal drives the scale-sensitive families, not all 358 keys —
+# quadratic-OUTPUT keys are excluded there by scope, see SCALE.md §24);
+# the output file gains a _subset tag so a scoped artifact can never be
+# mistaken for a full drive.
+if os.environ.get("DRIVE_KEYS"):
+    keep = {k.strip() for k in os.environ["DRIVE_KEYS"].split(",") if k.strip()}
+    missing = keep - set(qs)
+    assert not missing, f"DRIVE_KEYS not in registry: {sorted(missing)}"
+    qs = {k: v for k, v in qs.items() if k in keep}
 sf = SF_DIR
 con = duckdb_connect(sf)
 

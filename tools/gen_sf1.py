@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Generate an sf1 test dataset (10x sf0.1) for the round-8 scale
 rehearsal — the r7 verdict's top task: measure the scaling claims
-instead of asserting them.
+instead of asserting them. r11: `--scale N` (default 1) multiplies
+every row count by N and writes to ./testdata_sf{N} — `--scale 10`
+builds the sf10 fixture (lineitem ~60M rows, ~5 GB) for the r10
+verdict's sf10 rehearsal. Embeddings scale 4x/decade like the driver
+fixtures (500/500/2000 at sf0.001/0.01/0.1), not 10x.
 
 /root/testdata is read-only and holds only sf{0.001,0.01,0.1}; the
 driver's generator is not in-repo, and sf0.01 is NOT a row-subset of
@@ -35,6 +39,7 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
+SCALE = 1  # set by main() from --scale; every row count multiplies by it
 OUT = os.path.join(REPO, "testdata_sf1")
 SEED = 4242
 
@@ -73,7 +78,7 @@ def gen_dims(rng: np.random.Generator) -> None:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
         print(f"{t}: copied from sf0.1")
 
-    n_cust = 150_000
+    n_cust = 150_000 * SCALE
     cust = pa.table(
         {
             "c_custkey": pa.array(np.arange(n_cust), type=pa.int64()),
@@ -89,7 +94,7 @@ def gen_dims(rng: np.random.Generator) -> None:
     )
     _write("customer", cust)
 
-    n_supp = 10_000
+    n_supp = 10_000 * SCALE
     supp = pa.table(
         {
             "s_suppkey": pa.array(np.arange(n_supp), type=pa.int64()),
@@ -102,7 +107,7 @@ def gen_dims(rng: np.random.Generator) -> None:
     )
     _write("supplier", supp)
 
-    n_part = 200_000
+    n_part = 200_000 * SCALE
     k = np.arange(n_part)
     part = pa.table(
         {
@@ -124,7 +129,7 @@ def gen_dims(rng: np.random.Generator) -> None:
 
 
 def gen_facts(rng: np.random.Generator) -> None:
-    n_orders = 1_500_000
+    n_orders = 1_500_000 * SCALE
     okey = np.arange(n_orders)
     # orderdate: uniform 1995-01-01 .. 2001-08-01 at day granularity
     d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype("int64")
@@ -135,7 +140,7 @@ def gen_facts(rng: np.random.Generator) -> None:
         {
             "o_orderkey": pa.array(okey, type=pa.int64()),
             "o_custkey": pa.array(
-                rng.integers(0, 150_000, n_orders), type=pa.int64()
+                rng.integers(0, 150_000 * SCALE, n_orders), type=pa.int64()
             ),
             "o_orderstatus": pa.array(
                 np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
@@ -154,9 +159,12 @@ def gen_facts(rng: np.random.Generator) -> None:
     lines = rng.poisson(4.0, n_orders)
     l_orderkey = np.repeat(okey, lines)
     n_li = l_orderkey.size
-    linenumber = np.concatenate(
-        [np.arange(1, c + 1) for c in lines if c > 0]
-    ) if n_li else np.array([], dtype=np.int64)
+    starts = np.repeat(np.cumsum(lines) - lines, lines)
+    linenumber = (
+        np.arange(n_li) - starts + 1
+        if n_li
+        else np.array([], dtype=np.int64)
+    )
     qty = rng.integers(1, 51, n_li).astype("float64")
     unit = rng.uniform(900, 2100, n_li)
     s0 = np.datetime64("1995-01-02").astype("datetime64[us]").astype("int64")
@@ -166,10 +174,10 @@ def gen_facts(rng: np.random.Generator) -> None:
         {
             "l_orderkey": pa.array(l_orderkey, type=pa.int64()),
             "l_partkey": pa.array(
-                rng.integers(0, 200_000, n_li), type=pa.int64()
+                rng.integers(0, 200_000 * SCALE, n_li), type=pa.int64()
             ),
             "l_suppkey": pa.array(
-                rng.integers(0, 10_000, n_li), type=pa.int64()
+                rng.integers(0, 10_000 * SCALE, n_li), type=pa.int64()
             ),
             "l_linenumber": pa.array(linenumber, type=pa.int32()),
             "l_quantity": qty,
@@ -191,7 +199,7 @@ def gen_facts(rng: np.random.Generator) -> None:
 
 
 def gen_events(rng: np.random.Generator) -> None:
-    n_ev = 1_000_000
+    n_ev = 1_000_000 * SCALE
     t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype("int64")
     span = 30 * DAY_US
     ts = np.sort(t0 + rng.integers(0, span, n_ev))
@@ -200,7 +208,7 @@ def gen_events(rng: np.random.Generator) -> None:
             "event_id": pa.array(np.arange(n_ev), type=pa.int64()),
             "ts": _ts_array(ts),
             "user_id": pa.array(
-                rng.integers(0, 15_000, n_ev), type=pa.int64()
+                rng.integers(0, 15_000 * SCALE, n_ev), type=pa.int64()
             ),
             "event_type": pa.array(
                 np.array(ETYPES)[rng.integers(0, 5, n_ev)]
@@ -215,7 +223,7 @@ def gen_events(rng: np.random.Generator) -> None:
 
 
 def gen_documents(rng: np.random.Generator) -> None:
-    n_docs = 50_000
+    n_docs = 50_000 * SCALE
     vocab = np.array(VOCAB)
     texts: list[str] = []
     for i in range(n_docs):
@@ -255,7 +263,8 @@ def gen_documents(rng: np.random.Generator) -> None:
 
 
 def gen_embeddings(rng: np.random.Generator) -> None:
-    n_vec, dim, n_lab = 8000, 64, 10
+    # embeddings scale 4x/decade in the driver fixtures, not 10x
+    n_vec, dim, n_lab = 8000 * (4 ** _decades(SCALE)), 64, 10
     centers = rng.normal(0, 0.5, (n_lab, dim))
     labels = rng.integers(0, n_lab, n_vec)
     v = centers[labels] + rng.normal(0, 1.0, (n_vec, dim))
@@ -270,7 +279,26 @@ def gen_embeddings(rng: np.random.Generator) -> None:
     _write("embeddings", emb)
 
 
+def _decades(scale: int) -> int:
+    """whole decades above sf1: 1 -> 0, 10 -> 1, 100 -> 2"""
+    n = 0
+    while scale >= 10:
+        scale //= 10
+        n += 1
+    return n
+
+
 def main() -> None:
+    global SCALE, OUT, SEED
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=1,
+                    help="row-count multiplier over sf1 (10 -> sf10)")
+    a = ap.parse_args()
+    SCALE = a.scale
+    OUT = os.path.join(REPO, f"testdata_sf{SCALE}")
+    SEED = 4242 + SCALE  # distinct value stream per scale
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(SEED)
     gen_dims(rng)
@@ -280,6 +308,7 @@ def main() -> None:
     gen_embeddings(rng)
     manifest = {
         "seed": SEED,
+        "scale_over_sf1": SCALE,
         "source_profile": SRC,
         "note": "distribution-matched 10x of sf0.1 for scaling "
         "measurements; NOT the driver's value stream",
