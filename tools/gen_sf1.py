@@ -40,8 +40,28 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
 SCALE = 1  # set by main() from --scale; every row count multiplies by it
+SKEW = False  # --skew: zipfian-head key columns (r10 verdict task #2)
 OUT = os.path.join(REPO, "testdata_sf1")
 SEED = 4242
+
+
+def _skew_keys(
+    rng: np.random.Generator, n_keys: int, size: int
+) -> np.ndarray:
+    """Foreign-key draw. Uniform normally; with --skew, a zipfian head:
+    key 0 holds 15% of rows, key 1 8%, key 2 4% (~27% of all rows in 3
+    of n_keys values — the r10 verdict's 20-30% band), remainder
+    uniform. This is the adversarial shape AQE skew-join / salting
+    exist for; the uniform twin keeps everything else identical so
+    per-key wall ratios isolate the skew effect."""
+    out = rng.integers(0, n_keys, size)
+    if not SKEW:
+        return out
+    u = rng.random(size)
+    out[u < 0.15] = 0
+    out[(u >= 0.15) & (u < 0.23)] = 1 % n_keys
+    out[(u >= 0.23) & (u < 0.27)] = 2 % n_keys
+    return out
 
 # measured from sf0.1: 30-word vocab + the 'dup' token planted in 5% of
 # docs (the near-duplicate structure the dedup keys feed on)
@@ -140,7 +160,7 @@ def gen_facts(rng: np.random.Generator) -> None:
         {
             "o_orderkey": pa.array(okey, type=pa.int64()),
             "o_custkey": pa.array(
-                rng.integers(0, 150_000 * SCALE, n_orders), type=pa.int64()
+                _skew_keys(rng, 150_000 * SCALE, n_orders), type=pa.int64()
             ),
             "o_orderstatus": pa.array(
                 np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
@@ -174,10 +194,10 @@ def gen_facts(rng: np.random.Generator) -> None:
         {
             "l_orderkey": pa.array(l_orderkey, type=pa.int64()),
             "l_partkey": pa.array(
-                rng.integers(0, 200_000 * SCALE, n_li), type=pa.int64()
+                _skew_keys(rng, 200_000 * SCALE, n_li), type=pa.int64()
             ),
             "l_suppkey": pa.array(
-                rng.integers(0, 10_000 * SCALE, n_li), type=pa.int64()
+                _skew_keys(rng, 10_000 * SCALE, n_li), type=pa.int64()
             ),
             "l_linenumber": pa.array(linenumber, type=pa.int32()),
             "l_quantity": qty,
@@ -208,7 +228,7 @@ def gen_events(rng: np.random.Generator) -> None:
             "event_id": pa.array(np.arange(n_ev), type=pa.int64()),
             "ts": _ts_array(ts),
             "user_id": pa.array(
-                rng.integers(0, 15_000 * SCALE, n_ev), type=pa.int64()
+                _skew_keys(rng, 15_000 * SCALE, n_ev), type=pa.int64()
             ),
             "event_type": pa.array(
                 np.array(ETYPES)[rng.integers(0, 5, n_ev)]
@@ -244,6 +264,14 @@ def gen_documents(rng: np.random.Generator) -> None:
         else:
             n_words = int(rng.integers(8, 106))
             texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words)]))
+    if SKEW:
+        # one megadup class: 1% of docs share doc 11's exact text — the
+        # hot-bucket shape LSH band caps and the exact-signature
+        # pre-pass (bandlsh.banded_canonical) exist for
+        hot = rng.random(n_docs) < 0.01
+        hot[:12] = False
+        base_text = texts[11]
+        texts = [base_text if h else t for h, t in zip(hot, texts)]
     docs = pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
@@ -253,7 +281,9 @@ def gen_documents(rng: np.random.Generator) -> None:
                     rng.choice(5, n_docs, p=np.array(LANG_P) / sum(LANG_P))
                 ]
             ),
-            "source": [f"src{s}" for s in rng.integers(0, 20, n_docs)],
+            "source": [
+                f"src{s}" for s in _skew_keys(rng, 20, n_docs)
+            ],
             "n_chars": pa.array(
                 np.array([len(t) for t in texts]), type=pa.int64()
             ),
@@ -295,9 +325,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=1,
                     help="row-count multiplier over sf1 (10 -> sf10)")
+    ap.add_argument("--skew", action="store_true",
+                    help="zipfian-head key columns (writes *skew dir)")
     a = ap.parse_args()
     SCALE = a.scale
-    OUT = os.path.join(REPO, f"testdata_sf{SCALE}")
+    global SKEW
+    SKEW = a.skew
+    OUT = os.path.join(REPO, f"testdata_sf{SCALE}" + ("skew" if SKEW else ""))
     SEED = 4242 + SCALE  # distinct value stream per scale
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -309,6 +343,7 @@ def main() -> None:
     manifest = {
         "seed": SEED,
         "scale_over_sf1": SCALE,
+        "skew": SKEW,
         "source_profile": SRC,
         "note": "distribution-matched 10x of sf0.1 for scaling "
         "measurements; NOT the driver's value stream",
