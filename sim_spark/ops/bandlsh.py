@@ -25,14 +25,23 @@ N_BANDS = 4
 CAP = 64
 
 
-def _band_candidates(sig: DataFrame, capped: bool = True) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame, capped: bool = True, band_mask: int | None = None
+) -> DataFrame:
     """Banded candidate pairs (da < db) with both signatures carried
     along: (da, db, a0..a3, c0..c3), DISTINCT. ``capped`` applies the
     >``CAP`` saturation guard (the production path); ``capped=False``
-    exists only for the recall diagnostic below."""
+    exists only for the recall diagnostic below. ``band_mask`` buckets
+    on ``b{k} & band_mask`` instead of the full band value — see
+    :func:`banded_dedup` for the recall/selectivity dial this exposes."""
+    bval = (
+        (lambda k: F.col(f"b{k}"))
+        if band_mask is None
+        else (lambda k: F.col(f"b{k}").bitwiseAND(F.lit(band_mask)))
+    )
     band_structs = F.array(
         *[
-            F.struct(F.lit(k).alias("band_no"), F.col(f"b{k}").alias("val"))
+            F.struct(F.lit(k).alias("band_no"), bval(k).alias("val"))
             for k in range(N_BANDS)
         ]
     )
@@ -85,13 +94,37 @@ def _hamming(hd_mask: int | None):
     return sum(F.bit_count(x) for x in xors)
 
 
-def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> DataFrame:
+def banded_dedup(
+    sig: DataFrame,
+    hd_max: int,
+    hd_mask: int | None = None,
+    band_mask: int | None = None,
+) -> DataFrame:
     """(doc_id, b0..b3) signatures → (doc_id, dup_of, n_dups_smaller).
 
     Candidates come from the banded equi-join on (band_no, val) with the
     ≤``CAP`` saturation guard; the refine keeps exact Hamming distance
     ≤ ``hd_max`` over the band values (low bits only when ``hd_mask`` is
     given — bucket-routing bits excluded from the metric).
+
+    ``band_mask`` — the recall/selectivity dial (r10 verdict task #8).
+    By default buckets use the FULL band value, including any
+    entropy-booster bits that are masked OUT of the hd metric; that
+    keeps buckets selective (SCALE.md §18: the audio ramp fixture
+    degenerated to all-pairs without the energy nibbles) but breaks
+    pigeonhole completeness — a metric-close pair can differ in every
+    band's routing bits and share no bucket, which is exactly the
+    measured 32.5% scheme-limit of SCALE.md §21's audio row. Setting
+    ``band_mask = hd_mask`` buckets on the SAME bits the metric reads,
+    restoring the pigeonhole guarantee (hd ≤ hd_max < N_BANDS ⇒ some
+    band matches exactly ⇒ UNCAPPED recall 100%) at the price of
+    coarser buckets: more saturate past ``CAP``, so the capped
+    generator refuses more megadup-class pair enumeration and the
+    candidate join sees fatter buckets. Choose per modality: routed
+    buckets when the boosters correlate with the metric (image dhash —
+    uncapped 99.96%), metric buckets when they don't (audio).
+    Measured on the audio fixture (metric-banded, sf0.01):
+    uncapped 100% vs 32.9% routed — §21 table.
 
     Recall caveat: a true near-dup pair whose EVERY shared band value is
     saturated (>``CAP`` members) is never generated as a candidate — the
@@ -103,7 +136,7 @@ def banded_dedup(sig: DataFrame, hd_max: int, hd_mask: int | None = None) -> Dat
     (r9 verdict task #3); the per-fixture floors are regression-guarded
     in tests/test_scale_ops.py and tabulated in SCALE.md §21."""
     sig = track_cache(sig)
-    pairs = _band_candidates(sig, capped=True)
+    pairs = _band_candidates(sig, capped=True, band_mask=band_mask)
     return (
         pairs.withColumn("hd", _hamming(hd_mask))
         .filter(F.col("hd") <= hd_max)
@@ -220,7 +253,10 @@ ORDER BY s.doc_id
 
 
 def band_recall(
-    sig: DataFrame, hd_max: int, hd_mask: int | None = None
+    sig: DataFrame,
+    hd_max: int,
+    hd_mask: int | None = None,
+    band_mask: int | None = None,
 ) -> dict[str, float]:
     """Measure the banded candidate generator's recall against the EXACT
     Hamming pair set (diagnostic harness, never a production path — the
@@ -254,25 +290,34 @@ def band_recall(
     n_true = true_pairs.count()
     out: dict[str, float] = {"n_true": n_true}
     for label, capped in (("", True), ("_uncapped", False)):
-        cand = _band_candidates(sig, capped=capped).select("da", "db")
+        cand = _band_candidates(
+            sig, capped=capped, band_mask=band_mask
+        ).select("da", "db")
         hit = true_pairs.join(cand, ["da", "db"], "left_semi").count()
         out[f"n_hit{label}"] = hit
         out[f"recall{label}"] = (hit / n_true) if n_true else 1.0
     return out
 
 
-def banded_dedup_oracle(sig_ctes: str, hd_max: int, hd_mask: int | None = None) -> str:
+def banded_dedup_oracle(
+    sig_ctes: str,
+    hd_max: int,
+    hd_mask: int | None = None,
+    band_mask: int | None = None,
+) -> str:
     """The DuckDB twin of :func:`banded_dedup`. ``sig_ctes`` is the
     query-specific WITH-clause body (no trailing comma) whose final CTE
-    must be ``sig(doc_id, b0, b1, b2, b3)``."""
+    must be ``sig(doc_id, b0, b1, b2, b3)``. ``band_mask`` mirrors the
+    Spark dial: buckets form on ``b{k} & band_mask``."""
     mask = f" & {hd_mask}" if hd_mask is not None else ""
+    bm = "" if band_mask is None else f" & {band_mask}"
     return f"""
 WITH {sig_ctes},
 bands AS (
-  SELECT doc_id, 0 AS band_no, b0 AS val, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM sig
-  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM sig
+  SELECT doc_id, 0 AS band_no, b0{bm} AS val, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 1, b1{bm}, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 2, b2{bm}, b0, b1, b2, b3 FROM sig
+  UNION ALL SELECT doc_id, 3, b3{bm}, b0, b1, b2, b3 FROM sig
 ),
 bok AS (
   SELECT band_no, val FROM bands GROUP BY 1, 2 HAVING count(*) <= {CAP}

@@ -591,6 +591,39 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_dedup(wav_fingerprint_sig(spark, sf_dir), hd_max=3, hd_mask=255)
 
 
+@query(
+    "dedup_audio_fingerprint_metricband",
+    oracle=banded_dedup_oracle(
+        _AUDIO_SIG_CTES, hd_max=3, hd_mask=255, band_mask=255
+    ),
+)
+def dedup_audio_fingerprint_metricband(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audio dedup's metric-banded twin (r10 verdict task #8 — the
+    user-facing recall dial, shipped as a key): identical decoded-WAV
+    fingerprints, identical hd <= 3 metric over the 31 derivative bits,
+    but band buckets form on the SAME masked bits the metric reads
+    (``band_mask=255``) instead of the full band value with its
+    energy-nibble entropy boosters.
+
+    Why both keys exist: bucketing on routed (booster-included) values
+    keeps buckets selective but is scheme-limited — SCALE.md §21
+    measured 32.5% UNCAPPED recall for `dedup_audio_fingerprint`
+    because a metric-close pair can differ in every band's energy
+    nibbles and share no bucket. Metric banding restores the pigeonhole
+    guarantee (hd <= 3 over 4 bands ⇒ one band matches exactly ⇒
+    uncapped recall 100%, measured in §21's r11 row) at the price of
+    coarser buckets: more of them saturate past the >64 cap on dense
+    dup fixtures, so the CAPPED generator refuses more megadup-class
+    enumeration. The recall/cost numbers for both settings live in
+    SCALE.md §21; `ops/bandlsh.banded_dedup(band_mask=...)` is the dial
+    a user turns per modality."""
+    return banded_dedup(
+        wav_fingerprint_sig(spark, sf_dir), hd_max=3, hd_mask=255, band_mask=255
+    )
+
+
 def wav_fingerprint_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio key's signature frame — see :func:`bmp_dhash_sig`."""
     d = table(spark, sf_dir, "documents").select("doc_id")

@@ -303,3 +303,60 @@ def test_band_recall_floors_sf01(spark):
     sh = band_recall(simhash64_sig(spark, sf), hd_max=3)
     assert sh["recall_uncapped"] >= 0.99, sh
     assert sh["recall"] >= 0.75, sh
+
+
+def test_band_mask_dial_restores_pigeonhole_recall(spark):
+    """r10 verdict task #8 — the band_mask dial. Signatures whose METRIC
+    bits (low 8, hd_mask=255) are near-identical but whose routing
+    nibbles (bits 8-15, the entropy-booster position) differ in EVERY
+    band share no full-value bucket: the default routed banding misses
+    them even UNCAPPED — the measured scheme-limit of SCALE.md §21's
+    audio row. Bucketing on the metric bits (band_mask=hd_mask) restores
+    the pigeonhole guarantee: hd <= 3 over 4 bands forces one exact band
+    match, so uncapped recall is 100% by construction."""
+    from sim_spark.ops.bandlsh import band_recall, banded_dedup
+
+    rows = []
+    # 20 pairs: docs (2i, 2i+1) metric-identical in 3 bands, 1 metric bit
+    # apart in band 0 (hd=1), routing nibbles differ in ALL bands
+    for i in range(20):
+        base = [(17 * i + 3 * k) % 256 for k in range(4)]
+        route_a = [((i + k) % 15 + 1) << 8 for k in range(4)]
+        route_b = [((i + k + 7) % 15 + 1) << 8 for k in range(4)]
+        if route_a == route_b:  # paranoid: never let routing collide
+            route_b = [r + 256 for r in route_b]
+        rows.append((2 * i, *[base[k] + route_a[k] for k in range(4)]))
+        rows.append(
+            (2 * i + 1, *[(base[k] ^ (1 if k == 0 else 0)) + route_b[k]
+                          for k in range(4)])
+        )
+    sig = spark.createDataFrame(
+        rows, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    routed = band_recall(sig, hd_max=3, hd_mask=255)
+    metric = band_recall(sig, hd_max=3, hd_mask=255, band_mask=255)
+    assert routed["n_true"] == 20 and metric["n_true"] == 20
+    # scheme-limit: routed buckets miss every pair, capped or not
+    assert routed["recall_uncapped"] == 0.0, routed
+    # pigeonhole: metric buckets find every pair (no saturation at n=40)
+    assert metric["recall"] == 1.0 and metric["recall_uncapped"] == 1.0, metric
+    # and the production entry point honors the dial end to end
+    got = banded_dedup(sig, hd_max=3, hd_mask=255, band_mask=255)
+    assert got.count() == 20
+    miss = banded_dedup(sig, hd_max=3, hd_mask=255)
+    assert miss.count() == 0
+
+
+def test_audio_metricband_uncapped_recall_is_complete_sf001(spark):
+    """The shipped metric-banded audio key's scheme property on the real
+    fixture: band_mask=255 lifts UNCAPPED recall to 100% (pigeonhole),
+    vs the routed scheme's measured ~33% — SCALE.md §21 r11 row. Floors
+    ~20% under measured, same protocol as the sf0.1 floors test."""
+    from sim_spark.ops.bandlsh import band_recall
+    from sim_spark.queries.multimodal_real import wav_fingerprint_sig
+
+    sf = "/root/testdata/sf0.01"
+    aud = band_recall(
+        wav_fingerprint_sig(spark, sf), hd_max=3, hd_mask=255, band_mask=255
+    )
+    assert aud["recall_uncapped"] >= 0.999, aud

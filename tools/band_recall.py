@@ -40,6 +40,13 @@ def main() -> None:
         ("image_bmp_dhash", bmp_dhash_sig, dict(hd_max=4)),
         ("image_png_dhash", png_dhash_sig, dict(hd_max=4)),
         ("audio_wav_fingerprint", wav_fingerprint_sig, dict(hd_max=3, hd_mask=255)),
+        # r11: the metric-banded dial (band_mask=hd_mask) — pigeonhole-
+        # complete uncapped; see dedup_audio_fingerprint_metricband
+        (
+            "audio_wav_fp_metricband",
+            wav_fingerprint_sig,
+            dict(hd_max=3, hd_mask=255, band_mask=255),
+        ),
         ("text_simhash64_tf", simhash64_sig, dict(hd_max=3)),
     ]
     rows = []
