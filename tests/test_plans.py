@@ -682,3 +682,118 @@ def test_megadup_dedup_is_class_groupby_plus_band_equi(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+
+# --- r11 (r10 verdict task #5): every headline-suite key has at least one
+# asserted plan property. Keys with richer dedicated tests above (or in
+# tests/test_scale_ops.py for the bucketed legs) are omitted from this
+# table; test_every_headline_key_has_a_plan_assertion below is the
+# tripwire that a NEW headline key cannot ship without a plan assertion
+# somewhere. `bnlj` is the max allowed BroadcastNestedLoopJoin node
+# count — nonzero ONLY where the plan attaches a 1-row/model-sized
+# aggregate via a keyless broadcast (scale-safe by construction);
+# CartesianProduct is forbidden everywhere.
+_HEADLINE_SPECS: dict[str, dict] = {
+    "agg_q1_pricing": dict(require=["HashAggregate", "PushedFilters: ["]),
+    "join_inner_shuffle": dict(
+        require=[r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"]
+    ),
+    "win_running_sum": dict(require=["Window"]),
+    "win_topk_per_group": dict(require=["Window"]),
+    "stream_session_30m": dict(require=["HashAggregate", "PushedFilters: ["]),
+    "stream_tumbling_1h": dict(require=["HashAggregate", "PushedFilters: ["]),
+    "dedup_exact_hash": dict(require=["HashAggregate"]),
+    "dedup_simhash": dict(require=["HashAggregate"]),
+    # 1-row query-vector attach broadcasts keylessly
+    "sim_topk_cosine": dict(bnlj=1, require=["Window"]),
+    "text_tfidf_manual": dict(require=["HashAggregate", "Window"]),
+    "text_wordcount": dict(require=["TakeOrderedAndProject"]),
+    "voxel_histogram": dict(require=["HashAggregate", "PushedFilters: ["]),
+    # k centroid rows attach keylessly to every vector
+    "ml_kmeans_assign_fixed": dict(bnlj=1, require=["Window"]),
+    "tpch_q3_shipping": dict(
+        require=["TakeOrderedAndProject", "PushedFilters: ["]
+    ),
+    "tpch_q7_volume": dict(require=["BroadcastHashJoin", "PushedFilters: ["]),
+    "subq_lateral_topn": dict(require=["Window"]),
+    "agg_rollup": dict(require=["Expand"]),
+    "tpch_q6_forecast": dict(require=["PushedFilters: [", "HashAggregate"]),
+    "tpch_q18_large_orders": dict(
+        require=["TakeOrderedAndProject", "HashAggregate"]
+    ),
+    "dedup_connected_components": dict(
+        require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "Window"]
+    ),
+    # decode pipelines are pure narrow maps: Arrow-batched MapInPandas,
+    # NO shuffle and NO row-wise Python UDF anywhere in the plan
+    "multimodal_wav_decode": dict(
+        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+    ),
+    "multimodal_png_decode": dict(
+        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+    ),
+    # corpus-total 1-row attach
+    "text_unigram_surprisal": dict(bnlj=1, require=["HashAggregate"]),
+    # one 1-row stats attach per autocorr lag (6 lags)
+    "ts_autocorr": dict(bnlj=6, require=["Window"]),
+    "events_ab_experiment": dict(require=["HashAggregate"]),
+    "join_cbo_reordered_star": dict(require=["BroadcastHashJoin"]),
+    # per-round model-row attaches (3 boosting rounds)
+    "ml_adaboost_stumps": dict(bnlj=3, require=["TakeOrderedAndProject"]),
+    "graph_betweenness_sampled": dict(
+        require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"]
+    ),
+    # r11 design: window-min over grams — NO join operator of any kind
+    "dedup_onion_ngram": dict(
+        require=["Window", "HashAggregate"],
+        forbid=["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"],
+    ),
+    # micro-nat corpus-total attach
+    "text_bigram_perplexity": dict(bnlj=1, require=["Window"]),
+    # per-round materialize loop: the returned frame's plan is the final
+    # round's read -- nothing to require beyond the global forbids
+    "curate_bpe_train_iterative": dict(require=[]),
+}
+
+
+@pytest.mark.parametrize("key", sorted(_HEADLINE_SPECS))
+def test_headline_plan_properties(spark, key):
+    spec = _HEADLINE_SPECS[key]
+    p = plan(spark, key)
+    assert "CartesianProduct" not in p, f"{key}:\n{p}"
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert n_bnlj <= spec.get("bnlj", 0), f"{key}: {n_bnlj} BNLJ nodes\n{p}"
+    for marker in spec["require"]:
+        assert re.search(marker.replace("[", r"\["), p) or marker in p, (
+            f"{key}: missing {marker!r}\n{p}"
+        )
+    for marker in spec.get("forbid", []):
+        assert marker not in p, f"{key}: forbidden {marker!r} present\n{p}"
+
+
+def test_every_headline_key_has_a_plan_assertion():
+    """Tripwire (r10 verdict task #5): a key cannot enter bench.py's
+    HEADLINE suite without at least one plan assertion — either a
+    _HEADLINE_SPECS row here, a dedicated test in this file, or (for
+    the bucketed bench legs) a test in tests/test_scale_ops.py."""
+    import os
+
+    from bench import HEADLINE
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = ""
+    for f in ("test_plans.py", "test_scale_ops.py"):
+        with open(os.path.join(here, f)) as fh:
+            src += fh.read()
+    missing = [
+        k
+        for k in HEADLINE
+        if k not in _HEADLINE_SPECS and f'"{k}"' not in src and f"'{k}'" not in src
+    ]
+    # the two bench-only bucketed legs are asserted through their ops
+    # (ops/bucketing) in test_scale_ops: no-Exchange join + bucket pruning
+    allowed_indirect = {
+        "join_bucketed_colocated_write",
+        "join_bucketed_colocated_read",
+    }
+    assert not set(missing) - allowed_indirect, missing
