@@ -82,6 +82,8 @@ HEADLINE = [
     # r10 additions
     "join_sql_band_ym",
     "dedup_image_dhash_megadup",
+    # r11 additions
+    "dedup_audio_fingerprint_metricband",
 ]
 
 

@@ -753,6 +753,14 @@ _HEADLINE_SPECS: dict[str, dict] = {
     # per-round materialize loop: the returned frame's plan is the final
     # round's read -- nothing to require beyond the global forbids
     "curate_bpe_train_iterative": dict(require=[]),
+    # r11 metric-banded audio twin: Arrow-batched decode + banded
+    # candidate EQUI-join (never all-pairs), like its routed sibling
+    "dedup_audio_fingerprint_metricband": dict(
+        require=[
+            "MapInPandas",
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        ]
+    ),
 }
 
 
