@@ -75,6 +75,7 @@ HEADLINE = [
     # r9 additions
     "join_sql_band_dec",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

@@ -2,13 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 alongside. The Spark-side machinery — schema, Arrow batching,
-mapInPandas signature, partition behavior — is real, and since round 5
-so is the decode for uncompressed containers: WAV (RIFF PCM16) and BMP
-(24bpp) are parsed with dependency-free ``struct`` code below and their
-decoded features are hash-oracled against DuckDB. Only compressed
-codecs (JPEG/PNG/MP3) remain behind ``NotImplementedError`` — those
-libraries are absent in this container, and :func:`decode` makes that
-boundary explicit.
+mapInPandas signature, partition behavior — is real, and so is the decode:
+WAV (RIFF PCM16) and BMP (24bpp) are parsed with dependency-free
+``struct`` code below, PNG (non-interlaced RGB8, stdlib zlib, all five
+filters, CRC-verified) since round 9, and baseline grayscale JPEG
+(full Huffman entropy decode + IDCT, ops/jpeg.py) since round 11 —
+each hash-oracled against DuckDB. Only codecs whose decode genuinely
+needs absent libraries (MP3, video) remain behind
+``NotImplementedError``; :func:`decode` makes that boundary explicit.
 
 At 100 TB: binary payloads ride in parquet with the metadata columns;
 `mapInPandas` processes one Arrow batch at a time so executor memory is
@@ -54,10 +55,15 @@ def decode(payload: bytes) -> dict:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
         return {"kind": "wav", "sample_rate": rate, "samples": samples}
+    if payload[:2] == b"\xff\xd8":
+        from sim_spark.ops.jpeg import decode_jpeg
+
+        w, h, px, _coeffs = decode_jpeg(payload)
+        return {"kind": "jpeg", "width": w, "height": h, "pixels": px.tobytes()}
     raise NotImplementedError(
-        "entropy-coded media decode (JPEG/MP3/…) requires codec libraries "
-        "not present in this environment; BMP, non-interlaced RGB8 PNG "
-        "(stdlib zlib), and WAV decode is real"
+        "MP3/video decode requires codec libraries not present in this "
+        "environment; BMP, non-interlaced RGB8 PNG (stdlib zlib), WAV, "
+        "and baseline grayscale JPEG (ops/jpeg.py) decode is real"
     )
 
 

@@ -1,0 +1,164 @@
+"""Unit tests for the baseline JPEG codec (ops/jpeg.py, round 11).
+
+The query-level hash oracles (test_oracle_parity: multimodal_jpeg_decode
+/ multimodal_jpeg_pixels) pin the end-to-end pipeline; these tests pin
+the codec internals a coarse aggregate could conceivably cancel out of:
+bit-exact coefficient round-trips on adversarial blocks, byte stuffing,
+restart-marker DC resets, IDCT-vs-naive-reference, clamp edges, and the
+decoder's rejection of non-baseline streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sim_spark.ops.jpeg import (
+    QTABLE_ZZ,
+    decode_jpeg,
+    encode_jpeg_from_coeffs,
+    formula_jpeg_coeffs,
+    formula_jpeg_dc_only,
+    gen_jpeg_dc_payload,
+    gen_jpeg_payload,
+    idct2_blocks,
+)
+
+
+def test_formula_roundtrip_coefficients_exact():
+    for d in (0, 1, 2, 3, 7, 12, 59, 123, 499, 4999):
+        wb, hb, coeffs, _ = formula_jpeg_coeffs(d)
+        w, h, px, rec = decode_jpeg(gen_jpeg_payload(d))
+        assert (w, h) == (wb * 8, hb * 8)
+        assert np.array_equal(rec, coeffs), f"doc {d}"
+
+
+def test_random_blocks_roundtrip_exact():
+    """Adversarial coefficient patterns: dense blocks, long zero runs
+    (ZRL path), max-position AC (z=63, no EOB), large DC swings."""
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        wb, hb = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        n = wb * hb
+        coeffs = np.zeros((n, 64), dtype=np.int64)
+        coeffs[:, 0] = rng.integers(-1000, 1000, n)
+        for b in range(n):
+            kind = trial % 4
+            if kind == 0:  # dense
+                coeffs[b, 1:] = rng.integers(-30, 30, 63)
+            elif kind == 1:  # single coefficient at the very end (no EOB)
+                coeffs[b, 63] = int(rng.integers(1, 100))
+            elif kind == 2:  # >16 zero run (forces ZRL)
+                coeffs[b, 20] = -5
+                coeffs[b, 60] = 9
+            # kind == 3: all-zero AC (EOB immediately)
+        payload = encode_jpeg_from_coeffs(wb, hb, coeffs)
+        w, h, px, rec = decode_jpeg(payload)
+        assert np.array_equal(rec, coeffs)
+
+
+def test_byte_stuffing_roundtrip():
+    """Force an 0xFF byte into the entropy stream (DC ±512 produces one
+    at this table's bit alignment, verified by construction): the
+    encoder must stuff 0x00 and the decoder must unstuff."""
+    coeffs = np.zeros((4, 64), dtype=np.int64)
+    coeffs[:, 0] = [512, -512, 512, -512]
+    payload = encode_jpeg_from_coeffs(1, 4, coeffs)
+    assert b"\xff\x00" in payload.split(b"\xff\xda")[1], "no stuffed byte hit"
+    _, _, _, rec = decode_jpeg(payload)
+    assert np.array_equal(rec, coeffs)
+
+
+def test_restart_markers_reset_dc_predictor():
+    wb, hb, ri = 4, 3, 4  # 12 MCUs, RST after 4 and 8
+    coeffs = np.zeros((12, 64), dtype=np.int64)
+    coeffs[:, 0] = np.arange(100, 112)
+    payload = encode_jpeg_from_coeffs(wb, hb, coeffs, restart_interval=ri)
+    scan = payload.split(b"\xff\xda")[1]
+    assert b"\xff\xd0" in scan and b"\xff\xd1" in scan
+    _, _, _, rec = decode_jpeg(payload)
+    assert np.array_equal(rec, coeffs)
+
+
+def test_dc_only_pixels_exact_with_clamp():
+    for d in (0, 5, 33, 160, 321):
+        wb, hb, coeffs = formula_jpeg_dc_only(d)
+        w, h, px, _ = decode_jpeg(gen_jpeg_dc_payload(d))
+        img = px.reshape(h, w)
+        for b in range(wb * hb):
+            r0, c0 = (b // wb) * 8, (b % wb) * 8
+            expect = min(255, max(0, int(coeffs[b, 0]) + 128))
+            assert set(img[r0 : r0 + 8, c0 : c0 + 8].reshape(-1).tolist()) == {
+                expect
+            }
+    # both clamp edges actually occur across the id range
+    lo = hi = False
+    for d in range(400):
+        _, _, c = formula_jpeg_dc_only(d)
+        lo |= bool((c[:, 0] + 128 < 0).any())
+        hi |= bool((c[:, 0] + 128 > 255).any())
+    assert lo and hi
+
+
+def test_idct_matches_naive_reference():
+    rng = np.random.default_rng(0)
+    blocks = rng.integers(-500, 500, (8, 8, 8)).astype(np.float64)
+
+    def naive(F):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s / 4
+        return out
+
+    fast = idct2_blocks(blocks)
+    for i in range(len(blocks)):
+        assert np.allclose(fast[i], naive(blocks[i]), atol=1e-9)
+
+
+def test_qtable_dc_entry_is_load_bearing():
+    """q[0] == 8 is what makes the DC-only pixel oracle exact."""
+    assert QTABLE_ZZ[0] == 8 and len(QTABLE_ZZ) == 64
+    assert all(1 <= q <= 255 for q in QTABLE_ZZ)
+
+
+def test_decoder_rejects_non_baseline():
+    payload = bytearray(gen_jpeg_payload(3))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # progressive SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decoder_skips_unknown_app_segments():
+    payload = bytearray(gen_jpeg_payload(3))
+    com = b"\xff\xfe" + (14).to_bytes(2, "big") + b"a comment..."
+    exif = b"\xff\xe1" + (8).to_bytes(2, "big") + b"Exif\x00\x00"
+    patched = bytes(payload[:2]) + com + exif + bytes(payload[2:])
+    _, _, _, rec = decode_jpeg(patched)
+    _, _, coeffs, _ = formula_jpeg_coeffs(3)
+    assert np.array_equal(rec, coeffs)
+
+
+def test_spec_valid_container_structure():
+    """Marker-level sanity a third-party decoder would rely on."""
+    p = gen_jpeg_payload(11)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in p and b"\xff\xdb" in p and b"\xff\xc4" in p
+    # SOF0 dims match the formula
+    i = p.find(b"\xff\xc0")
+    h = int.from_bytes(p[i + 5 : i + 7], "big")
+    w = int.from_bytes(p[i + 7 : i + 9], "big")
+    assert (w, h) == ((2 + 11 % 4) * 8, (1 + 11 % 3) * 8)

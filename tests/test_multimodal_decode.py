@@ -79,7 +79,7 @@ def test_decode_dispatch():
     assert decode(w)["kind"] == "wav"
     assert decode(b)["kind"] == "bmp"
     with pytest.raises(NotImplementedError):
-        decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+        decode(b"ID3\x04\x00 mp3-ish")
 
 
 def test_gen_wav_known_values():
@@ -168,9 +168,12 @@ def test_png_container_independence():
 
 
 def test_png_dispatch_and_remaining_fence():
+    from sim_spark.ops.jpeg import gen_jpeg_payload
     from sim_spark.ops.multimodal import decode, gen_png_payload
 
     out = decode(gen_png_payload(7))
     assert out["kind"] == "png" and out["width"] == 5 + 7 % 11
-    with pytest.raises(NotImplementedError):  # JPEG/MP3 stay fenced
-        decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+    out = decode(gen_jpeg_payload(7))  # JPEG dispatches for real since r11
+    assert out["kind"] == "jpeg" and out["width"] == (2 + 7 % 4) * 8
+    with pytest.raises(NotImplementedError):  # MP3/video stay fenced
+        decode(b"ID3\x04\x00 mp3-ish")
