@@ -23,6 +23,8 @@ should not pay.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _DB = "sim_spark_cbo"
@@ -91,7 +93,10 @@ def analyzed_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             # The path is interpolated into SQL: double any single quotes
             # so a quote in sf_dir can't break the statement or inject SQL
             # (identifiers are sanitized separately via the re.sub above).
-            loc = f"{sf_dir}/{t}.parquet".replace("'", "''")
+            # Absolutize first: CREATE TABLE resolves a relative LOCATION
+            # against the warehouse dir, not the process cwd, so a
+            # relative sf_dir (e.g. testdata_sf1) points at nothing.
+            loc = os.path.abspath(f"{sf_dir}/{t}.parquet").replace("'", "''")
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS {cat} USING parquet "
                 f"LOCATION '{loc}'"

@@ -17,6 +17,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan(spark, key: str) -> str:
+    # Plan shape must not depend on which tests ran earlier in the
+    # session: a materialized track_cache entry from a prior execution
+    # of the SAME key substitutes InMemoryRelation fragments and can
+    # change the static plan (ml_adaboost_stumps gains a 4th BNLJ after
+    # its own parity run). Release tracked caches so every snapshot is
+    # the cold-session plan the spec was written against.
+    from sim_spark.scratch import release_tracked_caches
+
+    release_tracked_caches()
     df = QUERIES[key](spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
