@@ -76,6 +76,7 @@ HEADLINE = [
     "join_sql_band_dec",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
+    "multimodal_flac_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

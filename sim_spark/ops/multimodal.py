@@ -60,6 +60,11 @@ def decode(payload: bytes) -> dict:
 
         w, h, px, _coeffs = decode_jpeg(payload)
         return {"kind": "jpeg", "width": w, "height": h, "pixels": px.tobytes()}
+    if payload[:4] == b"fLaC":
+        from sim_spark.ops.flac import decode_flac
+
+        rate, samples = decode_flac(payload)
+        return {"kind": "flac", "sample_rate": rate, "samples": samples}
     raise NotImplementedError(
         "MP3/video decode requires codec libraries not present in this "
         "environment; BMP, non-interlaced RGB8 PNG (stdlib zlib), WAV, "

@@ -836,3 +836,86 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, px_sum long, "
         "px_min long, px_max long",
     )
+
+
+# --- FLAC: lossless entropy-coded audio decode (r11) ------------------------
+
+from sim_spark.ops.flac import decode_flac, gen_flac_payload  # noqa: E402
+
+_gen_flac_batches = _make_gen_batches(gen_flac_payload)
+
+
+def _flac_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, s = decode_flac(bytes(payload))
+            a = s.astype(np.int64)
+            rows.append(
+                (int(doc_id), rate, len(s), int(np.abs(a).sum()),
+                 int(np.abs(a).max()), int(a[0]), int(a[-1]))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "n_samples", "sum_abs",
+                     "max_abs", "first_sample", "last_sample"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_flac_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 200 + (doc_id % 400) AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         (doc_id * 7) % 1001 - 500 AS cst,
+         1 + (doc_id % 5) AS step
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate,
+         ii.i,
+         CASE
+           WHEN ii.i < 64 THEN cst
+           WHEN ii.i < 128 THEN cst + (ii.i - 64) * step
+           ELSE (doc_id * 31 + ii.i * ii.i * 17) % 4001 - 2000
+         END AS smp
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(smp)) AS BIGINT) AS max_abs,
+       CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+       CAST(min(CASE WHEN i = n - 1 THEN smp END) AS BIGINT) AS last_sample
+FROM s GROUP BY doc_id, n, rate
+""",
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless entropy-coded audio decode end-to-end (ops/flac.py):
+    synthesize real FLAC streams — STREAMINFO with a genuine MD5 of the
+    sample stream, sync-coded frames with CRC-8/CRC-16, and per-frame
+    cheapest-of CONSTANT / FIXED-order-0..2 subframes whose residuals
+    are rice/Golomb entropy-coded — then decode them back (bit reader,
+    UTF-8 frame numbers, rice + zigzag, fixed-predictor integration,
+    all three checksums VERIFIED) and aggregate per-doc sample
+    statistics. Because FLAC is lossless the whole pipeline is exactly
+    invertible, so unlike the JPEG pair a single oracle covers it end
+    to end: DuckDB recomputes every sample from the three-regime
+    doc_id formula (constant head / linear ramp / quadratic-hash noise
+    — chosen so every subframe type and rice parameter range occurs)
+    without ever seeing the bytes. Same 100 TB shape as the other
+    codecs: per-row Arrow-batched mapInPandas, no shuffle until the
+    tiny feature frame."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(_gen_flac_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _flac_feature_batches,
+        "doc_id long, sample_rate long, n_samples long, sum_abs long, "
+        "max_abs long, first_sample long, last_sample long",
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for the FLAC codec (ops/flac.py, round 11).
+
+The query-level hash oracle (test_oracle_parity: multimodal_flac_decode)
+pins the end-to-end pipeline; these pin codec internals: bit-exact
+round-trips over adversarial streams, every subframe type, rice
+parameter extremes, the three checksums actually rejecting corruption,
+and frame/blocksize edge cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sim_spark.ops.flac import (
+    _BLOCKSIZE,
+    _crc8,
+    _crc16,
+    decode_flac,
+    encode_flac,
+    formula_flac_samples,
+    gen_flac_payload,
+)
+
+
+def _roundtrip(samples, rate=8000):
+    s = np.asarray(samples, dtype=np.int64)
+    r2, s2 = decode_flac(encode_flac(s, rate))
+    assert r2 == rate
+    assert np.array_equal(s2.astype(np.int64), s)
+
+
+def test_formula_roundtrip_exact():
+    for d in (0, 1, 2, 5, 63, 64, 128, 255, 256, 399, 4999):
+        rate, s = formula_flac_samples(d)
+        r2, s2 = decode_flac(gen_flac_payload(d))
+        assert r2 == rate and np.array_equal(s2.astype(np.int64), s)
+
+
+def test_constant_stream_uses_constant_subframe():
+    s = np.full(600, -123, dtype=np.int64)
+    payload = encode_flac(s, 8000)
+    # constant subframes: 3 frames of ~6 bytes body each, far below raw
+    assert len(payload) < 600 * 2 // 4
+    _roundtrip(s)
+
+
+def test_every_fixed_order_and_rice_extremes():
+    rng = np.random.default_rng(3)
+    _roundtrip(rng.integers(-5, 5, 700))  # small residuals, k ~ 0
+    _roundtrip(rng.integers(-32768, 32768, 700))  # full range, k large
+    _roundtrip(np.arange(700) % 20000)  # ramp -> order 1/2
+    _roundtrip(np.cumsum(rng.integers(-50, 50, 700)))  # random walk
+
+
+def test_single_sample_and_exact_blocksize_multiples():
+    _roundtrip([17])
+    _roundtrip(np.arange(_BLOCKSIZE, dtype=np.int64) - 100)
+    _roundtrip(np.arange(2 * _BLOCKSIZE, dtype=np.int64) % 3000)
+
+
+def test_corruption_detected_everywhere_checksummed():
+    """Every bit-flip in a CHECKSUMMED region (frames: CRC-8/CRC-16;
+    decoded stream + stored MD5) must be rejected. FLAC has no metadata
+    checksum, so STREAMINFO's blocksize / frame-size / sample-rate stat
+    bytes (abs 8..19) are spec-legitimately unverifiable (real decoders
+    can't catch those flips either) and excluded; the MD5 bytes
+    (abs 26..41) ARE probed — a flipped stored digest must reject."""
+    payload = bytearray(gen_flac_payload(11))
+    probes = [p for p in range(4, len(payload)) if not (8 <= p < 20)]
+    hits = 0
+    for pos in probes:
+        p = bytearray(payload)
+        p[pos] ^= 0x08
+        try:
+            decode_flac(bytes(p))
+        except (ValueError, NotImplementedError, IndexError):
+            hits += 1
+    assert hits == len(probes)
+
+
+def test_crc_vectors():
+    # independently computable check values for the two generators
+    assert _crc8(b"") == 0 and _crc16(b"") == 0
+    assert _crc8(b"\x01") == 0x07
+    assert _crc16(b"123456789") == 0xFEE8  # CRC-16/BUYPASS check value
+
+
+def test_rejects_non_flac_and_stereo():
+    with pytest.raises(ValueError):
+        decode_flac(b"RIFF not flac")
+    # patch STREAMINFO channel bits (byte 12 of streaminfo holds
+    # sample-rate low nibble + channels + bps high bit)
+    payload = bytearray(gen_flac_payload(3))
+    payload[8 + 12] ^= 0b00000010  # channels 1 -> 2
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_flac(bytes(payload))
+
+
+def test_md5_is_real():
+    import hashlib
+
+    rate, s = formula_flac_samples(8)
+    payload = gen_flac_payload(8)
+    md5 = payload[8 + 18 : 8 + 34]
+    assert md5 == hashlib.md5(s.astype("<i2").tobytes()).digest()
