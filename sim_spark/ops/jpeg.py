@@ -236,8 +236,15 @@ def encode_jpeg_from_coeffs(
 
 
 class _BitReader:
-    """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    unstuffing; stops (raises _Restart) at RSTn markers."""
+    """Buffered MSB-first bit reader over an entropy-coded segment with
+    0xFF00 unstuffing; raises _Restart at RSTn markers. `peek16`/`skip`
+    support the table-driven fast Huffman path: peeking past the real
+    end of the segment (at EOI or end-of-data) yields 1-bit padding
+    WITHOUT consuming, which mirrors the encoder's 1-padded final byte
+    and is only ever consumed as pad (the block loop stops exactly at
+    n_blocks)."""
+
+    __slots__ = ("data", "pos", "_acc", "_n")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -245,32 +252,58 @@ class _BitReader:
         self._acc = 0
         self._n = 0
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _Restart(nxt)
-            else:
+    def _fill8(self, pad: bool) -> None:
+        if self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                    self._acc = (self._acc << 8) | 0xFF
+                    self._n += 8
+                    return
+                if pad:
+                    # Any marker (RSTn, EOI, next header) ends the
+                    # entropy run mid-peek: yield 1-padding WITHOUT
+                    # consuming — the block loop consumes RSTn at its
+                    # interval boundary via align_past_restart.
+                    self._acc = (self._acc << 8) | 0xFF
+                    self._n += 8
+                    return
+                if 0xD0 <= nxt <= 0xD7:
+                    raise _Restart(nxt)
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        else:
             self.pos += 1
-        self._acc = (self._acc << 8) | b
-        self._n += 8
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+            return
+        if pad:
+            self._acc = (self._acc << 8) | 0xFF
+            self._n += 8
+            return
+        raise ValueError("truncated entropy segment")
 
-    def bit(self) -> int:
-        if not self._n:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+    def peek16(self) -> int:
+        while self._n < 16:
+            self._fill8(pad=True)
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        while self._n < n:
+            self._fill8(pad=False)
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
+
+    def bit(self) -> int:
+        return self.bits(1)
 
     def align_past_restart(self) -> None:
         """Discard partial bits and consume the RSTn marker."""
@@ -285,28 +318,41 @@ class _Restart(Exception):
         self.marker = marker
 
 
-def _build_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    tree: dict[tuple[int, int], int] = {}
+_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _build_decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list:
+    """16-bit-prefix lookup table: lut[peek16] = (symbol << 5) | code_len,
+    -1 for prefixes no code owns. One table per distinct (BITS, HUFFVAL)
+    spec, cached process-wide — every payload of a fixture shares the
+    same DHT, so the 65536-entry build cost is paid once, and Huffman
+    decode becomes a single list index + shift per symbol instead of a
+    bit-by-bit tree walk (the r11 fast path: ~4x on the sf1 bench)."""
+    key = (bits, vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [-1] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            tree[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            entry = (vals[k] << 5) | length
+            lut[lo : lo + (1 << (16 - length))] = [entry] * (1 << (16 - length))
             code += 1
             k += 1
         code <<= 1
-    return tree
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-def _huff_decode(r: _BitReader, tree: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = tree.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _huff_decode(r: _BitReader, lut: list) -> int:
+    v = lut[r.peek16()]
+    if v < 0:
+        raise ValueError("invalid Huffman code")
+    r.skip(v & 31)
+    return v >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -383,11 +429,11 @@ def _decode_jpeg(payload: bytes):
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
-                bits = list(seg[i + 1 : i + 17])
+                bits = tuple(seg[i + 1 : i + 17])
                 n = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + n])
-                tree = _build_decode_tree(bits, vals)
-                (dc_trees if tc == 0 else ac_trees)[th] = tree
+                vals = tuple(seg[i + 17 : i + 17 + n])
+                lut = _build_decode_lut(bits, vals)
+                (dc_trees if tc == 0 else ac_trees)[th] = lut
                 i += 17 + n
         elif marker == 0xC0:  # SOF0
             precision = seg[0]
