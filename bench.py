@@ -77,6 +77,7 @@ HEADLINE = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "multimodal_flac_decode",
+    "multimodal_jpeg_color_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

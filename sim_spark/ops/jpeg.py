@@ -81,11 +81,42 @@ AC_LUM_VALS = [
     0xF9, 0xFA,
 ]
 
-# Fixed quantization table (zigzag order). q[0] = 8 is load-bearing: it
+# Annex K.3 chroma tables (public example tables, ITU T.81).
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Fixed quantization tables (zigzag order). q[0] = 8 is load-bearing: it
 # makes the DC-only pixel oracle exact (dequant/8 = dc_q, an integer, so
 # level-shift + clamp has no rounding ambiguity). AC entries follow a
-# plausible low-to-high ramp.
+# plausible low-to-high ramp; the chroma table ramps steeper, as real
+# encoders' do.
 QTABLE_ZZ = [8] + [2 + (3 * z) % 38 for z in range(1, 64)]
+QTABLE_CHR_ZZ = [8] + [4 + (5 * z) % 46 for z in range(1, 64)]
 
 
 def _build_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -202,33 +233,116 @@ def encode_jpeg_from_coeffs(
             w.raw_marker(0xD0 + (rst & 7))
             rst += 1
             prev_dc = 0  # RST resets the DC predictor
-        blk = coeffs_zz[b]
-        dc = int(blk[0])
-        diff = dc - prev_dc
-        prev_dc = dc
-        size = _magnitude_category(diff)
-        _encode_coeff_bits(w, _DC_CODES, size, diff, size)
-        run = 0
-        last_nz = 0
-        for z in range(1, 64):
-            if blk[z]:
-                last_nz = z
-        for z in range(1, last_nz + 1):
-            v = int(blk[z])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                _encode_coeff_bits(w, _AC_CODES, 0xF0, 0, 0)  # ZRL
-                run -= 16
-            size = _magnitude_category(v)
-            _encode_coeff_bits(w, _AC_CODES, (run << 4) | size, v, size)
-            run = 0
-        if last_nz < 63:
-            _encode_coeff_bits(w, _AC_CODES, 0x00, 0, 0)  # EOB
+        prev_dc = _encode_block(w, coeffs_zz[b], _DC_CODES, _AC_CODES, prev_dc)
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_block(w: _BitWriter, blk, dc_codes: dict, ac_codes: dict, prev_dc: int) -> int:
+    """Entropy-encode one 8x8 data unit (zigzag order); returns new DC."""
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    size = _magnitude_category(diff)
+    _encode_coeff_bits(w, dc_codes, size, diff, size)
+    run = 0
+    last_nz = 0
+    for z in range(1, 64):
+        if blk[z]:
+            last_nz = z
+    for z in range(1, last_nz + 1):
+        v = int(blk[z])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _encode_coeff_bits(w, ac_codes, 0xF0, 0, 0)  # ZRL
+            run -= 16
+        size = _magnitude_category(v)
+        _encode_coeff_bits(w, ac_codes, (run << 4) | size, v, size)
+        run = 0
+    if last_nz < 63:
+        _encode_coeff_bits(w, ac_codes, 0x00, 0, 0)  # EOB
+    return dc
+
+
+_DC_CHR_CODES = _build_canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+_AC_CHR_CODES = _build_canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+
+def encode_jpeg_color_from_coeffs(
+    mcus_x: int,
+    mcus_y: int,
+    y_coeffs_zz: np.ndarray,
+    cb_coeffs_zz: np.ndarray,
+    cr_coeffs_zz: np.ndarray,
+    restart_interval: int = 0,
+) -> bytes:
+    """Quantized per-component coefficients -> baseline 4:2:0 YCbCr JFIF.
+
+    Y is 2x2-sampled: ``y_coeffs_zz`` has (mcus_y*2 * mcus_x*2, 64)
+    blocks (raster order over the full Y block grid); Cb/Cr have
+    (mcus_y * mcus_x, 64). Image is exactly (mcus_x*16) x (mcus_y*16).
+    Luma uses the Annex K luminance Huffman pair + QTABLE_ZZ (table 0),
+    chroma the chrominance pair + QTABLE_CHR_ZZ (table 1) — the layout
+    real encoders emit. Scan is MCU-interleaved: Y00 Y01 Y10 Y11 Cb Cr
+    per MCU, per-component DC predictors, RSTn every
+    ``restart_interval`` MCUs resetting all three.
+    """
+    ybw = mcus_x * 2
+    assert y_coeffs_zz.shape == (mcus_y * 2 * ybw, 64)
+    assert cb_coeffs_zz.shape == cr_coeffs_zz.shape == (mcus_y * mcus_x, 64)
+    width, height = mcus_x * 16, mcus_y * 16
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+    out += bytes([0]) + bytes(QTABLE_ZZ) + bytes([1]) + bytes(QTABLE_CHR_ZZ)
+    # SOF0: 3 components, Y 2x2 q0, Cb 1x1 q1, Cr 1x1 q1
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    segs = [
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS),
+        bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
+        bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_CHR_VALS),
+        bytes([0x11]) + bytes(AC_CHR_BITS) + bytes(AC_CHR_VALS),
+    ]
+    out += b"\xff\xc4" + struct.pack(">H", 2 + sum(len(s) for s in segs))
+    for s in segs:
+        out += s
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    w = _BitWriter()
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    rst = 0
+    for m in range(mcus_y * mcus_x):
+        if restart_interval and m and m % restart_interval == 0:
+            w.raw_marker(0xD0 + (rst & 7))
+            rst += 1
+            dc = {"y": 0, "cb": 0, "cr": 0}
+        my, mx = divmod(m, mcus_x)
+        for by in range(2):
+            for bx in range(2):
+                b = (my * 2 + by) * ybw + (mx * 2 + bx)
+                dc["y"] = _encode_block(
+                    w, y_coeffs_zz[b], _DC_CODES, _AC_CODES, dc["y"]
+                )
+        dc["cb"] = _encode_block(
+            w, cb_coeffs_zz[m], _DC_CHR_CODES, _AC_CHR_CODES, dc["cb"]
+        )
+        dc["cr"] = _encode_block(
+            w, cr_coeffs_zz[m], _DC_CHR_CODES, _AC_CHR_CODES, dc["cr"]
+        )
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -397,17 +511,43 @@ def decode_jpeg(payload: bytes):
         raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
 
 
-def _decode_jpeg(payload: bytes):
+def _decode_block_into(r, row, dc_lut, ac_lut, prev_dc: int) -> int:
+    """Huffman-decode one 8x8 data unit into `row` (a length-64 int64
+    view, zigzag order); returns the new DC predictor."""
+    size = _huff_decode(r, dc_lut)
+    prev_dc = prev_dc + _extend(r.bits(size), size)
+    row[0] = prev_dc
+    z = 1
+    while z < 64:
+        sym = _huff_decode(r, ac_lut)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            z += 16
+            continue
+        run, size = sym >> 4, sym & 15
+        z += run
+        row[z] = _extend(r.bits(size), size)
+        z += 1
+    return prev_dc
+
+
+def _parse_jpeg(payload: bytes):
+    """Shared baseline parse: marker walk + entropy decode for 1- or
+    3-component scans. Returns (width, height, comps) with comps a list
+    of dicts: {"h", "v", "coeffs" (n_blocks, 64 zigzag), "q" (64),
+    "bw", "bh" (block-grid dims)}."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    dc_trees: dict[int, dict] = {}
-    ac_trees: dict[int, dict] = {}
+    dc_luts: dict[int, list] = {}
+    ac_luts: dict[int, list] = {}
     width = height = 0
-    comp_q = 0
+    sof_comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     restart_interval = 0
-    scan_dc_tbl = scan_ac_tbl = 0
+    scan_tbls: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+    scan_order: list[int] = []
 
     while True:
         assert payload[pos] == 0xFF, "marker expected"
@@ -433,17 +573,20 @@ def _decode_jpeg(payload: bytes):
                 n = sum(bits)
                 vals = tuple(seg[i + 17 : i + 17 + n])
                 lut = _build_decode_lut(bits, vals)
-                (dc_trees if tc == 0 else ac_trees)[th] = lut
+                (dc_luts if tc == 0 else ac_luts)[th] = lut
                 i += 17 + n
         elif marker == 0xC0:  # SOF0
             precision = seg[0]
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit single-component baseline JPEG supported"
+                    "only 8-bit 1- or 3-component baseline JPEG supported"
                 )
-            comp_q = seg[8]
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                sof_comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline SOF marker")
@@ -451,63 +594,137 @@ def _decode_jpeg(payload: bytes):
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            scan_dc_tbl = seg[2] >> 4
-            scan_ac_tbl = seg[2] & 15
+            if ns != len(sof_comps):
+                raise NotImplementedError("partial-component scan")
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                tbl = seg[2 + 2 * c]
+                scan_tbls[cid] = (tbl >> 4, tbl & 15)
+                scan_order.append(cid)
             pos += seglen
             break
         # APPn / COM / anything else: skip by declared length
         pos += seglen
 
-    wb = (width + 7) // 8
-    hb = (height + 7) // 8
-    n_blocks = wb * hb
-    dc_tree = dc_trees[scan_dc_tbl]
-    ac_tree = ac_trees[scan_ac_tbl]
-    q = np.array(qtables[comp_q], dtype=np.int64)
-
-    coeffs = np.zeros((n_blocks, 64), dtype=np.int64)
+    hmax = max(h for _, h, _, _ in sof_comps)
+    vmax = max(v for _, _, v, _ in sof_comps)
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in sof_comps}
     r = _BitReader(payload, pos)
-    prev_dc = 0
-    b = 0
-    while b < n_blocks:
-        if restart_interval and b and b % restart_interval == 0:
-            r.align_past_restart()
-            prev_dc = 0
-        try:
-            size = _huff_decode(r, dc_tree)
-            coeffs[b, 0] = prev_dc = prev_dc + _extend(r.bits(size), size)
-            z = 1
-            while z < 64:
-                sym = _huff_decode(r, ac_tree)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    z += 16
-                    continue
-                run, size = sym >> 4, sym & 15
-                z += run
-                coeffs[b, z] = _extend(r.bits(size), size)
-                z += 1
-            b += 1
-        except _Restart:
-            # restart marker reached through the bit reader (defensive:
-            # normal flow consumes it at the interval boundary above)
-            r.align_past_restart()
-            prev_dc = 0
+    comps: list[dict] = []
 
-    # dequantize, de-zigzag into (n, 8, 8), IDCT, level shift, clamp
-    deq = (coeffs * q)[:, _UNZIGZAG].reshape(n_blocks, 8, 8).astype(np.float64)
-    px_blocks = np.rint(idct2_blocks(deq) + 128.0)
-    px_blocks = np.clip(px_blocks, 0, 255).astype(np.uint8)
-    # stitch raster-order blocks into the image, crop MCU padding
-    img = (
-        px_blocks.reshape(hb, wb, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(hb * 8, wb * 8)[:height, :width]
-    )
-    return width, height, img.reshape(-1), coeffs
+    if len(sof_comps) == 1:
+        # single-component scans are non-interleaved: MCU = 1 data unit
+        cid, h, v, tq = sof_comps[0]
+        bw = (width + 7) // 8
+        bh = (height + 7) // 8
+        n_blocks = bw * bh
+        dc_lut = dc_luts[scan_tbls[cid][0]]
+        ac_lut = ac_luts[scan_tbls[cid][1]]
+        coeffs = np.zeros((n_blocks, 64), dtype=np.int64)
+        prev_dc = 0
+        b = 0
+        while b < n_blocks:
+            if restart_interval and b and b % restart_interval == 0:
+                r.align_past_restart()
+                prev_dc = 0
+            try:
+                prev_dc = _decode_block_into(r, coeffs[b], dc_lut, ac_lut, prev_dc)
+                b += 1
+            except _Restart:
+                # defensive: interval boundary normally consumes RSTn above
+                r.align_past_restart()
+                prev_dc = 0
+        comps.append(
+            dict(h=h, v=v, coeffs=coeffs,
+                 q=np.array(qtables[tq], dtype=np.int64), bw=bw, bh=bh)
+        )
+        return width, height, comps
+
+    # interleaved 3-component scan: MCU = h*v data units per component
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    state = {}
+    for cid in scan_order:
+        h, v, tq = by_id[cid]
+        bw, bh = mcus_x * h, mcus_y * v
+        state[cid] = dict(
+            h=h, v=v, coeffs=np.zeros((bw * bh, 64), dtype=np.int64),
+            q=np.array(qtables[tq], dtype=np.int64), bw=bw, bh=bh, dc=0,
+            dc_lut=dc_luts[scan_tbls[cid][0]], ac_lut=ac_luts[scan_tbls[cid][1]],
+        )
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_past_restart()
+            for st in state.values():
+                st["dc"] = 0
+        my, mx = divmod(m, mcus_x)
+        for cid in scan_order:
+            st = state[cid]
+            h, v = st["h"], st["v"]
+            for by in range(v):
+                for bx in range(h):
+                    b = (my * v + by) * st["bw"] + (mx * h + bx)
+                    st["dc"] = _decode_block_into(
+                        r, st["coeffs"][b], st["dc_lut"], st["ac_lut"], st["dc"]
+                    )
+    for cid in scan_order:
+        st = state[cid]
+        comps.append(
+            dict(h=st["h"], v=st["v"], coeffs=st["coeffs"], q=st["q"],
+                 bw=st["bw"], bh=st["bh"])
+        )
+    return width, height, comps
+
+
+def _idct_plane(comp: dict) -> np.ndarray:
+    """Dequantize + IDCT one component's blocks into its (bh*8, bw*8)
+    sample plane (level-shifted, clamped)."""
+    coeffs, q, bw, bh = comp["coeffs"], comp["q"], comp["bw"], comp["bh"]
+    deq = (coeffs * q)[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+    px = np.rint(idct2_blocks(deq) + 128.0)
+    px = np.clip(px, 0, 255)
+    return px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _decode_jpeg(payload: bytes):
+    width, height, comps = _parse_jpeg(payload)
+    if len(comps) != 1:
+        raise NotImplementedError(
+            "decode_jpeg is the grayscale entry point; use decode_jpeg_color"
+        )
+    img = _idct_plane(comps[0])[:height, :width].astype(np.uint8)
+    return width, height, img.reshape(-1), comps[0]["coeffs"]
+
+
+def decode_jpeg_color(payload: bytes):
+    """Baseline JFIF color decode (any 1/2-factor sampling incl. 4:2:0).
+
+    Returns ``(width, height, rgb, coeffs_list)`` — rgb a uint8 array of
+    length width*height*3 (raster order, BT.601 YCbCr->RGB with
+    round-half-away clamp), coeffs_list the per-component recovered
+    QUANTIZED coefficient arrays (Y, Cb, Cr) the hash oracle checks.
+    """
+    try:
+        width, height, comps = _parse_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+    if len(comps) != 3:
+        raise ValueError("decode_jpeg_color expects a 3-component scan")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        p = _idct_plane(c)
+        # nearest-neighbor upsample to the full MCU grid
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:height, :width])
+    y, cb, cr = (pl.astype(np.float64) for pl in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return width, height, rgb.reshape(-1), [c["coeffs"] for c in comps]
 
 
 # --- deterministic payload synthesis (integer arithmetic => SQL oracle) -----
@@ -562,3 +779,47 @@ def formula_jpeg_dc_only(doc_id: int) -> tuple[int, int, np.ndarray]:
 def gen_jpeg_dc_payload(doc_id: int) -> bytes:
     wb, hb, coeffs = formula_jpeg_dc_only(doc_id)
     return encode_jpeg_from_coeffs(wb, hb, coeffs)
+
+
+def formula_jpeg_color_coeffs(doc_id: int):
+    """(mcus_x, mcus_y, y_coeffs, cb_coeffs, cr_coeffs, restart) —
+    integer arithmetic mirrored by the multimodal_jpeg_color_decode
+    oracle: mcus_x = 1 + doc_id % 3, mcus_y = 1 + doc_id % 2; per Y
+    block b DC = ((doc_id + 23b) % 61) - 30, AC at z in 1..15 nonzero
+    iff (doc_id + 5b + 7z) % 6 == 0 with value ((doc_id + 3b + 11z)
+    % 19) - 9; per chroma block m Cb DC = ((doc_id + 29m) % 41) - 20
+    with AC gate (doc_id + 11m + 3z) % 7 == 0 for z in 1..9, value
+    ((doc_id + 13m + 5z) % 17) - 8, and Cr DC = ((doc_id + 31m) % 41)
+    - 20 with gate (doc_id + 7m + 5z) % 7 == 0, value ((doc_id + 17m
+    + 3z) % 17) - 8. Restart interval 2 MCUs when doc_id % 4 == 0."""
+    mcus_x = 1 + doc_id % 3
+    mcus_y = 1 + doc_id % 2
+    n_y = mcus_y * 2 * mcus_x * 2
+    n_c = mcus_y * mcus_x
+    b = np.arange(n_y, dtype=np.int64)[:, None]
+    m = np.arange(n_c, dtype=np.int64)[:, None]
+    z = np.arange(64, dtype=np.int64)[None, :]
+
+    yv = ((doc_id + 3 * b + 11 * z) % 19) - 9
+    ym = ((doc_id + 5 * b + 7 * z) % 6 == 0) & (z >= 1) & (z <= 15)
+    y = np.where(ym, yv, 0)
+    y[:, 0] = ((doc_id + 23 * b[:, 0]) % 61) - 30
+
+    cbv = ((doc_id + 13 * m + 5 * z) % 17) - 8
+    cbm = ((doc_id + 11 * m + 3 * z) % 7 == 0) & (z >= 1) & (z <= 9)
+    cb = np.where(cbm, cbv, 0)
+    cb[:, 0] = ((doc_id + 29 * m[:, 0]) % 41) - 20
+
+    crv = ((doc_id + 17 * m + 3 * z) % 17) - 8
+    crm = ((doc_id + 7 * m + 5 * z) % 7 == 0) & (z >= 1) & (z <= 9)
+    cr = np.where(crm, crv, 0)
+    cr[:, 0] = ((doc_id + 31 * m[:, 0]) % 41) - 20
+
+    rst = 2 if doc_id % 4 == 0 else 0
+    return mcus_x, mcus_y, y, cb, cr, rst
+
+
+def gen_jpeg_color_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic 4:2:0 YCbCr baseline JPEG container."""
+    mx, my, y, cb, cr, rst = formula_jpeg_color_coeffs(doc_id)
+    return encode_jpeg_color_from_coeffs(mx, my, y, cb, cr, restart_interval=rst)

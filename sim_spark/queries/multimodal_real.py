@@ -919,3 +919,152 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_samples long, sum_abs long, "
         "max_abs long, first_sample long, last_sample long",
     )
+
+
+# --- color 4:2:0 JPEG (r11): the dominant real-world JPEG shape -------------
+
+from sim_spark.ops.jpeg import (  # noqa: E402
+    decode_jpeg_color,
+    gen_jpeg_color_payload,
+)
+
+_gen_jpeg_color_batches = _make_gen_batches(gen_jpeg_color_payload)
+
+
+def _jpeg_color_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb, (y, cb, cr) = decode_jpeg_color(bytes(payload))
+
+            def chk(c):
+                b = np.arange(c.shape[0], dtype=np.int64)[:, None]
+                z = np.arange(64, dtype=np.int64)[None, :]
+                return int(((z + 64 * b) * c).sum())
+
+            rows.append(
+                (
+                    int(doc_id), w, h, y.shape[0] // 4,
+                    int(y[:, 0].sum()), int(cb[:, 0].sum()), int(cr[:, 0].sum()),
+                    int((y[:, 1:] != 0).sum() + (cb[:, 1:] != 0).sum()
+                        + (cr[:, 1:] != 0).sum()),
+                    chk(y), chk(cb), chk(cr),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_mcus", "y_dc_sum",
+                     "cb_dc_sum", "cr_dc_sum", "ac_nonzero",
+                     "y_checksum", "cb_checksum", "cr_checksum"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_jpeg_color_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + (doc_id % 3) AS mx, 1 + (doc_id % 2) AS my
+  FROM documents
+),
+ycells AS (
+  SELECT doc_id, mx, my, bb.b, zz.z,
+         CASE
+           WHEN zz.z = 0 THEN ((doc_id + 23 * bb.b) % 61) - 30
+           WHEN zz.z <= 15 AND (doc_id + 5 * bb.b + 7 * zz.z) % 6 = 0
+             THEN ((doc_id + 3 * bb.b + 11 * zz.z) % 19) - 9
+           ELSE 0
+         END AS coef
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, mx * 2 * my * 2)) AS b) bb,
+       LATERAL (SELECT unnest(range(0, 64)) AS z) zz
+),
+cbcells AS (
+  SELECT doc_id, bb.m, zz.z,
+         CASE
+           WHEN zz.z = 0 THEN ((doc_id + 29 * bb.m) % 41) - 20
+           WHEN zz.z <= 9 AND (doc_id + 11 * bb.m + 3 * zz.z) % 7 = 0
+             THEN ((doc_id + 13 * bb.m + 5 * zz.z) % 17) - 8
+           ELSE 0
+         END AS coef
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, mx * my)) AS m) bb,
+       LATERAL (SELECT unnest(range(0, 64)) AS z) zz
+),
+crcells AS (
+  SELECT doc_id, bb.m, zz.z,
+         CASE
+           WHEN zz.z = 0 THEN ((doc_id + 31 * bb.m) % 41) - 20
+           WHEN zz.z <= 9 AND (doc_id + 7 * bb.m + 5 * zz.z) % 7 = 0
+             THEN ((doc_id + 17 * bb.m + 3 * zz.z) % 17) - 8
+           ELSE 0
+         END AS coef
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, mx * my)) AS m) bb,
+       LATERAL (SELECT unnest(range(0, 64)) AS z) zz
+),
+yagg AS (
+  SELECT doc_id,
+         sum(CASE WHEN z = 0 THEN coef ELSE 0 END) AS y_dc_sum,
+         sum(CASE WHEN z > 0 AND coef <> 0 THEN 1 ELSE 0 END) AS y_nz,
+         sum((z + 64 * b) * coef) AS y_checksum
+  FROM ycells GROUP BY doc_id
+),
+cbagg AS (
+  SELECT doc_id,
+         sum(CASE WHEN z = 0 THEN coef ELSE 0 END) AS cb_dc_sum,
+         sum(CASE WHEN z > 0 AND coef <> 0 THEN 1 ELSE 0 END) AS cb_nz,
+         sum((z + 64 * m) * coef) AS cb_checksum
+  FROM cbcells GROUP BY doc_id
+),
+cragg AS (
+  SELECT doc_id,
+         sum(CASE WHEN z = 0 THEN coef ELSE 0 END) AS cr_dc_sum,
+         sum(CASE WHEN z > 0 AND coef <> 0 THEN 1 ELSE 0 END) AS cr_nz,
+         sum((z + 64 * m) * coef) AS cr_checksum
+  FROM crcells GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.mx * 16 AS BIGINT) AS width,
+       CAST(d.my * 16 AS BIGINT) AS height,
+       CAST(d.mx * d.my AS BIGINT) AS n_mcus,
+       CAST(y.y_dc_sum AS BIGINT) AS y_dc_sum,
+       CAST(cb.cb_dc_sum AS BIGINT) AS cb_dc_sum,
+       CAST(cr.cr_dc_sum AS BIGINT) AS cr_dc_sum,
+       CAST(y.y_nz + cb.cb_nz + cr.cr_nz AS BIGINT) AS ac_nonzero,
+       CAST(y.y_checksum AS BIGINT) AS y_checksum,
+       CAST(cb.cb_checksum AS BIGINT) AS cb_checksum,
+       CAST(cr.cr_checksum AS BIGINT) AS cr_checksum
+FROM dims d
+JOIN yagg y USING (doc_id)
+JOIN cbagg cb USING (doc_id)
+JOIN cragg cr USING (doc_id)
+""",
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 YCbCr baseline JPEG decode — the shape real-world images
+    overwhelmingly take. The encoder (ops/jpeg.py) emits genuinely
+    interleaved MCUs (Y00 Y01 Y10 Y11 Cb Cr per MCU, Annex K luminance
+    tables + DISTINCT chrominance tables, separate luma/chroma DQTs,
+    per-component DC predictors, RSTn every 2 MCUs on every fourth doc
+    resetting all three predictors); the decoder walks the same
+    structure generically (any 1/2 sampling factors), then dequantizes,
+    IDCTs each plane, 2x2-upsamples chroma, and converts BT.601
+    YCbCr->RGB. The oracle hash-matches the per-component RECOVERED
+    quantized coefficients (position-weighted checksums per plane)
+    against integer SQL — an interleave-order, chroma-table,
+    predictor-mixup, or restart bug cannot cancel across three
+    independent checksums. Pixel/color-conversion math is pinned by
+    tests (DC-only gray color images decode to exact constants).
+    Per-row Arrow-batched mapInPandas, no shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(_gen_jpeg_color_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _jpeg_color_feature_batches,
+        "doc_id long, width long, height long, n_mcus long, y_dc_sum long, "
+        "cb_dc_sum long, cr_dc_sum long, ac_nonzero long, y_checksum long, "
+        "cb_checksum long, cr_checksum long",
+    )

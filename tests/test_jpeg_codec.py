@@ -162,3 +162,90 @@ def test_spec_valid_container_structure():
     h = int.from_bytes(p[i + 5 : i + 7], "big")
     w = int.from_bytes(p[i + 7 : i + 9], "big")
     assert (w, h) == ((2 + 11 % 4) * 8, (1 + 11 % 3) * 8)
+
+
+# --- color 4:2:0 path (r11) -------------------------------------------------
+
+
+def test_color_formula_roundtrip_exact():
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_color,
+        formula_jpeg_color_coeffs,
+        gen_jpeg_color_payload,
+    )
+
+    for d in (0, 1, 2, 3, 4, 5, 11, 12, 59, 123, 4999):
+        mx, my, y, cb, cr, rst = formula_jpeg_color_coeffs(d)
+        w, h, rgb, coeffs = decode_jpeg_color(gen_jpeg_color_payload(d))
+        assert (w, h) == (mx * 16, my * 16)
+        assert np.array_equal(coeffs[0], y)
+        assert np.array_equal(coeffs[1], cb)
+        assert np.array_equal(coeffs[2], cr)
+        assert rgb.size == w * h * 3
+
+
+def test_color_dc_only_gray_pixels_exact():
+    """All-zero chroma + DC-only luma: BT.601 conversion terms vanish,
+    so every RGB channel equals clamp(y_dc + 128) exactly — pinning
+    plane stitching, 2x2 upsample wiring, and the conversion zero
+    point without a lossy-pixel oracle."""
+    from sim_spark.ops.jpeg import decode_jpeg_color, encode_jpeg_color_from_coeffs
+
+    yc = np.zeros((4, 64), dtype=np.int64)
+    yc[:, 0] = [-50, 10, 100, -200]
+    cc = np.zeros((1, 64), dtype=np.int64)
+    w, h, rgb, _ = decode_jpeg_color(encode_jpeg_color_from_coeffs(1, 1, yc, cc, cc))
+    img = rgb.reshape(16, 16, 3)
+    for b, (r0, c0) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+        exp = min(255, max(0, int(yc[b, 0]) + 128))
+        assert set(img[r0 : r0 + 8, c0 : c0 + 8].reshape(-1).tolist()) == {exp}
+
+
+def test_color_chroma_moves_channels_oppositely():
+    """Positive Cr DC pushes R above G/B; positive Cb DC pushes B up —
+    sign sanity of the conversion matrix on a flat image."""
+    from sim_spark.ops.jpeg import decode_jpeg_color, encode_jpeg_color_from_coeffs
+
+    yc = np.zeros((4, 64), dtype=np.int64)
+    cb = np.zeros((1, 64), dtype=np.int64)
+    cr = np.zeros((1, 64), dtype=np.int64)
+    cr[0, 0] = 10  # dequant 80 with q_dc 8
+    _, _, rgb, _ = decode_jpeg_color(encode_jpeg_color_from_coeffs(1, 1, yc, cb, cr))
+    img = rgb.reshape(-1, 3).astype(int)
+    assert (img[:, 0] > img[:, 1]).all() and (img[:, 0] > img[:, 2]).all()
+    cr[0, 0] = 0
+    cb[0, 0] = 10
+    _, _, rgb, _ = decode_jpeg_color(encode_jpeg_color_from_coeffs(1, 1, yc, cb, cr))
+    img = rgb.reshape(-1, 3).astype(int)
+    assert (img[:, 2] > img[:, 0]).all() and (img[:, 2] > img[:, 1]).all()
+
+
+def test_color_restart_resets_all_three_predictors():
+    from sim_spark.ops.jpeg import decode_jpeg_color, encode_jpeg_color_from_coeffs
+
+    mx, my = 3, 2  # 6 MCUs, RST after 2 and 4
+    yc = np.zeros((24, 64), dtype=np.int64)
+    yc[:, 0] = np.arange(50, 74)
+    cb = np.zeros((6, 64), dtype=np.int64)
+    cb[:, 0] = np.arange(-20, -14)
+    cr = np.zeros((6, 64), dtype=np.int64)
+    cr[:, 0] = np.arange(5, 11)
+    p = encode_jpeg_color_from_coeffs(mx, my, yc, cb, cr, restart_interval=2)
+    assert b"\xff\xd0" in p.split(b"\xff\xda")[1]
+    _, _, _, coeffs = decode_jpeg_color(p)
+    assert np.array_equal(coeffs[0], yc)
+    assert np.array_equal(coeffs[1], cb)
+    assert np.array_equal(coeffs[2], cr)
+
+
+def test_grayscale_entry_rejects_color_and_vice_versa():
+    from sim_spark.ops.jpeg import (
+        decode_jpeg,
+        decode_jpeg_color,
+        gen_jpeg_color_payload,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(gen_jpeg_color_payload(3))
+    with pytest.raises(ValueError):
+        decode_jpeg_color(gen_jpeg_payload(3))

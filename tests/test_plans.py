@@ -747,6 +747,9 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_flac_decode": dict(
         require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
     ),
+    "multimodal_jpeg_color_decode": dict(
+        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+    ),
     # corpus-total 1-row attach
     "text_unigram_surprisal": dict(bnlj=1, require=["HashAggregate"]),
     # one 1-row stats attach per autocorr lag (6 lags)
