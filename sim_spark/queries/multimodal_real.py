@@ -50,6 +50,22 @@ from sim_spark.registry import query
 _PAYLOAD_SCHEMA = "doc_id long, payload binary"
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str, *cols) -> DataFrame:
+    """The decode keys' input frame, spread across all task slots.
+
+    Decode parallelism equals partition count, and a small-fixture
+    documents.parquet is often ONE row group — unsplittable, so the
+    whole synthesize+decode chain would run in a single task (measured:
+    22 s for the jpeg key at sf1 on local[32], all serial). The frame
+    repartitioned here holds only doc_id (+ tiny int columns) BEFORE
+    payload synthesis, so the Exchange moves ~8 bytes/row at ANY scale
+    — the payloads themselves are never shuffled. At 100 TB the same
+    reasoning holds: round-robin the id frame, synthesize/decode
+    payloads after, stay narrow from there on."""
+    d = table(spark, sf_dir, "documents").select("doc_id", *cols)
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _make_gen_batches(gen_fn, with_n_chars: bool = False):
     """One mapInPandas payload-synthesis wrapper for every generator
     (r9 review: the per-format copies only differed in the gen call)."""
@@ -101,7 +117,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplitude features. The oracle recomputes the features from the
     synthesis formula — it never sees the bytes, so a decode bug cannot
     cancel out."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = _doc_ids(spark, sf_dir, "n_chars")
     payloads = d.mapInPandas(_gen_wav_batches, _PAYLOAD_SCHEMA)
     return wav_features(payloads)
 
@@ -133,7 +149,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel statistics. ``top_row_sum`` pins row ORDER: BMP stores rows
     bottom-up, so a parser that skips the reorder matches ``px_sum`` but
     fails this column."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
     return bmp_features(payloads)
 
@@ -185,7 +201,7 @@ def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows/doc. The oracle recomputes every window from the synthesis
     formula, so a segmentation bug (window boundaries, remainder
     handling) cannot hide."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = _doc_ids(spark, sf_dir, "n_chars")
     payloads = d.mapInPandas(_gen_wav_batches, _PAYLOAD_SCHEMA)
     feats = payloads.mapInPandas(
         _wav_rms_batches, "doc_id long, win long, n_smp long, sumsq long"
@@ -328,7 +344,7 @@ def bmp_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BMP key's signature frame (doc_id, b0..b3) — exposed so the
     band_recall diagnostic (tests/test_scale_ops.py, SCALE.md §21) can
     measure the capped generator against the exact pair set."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
@@ -422,7 +438,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfilter, chunk-walk, or inflate-reassembly bug cannot cancel out.
     Same 100 TB shape as the BMP/WAV twins: per-row mapInPandas decode,
     no shuffle until the tiny feature frame."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_png_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _png_feature_batches,
@@ -452,7 +468,7 @@ def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def png_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG twin's signature frame — see :func:`bmp_dhash_sig`."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_png_twin_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _png_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
@@ -626,7 +642,7 @@ def dedup_audio_fingerprint_metricband(
 
 def wav_fingerprint_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio key's signature frame — see :func:`bmp_dhash_sig`."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = _doc_ids(spark, sf_dir)
     payloads = d.mapInPandas(_gen_tone_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _wav_fingerprint_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
@@ -662,7 +678,7 @@ def multimodal_bmp_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every (row, col, channel) byte from the synthesis
     formula — catches it. Tiling is the downsample-for-vision-models
     preprocessing shape; per-row mapInPandas decode, 4 rows/doc out."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.lit(0).alias("n_chars"))
+    d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
     payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
     return (
         payloads.mapInPandas(
@@ -769,7 +785,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     math) plus property tests against a naive O(N^4) reference DCT.
     100 TB shape: per-row mapInPandas decode, no shuffle until the
     8-column feature frame."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = _doc_ids(spark, sf_dir)
     payloads = d.mapInPandas(_gen_jpeg_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _jpeg_coeff_feature_batches,
@@ -829,7 +845,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     `px_sum`; together with `multimodal_jpeg_decode` (entropy layer,
     general coefficients) the full decode path is covered by exact
     oracles despite JPEG's lossiness."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = _doc_ids(spark, sf_dir)
     payloads = d.mapInPandas(_gen_jpeg_dc_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _jpeg_pixel_feature_batches,
@@ -912,7 +928,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever seeing the bytes. Same 100 TB shape as the other
     codecs: per-row Arrow-batched mapInPandas, no shuffle until the
     tiny feature frame."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = _doc_ids(spark, sf_dir)
     payloads = d.mapInPandas(_gen_flac_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _flac_feature_batches,
@@ -1060,7 +1076,7 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent checksums. Pixel/color-conversion math is pinned by
     tests (DC-only gray color images decode to exact constants).
     Per-row Arrow-batched mapInPandas, no shuffle."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = _doc_ids(spark, sf_dir)
     payloads = d.mapInPandas(_gen_jpeg_color_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _jpeg_color_feature_batches,

@@ -733,22 +733,29 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "dedup_connected_components": dict(
         require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "Window"]
     ),
-    # decode pipelines are pure narrow maps: Arrow-batched MapInPandas,
-    # NO shuffle and NO row-wise Python UDF anywhere in the plan
+    # decode pipelines: Arrow-batched MapInPandas, no row-wise Python
+    # UDF; exactly one round-robin Exchange of the 8-byte id frame
+    # BEFORE payload synthesis (single-row-group inputs otherwise
+    # serialize the whole decode — see multimodal_real._doc_ids)
     "multimodal_wav_decode": dict(
-        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"]
     ),
     "multimodal_png_decode": dict(
-        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"]
     ),
     "multimodal_jpeg_decode": dict(
-        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"]
     ),
     "multimodal_flac_decode": dict(
-        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"]
     ),
     "multimodal_jpeg_color_decode": dict(
-        require=["MapInPandas"], forbid=["Exchange", "BatchEvalPython"]
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"]
     ),
     # corpus-total 1-row attach
     "text_unigram_surprisal": dict(bnlj=1, require=["HashAggregate"]),

@@ -85,6 +85,13 @@ DAY_US = 86_400_000_000
 
 def _write(name: str, table: pa.Table, row_group_size: int = 262_144) -> None:
     path = os.path.join(OUT, f"{name}.parquet")
+    # Spark cannot split a parquet row group: a small table written as
+    # ONE group (documents at sf1: 50k rows, 6 MB) serializes every
+    # narrow chain that scans it onto a single task regardless of
+    # maxPartitionBytes (r11 finding — the jpeg decode key ran 22 s
+    # all-serial). Cap the group size so every table yields >= ~32
+    # groups and scan-stage parallelism matches the machine.
+    row_group_size = min(row_group_size, max(1024, table.num_rows // 32))
     pq.write_table(table, path, row_group_size=row_group_size)
     print(f"{name}: {table.num_rows} rows -> {path}")
 
