@@ -13,8 +13,11 @@ chunk, ``sum_abs``/``first_sample``/``last_sample`` would.
 
 100 TB shape: payload synthesis stands in for a parquet binary column
 scan; decode is per-row independent work in mapInPandas — executor
-memory bounded by Arrow batch size × payload size, parallelism =
-partition count, no shuffle until the (tiny) feature frame.
+memory bounded by Arrow batch size × payload size. The only shuffle
+before the (tiny) feature frame is :func:`_doc_ids`' round-robin of
+the 8-byte id frame, which pins decode parallelism to the machine
+instead of the input's row-group layout (r11); payload bytes
+themselves are never shuffled.
 """
 
 from __future__ import annotations
