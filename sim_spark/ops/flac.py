@@ -233,9 +233,9 @@ def _best_rice_k(zz: np.ndarray) -> tuple[int, int]:
     return k, int(costs[k])
 
 
-def _rice_cost(samples: np.ndarray, order: int) -> int:
+def _rice_cost(samples: np.ndarray, order: int, bps: int = 16) -> int:
     _k, cost = _best_rice_k(_zigzag(_fixed_residual(samples, order)))
-    return cost + order * 16
+    return cost + order * bps  # residual bits + verbatim warm-up
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -266,8 +266,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
     return bytes(out)
 
 
-def _encode_frame(blk: np.ndarray, frame_no: int, sample_rate: int) -> bytes:
-    bs = blk.size
+def _frame_header(bs: int, frame_no: int, ch_code: int) -> bytes:
     w = _BitWriter()
     w.put(0b11111111111110, 14)  # sync
     w.put(0, 1)  # reserved
@@ -280,47 +279,125 @@ def _encode_frame(blk: np.ndarray, frame_no: int, sample_rate: int) -> bytes:
         w.put(0b0111, 4)
         bs_tail = struct.pack(">H", bs - 1)
     w.put(0b0000, 4)  # sample rate: from STREAMINFO
-    w.put(0b0000, 4)  # channels: mono
+    w.put(ch_code, 4)  # 0 = mono; 1 = L/R; 8/9/10 = LS/RS/MS
     w.put(0b100, 3)  # bps: 16
     w.put(0, 1)  # reserved
     header = bytes(w.out) + _utf8_coded(frame_no) + bs_tail
-    header += bytes([_crc8(header)])
+    return header + bytes([_crc8(header)])
 
-    # choose subframe: constant if flat, else cheapest fixed order 0..2
-    body = _BitWriter()
+
+def _subframe_cost(blk: np.ndarray, bps: int) -> int:
+    """Bits the cheapest supported subframe would take for `blk`."""
+    if np.all(blk == blk[0]):
+        return 8 + bps
+    return 8 + min(_rice_cost(blk, o, bps) for o in range(3))
+
+
+def _encode_subframe(body: _BitWriter, blk: np.ndarray, bps: int) -> None:
+    """Cheapest of CONSTANT / FIXED order 0..2, rice partition order 0."""
     if np.all(blk == blk[0]):
         body.put(0, 1)  # zero padding bit
         body.put(0b000000, 6)  # CONSTANT
         body.put(0, 1)  # no wasted bits
-        body.put(int(blk[0]) & 0xFFFF, 16)
-    else:
-        order = min(range(3), key=lambda o: _rice_cost(blk, o))
-        body.put(0, 1)
-        body.put(0b001000 | order, 6)  # FIXED, order
-        body.put(0, 1)
-        for v in blk[:order]:  # warm-up samples, verbatim bps bits
-            body.put(int(v) & 0xFFFF, 16)
-        res = _fixed_residual(blk, order)
-        zz = _zigzag(res)
-        k, _cost = _best_rice_k(zz)
-        body.put(0b00, 2)  # residual method: rice, 4-bit parameter
-        body.put(0, 4)  # partition order 0
-        body.put(k, 4)
-        # one put per sample: the unary quotient, stop bit, and k-bit
-        # remainder concatenate to (1 << k) | rem over (q + 1 + k) bits
-        kmask = (1 << k) - 1
-        put = body.put
-        stop = 1 << k
-        for u in zz.tolist():
-            put(stop | (u & kmask), (u >> k) + 1 + k)
+        body.put(int(blk[0]) & ((1 << bps) - 1), bps)
+        return
+    order = min(range(3), key=lambda o: _rice_cost(blk, o, bps))
+    body.put(0, 1)
+    body.put(0b001000 | order, 6)  # FIXED, order
+    body.put(0, 1)
+    for v in blk[:order]:  # warm-up samples, verbatim bps bits
+        body.put(int(v) & ((1 << bps) - 1), bps)
+    zz = _zigzag(_fixed_residual(blk, order))
+    k, _cost = _best_rice_k(zz)
+    body.put(0b00, 2)  # residual method: rice, 4-bit parameter
+    body.put(0, 4)  # partition order 0
+    body.put(k, 4)
+    # one put per sample: the unary quotient, stop bit, and k-bit
+    # remainder concatenate to (1 << k) | rem over (q + 1 + k) bits
+    kmask = (1 << k) - 1
+    put = body.put
+    stop = 1 << k
+    for u in zz.tolist():
+        put(stop | (u & kmask), (u >> k) + 1 + k)
+
+
+def _encode_frame(blk: np.ndarray, frame_no: int, sample_rate: int) -> bytes:
+    header = _frame_header(blk.size, frame_no, 0)
+    body = _BitWriter()
+    _encode_subframe(body, blk, 16)
     body.pad_to_byte()
     payload = header + bytes(body.out)
     return payload + struct.pack(">H", _crc16(payload))
 
 
-def decode_flac(payload: bytes):
-    """FLAC stream -> (sample_rate, int16 samples). Verifies frame
-    CRC-8/CRC-16 and the STREAMINFO MD5 of the decoded stream."""
+def _encode_frame_stereo(
+    left: np.ndarray, right: np.ndarray, frame_no: int,
+    force_code: int | None = None,
+) -> bytes:
+    """Per-frame channel-assignment choice, like a real encoder: cost
+    out independent L/R, left/side, right/side, and mid/side (side =
+    L - R at bps+1; mid = (L + R) >> 1) and emit the cheapest."""
+    side = left - right
+    mid = (left + right) >> 1
+    c_l = _subframe_cost(left, 16)
+    c_r = _subframe_cost(right, 16)
+    c_s = _subframe_cost(side, 17)
+    c_m = _subframe_cost(mid, 16)
+    options = {
+        0b0001: (c_l + c_r, (left, 16), (right, 16)),
+        0b1000: (c_l + c_s, (left, 16), (side, 17)),
+        0b1001: (c_s + c_r, (side, 17), (right, 16)),
+        0b1010: (c_m + c_s, (mid, 16), (side, 17)),
+    }
+    ch_code = force_code if force_code is not None else min(
+        options, key=lambda c: options[c][0]
+    )
+    _, ch1, ch2 = options[ch_code]
+    header = _frame_header(left.size, frame_no, ch_code)
+    body = _BitWriter()
+    _encode_subframe(body, ch1[0], ch1[1])
+    _encode_subframe(body, ch2[0], ch2[1])
+    body.pad_to_byte()
+    payload = header + bytes(body.out)
+    return payload + struct.pack(">H", _crc16(payload))
+
+
+def encode_flac_stereo(
+    left: np.ndarray, right: np.ndarray, sample_rate: int
+) -> bytes:
+    """Stereo int16 -> FLAC stream with per-frame decorrelation."""
+    lft = np.asarray(left, dtype=np.int64)
+    rgt = np.asarray(right, dtype=np.int64)
+    assert lft.size == rgt.size and lft.size
+    for s in (lft, rgt):
+        assert np.all((s >= -32768) & (s <= 32767))
+    n = lft.size
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2] = lft.astype("<i2")
+    inter[1::2] = rgt.astype("<i2")
+    md5 = hashlib.md5(inter.tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.put(min(_BLOCKSIZE, n) if n >= _BLOCKSIZE else n, 16)
+    si.put(min(_BLOCKSIZE, n), 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(sample_rate, 20)
+    si.put(1, 3)  # channels - 1
+    si.put(15, 5)  # bps - 1
+    si.put(n, 36)
+    out += b"\x80" + (34).to_bytes(3, "big") + bytes(si.out) + md5
+    for frame_no, start in enumerate(range(0, n, _BLOCKSIZE)):
+        out += _encode_frame_stereo(
+            lft[start : start + _BLOCKSIZE],
+            rgt[start : start + _BLOCKSIZE],
+            frame_no,
+        )
+    return bytes(out)
+
+
+def _decode_stream(payload: bytes, want_channels: int):
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -342,8 +419,13 @@ def decode_flac(payload: bytes):
             nch = r.bits(3) + 1
             bps = r.bits(5) + 1
             total = r.bits(36)
-            if nch != 1 or bps != 16:
-                raise NotImplementedError("only mono 16-bit FLAC supported")
+            if bps != 16:
+                raise NotImplementedError("only 16-bit FLAC supported")
+            if nch != want_channels:
+                raise NotImplementedError(
+                    f"stream has {nch} channel(s); use "
+                    f"{'decode_flac' if nch == 1 else 'decode_flac_stereo'}"
+                )
             md5_expect = body[18:34]
         pos += 4 + length
         if last:
@@ -358,18 +440,43 @@ def decode_flac(payload: bytes):
     got = 0
     while got < total and pos < len(payload):
         frame, consumed = _decode_frame(payload, pos)
+        if (frame.ndim == 2) != (want_channels == 2):
+            raise ValueError("frame channel layout contradicts STREAMINFO")
         frames.append(frame)
-        got += frame.size
+        got += frame.shape[-1]
         pos += consumed
     if got != total:
         raise ValueError(
             f"FLAC sample-count mismatch: STREAMINFO says {total}, stream "
             f"holds {got}"
         )
+    return sample_rate, frames, md5_expect
+
+
+def decode_flac(payload: bytes):
+    """Mono FLAC stream -> (sample_rate, int16 samples). Verifies frame
+    CRC-8/CRC-16 and the STREAMINFO MD5 of the decoded stream."""
+    sample_rate, frames, md5_expect = _decode_stream(payload, 1)
     s16 = np.concatenate(frames).astype("<i2")
     if hashlib.md5(s16.tobytes()).digest() != md5_expect:
         raise ValueError("FLAC MD5 mismatch: decoded stream corrupt")
     return sample_rate, s16
+
+
+def decode_flac_stereo(payload: bytes):
+    """Stereo FLAC -> (sample_rate, left int16, right int16). Undoes the
+    per-frame channel decorrelation (independent / left-side /
+    right-side / mid-side) and verifies all three checksums — the MD5 is
+    computed over the interleaved L,R stream exactly as the spec says,
+    so a decorrelation-mode or reconstruction bug cannot pass."""
+    sample_rate, frames, md5_expect = _decode_stream(payload, 2)
+    lr = np.concatenate(frames, axis=1)
+    inter = np.empty(2 * lr.shape[1], dtype="<i2")
+    inter[0::2] = lr[0].astype("<i2")
+    inter[1::2] = lr[1].astype("<i2")
+    if hashlib.md5(inter.tobytes()).digest() != md5_expect:
+        raise ValueError("FLAC MD5 mismatch: decoded stream corrupt")
+    return sample_rate, lr[0].astype("<i2"), lr[1].astype("<i2")
 
 
 def _decode_frame(payload: bytes, byte_pos: int):
@@ -383,8 +490,10 @@ def _decode_frame(payload: bytes, byte_pos: int):
     ch_code = r.bits(4)
     bps_code = r.bits(3)
     r.bit()  # reserved
-    if ch_code != 0 or bps_code != 0b100:
-        raise NotImplementedError("only mono 16-bit frames supported")
+    if ch_code not in (0b0000, 0b0001, 0b1000, 0b1001, 0b1010):
+        raise NotImplementedError(f"channel assignment {ch_code:#06b}")
+    if bps_code != 0b100:
+        raise NotImplementedError("only 16-bit frames supported")
     _frame_no = _read_utf8_coded(r)
     if bs_code == 0b1000:
         bs = 256
@@ -401,7 +510,36 @@ def _decode_frame(payload: bytes, byte_pos: int):
     if _crc8(payload[byte_pos:header_end]) != crc8_read:
         raise ValueError("frame header CRC-8 mismatch")
 
-    # subframe
+    if ch_code == 0b0000:
+        frame = _decode_subframe(r, bs, 16)
+    else:
+        bps1 = 17 if ch_code == 0b1001 else 16  # RS: ch1 is the side
+        bps2 = 17 if ch_code in (0b1000, 0b1010) else 16  # LS/MS: ch2 side
+        ch1 = _decode_subframe(r, bs, bps1)
+        ch2 = _decode_subframe(r, bs, bps2)
+        if ch_code == 0b0001:  # independent L, R
+            left, right = ch1, ch2
+        elif ch_code == 0b1000:  # left/side: side = L - R
+            left, right = ch1, ch1 - ch2
+        elif ch_code == 0b1001:  # side/right
+            left, right = ch1 + ch2, ch2
+        else:  # mid/side: mid = (L + R) >> 1, side = L - R
+            mid2 = (ch1 << 1) | (ch2 & 1)
+            left = (mid2 + ch2) >> 1
+            right = (mid2 - ch2) >> 1
+        frame = np.stack([left, right])
+
+    r.align()
+    frame_end = r.bitpos >> 3
+    crc16_read = r.bits(16)
+    if _crc16(payload[byte_pos:frame_end]) != crc16_read:
+        raise ValueError("frame CRC-16 mismatch")
+    return frame, (r.bitpos >> 3) - byte_pos
+
+
+def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
+    sign = 1 << (bps - 1)
+    full = 1 << bps
     if r.bit() != 0:
         raise ValueError("subframe padding bit set")
     sf_type = r.bits(6)
@@ -409,22 +547,22 @@ def _decode_frame(payload: bytes, byte_pos: int):
     if wasted:
         raise NotImplementedError("wasted-bits subframes")
     if sf_type == 0b000000:  # CONSTANT
-        v = r.bits(16)
-        if v >= 1 << 15:
-            v -= 1 << 16
+        v = r.bits(bps)
+        if v >= sign:
+            v -= full
         blk = np.full(bs, v, dtype=np.int64)
     elif sf_type == 0b000001:  # VERBATIM
         vals = []
         for _ in range(bs):
-            v = r.bits(16)
-            vals.append(v - (1 << 16) if v >= 1 << 15 else v)
+            v = r.bits(bps)
+            vals.append(v - full if v >= sign else v)
         blk = np.array(vals, dtype=np.int64)
     elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0..4
         order = sf_type & 0b000111
         warm = []
         for _ in range(order):
-            v = r.bits(16)
-            warm.append(v - (1 << 16) if v >= 1 << 15 else v)
+            v = r.bits(bps)
+            warm.append(v - full if v >= sign else v)
         method = r.bits(2)
         if method not in (0b00, 0b01):
             raise ValueError("reserved residual method")
@@ -465,13 +603,7 @@ def _decode_frame(payload: bytes, byte_pos: int):
                 )
     else:
         raise NotImplementedError(f"subframe type {sf_type:#08b} (LPC)")
-
-    r.align()
-    frame_end = r.bitpos >> 3
-    crc16_read = r.bits(16)
-    if _crc16(payload[byte_pos:frame_end]) != crc16_read:
-        raise ValueError("frame CRC-16 mismatch")
-    return blk, (r.bitpos >> 3) - byte_pos
+    return blk
 
 
 # --- deterministic payload synthesis (integer arithmetic => SQL oracle) -----
@@ -500,3 +632,33 @@ def formula_flac_samples(doc_id: int) -> tuple[int, np.ndarray]:
 def gen_flac_payload(doc_id: int) -> bytes:
     rate, s = formula_flac_samples(doc_id)
     return encode_flac(s, rate)
+
+
+def formula_flac_stereo_samples(doc_id: int):
+    """(sample_rate, left, right) — integer arithmetic the DuckDB oracle
+    recomputes. L is pseudo-noise throughout; R tracks L with a small
+    wobble for i < n//2 (side channel tiny -> mid/side or left/side
+    wins the per-frame cost-out) and is independent noise after (the
+    independent L/R assignment wins), so a single payload exercises
+    multiple decorrelation modes across its frames:
+      n = 200 + doc_id % 300, rate = 8000 + (doc_id % 3) * 4000
+      L(i) = (doc_id * 31 + i * i * 13) % 3001 - 1500
+      R(i) = L(i) + ((doc_id + i) % 21) - 10          for i < n // 2
+             (doc_id * 17 + i * i * 29) % 12001 - 6000 otherwise
+    (the wider independent range makes c(L)+c(R) beat mid/side there,
+    so both the decorrelated and independent reconstructions are
+    exercised under the hash oracle)
+    """
+    n = 200 + doc_id % 300
+    rate = 8000 + (doc_id % 3) * 4000
+    i = np.arange(n, dtype=np.int64)
+    left = (doc_id * 31 + i * i * 13) % 3001 - 1500
+    wobble = left + (doc_id + i) % 21 - 10
+    indep = (doc_id * 17 + i * i * 29) % 12001 - 6000
+    right = np.where(i < n // 2, wobble, indep)
+    return rate, left, right
+
+
+def gen_flac_stereo_payload(doc_id: int) -> bytes:
+    rate, left, right = formula_flac_stereo_samples(doc_id)
+    return encode_flac_stereo(left, right, rate)

@@ -1087,3 +1087,90 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb_dc_sum long, cr_dc_sum long, ac_nonzero long, y_checksum long, "
         "cb_checksum long, cr_checksum long",
     )
+
+
+# --- stereo FLAC with channel decorrelation (r11) ---------------------------
+
+from sim_spark.ops.flac import (  # noqa: E402
+    decode_flac_stereo,
+    gen_flac_stereo_payload,
+)
+
+_gen_flac_stereo_batches = _make_gen_batches(gen_flac_stereo_payload)
+
+
+def _flac_stereo_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, left, right = decode_flac_stereo(bytes(payload))
+            lft = left.astype(np.int64)
+            rgt = right.astype(np.int64)
+            rows.append(
+                (int(doc_id), rate, len(lft), int(np.abs(lft).sum()),
+                 int(np.abs(rgt).sum()), int(np.abs(lft - rgt).sum()),
+                 int(lft[0]), int(rgt[-1]))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "n_samples", "sum_abs_l",
+                     "sum_abs_r", "sum_abs_side", "first_l", "last_r"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_flac_stereo_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 200 + (doc_id % 300) AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate, ii.i,
+         (doc_id * 31 + ii.i * ii.i * 13) % 3001 - 1500 AS l
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+),
+lr AS (
+  SELECT doc_id, n, rate, i, l,
+         CASE WHEN i < n // 2 THEN l + (doc_id + i) % 21 - 10
+              ELSE (doc_id * 17 + i * i * 29) % 12001 - 6000
+         END AS r
+  FROM s
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(l)) AS BIGINT) AS sum_abs_l,
+       CAST(sum(abs(r)) AS BIGINT) AS sum_abs_r,
+       CAST(sum(abs(l - r)) AS BIGINT) AS sum_abs_side,
+       CAST(min(CASE WHEN i = 0 THEN l END) AS BIGINT) AS first_l,
+       CAST(min(CASE WHEN i = n - 1 THEN r END) AS BIGINT) AS last_r
+FROM lr GROUP BY doc_id, n, rate
+""",
+)
+def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo FLAC decode with per-frame channel decorrelation — the
+    encoder costs out independent L/R vs left/side vs right/side vs
+    mid/side (side = L−R at 17 bits) per frame like a real encoder, and
+    the fixture's two regimes make BOTH an independent and a
+    decorrelated assignment occur within most payloads (verified in
+    tests; all four reconstructions are additionally round-tripped with
+    forced assignments). The decoder undoes whichever assignment each
+    frame header declares and verifies CRC-8, CRC-16, and the
+    STREAMINFO MD5 computed over the INTERLEAVED L,R stream — so a
+    reconstruction or interleave bug cannot pass. Lossless ⇒ one
+    end-to-end oracle: DuckDB recomputes every L/R sample from the
+    doc_id formula. `sum_abs_side` pins the decorrelation axis
+    explicitly. Per-row Arrow-batched mapInPandas."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_flac_stereo_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _flac_stereo_feature_batches,
+        "doc_id long, sample_rate long, n_samples long, sum_abs_l long, "
+        "sum_abs_r long, sum_abs_side long, first_l long, last_r long",
+    )

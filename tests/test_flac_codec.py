@@ -104,3 +104,88 @@ def test_md5_is_real():
     payload = gen_flac_payload(8)
     md5 = payload[8 + 18 : 8 + 34]
     assert md5 == hashlib.md5(s.astype("<i2").tobytes()).digest()
+
+
+# --- stereo (r11) -----------------------------------------------------------
+
+
+def test_stereo_formula_roundtrip_exact():
+    from sim_spark.ops.flac import (
+        decode_flac_stereo,
+        formula_flac_stereo_samples,
+        gen_flac_stereo_payload,
+    )
+
+    for d in (0, 1, 2, 5, 99, 100, 299, 4999):
+        rate, left, right = formula_flac_stereo_samples(d)
+        r2, l2, rr2 = decode_flac_stereo(gen_flac_stereo_payload(d))
+        assert r2 == rate
+        assert np.array_equal(l2.astype(np.int64), left)
+        assert np.array_equal(rr2.astype(np.int64), right)
+
+
+def test_stereo_all_four_reconstructions():
+    """Round-trip each channel assignment explicitly (forced), so the
+    left/side, side/right, and mid/side reconstructions are each
+    exercised even when the cost-out wouldn't naturally pick them."""
+    import sim_spark.ops.flac as fl
+
+    rng = np.random.default_rng(1)
+    left = rng.integers(-2000, 2000, 256).astype(np.int64)
+    right = rng.integers(-2000, 2000, 256).astype(np.int64)
+    for code in (0b0001, 0b1000, 0b1001, 0b1010):
+        f = fl._encode_frame_stereo(left, right, 0, force_code=code)
+        frame, _ = fl._decode_frame(bytes(f), 0)
+        assert np.array_equal(frame[0], left) and np.array_equal(frame[1], right)
+
+
+def test_stereo_fixture_uses_multiple_assignments():
+    """The two-regime fixture must actually exercise both an
+    independent and a decorrelated assignment under the hash oracle."""
+    import sim_spark.ops.flac as fl
+
+    def chcodes(p):
+        pos = 4
+        while True:
+            hdr = p[pos]
+            last = bool(hdr & 0x80)
+            ln = int.from_bytes(p[pos + 1 : pos + 4], "big")
+            pos += 4 + ln
+            if last:
+                break
+        codes = set()
+        while pos < len(p):
+            r = fl._BitReader(p, pos)
+            assert r.bits(14) == 0b11111111111110
+            r.bit(); r.bit(); r.bits(4); r.bits(4)
+            codes.add(r.bits(4))
+            _frame, consumed = fl._decode_frame(p, pos)
+            pos += consumed
+        return codes
+
+    seen = set()
+    for d in range(100):
+        seen.update(chcodes(fl.gen_flac_stereo_payload(d)))
+    assert 0b0001 in seen and (seen & {0b1000, 0b1001, 0b1010})
+
+
+def test_stereo_md5_is_over_interleaved_stream():
+    import hashlib
+
+    from sim_spark.ops.flac import formula_flac_stereo_samples, gen_flac_stereo_payload
+
+    rate, left, right = formula_flac_stereo_samples(8)
+    inter = np.empty(2 * left.size, dtype="<i2")
+    inter[0::2] = left.astype("<i2")
+    inter[1::2] = right.astype("<i2")
+    payload = gen_flac_stereo_payload(8)
+    assert payload[8 + 18 : 8 + 34] == hashlib.md5(inter.tobytes()).digest()
+
+
+def test_mono_and_stereo_entry_points_cross_reject():
+    from sim_spark.ops.flac import decode_flac, decode_flac_stereo, gen_flac_stereo_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_flac(gen_flac_stereo_payload(3))
+    with pytest.raises(NotImplementedError):
+        decode_flac_stereo(gen_flac_payload(3))
