@@ -19,10 +19,16 @@ Implemented subset (a spec-conformant stream any FLAC decoder reads):
   size / sample rate / channel / bps fields, UTF-8-coded frame number,
   CRC-8 header checksum and CRC-16 frame checksum (both computed and
   VERIFIED),
-- subframes: CONSTANT, VERBATIM, and FIXED orders 0..2 with rice-coded
-  residuals (4-bit parameter, partition order 0; zigzag mapping;
-  escape code 0b1111 -> verbatim residuals). The encoder picks the
-  cheapest of constant/fixed-0/1/2 per frame like a real encoder.
+- subframes: CONSTANT, VERBATIM, FIXED orders 0..4 (encode picks the
+  cheapest of constant/fixed-0..2 per frame like a real encoder), and
+  — decode-side — LPC orders 1..32 (QLP precision/shift/coefficient
+  parse + integer prediction), because real-world FLAC files
+  overwhelmingly use LPC; round-trip-tested via the LPC test writer.
+  Residuals are rice-coded (4/5-bit parameter, partition order 0,
+  zigzag, escape to raw).
+- stereo: per-frame channel decorrelation (independent, left/side,
+  right/side, mid/side with the exact (mid<<1)|(side&1) inverse),
+  chosen by cost like a real encoder; MD5 over the interleaved stream.
 
 The decoder validates CRC-8, CRC-16, and the STREAMINFO MD5, so a
 single corrupted bit anywhere in the stream is caught — tested.
@@ -563,26 +569,7 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
         for _ in range(order):
             v = r.bits(bps)
             warm.append(v - full if v >= sign else v)
-        method = r.bits(2)
-        if method not in (0b00, 0b01):
-            raise ValueError("reserved residual method")
-        part_order = r.bits(4)
-        if part_order != 0:
-            raise NotImplementedError("rice partition order > 0")
-        kbits = 4 if method == 0b00 else 5
-        k = r.bits(kbits)
-        if k == (1 << kbits) - 1:  # escape: raw residuals
-            rawbits = r.bits(5)
-            res = [
-                (v - (1 << rawbits) if v >= 1 << (rawbits - 1) else v)
-                for v in (r.bits(rawbits) for _ in range(bs - order))
-            ]
-        else:
-            res = []
-            for _ in range(bs - order):
-                q = r.unary()
-                u = (q << k) | r.bits(k)
-                res.append(_unzigzag(u))
+        res = _read_residuals(r, bs - order)
         # integrate `order` times from the warm-up samples
         blk = np.empty(bs, dtype=np.int64)
         blk[:order] = warm
@@ -601,9 +588,61 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
                 blk[i + 4] = (
                     e + 4 * blk[i + 3] - 6 * blk[i + 2] + 4 * blk[i + 1] - blk[i]
                 )
+    elif sf_type >= 0b100000:  # LPC order 1..32 — what real files use
+        order = (sf_type & 0b011111) + 1
+        warm = []
+        for _ in range(order):
+            v = r.bits(bps)
+            warm.append(v - full if v >= sign else v)
+        precision = r.bits(4) + 1
+        if precision == 16:  # coded 0b1111 is invalid per spec
+            raise ValueError("invalid QLP precision escape")
+        shift = r.bits(5)  # signed per spec but negative is forbidden
+        if shift >= 16:
+            raise ValueError("negative QLP shift")
+        psign = 1 << (precision - 1)
+        pfull = 1 << precision
+        coefs = []
+        for _ in range(order):
+            c = r.bits(precision)
+            coefs.append(c - pfull if c >= psign else c)
+        res = _read_residuals(r, bs - order)
+        blk = np.empty(bs, dtype=np.int64)
+        blk[:order] = warm
+        for i, e in enumerate(res):
+            pred = 0
+            base = i + order
+            for j, c in enumerate(coefs):
+                pred += c * int(blk[base - 1 - j])
+            blk[base] = e + (pred >> shift)
     else:
-        raise NotImplementedError(f"subframe type {sf_type:#08b} (LPC)")
+        raise NotImplementedError(f"subframe type {sf_type:#08b}")
     return blk
+
+
+def _read_residuals(r: _BitReader, count: int) -> list[int]:
+    """Coded-residual section shared by FIXED and LPC subframes: rice
+    (4- or 5-bit parameter) with the escape to raw, partition order 0."""
+    method = r.bits(2)
+    if method not in (0b00, 0b01):
+        raise ValueError("reserved residual method")
+    part_order = r.bits(4)
+    if part_order != 0:
+        raise NotImplementedError("rice partition order > 0")
+    kbits = 4 if method == 0b00 else 5
+    k = r.bits(kbits)
+    if k == (1 << kbits) - 1:  # escape: raw residuals
+        rawbits = r.bits(5)
+        return [
+            (v - (1 << rawbits) if v >= 1 << (rawbits - 1) else v)
+            for v in (r.bits(rawbits) for _ in range(count))
+        ]
+    res = []
+    for _ in range(count):
+        q = r.unary()
+        u = (q << k) | r.bits(k)
+        res.append(_unzigzag(u))
+    return res
 
 
 # --- deterministic payload synthesis (integer arithmetic => SQL oracle) -----
@@ -662,3 +701,48 @@ def formula_flac_stereo_samples(doc_id: int):
 def gen_flac_stereo_payload(doc_id: int) -> bytes:
     rate, left, right = formula_flac_stereo_samples(doc_id)
     return encode_flac_stereo(left, right, rate)
+
+
+def _encode_subframe_lpc(
+    body: _BitWriter,
+    blk: np.ndarray,
+    bps: int,
+    coefs: list[int],
+    precision: int,
+    shift: int,
+) -> None:
+    """LPC subframe encoder (test/interop aid: the oracle keys emit
+    FIXED subframes, but the decoder supports LPC because real-world
+    FLAC files overwhelmingly use it — this writer exists so that
+    support is round-trip-TESTED, not merely claimed). Residuals use
+    the same integer prediction the decoder inverts:
+    e[i] = x[i] - ((sum c[j]*x[i-1-j]) >> shift)."""
+    order = len(coefs)
+    assert 1 <= order <= 32 and 1 <= precision <= 15 and 0 <= shift <= 15
+    psign = 1 << (precision - 1)
+    assert all(-psign <= c < psign for c in coefs)
+    body.put(0, 1)
+    body.put(0b100000 | (order - 1), 6)
+    body.put(0, 1)  # no wasted bits
+    for v in blk[:order]:
+        body.put(int(v) & ((1 << bps) - 1), bps)
+    body.put(precision - 1, 4)
+    body.put(shift, 5)
+    for c in coefs:
+        body.put(c & ((1 << precision) - 1), precision)
+    res = []
+    x = blk.astype(np.int64)
+    for i in range(order, blk.size):
+        pred = 0
+        for j, c in enumerate(coefs):
+            pred += c * int(x[i - 1 - j])
+        res.append(int(x[i]) - (pred >> shift))
+    zz = _zigzag(np.array(res, dtype=np.int64)) if res else np.array([], dtype=np.int64)
+    k, _cost = _best_rice_k(zz) if res else (0, 0)
+    body.put(0b00, 2)
+    body.put(0, 4)
+    body.put(k, 4)
+    kmask = (1 << k) - 1
+    stop = 1 << k
+    for u in zz.tolist():
+        body.put(stop | (u & kmask), (u >> k) + 1 + k)

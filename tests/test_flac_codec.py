@@ -189,3 +189,54 @@ def test_mono_and_stereo_entry_points_cross_reject():
         decode_flac(gen_flac_stereo_payload(3))
     with pytest.raises(NotImplementedError):
         decode_flac_stereo(gen_flac_payload(3))
+
+
+def test_lpc_subframe_decode_roundtrip():
+    """Decode-side LPC (what real FLAC files use): encode frames whose
+    subframe is a genuine LPC predictor at several orders/shifts and
+    require bit-exact reconstruction through the public frame decoder."""
+    import struct
+
+    import sim_spark.ops.flac as fl
+
+    rng = np.random.default_rng(5)
+    base = np.cumsum(rng.integers(-80, 80, 256)).astype(np.int64)
+    cases = [
+        ([1 << 4], 6, 4),                 # order 1, c=1.0 at shift 4
+        ([2 << 5, -(1 << 5)], 8, 5),      # order 2 ~ fixed-2 predictor
+        ([3 << 3, -(3 << 3), 1 << 3], 6, 3),
+        (list(rng.integers(-100, 100, 8)), 8, 6),  # order 8, random taps
+    ]
+    for coefs, precision, shift in cases:
+        header = fl._frame_header(256, 0, 0)
+        body = fl._BitWriter()
+        fl._encode_subframe_lpc(body, base, 16, [int(c) for c in coefs],
+                                precision, shift)
+        body.pad_to_byte()
+        payload = header + bytes(body.out)
+        payload += struct.pack(">H", fl._crc16(payload))
+        frame, consumed = fl._decode_frame(bytes(payload), 0)
+        assert consumed == len(payload)
+        assert np.array_equal(frame, base), (coefs, precision, shift)
+
+
+def test_lpc_rejects_invalid_precision_escape():
+    import struct
+
+    import sim_spark.ops.flac as fl
+
+    base = np.arange(256, dtype=np.int64)
+    header = fl._frame_header(256, 0, 0)
+    body = fl._BitWriter()
+    fl._encode_subframe_lpc(body, base, 16, [16], 6, 4)
+    body.pad_to_byte()
+    payload = bytearray(header + bytes(body.out))
+    # precision-1 field sits right after the 16-bit warm-up sample:
+    # header | 0 | type(6) | 0 | warm(16) | precision-1(4) ...
+    # flip it to 0b1111 (escape) by locating bit offset
+    bit = len(header) * 8 + 1 + 6 + 1 + 16
+    for i in range(4):
+        payload[(bit + i) // 8] |= 0x80 >> ((bit + i) % 8)
+    payload += struct.pack(">H", fl._crc16(bytes(payload)))
+    with pytest.raises(ValueError):
+        fl._decode_frame(bytes(payload), 0)
