@@ -61,8 +61,17 @@ def decode(payload: bytes) -> dict:
         w, h, px, _coeffs = decode_jpeg(payload)
         return {"kind": "jpeg", "width": w, "height": h, "pixels": px.tobytes()}
     if payload[:4] == b"fLaC":
-        from sim_spark.ops.flac import decode_flac
+        from sim_spark.ops.flac import decode_flac, decode_flac_stereo
 
+        nch = ((payload[8 + 12] >> 1) & 0b111) + 1  # STREAMINFO channels
+        if nch == 2:
+            rate, left, right = decode_flac_stereo(payload)
+            return {
+                "kind": "flac",
+                "sample_rate": rate,
+                "left": left,
+                "right": right,
+            }
         rate, samples = decode_flac(payload)
         return {"kind": "flac", "sample_rate": rate, "samples": samples}
     raise NotImplementedError(
