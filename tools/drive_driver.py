@@ -56,6 +56,7 @@ qs, os_ = ep.queries(), ep.oracle_sql()
 # quadratic-OUTPUT keys are excluded there by scope, see SCALE.md §24);
 # the output file gains a _subset tag so a scoped artifact can never be
 # mistaken for a full drive.
+qs_all = qs  # probes below use the flagship regardless of DRIVE_KEYS scope
 if os.environ.get("DRIVE_KEYS"):
     keep = {k.strip() for k in os.environ["DRIVE_KEYS"].split(",") if k.strip()}
     missing = keep - set(qs)
@@ -254,13 +255,13 @@ if ROUND is not None:
     print(f"wrote {out}")
 
 # probe 1: same query twice -> identical canonical rows (hash stability)
-a = canonicalize(qs["agg_q1_pricing"](spark, sf).toPandas())
-b = canonicalize(qs["agg_q1_pricing"](spark, sf).toPandas())
+a = canonicalize(qs_all["agg_q1_pricing"](spark, sf).toPandas())
+b = canonicalize(qs_all["agg_q1_pricing"](spark, sf).toPandas())
 print("repeat-run stable:", a == b)
 assert a == b
 
 # probe 2: different scale factor (sf0.1) still matches oracle
-scols, srows = canonicalize(qs["agg_q1_pricing"](spark, "/root/testdata/sf0.1").toPandas())
+scols, srows = canonicalize(qs_all["agg_q1_pricing"](spark, "/root/testdata/sf0.1").toPandas())
 con2 = duckdb_connect("/root/testdata/sf0.1")
 ocols, orows = canonicalize(con2.execute(os_["agg_q1_pricing"]).fetchdf())
 print("sf0.1 parity:", (scols, srows) == (ocols, orows))
@@ -268,7 +269,7 @@ assert (scols, srows) == (ocols, orows)
 
 # probe 3: nonexistent sf_dir -> clean Spark error, not silent empty
 try:
-    qs["agg_q1_pricing"](spark, "/root/testdata/sf9").toPandas()
+    qs_all["agg_q1_pricing"](spark, "/root/testdata/sf9").toPandas()
     print("missing-dir probe: NO ERROR (unexpected)")
 except Exception as e:
     print("missing-dir probe: raised", type(e).__name__, str(e).splitlines()[0][:90])
