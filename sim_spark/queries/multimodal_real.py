@@ -53,7 +53,9 @@ from sim_spark.registry import query
 _PAYLOAD_SCHEMA = "doc_id long, payload binary"
 
 
-def _doc_ids(spark: SparkSession, sf_dir: str, *cols) -> DataFrame:
+def _doc_ids(
+    spark: SparkSession, sf_dir: str, *cols, heavy: bool = False
+) -> DataFrame:
     """The decode keys' input frame, spread across all task slots.
 
     Decode parallelism equals partition count, and a small-fixture
@@ -64,9 +66,35 @@ def _doc_ids(spark: SparkSession, sf_dir: str, *cols) -> DataFrame:
     payload synthesis, so the Exchange moves ~8 bytes/row at ANY scale
     — the payloads themselves are never shuffled. At 100 TB the same
     reasoning holds: round-robin the id frame, synthesize/decode
-    payloads after, stay narrow from there on."""
+    payloads after, stay narrow from there on.
+
+    The fan-out is SIZED, not fixed: measured at sf0.1, a blanket
+    32-way repartition of 5 000 docs costs more in per-task Python
+    worker + Arrow batch overhead than cheap decodes (WAV) save, while
+    the expensive decode (JPEG) still wins 3x from full fan-out. So the
+    fan-out is proportional to per-row decode cost: HEAVY codecs
+    (entropy-coded: JPEG, FLAC) take every task slot at any corpus size
+    — measured 3x at sf0.1 and 10x at sf1 over the serial scan — while
+    LIGHT decodes (struct parsers: WAV/BMP/PNG/tone) take ~1 task per
+    2 000 documents, because at small corpora the per-task Python
+    worker + Arrow overhead outweighs their decode work (measured:
+    32-way WAV at sf0.1 is 2x slower than 3-way). The corpus count
+    comes from the parquet footer (metadata-only count, cached per
+    sf_dir)."""
     d = table(spark, sf_dir, "documents").select("doc_id", *cols)
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    try:
+        slots = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        slots = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if heavy:
+        return d.repartition(slots)
+    n = _DOC_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _DOC_COUNT_CACHE[sf_dir] = table(spark, sf_dir, "documents").count()
+    return d.repartition(max(1, min(slots, (n + 1999) // 2000)))
+
+
+_DOC_COUNT_CACHE: dict = {}
 
 
 def _make_gen_batches(gen_fn, with_n_chars: bool = False):
@@ -788,7 +816,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     math) plus property tests against a naive O(N^4) reference DCT.
     100 TB shape: per-row mapInPandas decode, no shuffle until the
     8-column feature frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = d.mapInPandas(_gen_jpeg_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _jpeg_coeff_feature_batches,
@@ -848,7 +876,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     `px_sum`; together with `multimodal_jpeg_decode` (entropy layer,
     general coefficients) the full decode path is covered by exact
     oracles despite JPEG's lossiness."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = d.mapInPandas(_gen_jpeg_dc_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _jpeg_pixel_feature_batches,
@@ -931,7 +959,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever seeing the bytes. Same 100 TB shape as the other
     codecs: per-row Arrow-batched mapInPandas, no shuffle until the
     tiny feature frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = d.mapInPandas(_gen_flac_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _flac_feature_batches,
@@ -1079,7 +1107,7 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent checksums. Pixel/color-conversion math is pinned by
     tests (DC-only gray color images decode to exact constants).
     Per-row Arrow-batched mapInPandas, no shuffle."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = d.mapInPandas(_gen_jpeg_color_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _jpeg_color_feature_batches,
@@ -1167,7 +1195,7 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     end-to-end oracle: DuckDB recomputes every L/R sample from the
     doc_id formula. `sum_abs_side` pins the decorrelation axis
     explicitly. Per-row Arrow-batched mapInPandas."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = d.mapInPandas(_gen_flac_stereo_batches, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(
         _flac_stereo_feature_batches,

@@ -738,11 +738,11 @@ _HEADLINE_SPECS: dict[str, dict] = {
     # BEFORE payload synthesis (single-row-group inputs otherwise
     # serialize the whole decode — see multimodal_real._doc_ids)
     "multimodal_wav_decode": dict(
-        require=["MapInPandas", "RoundRobinPartitioning"],
+        require=["MapInPandas", "Exchange"],  # sized fan-out: 1 task at sf0.001
         forbid=["BatchEvalPython"]
     ),
     "multimodal_png_decode": dict(
-        require=["MapInPandas", "RoundRobinPartitioning"],
+        require=["MapInPandas", "Exchange"],  # sized fan-out: 1 task at sf0.001
         forbid=["BatchEvalPython"]
     ),
     "multimodal_jpeg_decode": dict(
