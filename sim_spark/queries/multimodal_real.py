@@ -91,7 +91,17 @@ def _doc_ids(
     n = _DOC_COUNT_CACHE.get(sf_dir)
     if n is None:
         n = _DOC_COUNT_CACHE[sf_dir] = table(spark, sf_dir, "documents").count()
-    return d.repartition(max(1, min(slots, (n + 1999) // 2000)))
+    target = max(1, min(slots, (n + 1999) // 2000))
+    try:
+        # A well-laid-out input already splits wide enough: adding an
+        # Exchange there only REDUCES parallelism (repartition(25) over
+        # a 32-split scan) and pays a shuffle for nothing. Classic API
+        # only; under Connect (.rdd unavailable) fall through.
+        if d.rdd.getNumPartitions() >= target:
+            return d
+    except Exception:
+        pass
+    return d.repartition(target)
 
 
 _DOC_COUNT_CACHE: dict = {}

@@ -738,11 +738,17 @@ _HEADLINE_SPECS: dict[str, dict] = {
     # BEFORE payload synthesis (single-row-group inputs otherwise
     # serialize the whole decode — see multimodal_real._doc_ids)
     "multimodal_wav_decode": dict(
-        require=["MapInPandas", "Exchange"],  # sized fan-out: 1 task at sf0.001
+        # light decodes skip the fan-out Exchange when the scan already
+        # splits wide enough (multimodal_real._doc_ids) — only the
+        # narrow-map + no-row-wise-Python properties are unconditional
+        require=["MapInPandas"],
         forbid=["BatchEvalPython"]
     ),
     "multimodal_png_decode": dict(
-        require=["MapInPandas", "Exchange"],  # sized fan-out: 1 task at sf0.001
+        # light decodes skip the fan-out Exchange when the scan already
+        # splits wide enough (multimodal_real._doc_ids) — only the
+        # narrow-map + no-row-wise-Python properties are unconditional
+        require=["MapInPandas"],
         forbid=["BatchEvalPython"]
     ),
     "multimodal_jpeg_decode": dict(
