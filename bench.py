@@ -79,6 +79,7 @@ HEADLINE = [
     "multimodal_flac_decode",
     "multimodal_jpeg_color_decode",
     "multimodal_flac_stereo_decode",
+    "multimodal_flac_lpc_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

@@ -746,3 +746,69 @@ def _encode_subframe_lpc(
     stop = 1 << k
     for u in zz.tolist():
         body.put(stop | (u & kmask), (u >> k) + 1 + k)
+
+
+def encode_flac_lpc(
+    samples: np.ndarray,
+    sample_rate: int,
+    coefs: list[int],
+    precision: int,
+    shift: int,
+) -> bytes:
+    """Mono int16 samples -> FLAC stream whose every frame carries an
+    LPC subframe with the given quantized predictor (order = len(coefs),
+    warm-up = the first `order` samples of each frame). Exists so the
+    decoder's LPC path is exercised END TO END — container, frame
+    headers, CRCs, MD5 — under the multimodal_flac_lpc_decode hash
+    oracle, not just at frame level in unit tests."""
+    s = np.asarray(samples, dtype=np.int64)
+    assert s.size > len(coefs) and np.all((s >= -32768) & (s <= 32767))
+    n = s.size
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.put(min(_BLOCKSIZE, n) if n >= _BLOCKSIZE else n, 16)
+    si.put(min(_BLOCKSIZE, n), 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(sample_rate, 20)
+    si.put(0, 3)
+    si.put(15, 5)
+    si.put(n, 36)
+    out += b"\x80" + (34).to_bytes(3, "big") + bytes(si.out) + md5
+    for frame_no, start in enumerate(range(0, n, _BLOCKSIZE)):
+        blk = s[start : start + _BLOCKSIZE]
+        header = _frame_header(blk.size, frame_no, 0)
+        body = _BitWriter()
+        if blk.size > len(coefs):
+            _encode_subframe_lpc(body, blk, 16, coefs, precision, shift)
+        else:
+            # a tail frame shorter than the predictor order cannot carry
+            # its warm-up — per-frame subframe freedom lets it go FIXED
+            _encode_subframe(body, blk, 16)
+        body.pad_to_byte()
+        payload = header + bytes(body.out)
+        out += payload + struct.pack(">H", _crc16(payload))
+    return bytes(out)
+
+
+def formula_flac_lpc(doc_id: int):
+    """(rate, samples, coefs, precision, shift) — the LPC key's fixture.
+    Samples are a slow random walk (LPC-friendly); the quantized
+    predictor itself varies per doc: order 1 + doc_id % 3 with
+    c[j] = 16 + ((doc_id + 7 j) % 17) at precision 8, shift 5 — taps in
+    [0.5, 1.03] of unity, so residuals stay small but nonzero and the
+    rice parameter ranges across docs."""
+    n = 180 + doc_id % 200
+    rate = 8000 + (doc_id % 3) * 4000
+    i = np.arange(n, dtype=np.int64)
+    step = (doc_id * 13 + i * i * 7) % 41 - 20
+    s = np.cumsum(step) + (doc_id % 500)
+    order = 1 + doc_id % 3
+    coefs = [16 + (doc_id + 7 * j) % 17 for j in range(order)]
+    return rate, s, coefs, 8, 5
+
+
+def gen_flac_lpc_payload(doc_id: int) -> bytes:
+    rate, s, coefs, precision, shift = formula_flac_lpc(doc_id)
+    return encode_flac_lpc(s, rate, coefs, precision, shift)

@@ -1212,3 +1212,60 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id long, sample_rate long, n_samples long, sum_abs_l long, "
         "sum_abs_r long, sum_abs_side long, first_l long, last_r long",
     )
+
+
+# --- LPC-coded FLAC end-to-end (r11) ----------------------------------------
+
+from sim_spark.ops.flac import gen_flac_lpc_payload  # noqa: E402
+
+_gen_flac_lpc_batches = _make_gen_batches(gen_flac_lpc_payload)
+
+
+@query(
+    "multimodal_flac_lpc_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 180 + (doc_id % 200) AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+),
+steps AS (
+  SELECT doc_id, n, rate, ii.i,
+         (doc_id * 13 + ii.i * ii.i * 7) % 41 - 20 AS step
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+),
+s AS (
+  SELECT doc_id, n, rate, i,
+         SUM(step) OVER (PARTITION BY doc_id ORDER BY i) + doc_id % 500 AS smp
+  FROM steps
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(smp)) AS BIGINT) AS max_abs,
+       CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+       CAST(min(CASE WHEN i = n - 1 THEN smp END) AS BIGINT) AS last_sample
+FROM s GROUP BY doc_id, n, rate
+""",
+)
+def multimodal_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LPC half of the FLAC surface, end to end: every frame of
+    these streams carries a genuine LPC subframe (per-doc quantized
+    predictor, order 1..3, taps near unity at precision 8 / shift 5 —
+    the walk fixture makes residuals small but nonzero, so payloads are
+    ~20% smaller than raw), decoded through the full container path —
+    marker walk, frame CRCs, QLP precision/shift/coefficient parse,
+    integer prediction inversion, STREAMINFO MD5. The oracle recomputes
+    every sample from the random-walk formula (a windowed running SUM —
+    the only decode key whose oracle itself needs a window function).
+    Tail frames shorter than the predictor order go FIXED, exercising
+    mixed subframe types within one stream. Per-row Arrow-batched
+    mapInPandas; heavy fan-out class (entropy decode)."""
+    d = _doc_ids(spark, sf_dir, heavy=True)
+    payloads = d.mapInPandas(_gen_flac_lpc_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _flac_feature_batches,
+        "doc_id long, sample_rate long, n_samples long, sum_abs long, "
+        "max_abs long, first_sample long, last_sample long",
+    )

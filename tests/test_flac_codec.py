@@ -240,3 +240,19 @@ def test_lpc_rejects_invalid_precision_escape():
     payload += struct.pack(">H", fl._crc16(bytes(payload)))
     with pytest.raises(ValueError):
         fl._decode_frame(bytes(payload), 0)
+
+
+def test_lpc_full_stream_roundtrip_and_compression():
+    from sim_spark.ops.flac import (
+        decode_flac,
+        formula_flac_lpc,
+        gen_flac_lpc_payload,
+    )
+
+    for d in (0, 1, 2, 76, 77, 78, 199, 4999):  # 76..78: short tail frames
+        rate, s, coefs, precision, shift = formula_flac_lpc(d)
+        r2, s2 = decode_flac(gen_flac_lpc_payload(d))
+        assert r2 == rate and np.array_equal(s2.astype(np.int64), s)
+    # the predictor must genuinely compress the walk fixture
+    raw = formula_flac_lpc(7)[1].size * 2
+    assert len(gen_flac_lpc_payload(7)) < raw
