@@ -462,7 +462,10 @@ def _decode_stream(payload: bytes, want_channels: int):
 def decode_flac(payload: bytes):
     """Mono FLAC stream -> (sample_rate, int16 samples). Verifies frame
     CRC-8/CRC-16 and the STREAMINFO MD5 of the decoded stream."""
-    sample_rate, frames, md5_expect = _decode_stream(payload, 1)
+    try:
+        sample_rate, frames, md5_expect = _decode_stream(payload, 1)
+    except (IndexError, struct.error) as e:  # truncated / corrupt stream
+        raise ValueError(f"truncated or corrupt FLAC: {e!r}") from e
     s16 = np.concatenate(frames).astype("<i2")
     if hashlib.md5(s16.tobytes()).digest() != md5_expect:
         raise ValueError("FLAC MD5 mismatch: decoded stream corrupt")
@@ -475,7 +478,10 @@ def decode_flac_stereo(payload: bytes):
     right-side / mid-side) and verifies all three checksums — the MD5 is
     computed over the interleaved L,R stream exactly as the spec says,
     so a decorrelation-mode or reconstruction bug cannot pass."""
-    sample_rate, frames, md5_expect = _decode_stream(payload, 2)
+    try:
+        sample_rate, frames, md5_expect = _decode_stream(payload, 2)
+    except (IndexError, struct.error) as e:  # truncated / corrupt stream
+        raise ValueError(f"truncated or corrupt FLAC: {e!r}") from e
     lr = np.concatenate(frames, axis=1)
     inter = np.empty(2 * lr.shape[1], dtype="<i2")
     inter[0::2] = lr[0].astype("<i2")

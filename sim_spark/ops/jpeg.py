@@ -539,6 +539,14 @@ def _parse_jpeg(payload: bytes):
     "bw", "bh" (block-grid dims)}."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    # JPEG has no entropy checksum, and end-of-data padding is
+    # indistinguishable from the spec's legal final-byte 1-padding — so
+    # a TRUNCATED scan would otherwise decode silently to garbage
+    # coefficients. Every complete stream ends with EOI; require it.
+    # (Entropy data can never contain a raw FF D9: stuffing maps data
+    # FF to FF 00, so only a real marker matches.)
+    if payload[-2:] != b"\xff\xd9":
+        raise ValueError("truncated JPEG (missing EOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     dc_luts: dict[int, list] = {}
@@ -550,7 +558,8 @@ def _parse_jpeg(payload: bytes):
     scan_order: list[int] = []
 
     while True:
-        assert payload[pos] == 0xFF, "marker expected"
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected (corrupt JPEG stream)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI with no scan

@@ -256,3 +256,23 @@ def test_lpc_full_stream_roundtrip_and_compression():
     # the predictor must genuinely compress the walk fixture
     raw = formula_flac_lpc(7)[1].size * 2
     assert len(gen_flac_lpc_payload(7)) < raw
+
+
+def test_garbage_and_truncation_raise_typed_errors():
+    """Untrusted bytes at scale: every failure must be a ValueError /
+    NotImplementedError (never IndexError/AssertionError, never a hang)
+    for random garbage behind a valid magic and for every truncation
+    of a valid stream."""
+    import numpy as np
+
+    from sim_spark.ops.flac import decode_flac, gen_flac_payload
+
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        p = b"fLaC" + rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_flac(p)
+    v = gen_flac_payload(7)
+    for k in range(4, len(v)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_flac(v[:k])

@@ -249,3 +249,22 @@ def test_grayscale_entry_rejects_color_and_vice_versa():
         decode_jpeg(gen_jpeg_color_payload(3))
     with pytest.raises(ValueError):
         decode_jpeg_color(gen_jpeg_payload(3))
+
+
+def test_garbage_and_truncation_raise_typed_errors():
+    """Untrusted bytes: only ValueError / NotImplementedError may
+    escape (the marker-walk assert used to leak AssertionError, which
+    python -O would strip entirely)."""
+    from sim_spark.ops.jpeg import decode_jpeg, decode_jpeg_color
+
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        p = b"\xff\xd8" + rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(p)
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_color(p)
+    v = gen_jpeg_payload(7)
+    for k in range(2, len(v)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(v[:k])
