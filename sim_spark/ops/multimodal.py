@@ -220,17 +220,24 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels: bytes) -> bytes:
-    """Non-interlaced 8-bit RGB PNG. ``pixels`` is row-major TOP-DOWN,
-    3 bytes/pixel RGB. Row ``r`` is written with filter type ``r % 5``,
-    so every payload taller than 4 rows exercises ALL five PNG filters
-    (None/Sub/Up/Average/Paeth) — a decoder with any unfilter bug cannot
-    round-trip these bytes. The zlib stream is split across two IDAT
-    chunks to exercise IDAT concatenation, as real encoders emit."""
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """Non-interlaced 8-bit PNG. ``pixels`` is row-major TOP-DOWN,
+    ``channels`` bytes/pixel (1 = grayscale, 2 = gray+alpha, 3 = RGB,
+    4 = RGBA — the color type is derived). Row ``r`` is written with
+    filter type ``r % 5``, so every payload taller than 4 rows exercises
+    ALL five PNG filters (None/Sub/Up/Average/Paeth) — a decoder with
+    any unfilter bug cannot round-trip these bytes. The zlib stream is
+    split across two IDAT chunks to exercise IDAT concatenation, as
+    real encoders emit."""
     import struct
     import zlib
 
-    bpp, row_bytes = 3, width * 3
+    bpp, row_bytes = channels, width * channels
     raw = bytearray()
     prior = bytes(row_bytes)
     for r in range(height):
@@ -268,7 +275,9 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
         prior = row
     z = zlib.compress(bytes(raw), 6)
     half = max(1, len(z) // 2)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -279,13 +288,22 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Parse a non-interlaced 8-bit RGB PNG → (width, height, pixels)
-    with pixels row-major TOP-DOWN RGB: signature check, IHDR/IDAT/IEND
-    chunk walk (CRC-verified), multi-IDAT concatenation,
-    zlib.decompress, and the five per-row unfilter predictors
-    (None/Sub/Up/Average/Paeth). Other color types / bit depths /
-    interlacing raise — the honest fence is entropy-coded formats, not
-    PNG's well-specified structure."""
+    """RGB entry point (back-compat): decode and require 3 channels."""
+    w, h, channels, px = decode_png_any(payload)
+    if channels != 3:
+        raise ValueError(f"expected RGB PNG, got {channels}-channel")
+    return w, h, px
+
+
+def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a non-interlaced 8-bit PNG of any non-palette color type
+    (grayscale / gray+alpha / RGB / RGBA — what real files off the web
+    overwhelmingly are) → (width, height, channels, pixels) with pixels
+    row-major TOP-DOWN: signature check, IHDR/IDAT/IEND chunk walk
+    (CRC-verified), multi-IDAT concatenation, zlib.decompress, and the
+    five per-row unfilter predictors (None/Sub/Up/Average/Paeth) with
+    the channel-count-dependent byte offset. Palette (PLTE) color,
+    non-8-bit depths, and interlacing raise."""
     import struct
     import zlib
 
@@ -310,10 +328,12 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype_col, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if (depth, ctype_col, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_col)
+            if (depth, comp, filt, interlace) != (8, 0, 0, 0) or channels is None:
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color={ctype_col} "
-                    f"interlace={interlace} (non-interlaced RGB8 only)"
+                    f"interlace={interlace} (non-interlaced 8-bit "
+                    f"gray/gray+alpha/RGB/RGBA only)"
                 )
         elif ctype == b"IDAT":
             idat += data
@@ -323,7 +343,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     raw = zlib.decompress(bytes(idat))
-    bpp, row_bytes = 3, width * 3
+    bpp, row_bytes = channels, width * channels
     if len(raw) != height * (1 + row_bytes):
         raise ValueError("PNG scanline payload length mismatch")
     out = bytearray()
@@ -351,7 +371,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {ft}")
         out += row
         prior = bytes(row)
-    return width, height, bytes(out)
+    return width, height, channels, bytes(out)
 
 
 def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1269,3 +1269,93 @@ def multimodal_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_samples long, sum_abs long, "
         "max_abs long, first_sample long, last_sample long",
     )
+
+
+# --- PNG gray/RGBA decode (r11): real-world color types ---------------------
+
+from sim_spark.ops.multimodal import decode_png_any, encode_png  # noqa: E402
+
+
+def _gen_png_any_payload(doc_id: int) -> bytes:
+    """Deterministic PNG alternating real-world color types: even docs
+    are RGBA (web's transparency shape), odd docs grayscale. Byte
+    (r, c, ch) = (5·doc_id + 7r + 11c + 23ch) % 256 — SQL-recomputable."""
+    import numpy as np
+
+    ch_n = 4 if doc_id % 2 == 0 else 1
+    w, h = 4 + (doc_id % 9), 3 + (doc_id % 6)
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(ch_n, dtype=np.int64)[None, None, :]
+    px = ((5 * doc_id + 7 * r + 11 * c + 23 * ch) % 256).astype(np.uint8)
+    return encode_png(w, h, px.tobytes(), channels=ch_n)
+
+
+_gen_png_any_batches = _make_gen_batches(_gen_png_any_payload)
+
+
+def _png_any_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch_n, px = decode_png_any(bytes(payload))
+            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+            alpha = int(a.reshape(-1, ch_n)[:, 3].sum()) if ch_n == 4 else 0
+            rows.append(
+                (int(doc_id), w, h, ch_n, int(a.sum()), alpha,
+                 int(a[: w * ch_n].sum()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "channels", "px_sum",
+                     "alpha_sum", "top_row_sum"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_png_rgba_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id % 9) AS w, 3 + (doc_id % 6) AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 1 END AS ch_n
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, ch_n, rr.r, cc.c, hh.ch,
+         (5 * doc_id + 7 * rr.r + 11 * cc.c + 23 * hh.ch) % 256 AS val
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, ch_n)) AS ch) hh
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch_n AS BIGINT) AS channels,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN ch = 3 THEN val ELSE 0 END) AS BIGINT) AS alpha_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT) AS top_row_sum
+FROM cells GROUP BY doc_id, w, h, ch_n
+""",
+)
+def multimodal_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode across REAL-WORLD color types (r11, the interop
+    completion like FLAC's LPC): even docs are RGBA (color type 6, the
+    web's transparency shape), odd docs grayscale (type 0) — both
+    through the same CRC-verified chunk walk, zlib inflate, and the
+    five unfilter predictors whose left-neighbor offset is now the
+    CHANNEL COUNT (a bpp-hardcoded unfilter decodes type-2 correctly
+    and corrupts everything else; `top_row_sum`/`px_sum` break if it
+    does). The oracle recomputes every byte from the formula with the
+    per-parity channel count. Light fan-out class."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_png_any_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _png_any_feature_batches,
+        "doc_id long, width long, height long, channels long, px_sum long, "
+        "alpha_sum long, top_row_sum long",
+    )

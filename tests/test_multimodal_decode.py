@@ -134,7 +134,7 @@ def test_png_rejects_unsupported_shapes():
 
     crc = zlib.crc32(bytes(p[12:16]) + bytes(p[16 : 16 + 13])) & 0xFFFFFFFF
     struct.pack_into(">I", p, 16 + 13, crc)
-    with pytest.raises(ValueError, match="non-interlaced RGB8 only"):
+    with pytest.raises(ValueError, match="non-interlaced 8-bit"):
         decode_png(bytes(p))
 
 
@@ -177,3 +177,25 @@ def test_png_dispatch_and_remaining_fence():
     assert out["kind"] == "jpeg" and out["width"] == (2 + 7 % 4) * 8
     with pytest.raises(NotImplementedError):  # MP3/video stay fenced
         decode(b"ID3\x04\x00 mp3-ish")
+
+
+def test_png_all_color_types_roundtrip():
+    """decode_png_any (r11): gray / gray+alpha / RGB / RGBA round-trip
+    bit-exactly through every filter type; the RGB entry point keeps
+    its 3-channel contract."""
+    import numpy as np
+
+    from sim_spark.ops.multimodal import decode_png_any, encode_png
+
+    rng = np.random.default_rng(4)
+    for ch in (1, 2, 3, 4):
+        for _ in range(10):
+            w, h = int(rng.integers(1, 12)), int(rng.integers(1, 11))
+            px = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+            assert decode_png_any(encode_png(w, h, px, channels=ch)) == (
+                w, h, ch, px
+            )
+    with pytest.raises(ValueError):  # RGB wrapper rejects other types
+        from sim_spark.ops.multimodal import decode_png
+
+        decode_png(encode_png(2, 2, bytes(16), channels=4))
