@@ -250,6 +250,13 @@ for k in sorted(qs):
 
 if ROUND is not None:
     out = _out_path()
+    if os.environ.get("DRIVE_KEYS") and os.path.exists(out):
+        # scoped runs MERGE into the round's subset artifact: two
+        # successive single-key drives previously overwrote each other
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
