@@ -268,3 +268,67 @@ def test_garbage_and_truncation_raise_typed_errors():
     for k in range(2, len(v)):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(v[:k])
+
+
+def test_color_422_sampling_decodes_exactly():
+    """The decoder's MCU interleave is generic over sampling factors —
+    pin 4:2:2 (Y 2x1), the other common real-world shape, by building
+    a stream by hand and requiring exact coefficient recovery."""
+    import struct
+
+    import sim_spark.ops.jpeg as J
+
+    def encode_422(mcus_x, mcus_y, y_coeffs, cb_coeffs, cr_coeffs):
+        ybw = mcus_x * 2
+        width, height = mcus_x * 16, mcus_y * 8
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+            [1, 1, 0, 0, 1, 0, 1, 0, 0]
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+        out += bytes([0]) + bytes(J.QTABLE_ZZ) + bytes([1]) + bytes(J.QTABLE_CHR_ZZ)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        out += bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x1
+        segs = [
+            bytes([0x00]) + bytes(J.DC_LUM_BITS) + bytes(J.DC_LUM_VALS),
+            bytes([0x10]) + bytes(J.AC_LUM_BITS) + bytes(J.AC_LUM_VALS),
+            bytes([0x01]) + bytes(J.DC_CHR_BITS) + bytes(J.DC_CHR_VALS),
+            bytes([0x11]) + bytes(J.AC_CHR_BITS) + bytes(J.AC_CHR_VALS),
+        ]
+        out += b"\xff\xc4" + struct.pack(">H", 2 + sum(len(x) for x in segs))
+        for x in segs:
+            out += x
+        out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        w = J._BitWriter()
+        dc = {"y": 0, "cb": 0, "cr": 0}
+        for m in range(mcus_y * mcus_x):
+            my, mx = divmod(m, mcus_x)
+            for bx in range(2):
+                b = my * ybw + mx * 2 + bx
+                dc["y"] = J._encode_block(
+                    w, y_coeffs[b], J._DC_CODES, J._AC_CODES, dc["y"]
+                )
+            dc["cb"] = J._encode_block(
+                w, cb_coeffs[m], J._DC_CHR_CODES, J._AC_CHR_CODES, dc["cb"]
+            )
+            dc["cr"] = J._encode_block(
+                w, cr_coeffs[m], J._DC_CHR_CODES, J._AC_CHR_CODES, dc["cr"]
+            )
+        w.flush()
+        out += w.out + b"\xff\xd9"
+        return bytes(out)
+
+    rng = np.random.default_rng(2)
+    yc = np.zeros((8, 64), dtype=np.int64)
+    yc[:, 0] = rng.integers(-60, 60, 8)
+    yc[:, 5] = rng.integers(-9, 9, 8)
+    cb = np.zeros((4, 64), dtype=np.int64)
+    cb[:, 0] = rng.integers(-20, 20, 4)
+    cr = np.zeros((4, 64), dtype=np.int64)
+    cr[:, 0] = rng.integers(-20, 20, 4)
+    w, h, rgb, coeffs = J.decode_jpeg_color(encode_422(2, 2, yc, cb, cr))
+    assert (w, h) == (32, 16) and rgb.size == 32 * 16 * 3
+    assert np.array_equal(coeffs[0], yc)
+    assert np.array_equal(coeffs[1], cb)
+    assert np.array_equal(coeffs[2], cr)
