@@ -211,11 +211,10 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
         F.count(F.lit(1)).alias("ct"),
     )
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
-    rk = pv.select(
-        "c1",
-        "ct",
-        F.coalesce(F.sum("ct").over(w), F.lit(0)).alias("cum_less"),
+    from sim_spark.ops.distrank import cum_below
+
+    rk = cum_below(pv, "value", "ct", out="cum_less").select(
+        "c1", "ct", "cum_less"
     )
     m = rk.agg(
         F.sum("c1").cast("double").alias("n1"),
@@ -1299,13 +1298,13 @@ def agg_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.count(F.lit(1)).alias("ct")
     )
-    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    w_all = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cum = pv.select(
-        "v",
-        "ct",
-        F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cb"),
-        F.sum("ct").over(w_all).alias("n"),
+    from sim_spark.ops.distrank import cum_below
+
+    tot = pv.agg(F.sum("ct").alias("n"))
+    cum = (
+        cum_below(pv, "v", "ct", out="cb")
+        .crossJoin(F.broadcast(tot))
+        .select("v", "ct", "cb", "n")
     )
     return (
         cum.groupBy(

@@ -459,7 +459,9 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = split.withColumn("purity", purity)
-    w = W.orderBy(F.desc("purity"), "threshold")
+    from sim_spark.ops.distrank import bounded_seq_window
+
+    w = bounded_seq_window("threshold", F.desc("purity"), "threshold")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
@@ -1324,29 +1326,37 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-identical and the AUC hash-matches — the threshold-free
     companion to ml_eval_prf's point metrics.
 
-    Scale shape: one global sort window over the scored corpus (the
-    same cost as any ranking metric) + one reduce; at extreme scale the
-    binned-ECDF AUC (stats_ks_binned's shape) substitutes."""
+    Scale shape (r12): no per-row rank. The scored corpus reduces to
+    one row per DISTINCT score (tie count + positive count — a
+    shuffle-parallel groupBy), ops/distrank.cum_below supplies the
+    exclusive preceding-count with bucket-partitioned windows only,
+    and the Mann-Whitney rank sum follows from the identity
+    midrank(s) = cum_below(s) + (ties(s)+1)/2 — every term a
+    half-integer, so the double sum is exact and order-free and the
+    oracle (which keeps DuckDB's RANK formulation) still hash-matches.
+    No single-partition WindowExec over the feature frame."""
+    from sim_spark.ops.distrank import cum_below
+
     e = table(spark, sf_dir, "events")
     feat = _lgd_feat(e)
     n = feat.agg(F.count(F.lit(1)).alias("n"))
     w = _lgd_train(spark, feat, n)
     scored = feat.crossJoin(F.broadcast(w)).select("y", _lgd_z().alias("s"))
-    ranked = scored.select(
-        "y",
+    dist = cum_below(
+        scored.groupBy("s").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos_cnt"),
+        ),
         "s",
-        F.rank().over(W.partitionBy().orderBy("s")).alias("mn"),
-        F.count(F.lit(1)).over(W.partitionBy("s")).alias("tie"),
+        "cnt",
     )
-    pos = F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
-    neg = F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0))
+    pos = F.sum("pos_cnt")
+    neg = F.sum(F.col("cnt") - F.col("pos_cnt"))
     rank_sum = F.sum(
-        F.when(F.col("y") == 1.0, F.col("mn") + (F.col("tie") - 1) / 2.0).otherwise(
-            0.0
-        )
+        F.col("pos_cnt") * (F.col("cum_below") + (F.col("cnt") + 1) / 2.0)
     )
     auc = (rank_sum - pos * (pos + 1) / 2.0) / (pos * 1.0 * neg)
-    return ranked.agg(
+    return dist.agg(
         pos.cast("bigint").alias("n_pos"),
         neg.cast("bigint").alias("n_neg"),
         F.round(auc, 6).alias("auc"),

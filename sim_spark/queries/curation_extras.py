@@ -225,7 +225,9 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a window with no PARTITION BY would drag every per-key count onto one
     # partition at scale. The rank window then runs over 10 rows only.
     top10 = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(10)
-    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    from sim_spark.ops.distrank import bounded_seq_window
+
+    w = bounded_seq_window("key", F.col("cnt").desc(), F.col("key").asc())
     top = top10.withColumn("rnk", F.row_number().over(w))
     return (
         top.crossJoin(F.broadcast(tot))
@@ -931,7 +933,9 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = s.orderBy(F.col("nano_sum").desc(), F.col("doc_id").asc()).limit(
         _DSIR_TOPN
     )
-    w = W.orderBy(F.col("nano_sum").desc(), F.col("doc_id").asc())
+    from sim_spark.ops.distrank import bounded_seq_window
+
+    w = bounded_seq_window("doc_id", F.col("nano_sum").desc(), F.col("doc_id").asc())
     return (
         top.withColumn("rnk", F.row_number().over(w))
         .select(

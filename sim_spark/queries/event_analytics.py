@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sim_spark.io import table
+from sim_spark.ops.distrank import bounded_total_window as _bounded_total_window
 from sim_spark.registry import query
 
 
@@ -597,17 +598,37 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
-    r_w = W.orderBy(F.asc("recency_days"), "user_id")
-    f_w = W.orderBy(F.desc("frequency"), "user_id")
-    m_w = W.orderBy(F.desc(F.col("monetary").cast("double")), "user_id")
-    scored = per_user.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    # r12: three NTILE(4)s without single-partition windows — per-row
+    # global ranks from distinct-value prefix counts (ops/distrank:
+    # value-PARTITIONED tiebreak windows), quartiles from the standard
+    # NTILE boundary formula. Identical tile assignment to the
+    # oracle's window formulation, shuffle-parallel at any user count.
+    from sim_spark.ops.distrank import global_row_number, ntile_from_rank
+
+    pu = per_user.withColumn("m_dbl", F.col("monetary").cast("double"))
+    pu = global_row_number(pu, "recency_days", ["user_id"], out="__rr")
+    pu = global_row_number(
+        pu, "frequency", ["user_id"], descending=True, out="__rf"
+    )
+    pu = global_row_number(pu, "m_dbl", ["user_id"], descending=True, out="__rm")
+    ntot = per_user.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        pu.crossJoin(F.broadcast(ntot))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            F.col("m_dbl").alias("monetary"),
+            ntile_from_rank(F.col("__rr"), F.col("__n"), 4)
+            .cast("bigint")
+            .alias("r_score"),
+            ntile_from_rank(F.col("__rf"), F.col("__n"), 4)
+            .cast("bigint")
+            .alias("f_score"),
+            ntile_from_rank(F.col("__rm"), F.col("__n"), 4)
+            .cast("bigint")
+            .alias("m_score"),
+        )
     )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
@@ -723,7 +744,11 @@ def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy("first_day").agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    from sim_spark.ops.distrank import bounded_seq_window
+
+    w = bounded_seq_window("n_new", "first_day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     return daily.select(
         F.date_format("first_day", "yyyy-MM-dd").alias("day"),
         F.col("n_new").cast("long").alias("n_new_users"),
@@ -793,29 +818,40 @@ def events_median_session_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistics — selected by row_number with a total tie order,
     so no interpolation semantics can differ between engines. The 2×
     median is emitted as an exact integer alongside the seconds view.
-    At 100 TB the duration frame has one row per session; the single
-    global sort is over sessions, not events (and would become a
-    count-per-bucket median at extreme session counts)."""
-    from pyspark.sql import Window as W
+
+    Scale shape (r12): the value at rank k depends only on the d_us
+    MULTISET, so no per-session rank is materialized — the duration
+    frame reduces to one row per DISTINCT duration (shuffle-parallel
+    groupBy), ops/distrank.cum_below adds the exclusive prefix count
+    with bucket-partitioned windows only, and the two middle order
+    statistics fall out of a filter. No single-partition sort of the
+    session frame anywhere in the plan (the oracle keeps the
+    row_number formulation — same numbers, DuckDB's scale is not the
+    contract)."""
+    from sim_spark.ops.distrank import at_rank, cum_below
 
     e = table(spark, sf_dir, "events")
     sess = _session_numbers(e)
     dur = sess.groupBy("user_id", "session_no").agg(
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("d_us")
     )
-    ranked = dur.select(
-        "d_us",
-        F.row_number()
-        .over(W.orderBy("d_us", "user_id", "session_no"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    dist = cum_below(
+        dur.groupBy("d_us").agg(F.count(F.lit(1)).alias("cnt")), "d_us", "cnt"
     )
-    lo = F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d_us")).otherwise(0))
-    hi = F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("d_us")).otherwise(0))
-    return ranked.agg(
+    ntot = dur.agg(F.count(F.lit(1)).alias("n"))
+    k1 = F.expr("(n + 1) div 2")
+    k2 = F.expr("n div 2 + 1")
+    picked = dist.crossJoin(F.broadcast(ntot)).select(
+        "n",
+        (
+            F.col("d_us")
+            * (at_rank(k1).cast("long") + at_rank(k2).cast("long"))
+        ).alias("sel"),
+    )
+    return picked.agg(
         F.max("n").cast("long").alias("n_sessions"),
-        (lo + hi).cast("long").alias("median_us_x2"),
-        F.round((lo + hi) / 2000000.0, 6).alias("median_sec"),
+        F.sum("sel").cast("long").alias("median_us_x2"),
+        F.round(F.sum("sel") / 2000000.0, 6).alias("median_sec"),
     )
 
 
@@ -998,7 +1034,9 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select(
             "trigram",
             "n",
-            F.round(F.col("n") * 1.0 / F.sum("n").over(W.partitionBy()), 6).alias(
+            F.round(
+                F.col("n") * 1.0 / F.sum("n").over(_bounded_total_window("n")), 6
+            ).alias(
                 "share"
             ),
         )
@@ -1262,7 +1300,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("e")).cast("bigint").alias("c"),
     )
     total = outc.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
-    wcum = W.partitionBy().orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    from sim_spark.ops.distrank import bounded_seq_window
+
+    wcum = bounded_seq_window("d", "t").rowsBetween(W.unboundedPreceding, -1)
     risk = daily.crossJoin(F.broadcast(total)).select(
         "t",
         "d",
@@ -1288,7 +1328,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = risk.select(
         "t", "n", "d", "c",
-        F.row_number().over(W.partitionBy().orderBy("t")).alias("i"),
+        F.row_number().over(bounded_seq_window("d", "t")).alias("i"),
     )
     surv = F.aggregate(
         F.slice(F.col("fs"), 1, F.col("i")),
@@ -1433,8 +1473,10 @@ def events_bot_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user-keyed lag window (gaps), per-user medians by
     explicit order statistics inside the same user partitioning, and
-    the global median over the per-user frame (one row per scored
-    user). Nothing pairwise; the only global sort is over users."""
+    the global median-of-medians via ops/distrank.cum_below over the
+    DISTINCT per-user medians (r12) — bucket-partitioned prefix
+    counts, no unpartitioned sort over the user frame. Nothing
+    pairwise anywhere."""
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
@@ -1471,19 +1513,26 @@ def events_bot_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 19)
         .drop("cnt")
     )
-    wg = W.partitionBy().orderBy("m2", "user_id")
-    wall = W.partitionBy()
-    gran = per_user.select(
-        "m2",
-        F.row_number().over(wg).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
+    from sim_spark.ops.distrank import at_rank, cum_below
+
+    distm = cum_below(
+        per_user.groupBy("m2").agg(F.count(F.lit(1)).alias("cnt")), "m2", "cnt"
     )
-    j1 = ((F.col("cnt") + 1) / 2).cast("long")
-    j2 = ((F.col("cnt") + 2) / 2).cast("long")
-    g2 = gran.filter((F.col("rn") == j1) | (F.col("rn") == j2)).agg(
-        (F.sum("m2") * F.when(F.max("cnt") % 2 == 1, 2).otherwise(1))
-        .cast("bigint")
-        .alias("g2")
+    nu = per_user.agg(F.count(F.lit(1)).alias("ucnt"))
+    j1 = ((F.col("ucnt") + 1) / 2).cast("long")
+    j2 = ((F.col("ucnt") + 2) / 2).cast("long")
+    # A distinct median value covering BOTH middle ranks contributes
+    # twice — exactly the odd-count ×2 of the row_number formulation.
+    g2 = (
+        distm.crossJoin(F.broadcast(nu))
+        .agg(
+            F.sum(
+                F.col("m2")
+                * (at_rank(j1).cast("long") + at_rank(j2).cast("long"))
+            )
+            .cast("bigint")
+            .alias("g2")
+        )
     )
     return (
         per_user.crossJoin(F.broadcast(g2))
@@ -1560,17 +1609,24 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pnl_centi")
     )
-    wcum = W.partitionBy().orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    from sim_spark.ops.distrank import bounded_seq_window
+
+    wcum = bounded_seq_window("pnl_centi", "d").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wpeak = bounded_seq_window("cum", "d").rowsBetween(W.unboundedPreceding, 0)
     curve = daily.select(
         "d", F.sum("pnl_centi").over(wcum).cast("bigint").alias("cum")
-    ).select("d", "cum", F.max("cum").over(wcum).cast("bigint").alias("peak"))
+    ).select("d", "cum", F.max("cum").over(wpeak).cast("bigint").alias("peak"))
     dd = curve.select(
         "d",
         "cum",
         "peak",
         (F.col("peak") - F.col("cum")).alias("drawdown"),
         F.row_number()
-        .over(W.partitionBy().orderBy(F.desc(F.col("peak") - F.col("cum")), "d"))
+        .over(
+            bounded_seq_window("cum", F.desc(F.col("peak") - F.col("cum")), "d")
+        )
         .alias("rn"),
     )
     n_peak = dd.filter(F.col("drawdown") == 0).agg(

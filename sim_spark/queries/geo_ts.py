@@ -45,6 +45,10 @@ from pyspark.sql.window import Window as W
 
 from sim_spark.io import table
 from sim_spark.registry import query
+from sim_spark.ops.distrank import (
+    bounded_seq_window as _bseq,
+    bounded_total_window as _btot,
+)
 
 # ---------------------------------------------------------------------------
 # Deterministic placement: micro-degree integers from the shared 48-bit hash.
@@ -344,7 +348,7 @@ def _autocov_nums(spark: SparkSession, sf_dir: str, max_lag: int) -> DataFrame:
     c = spine.crossJoin(F.broadcast(tot)).select(
         "hr", (F.col("nn") * F.col("n") - F.col("s")).alias("cdev")
     )
-    w = W.orderBy("hr")
+    w = _bseq("hr", "hr")
     leads = c.select(
         "cdev",
         *[
@@ -417,7 +421,7 @@ def ts_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     detrend, all in integer space until one final exact division
     (module docstring). Full windows only, so edges don't bias."""
     spine = _hour_spine_spark(spark, sf_dir)
-    w = W.orderBy("hr").rangeBetween(-12, 11)
+    w = _bseq("hr", "hr").rangeBetween(-12, 11)
     ma = spine.select(
         "hr",
         "n",
@@ -584,7 +588,7 @@ def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     idx = daily.select(
-        F.row_number().over(W.orderBy("d")).alias("x"), "y"
+        F.row_number().over(_bseq("d", "d")).alias("x"), "y"
     )
     s = idx.agg(
         F.count(F.lit(1)).alias("n"),
@@ -736,7 +740,7 @@ def ts_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     spine = _hour_spine_spark(spark, sf_dir)
-    w24 = W.orderBy("hr").rangeBetween(-12, 11)
+    w24 = _bseq("hr", "hr").rangeBetween(-12, 11)
     ma = spine.select(
         "hr",
         "n",
@@ -766,7 +770,9 @@ def ts_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = resid.withColumn(
         "rank",
-        F.row_number().over(W.orderBy(F.desc(F.abs("resid_nano")), F.asc("hr"))),
+        F.row_number().over(
+            _bseq("hr", F.desc(F.abs("resid_nano")), F.asc("hr"))
+        ),
     )
     return (
         ranked.filter(F.col("rank") <= 10)
@@ -846,7 +852,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    wall = W.partitionBy()
+    wall = _btot("x")
     n_w = F.count(F.lit(1)).over(wall)
     sx_w = F.sum("x").over(wall)
     sy_w = F.sum("y").over(wall)
@@ -1160,7 +1166,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus pass is the spine's keyed count, and the fold runs on
     one collected time-bounded array."""
     spine = _hour_spine_spark(spark, sf_dir)
-    wall = W.partitionBy().orderBy("hr")
+    wall = _bseq("hr", "hr")
     ranked = spine.select(
         "hr", "n", F.row_number().over(wall).alias("rn")
     )
@@ -1309,7 +1315,7 @@ def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r1 * (1.0 - r2) / (1.0 - r1 * r1)).alias("phi1"),
         ((r2 - r1 * r1) / (1.0 - r1 * r1)).alias("phi2"),
     )
-    wd = W.orderBy(F.desc("hr"))
+    wd = _bseq("hr", F.desc("hr"))
     lastc = (
         spine.select("n", F.row_number().over(wd).alias("rn"))
         .filter(F.col("rn") <= 2)

@@ -873,24 +873,28 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v_nano")
         )
     )
-    from pyspark.sql import Window as W
-
-    wu = W.partitionBy().orderBy(F.desc("u_nano"), "u")
-    wi = W.partitionBy().orderBy(F.desc("v_nano"), "it")
-    users = uf.select(
-        F.lit("user").alias("side"),
-        F.col("u").alias("id"),
-        F.col("u_nano").alias("nano"),
-        F.row_number().over(wu).alias("rn"),
+    # r12: top-10 per side is a TakeOrderedAndProject (orderBy+limit),
+    # never a global row_number window — the factor frames are
+    # entity-scale (#users / #items) and a single-partition rank there
+    # is the straggler class this round retired.
+    users = (
+        uf.orderBy(F.desc("u_nano"), F.asc("u"))
+        .limit(10)
+        .select(
+            F.lit("user").alias("side"),
+            F.col("u").alias("id"),
+            F.col("u_nano").alias("nano"),
+        )
     )
-    items = vf.select(
-        F.lit("item").alias("side"),
-        F.col("it").alias("id"),
-        F.col("v_nano").alias("nano"),
-        F.row_number().over(wi).alias("rn"),
+    items = (
+        vf.orderBy(F.desc("v_nano"), F.asc("it"))
+        .limit(10)
+        .select(
+            F.lit("item").alias("side"),
+            F.col("it").alias("id"),
+            F.col("v_nano").alias("nano"),
+        )
     )
-    return (
-        users.unionAll(items)
-        .filter(F.col("rn") <= 10)
-        .select("side", "id", F.round(F.col("nano") / 1000000000.0, 6).alias("factor"))
+    return users.unionAll(items).select(
+        "side", "id", F.round(F.col("nano") / 1000000000.0, 6).alias("factor")
     )

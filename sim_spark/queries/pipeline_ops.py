@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sim_spark.io import table
+from sim_spark.ops.distrank import bounded_total_window as _bounded_total_window
 from sim_spark.registry import query
 
 _BUDGET = 512  # tokens per packed sequence bin
@@ -252,7 +253,9 @@ def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "source",
         "n_docs",
-        F.round(w / F.sum(w).over(W.partitionBy()), 6).alias("mix_weight"),
+        F.round(w / F.sum(w).over(_bounded_total_window("n_docs")), 6).alias(
+            "mix_weight"
+        ),
     )
 
 
@@ -649,8 +652,18 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         micro.alias("mean_nll_micro"),
     )
-    dec = F.ntile(10).over(W.orderBy("mean_nll_micro", "doc_id"))
-    return score.select(
+    # r12: NTILE(10) without a single-partition window — global rank
+    # from distinct-value prefix counts (ops/distrank) + the standard
+    # first-(n mod k)-tiles-are-fat boundary formula, identical to the
+    # oracle's NTILE semantics.
+    from sim_spark.ops.distrank import global_row_number, ntile_from_rank
+
+    ntot = score.agg(F.count(F.lit(1)).alias("__n"))
+    rscore = global_row_number(
+        score, "mean_nll_micro", ["doc_id"], out="__rn"
+    ).crossJoin(F.broadcast(ntot))
+    dec = ntile_from_rank(F.col("__rn"), F.col("__n"), 10)
+    return rscore.select(
         "doc_id",
         "n_bigrams",
         "mean_nll_micro",

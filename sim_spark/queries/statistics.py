@@ -221,8 +221,10 @@ def stats_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
-    wt = W.partitionBy()
+    from sim_spark.ops.distrank import bounded_seq_window, bounded_total_window
+
+    wc = bounded_seq_window("bucket", "bucket").rowsBetween(W.unboundedPreceding, 0)
+    wt = bounded_total_window("bucket")
     c = b.select(
         F.sum("n1").over(wc).alias("c1"),
         F.sum("n2").over(wc).alias("c2"),
@@ -416,9 +418,15 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to exact integer micro-units, the rank-weighted sum runs
     in DECIMAL(38,0) (exact, order-free), and the single division runs
     on identical doubles. One customer-keyed aggregate carries the
-    volume; the ranking window sees one row per customer — the
-    inequality-measure companion to `win_pareto_share`."""
-    from pyspark.sql import Window as W
+    volume — the inequality-measure companion to `win_pareto_share`.
+
+    Scale shape (r12): ranks collapse onto DISTINCT spend values —
+    ties share the same x, so Σ r·x over a tie group of size c starting
+    after cb rows is x·(c·cb + c(c+1)/2), all exact integers.
+    ops/distrank.cum_below supplies cb with bucket-partitioned windows
+    only; no single-partition rank over the customer frame. The oracle
+    keeps the per-row row_number formulation — identical integers."""
+    from sim_spark.ops.distrank import cum_below
 
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
@@ -429,21 +437,27 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x_micro")
     )
-    ranked = spend.select(
+    dist = cum_below(
+        spend.groupBy("x_micro").agg(F.count(F.lit(1)).alias("cnt")),
         "x_micro",
-        F.row_number().over(W.orderBy("x_micro", "o_custkey")).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        "cnt",
     )
-    # (10,0) x (28,0) mirrors the oracle: exact 38-digit product in both
-    # engines (DuckDB overflows an 18x18 multiply at sf1 — r10 drive)
-    s = ranked.agg(
-        F.max("n").alias("n"),
+    # Σ ranks of a tie group, exact in long (n ≤ ~2e7 even at sf100);
+    # the (20,0) x (28,0) product stays far under 38 digits in value,
+    # mirroring the oracle's exact integer path.
+    ranksum = F.expr("cnt * cum_below + (cnt * (cnt + 1)) div 2")
+    s = dist.agg(
+        F.sum("cnt").alias("n"),
         F.sum(
-            F.col("rnk").cast("decimal(10,0)") * F.col("x_micro").cast("decimal(28,0)")
+            ranksum.cast("decimal(20,0)") * F.col("x_micro").cast("decimal(28,0)")
         )
         .cast("decimal(38,0)")
         .alias("s1"),
-        F.sum(F.col("x_micro").cast("decimal(28,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            F.col("cnt").cast("decimal(10,0)") * F.col("x_micro").cast("decimal(28,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sx"),
     )
     nd = F.col("n").cast("double")
     return s.select(
@@ -666,36 +680,63 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100.0 * (F.col("b.x") - F.col("a.x")))
         ).alias("slope")
     )
-    wall = W.partitionBy()
-    ranked = pairs.select(
+    from sim_spark.ops.distrank import at_rank, cum_below
+
+    dslope = cum_below(
+        pairs.groupBy("slope").agg(F.count(F.lit(1)).alias("cnt")),
         "slope",
-        F.row_number().over(W.partitionBy().orderBy("slope")).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("np"),
+        "cnt",
     )
+    np_tot = pairs.agg(F.count(F.lit(1)).alias("np"))
     k1 = ((F.col("np") + 1) / 2).cast("long")
     k2 = ((F.col("np") + 2) / 2).cast("long")
-    med = ranked.filter((F.col("rn") == k1) | (F.col("rn") == k2)).agg(
-        F.avg("slope").alias("slope_med"), F.max("np").alias("np")
+    # avg of the two middle order statistics == Σ v·(covers k1 + covers k2) / 2
+    med = (
+        dslope.crossJoin(F.broadcast(np_tot))
+        .agg(
+            (
+                F.sum(
+                    F.col("slope")
+                    * (at_rank(k1).cast("int") + at_rank(k2).cast("int"))
+                )
+                / 2.0
+            ).alias("slope_med"),
+            F.max("np").alias("np"),
+        )
     )
     resid = daily.crossJoin(F.broadcast(med)).select(
         (F.col("yc") / 100.0 - F.col("slope_med") * F.col("x")).alias("r"),
         "slope_med",
         "np",
     )
-    rr = resid.select(
+    dres = cum_below(
+        resid.groupBy("r", "slope_med", "np").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
         "r",
-        "slope_med",
-        "np",
-        F.row_number().over(W.partitionBy().orderBy("r")).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("nd"),
+        "cnt",
     )
+    nd_tot = resid.agg(F.count(F.lit(1)).alias("nd"))
     j1 = ((F.col("nd") + 1) / 2).cast("long")
     j2 = ((F.col("nd") + 2) / 2).cast("long")
-    return rr.filter((F.col("rn") == j1) | (F.col("rn") == j2)).agg(
-        F.max("nd").cast("bigint").alias("n_points"),
-        F.max("np").cast("bigint").alias("n_pairs"),
-        (F.round(F.max("slope_med"), 6) + F.lit(0.0)).alias("slope"),
-        (F.round(F.avg("r"), 4) + F.lit(0.0)).alias("intercept"),
+    return (
+        dres.crossJoin(F.broadcast(nd_tot))
+        .agg(
+            F.max("nd").cast("bigint").alias("n_points"),
+            F.max("np").cast("bigint").alias("n_pairs"),
+            (F.round(F.max("slope_med"), 6) + F.lit(0.0)).alias("slope"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("r")
+                        * (at_rank(j1).cast("int") + at_rank(j2).cast("int"))
+                    )
+                    / 2.0,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("intercept"),
+        )
     )
 
 
@@ -809,8 +850,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    from sim_spark.ops.distrank import bounded_seq_window
+
     ranked = means.select(
-        "m", F.row_number().over(W.partitionBy().orderBy("m")).alias("rn")
+        "m", F.row_number().over(bounded_seq_window("b", "m")).alias("rn")
     )
     pt = r.agg(
         (F.sum("yc") / (100.0 * F.count(F.lit(1)))).alias("est"),

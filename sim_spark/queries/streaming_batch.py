@@ -172,18 +172,26 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival are dropped before the 1-hour window aggregation.
 
     This makes late-data semantics ORACLE-checkable (a real streaming run
-    is trigger-timing dependent). The global running max is inherently
-    sequential — it is a semantic spec, not the scale path; the scalable
-    implementation is the real watermark in mounts.tumbling_with_watermark,
-    whose drop behavior is asserted in tests/test_stream_parity.py.
-    """
+    is trigger-timing dependent). The real watermark lives in
+    mounts.tumbling_with_watermark, whose drop behavior is asserted in
+    tests/test_stream_parity.py.
+
+    Scale shape (r12): the running max is a prefix aggregation, so it
+    decomposes exactly like a prefix sum — ops/distrank.cum_max_below
+    buckets the (unique, LCG-hashed) arrival keys, takes per-bucket
+    maxes, prefix-maxes the bounded bucket frame, and finishes with
+    bucket-PARTITIONED windows; no single-partition pass over the
+    event corpus (the r11 formulation's one sequential window)."""
+    from sim_spark.ops.distrank import cum_max_below
+
     ev = (
         table(spark, sf_dir, "events")
         .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
         .withColumn("arr", (F.col("event_id") * 1103515245 + 12345) % 2147483648)
     )
-    w = W.orderBy("arr").rowsBetween(W.unboundedPreceding, -1)
-    ev = ev.withColumn("wm", F.max("us").over(w) - 600_000_000)
+    ev = cum_max_below(ev, "arr", "us", out="__mx").withColumn(
+        "wm", F.col("__mx") - 600_000_000
+    )
     kept = ev.filter(F.col("wm").isNull() | (F.col("us") >= F.col("wm")))
     return (
         kept.withColumn("win_us", F.expr("(us div 3600000000) * 3600000000"))

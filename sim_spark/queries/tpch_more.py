@@ -326,9 +326,14 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    top = revenue.withColumn(
-        "__rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
-    ).filter(F.col("__rk") == 1)
+    # r12: RANK()=1 over all suppliers is just "equal to the max" —
+    # a 1-row broadcast aggregate + equality filter (exact decimal, so
+    # tie semantics match the oracle's rank), no single-partition sort
+    # of the supplier frame.
+    mx = revenue.agg(F.max("total_revenue").alias("__maxrev"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__maxrev")
+    )
     return (
         F.broadcast(top)
         .join(s, F.col("supplier_no") == s.s_suppkey)

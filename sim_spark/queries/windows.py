@@ -388,11 +388,23 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) curve: customers ranked by exact
     decimal spend, cut into spend-ordered deciles (ceil(rn·10/n) in
     integer arithmetic), cumulative share per decile. The per-customer
-    aggregate carries the 100 TB load and shuffles on custkey; the
-    ranking window runs over one row PER CUSTOMER, and decimal sums
-    make both the decile revenue and the share numerator exact — the
-    one division is of identical doubles."""
+    aggregate carries the 100 TB load and shuffles on custkey; decimal
+    sums make both the decile revenue and the share numerator exact —
+    the one division is of identical doubles.
+
+    Scale shape (r12): no global row_number over customers. Decile
+    membership depends only on the spend MULTISET (equal totals are
+    interchangeable across a decile boundary — swapping tied customers
+    moves identical revenue), so the customer frame reduces to one row
+    per DISTINCT total, ops/distrank.cum_below gives each distinct
+    total its descending rank interval [cb+1, cb+cnt], and a ≤10-wide
+    sequence explode splits that interval across the deciles it spans
+    by pure integer arithmetic — ceil(r·10/n) boundaries, identical to
+    the oracle's per-rank formula. Only the 10-row decile report uses
+    a bounded_seq_window cumulative."""
     from pyspark.sql import Window as W
+
+    from sim_spark.ops.distrank import bounded_seq_window, cum_below
 
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
@@ -400,24 +412,52 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,6)")
         .alias("total")
     )
-    ranked = spend.select(
+    dist = cum_below(
+        spend.groupBy("total").agg(F.count(F.lit(1)).alias("cnt")),
         "total",
-        F.row_number()
-        .over(W.orderBy(F.desc("total"), F.asc("o_custkey")))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        "cnt",
+        descending=True,
     )
-    deciled = ranked.select(
-        F.expr("(rn * 10 + n - 1) div n").cast("long").alias("decile"), "total"
+    ncust = spend.agg(F.count(F.lit(1)).alias("n"))
+    # ranks r = cb+1 .. cb+cnt all carry this total; decile(r) =
+    # ceil(10r/n); decile d covers ranks (floor((d-1)n/10), floor(dn/10)].
+    spanned = (
+        dist.crossJoin(F.broadcast(ncust))
+        .select(
+            "total",
+            "cnt",
+            "cum_below",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.expr("((cum_below + 1) * 10 + n - 1) div n"),
+                    F.expr("((cum_below + cnt) * 10 + n - 1) div n"),
+                )
+            ).alias("decile"),
+        )
+        .withColumn(
+            "overlap",
+            F.least(
+                F.col("cum_below") + F.col("cnt"), F.expr("decile * n div 10")
+            )
+            - F.greatest(
+                F.col("cum_below") + 1, F.expr("(decile - 1) * n div 10 + 1")
+            )
+            + 1,
+        )
     )
-    agg = deciled.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("total").cast("decimal(30,6)").alias("revenue"),
+    agg = spanned.groupBy("decile").agg(
+        F.sum("overlap").cast("long").alias("n_customers"),
+        F.sum(F.col("total") * F.col("overlap"))
+        .cast("decimal(30,6)")
+        .alias("revenue"),
     )
     grand = spend.agg(
         F.sum("total").cast("decimal(30,6)").cast("double").alias("grand")
     )
-    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wcum = bounded_seq_window("decile", "decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     return (
         agg.crossJoin(F.broadcast(grand))
         .select(

@@ -847,3 +847,126 @@ def test_every_headline_key_has_a_plan_assertion():
         "join_bucketed_colocated_read",
     }
     assert not set(missing) - allowed_indirect, missing
+
+
+# --- r12 (r11 verdict task #1): no single-partition WindowExec over an
+# unbounded frame, anywhere.
+#
+# Two layers. (a) Source tripwire: the ONLY module allowed to build a
+# window with an empty partition spec is ops/distrank.py (which never
+# does — its bounded bucket-offset frames partition by the non-foldable
+# constant `col % 1`, so WindowExec's "No Partition Defined" warning
+# stays a true alarm). (b) Plan tripwire: for the headline suite plus
+# the four keys r11 flagged (and every key this round's sweep touched),
+# the physical plan must not contain a Window fed by an
+# `Exchange SinglePartition` — the signature of a global sort window.
+
+
+def _simple_plan(spark, key: str) -> str:
+    from sim_spark.scratch import release_tracked_caches
+
+    release_tracked_caches()
+    df = QUERIES[key](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def _single_partition_windows(plan_str: str) -> list[str]:
+    """Window nodes whose child Exchange is SinglePartition (tree order
+    in simple-mode explain is Window -> [Sort] -> Exchange)."""
+    hits = []
+    lines = plan_str.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow(GroupLimit)?\b", ln):
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if "Exchange SinglePartition" in lines[j]:
+                hits.append(ln.strip()[:120])
+                break
+            if re.search(r"\bWindow\b|Exchange (hash|range)partitioning", lines[j]):
+                break
+    return hits
+
+
+_R12_GLOBAL_WINDOW_KEYS = [
+    # the four r11 verdict flags
+    "ml_roc_auc_exact",
+    "events_median_session_length",
+    "events_bot_interevent",
+    "win_pareto_share",
+    # the rest of the r12 sweep (corpus-scale fixes + bounded conversions)
+    "ml_als_rank1",
+    "tpch_q15_top_supplier",
+    "stats_mannwhitney_u",
+    "agg_hist_equidepth",
+    "agg_gini_coefficient",
+    "stats_theil_sen",
+    "stream_watermark_late",
+    "text_bigram_perplexity",
+    "events_rfm_segments",
+    "stats_ks_binned",
+    "stats_bootstrap_ci",
+    "ml_decision_stump",
+    "profile_key_skew",
+    "curate_dsir_weights",
+    "mixture_weights_sqrt",
+    "events_path_trigrams",
+    "events_cumulative_new_users",
+    "events_survival_km",
+    "events_max_drawdown",
+    "ts_seasonal_hod",
+    "ts_linear_forecast",
+    "ts_stl_residual_anomalies",
+    "ts_cross_correlation",
+    "ts_holt_winters",
+    "ts_yule_walker_ar2",
+    "ts_autocorr",
+]
+
+
+@pytest.mark.parametrize("key", _R12_GLOBAL_WINDOW_KEYS)
+def test_no_single_partition_window_swept_keys(spark, key):
+    hits = _single_partition_windows(_simple_plan(spark, key))
+    assert not hits, f"{key}: single-partition Window nodes: {hits}"
+
+
+@pytest.mark.parametrize("key", sorted(_HEADLINE_SPECS))
+def test_no_single_partition_window_headline(spark, key):
+    hits = _single_partition_windows(_simple_plan(spark, key))
+    assert not hits, f"{key}: single-partition Window nodes: {hits}"
+
+
+def test_no_unpartitioned_window_in_source():
+    """Registry-wide source tripwire: an empty-partition window spec
+    (`W.partitionBy()`, `W.orderBy(...)` used as a window, or a SQL
+    `OVER (ORDER BY ...)` with no PARTITION BY) cannot enter the query
+    surface. Bounded-by-construction frames must use
+    ops/distrank.bounded_seq_window / bounded_total_window, which carry
+    a non-empty (non-foldable constant) partition spec; corpus-scale
+    frames must use cum_below / global_row_number. DuckDB ORACLE
+    strings are exempt (the oracle's scale is not the contract)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    offenders = []
+    for f in glob.glob(os.path.join(root, "sim_spark", "**", "*.py"), recursive=True):
+        if f.endswith("distrank.py"):
+            continue
+        src = open(f).read()
+        for pat in (r"(?:W|Window)\.partitionBy\(\)", r"(?:W|Window)\.orderBy\("):
+            for m in re.finditer(pat, src):
+                offenders.append(f"{f}:{src[:m.start()].count(chr(10)) + 1}")
+        # spark.sql(...) window specs with no PARTITION BY
+        for m in re.finditer(r'spark\.sql\(\s*(?:f?"""(.*?)"""|f?"([^"]*)")', src, re.S):
+            body = m.group(1) or m.group(2) or ""
+            for w in re.finditer(r"OVER\s*\(([^)]*)\)", body, re.I):
+                # empty OVER () is a whole-frame window — equally single-partition
+                if "PARTITION" not in w.group(1).upper():
+                    offenders.append(
+                        f"{f}:{src[: m.start()].count(chr(10)) + 1} OVER({w.group(1)[:50]})"
+                    )
+            if re.search(r"WINDOW\s+\w+\s+AS\s*\(\s*ORDER", body, re.I):
+                offenders.append(f"{f}:{src[: m.start()].count(chr(10)) + 1} WINDOW AS(ORDER)")
+    assert not offenders, offenders
