@@ -61,6 +61,9 @@ from pyspark.sql import Window as W
 
 __all__ = [
     "cum_below",
+    "ntile_bounds",
+    "ntile_col",
+    "ntile_by",
     "cum_max_below",
     "bounded_seq_window",
     "bounded_total_window",
@@ -240,6 +243,161 @@ def global_row_number(
         df.join(dist, key)
         .withColumn(out, F.col("__gr_cb") + intra)
         .drop("__gr_cb")
+    )
+
+
+def ntile_bounds(
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    k: int,
+    *,
+    descending: bool = False,
+    n_buckets: int = 4096,
+    out: str = "__nt_bnds",
+) -> DataFrame:
+    """The k-1 NTILE boundary (v, u) pairs of (``key`` asc/desc,
+    ``tiebreak`` asc) as ONE ROW holding an array — ready to broadcast.
+
+    Targeted-bucket shape (cheaper than a full cum_below): distinct-key
+    counts → per-bucket subtotals (≤``n_buckets`` rows) → the k-1
+    boundary RANKS are located in bucket space on that bounded frame →
+    only the ≤k-1 buckets containing a boundary are examined at
+    distinct-key grain → only those ≤k-1 tie GROUPS are examined at row
+    grain for the tiebreak value.  The carrying frame is read twice
+    (distinct counts; boundary tie groups) and never shuffled by the
+    caller.  Multi-dimension callers (RFM) derive each dimension's
+    bounds INDEPENDENTLY from the base frame and apply them in one
+    final projection — chaining full ntile_by calls would nest the
+    lineage exponentially."""
+    kd = F.col(key).cast("double")
+    if descending:
+        kd = -kd
+    bounds = df.agg(F.min(kd).alias(_KMIN), F.max(kd).alias(_KMAX))
+    span = F.col(_KMAX) - F.col(_KMIN)
+    bkt = (
+        F.when(span <= 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((kd - F.col(_KMIN)) / (span / n_buckets)),
+            )
+        )
+        .cast("long")
+    )
+    d2 = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__nt_cnt"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(_BKT, bkt)
+        .drop(_KMIN, _KMAX)
+    )
+    btot = d2.groupBy(_BKT).agg(F.sum("__nt_cnt").alias("__nt_bw"))
+    woff = bounded_seq_window(_BKT, _BKT).rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.select(
+        _BKT,
+        "__nt_bw",
+        F.coalesce(F.sum("__nt_bw").over(woff), F.lit(0)).alias("__nt_boff"),
+        F.sum("__nt_bw").over(bounded_total_window(_BKT)).alias("__nt_n"),
+    )
+    # boundary rank of tile t: t*(n div k) + min(t, n mod k)
+    b_rank = F.expr(f"t * (__nt_n div {k}) + least(t, __nt_n % {k})")
+    tgt = (
+        boff.select(
+            _BKT,
+            "__nt_bw",
+            "__nt_boff",
+            "__nt_n",
+            F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("t"),
+        )
+        .filter(
+            (F.col("__nt_boff") < b_rank)
+            & (b_rank <= F.col("__nt_boff") + F.col("__nt_bw"))
+        )
+        .select(_BKT, "t", (b_rank - F.col("__nt_boff")).alias("__nt_obkt"))
+    )
+    # exact covering distinct key inside the ≤k-1 boundary buckets
+    order = F.col(key).desc() if descending else F.col(key).asc()
+    wv = (
+        W.partitionBy(_BKT, "t").orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+    )
+    dk = (
+        d2.join(F.broadcast(tgt), _BKT)
+        .withColumn(
+            "__nt_cum", F.coalesce(F.sum("__nt_cnt").over(wv), F.lit(0))
+        )
+        .filter(
+            (F.col("__nt_cum") < F.col("__nt_obkt"))
+            & (F.col("__nt_obkt") <= F.col("__nt_cum") + F.col("__nt_cnt"))
+        )
+        .select(key, "t", (F.col("__nt_obkt") - F.col("__nt_cum")).alias("__nt_off"))
+    )
+    # tiebreak value at the in-group offset, inside the ≤k-1 tie groups
+    cand = df.select(key, tiebreak).join(F.broadcast(dk), key)
+    intra = F.row_number().over(W.partitionBy("t").orderBy(tiebreak))
+    return (
+        cand.withColumn("__nt_rn", intra)
+        .filter(F.col("__nt_rn") == F.col("__nt_off"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(key).alias("v"), F.col(tiebreak).alias("u"))
+                )
+            ).alias(out)
+        )
+    )
+
+
+def ntile_col(
+    key: str, tiebreak: str, *, descending: bool = False, bnds: str = "__nt_bnds"
+) -> Column:
+    """Tile assignment from a broadcast ``ntile_bounds`` array column:
+    1 + the number of boundaries lexicographically below this row — a
+    pure projection, no shuffle of the carrying frame."""
+    if descending:
+        below = lambda b: (F.col(key) < b["v"]) | (  # noqa: E731
+            (F.col(key) == b["v"]) & (F.col(tiebreak) > b["u"])
+        )
+    else:
+        below = lambda b: (F.col(key) > b["v"]) | (  # noqa: E731
+            (F.col(key) == b["v"]) & (F.col(tiebreak) > b["u"])
+        )
+    return (F.lit(1) + F.size(F.filter(F.col(bnds), below))).cast("long")
+
+
+def ntile_by(
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    k: int,
+    *,
+    descending: bool = False,
+    n_buckets: int = 4096,
+    out: str = "tile",
+) -> DataFrame:
+    """NTILE(k) over (``key`` asc/desc, ``tiebreak`` asc) WITHOUT
+    shuffling ``df`` at all: the k-1 tile-boundary rows are located on
+    the DISTINCT-key frame (:func:`ntile_bounds`), broadcast as one
+    array row, and each row's tile is 1 + the number of boundaries
+    lexicographically below it (:func:`ntile_col`) — a pure projection
+    over the corpus.
+
+    Standard NTILE semantics (first ``n mod k`` tiles one row fatter),
+    so oracles keep their window formulation.  The only ordered work
+    runs over distinct keys and the ≤k-1 boundary tie groups; a
+    boundary group the size of the corpus (all rows one key value) is
+    the intrinsic worst case of demanding a total order and would need
+    the tiebreak distributed the same way.  For SEVERAL ntiles over one
+    frame, call :func:`ntile_bounds` per dimension and apply the
+    :func:`ntile_col` projections together — chaining this wrapper
+    nests the lineage exponentially."""
+    pairs = ntile_bounds(
+        df, key, tiebreak, k, descending=descending, n_buckets=n_buckets
+    )
+    return (
+        df.crossJoin(F.broadcast(pairs))
+        .withColumn(out, ntile_col(key, tiebreak, descending=descending))
+        .drop("__nt_bnds")
     )
 
 

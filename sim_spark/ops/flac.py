@@ -239,8 +239,51 @@ def _best_rice_k(zz: np.ndarray) -> tuple[int, int]:
     return k, int(costs[k])
 
 
+def _partition_plan(zz: np.ndarray, bs: int, order: int):
+    """(partition_order, [k per partition], total residual-section bits)
+    — the real-encoder decision (r12): try every partition order whose
+    2^po partitions divide the blocksize and leave the first partition
+    its `order` warm-up deficit, pick per-partition rice parameters,
+    keep the cheapest. Mixed-regime blocks (constant head, noisy tail)
+    are exactly where per-partition k beats a single k."""
+    best = None
+    po = 0
+    while True:
+        nparts = 1 << po
+        if bs % nparts or (bs >> po) <= order or nparts > zz.size + order:
+            break
+        ks, bits = [], 2 + 4  # method + partition-order fields
+        lo = 0
+        for pn in range(nparts):
+            cnt = (bs >> po) - (order if pn == 0 else 0)
+            k, cost = _best_rice_k(zz[lo : lo + cnt])
+            ks.append(k)
+            bits += 4 + cost
+            lo += cnt
+        if best is None or bits < best[2]:
+            best = (po, ks, bits)
+        po += 1
+        if po > 6:
+            break
+    return best
+
+
+def _wasted_shift(blk: np.ndarray, bps: int) -> int:
+    """Common trailing zero bits across the block (the FLAC wasted-bits
+    field): trailing zeros of the OR of all samples — valid in two's
+    complement, capped so at least one significant bit remains."""
+    orv = int(np.bitwise_or.reduce(blk))
+    if orv == 0:
+        return 0
+    w = (orv & -orv).bit_length() - 1
+    return min(w, bps - 2)
+
+
 def _rice_cost(samples: np.ndarray, order: int, bps: int = 16) -> int:
-    _k, cost = _best_rice_k(_zigzag(_fixed_residual(samples, order)))
+    plan = _partition_plan(
+        _zigzag(_fixed_residual(samples, order)), samples.size, order
+    )
+    cost = plan[2] if plan else 1 << 30
     return cost + order * bps  # residual bits + verbatim warm-up
 
 
@@ -299,32 +342,52 @@ def _subframe_cost(blk: np.ndarray, bps: int) -> int:
     return 8 + min(_rice_cost(blk, o, bps) for o in range(3))
 
 
+def _write_residuals(
+    body: _BitWriter, zz: np.ndarray, bs: int, order: int
+) -> None:
+    """Coded-residual section with the cheapest partition order (r12):
+    2^po partitions, each with its own 4-bit rice parameter — the shape
+    real encoders emit almost universally."""
+    po, ks, _bits = _partition_plan(zz, bs, order)
+    body.put(0b00, 2)  # residual method: rice, 4-bit parameter
+    body.put(po, 4)
+    put = body.put
+    lo = 0
+    for pn, k in enumerate(ks):
+        cnt = (bs >> po) - (order if pn == 0 else 0)
+        put(k, 4)
+        # one put per sample: the unary quotient, stop bit, and k-bit
+        # remainder concatenate to (1 << k) | rem over (q + 1 + k) bits
+        kmask = (1 << k) - 1
+        stop = 1 << k
+        for u in zz[lo : lo + cnt].tolist():
+            put(stop | (u & kmask), (u >> k) + 1 + k)
+        lo += cnt
+
+
 def _encode_subframe(body: _BitWriter, blk: np.ndarray, bps: int) -> None:
-    """Cheapest of CONSTANT / FIXED order 0..2, rice partition order 0."""
+    """Cheapest of CONSTANT / FIXED order 0..2; wasted-bits stripping
+    and per-partition rice parameters like a real encoder (r12)."""
     if np.all(blk == blk[0]):
         body.put(0, 1)  # zero padding bit
         body.put(0b000000, 6)  # CONSTANT
         body.put(0, 1)  # no wasted bits
         body.put(int(blk[0]) & ((1 << bps) - 1), bps)
         return
-    order = min(range(3), key=lambda o: _rice_cost(blk, o, bps))
+    wasted = _wasted_shift(blk, bps)
+    sub = blk >> wasted
+    ebps = bps - wasted
+    order = min(range(3), key=lambda o: _rice_cost(sub, o, ebps))
     body.put(0, 1)
     body.put(0b001000 | order, 6)  # FIXED, order
-    body.put(0, 1)
-    for v in blk[:order]:  # warm-up samples, verbatim bps bits
-        body.put(int(v) & ((1 << bps) - 1), bps)
-    zz = _zigzag(_fixed_residual(blk, order))
-    k, _cost = _best_rice_k(zz)
-    body.put(0b00, 2)  # residual method: rice, 4-bit parameter
-    body.put(0, 4)  # partition order 0
-    body.put(k, 4)
-    # one put per sample: the unary quotient, stop bit, and k-bit
-    # remainder concatenate to (1 << k) | rem over (q + 1 + k) bits
-    kmask = (1 << k) - 1
-    put = body.put
-    stop = 1 << k
-    for u in zz.tolist():
-        put(stop | (u & kmask), (u >> k) + 1 + k)
+    if wasted:
+        body.put(1, 1)
+        body.unary(wasted - 1)  # spec: unary-coded (wasted - 1)
+    else:
+        body.put(0, 1)
+    for v in sub[:order]:  # warm-up samples, verbatim ebps bits
+        body.put(int(v) & ((1 << ebps) - 1), ebps)
+    _write_residuals(body, _zigzag(_fixed_residual(sub, order)), blk.size, order)
 
 
 def _encode_frame(blk: np.ndarray, frame_no: int, sample_rate: int) -> bytes:
@@ -550,14 +613,17 @@ def _decode_frame(payload: bytes, byte_pos: int):
 
 
 def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
-    sign = 1 << (bps - 1)
-    full = 1 << bps
     if r.bit() != 0:
         raise ValueError("subframe padding bit set")
     sf_type = r.bits(6)
-    wasted = r.bit()
-    if wasted:
-        raise NotImplementedError("wasted-bits subframes")
+    wasted = 0
+    if r.bit():  # r12: wasted-bits field — flag then unary(count - 1)
+        wasted = r.unary() + 1
+        if wasted >= bps:
+            raise ValueError("wasted bits exhaust the sample width")
+    bps -= wasted  # decode at the reduced width, shift back at the end
+    sign = 1 << (bps - 1)
+    full = 1 << bps
     if sf_type == 0b000000:  # CONSTANT
         v = r.bits(bps)
         if v >= sign:
@@ -575,7 +641,7 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
         for _ in range(order):
             v = r.bits(bps)
             warm.append(v - full if v >= sign else v)
-        res = _read_residuals(r, bs - order)
+        res = _read_residuals(r, bs, order)
         # integrate `order` times from the warm-up samples
         blk = np.empty(bs, dtype=np.int64)
         blk[:order] = warm
@@ -612,7 +678,7 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
         for _ in range(order):
             c = r.bits(precision)
             coefs.append(c - pfull if c >= psign else c)
-        res = _read_residuals(r, bs - order)
+        res = _read_residuals(r, bs, order)
         blk = np.empty(bs, dtype=np.int64)
         blk[:order] = warm
         for i, e in enumerate(res):
@@ -623,31 +689,44 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
             blk[base] = e + (pred >> shift)
     else:
         raise NotImplementedError(f"subframe type {sf_type:#08b}")
-    return blk
+    return blk << wasted if wasted else blk
 
 
-def _read_residuals(r: _BitReader, count: int) -> list[int]:
+def _read_residuals(r: _BitReader, bs: int, order: int) -> list[int]:
     """Coded-residual section shared by FIXED and LPC subframes: rice
-    (4- or 5-bit parameter) with the escape to raw, partition order 0."""
+    (4- or 5-bit parameter) with the escape to raw, any partition order
+    0..15 (r12 — real encoders emit partitioned rice almost
+    universally). 2^po partitions; the first is short by the predictor
+    order; each carries its own parameter."""
     method = r.bits(2)
     if method not in (0b00, 0b01):
         raise ValueError("reserved residual method")
     part_order = r.bits(4)
-    if part_order != 0:
-        raise NotImplementedError("rice partition order > 0")
+    nparts = 1 << part_order
+    if bs % nparts:
+        raise ValueError("partition count does not divide blocksize")
+    if (bs >> part_order) <= order and part_order:
+        raise ValueError("first partition shorter than predictor order")
     kbits = 4 if method == 0b00 else 5
-    k = r.bits(kbits)
-    if k == (1 << kbits) - 1:  # escape: raw residuals
-        rawbits = r.bits(5)
-        return [
-            (v - (1 << rawbits) if v >= 1 << (rawbits - 1) else v)
-            for v in (r.bits(rawbits) for _ in range(count))
-        ]
-    res = []
-    for _ in range(count):
-        q = r.unary()
-        u = (q << k) | r.bits(k)
-        res.append(_unzigzag(u))
+    escape = (1 << kbits) - 1
+    res: list[int] = []
+    for pn in range(nparts):
+        count = (bs >> part_order) - (order if pn == 0 else 0)
+        k = r.bits(kbits)
+        if k == escape:  # escape: raw residuals at a fixed width
+            rawbits = r.bits(5)
+            if rawbits == 0:
+                res.extend([0] * count)
+            else:
+                res.extend(
+                    v - (1 << rawbits) if v >= 1 << (rawbits - 1) else v
+                    for v in (r.bits(rawbits) for _ in range(count))
+                )
+            continue
+        for _ in range(count):
+            q = r.unary()
+            u = (q << k) | r.bits(k)
+            res.append(_unzigzag(u))
     return res
 
 
@@ -744,14 +823,7 @@ def _encode_subframe_lpc(
             pred += c * int(x[i - 1 - j])
         res.append(int(x[i]) - (pred >> shift))
     zz = _zigzag(np.array(res, dtype=np.int64)) if res else np.array([], dtype=np.int64)
-    k, _cost = _best_rice_k(zz) if res else (0, 0)
-    body.put(0b00, 2)
-    body.put(0, 4)
-    body.put(k, 4)
-    kmask = (1 << k) - 1
-    stop = 1 << k
-    for u in zz.tolist():
-        body.put(stop | (u & kmask), (u >> k) + 1 + k)
+    _write_residuals(body, zz, blk.size, order)  # r12: partitioned rice
 
 
 def encode_flac_lpc(
@@ -813,6 +885,22 @@ def formula_flac_lpc(doc_id: int):
     order = 1 + doc_id % 3
     coefs = [16 + (doc_id + 7 * j) % 17 for j in range(order)]
     return rate, s, coefs, 8, 5
+
+
+def formula_flac_wasted(doc_id: int) -> tuple[int, np.ndarray]:
+    """(rate, samples) for the wasted-bits key (r12): the three-regime
+    mono formula scaled by 2^(doc_id % 4) — three quarters of docs
+    share 1..3 trailing zero bits across every sample, so the encoder's
+    wasted-bits stripping (and the decoder's shift-back) runs under the
+    hash oracle; the %4==0 quarter keeps the plain path as contrast.
+    Max |sample| 2000·8 = 16000, comfortably int16."""
+    rate, s = formula_flac_samples(doc_id)
+    return rate, s << (doc_id % 4)
+
+
+def gen_flac_wasted_payload(doc_id: int) -> bytes:
+    rate, s = formula_flac_wasted(doc_id)
+    return encode_flac(s, rate)
 
 
 def gen_flac_lpc_payload(doc_id: int) -> bytes:

@@ -598,34 +598,37 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
-    # r12: three NTILE(4)s without single-partition windows — per-row
-    # global ranks from distinct-value prefix counts (ops/distrank:
-    # value-PARTITIONED tiebreak windows), quartiles from the standard
-    # NTILE boundary formula. Identical tile assignment to the
-    # oracle's window formulation, shuffle-parallel at any user count.
-    from sim_spark.ops.distrank import global_row_number, ntile_from_rank
+    # r12: three NTILE(4)s without single-partition windows and
+    # without ever shuffling the user frame — ops/distrank.ntile_by
+    # broadcasts each dimension's 3 quartile-boundary (value, user_id)
+    # pairs; tile assignment is a projection. Identical quartiles to
+    # the oracle's window formulation at any user count.
+    from sim_spark.ops.distrank import ntile_bounds, ntile_col
+    from sim_spark.scratch import track_cache
 
+    per_user = track_cache(per_user)
     pu = per_user.withColumn("m_dbl", F.col("monetary").cast("double"))
-    pu = global_row_number(pu, "recency_days", ["user_id"], out="__rr")
-    pu = global_row_number(
-        pu, "frequency", ["user_id"], descending=True, out="__rf"
+    b_r = ntile_bounds(pu, "recency_days", "user_id", 4, out="__b_r")
+    b_f = ntile_bounds(
+        pu, "frequency", "user_id", 4, descending=True, out="__b_f"
     )
-    pu = global_row_number(pu, "m_dbl", ["user_id"], descending=True, out="__rm")
-    ntot = per_user.agg(F.count(F.lit(1)).alias("__n"))
+    b_m = ntile_bounds(pu, "m_dbl", "user_id", 4, descending=True, out="__b_m")
     scored = (
-        pu.crossJoin(F.broadcast(ntot))
+        pu.crossJoin(F.broadcast(b_r))
+        .crossJoin(F.broadcast(b_f))
+        .crossJoin(F.broadcast(b_m))
         .select(
             "user_id",
             "recency_days",
             "frequency",
             F.col("m_dbl").alias("monetary"),
-            ntile_from_rank(F.col("__rr"), F.col("__n"), 4)
+            ntile_col("recency_days", "user_id", bnds="__b_r")
             .cast("bigint")
             .alias("r_score"),
-            ntile_from_rank(F.col("__rf"), F.col("__n"), 4)
+            ntile_col("frequency", "user_id", descending=True, bnds="__b_f")
             .cast("bigint")
             .alias("f_score"),
-            ntile_from_rank(F.col("__rm"), F.col("__n"), 4)
+            ntile_col("m_dbl", "user_id", descending=True, bnds="__b_m")
             .cast("bigint")
             .alias("m_score"),
         )

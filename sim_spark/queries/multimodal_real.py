@@ -1271,6 +1271,69 @@ def multimodal_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FLAC wasted-bits decode (r12) ------------------------------------------
+
+from sim_spark.ops.flac import gen_flac_wasted_payload  # noqa: E402
+
+_gen_flac_wasted_batches = _make_gen_batches(gen_flac_wasted_payload)
+
+
+@query(
+    "multimodal_flac_wasted_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 200 + (doc_id % 400) AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         (doc_id * 7) % 1001 - 500 AS cst,
+         1 + (doc_id % 5) AS step,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+           AS scale
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate,
+         ii.i,
+         CASE
+           WHEN ii.i < 64 THEN cst
+           WHEN ii.i < 128 THEN cst + (ii.i - 64) * step
+           ELSE (doc_id * 31 + ii.i * ii.i * 17) % 4001 - 2000
+         END * scale AS smp
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(smp)) AS BIGINT) AS max_abs,
+       CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+       CAST(min(CASE WHEN i = n - 1 THEN smp END) AS BIGINT) AS last_sample
+FROM s GROUP BY doc_id, n, rate
+""",
+)
+def multimodal_flac_wasted_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasted-bits FLAC decode under the hash oracle (r12, closing the
+    r11 verdict's top real-world-FLAC gap together with partitioned
+    rice): the three-regime mono fixture scaled by 2^(doc_id % 4), so
+    three quarters of the streams carry subframes whose samples share
+    1..3 trailing zero bits. The encoder strips them (flag + unary
+    count, reduced-width residual coding — ops/flac.py:_wasted_shift),
+    the decoder restores them, and since r12 BOTH sides also negotiate
+    per-block rice partition orders 0..6 (ops/flac.py:_partition_plan /
+    _read_residuals), so every payload here — and in the three r11 FLAC
+    keys — exercises the two shapes real encoders emit almost
+    universally. The oracle recomputes every scaled sample in integer
+    SQL without seeing a byte. Same 100 TB decode shape: Arrow-batched
+    mapInPandas over the round-robin id frame, no shuffle until the
+    feature frame."""
+    d = _doc_ids(spark, sf_dir, heavy=True)
+    payloads = d.mapInPandas(_gen_flac_wasted_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _flac_feature_batches,
+        "doc_id long, sample_rate long, n_samples long, sum_abs long, "
+        "max_abs long, first_sample long, last_sample long",
+    )
+
+
 # --- PNG gray/RGBA decode (r11): real-world color types ---------------------
 
 from sim_spark.ops.multimodal import decode_png_any, encode_png  # noqa: E402

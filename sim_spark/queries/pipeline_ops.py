@@ -652,18 +652,19 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         micro.alias("mean_nll_micro"),
     )
-    # r12: NTILE(10) without a single-partition window — global rank
-    # from distinct-value prefix counts (ops/distrank) + the standard
-    # first-(n mod k)-tiles-are-fat boundary formula, identical to the
-    # oracle's NTILE semantics.
-    from sim_spark.ops.distrank import global_row_number, ntile_from_rank
+    # r12: NTILE(10) without a single-partition window OR a shuffle of
+    # the doc frame — ops/distrank.ntile_by locates the 9 decile
+    # boundary (value, doc_id) pairs on the distinct-value frame and
+    # broadcasts them; each doc's decile is a pure projection. Same
+    # NTILE semantics as the oracle's window formulation.
+    from sim_spark.ops.distrank import ntile_by
+    from sim_spark.scratch import track_cache
 
-    ntot = score.agg(F.count(F.lit(1)).alias("__n"))
-    rscore = global_row_number(
-        score, "mean_nll_micro", ["doc_id"], out="__rn"
-    ).crossJoin(F.broadcast(ntot))
-    dec = ntile_from_rank(F.col("__rn"), F.col("__n"), 10)
-    return rscore.select(
+    score = track_cache(score)  # one row per doc, read by both branches
+    dec = F.col("__tile")
+    return ntile_by(
+        score, "mean_nll_micro", "doc_id", 10, out="__tile"
+    ).select(
         "doc_id",
         "n_bigrams",
         "mean_nll_micro",

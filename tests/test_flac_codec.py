@@ -276,3 +276,123 @@ def test_garbage_and_truncation_raise_typed_errors():
     for k in range(4, len(v)):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_flac(v[:k])
+
+
+def test_wasted_bits_roundtrip_and_occurrence():
+    """r12: the wasted-bits fixture round-trips exactly, and the
+    encoder genuinely emits the wasted-bits field (spied via a
+    recording subframe parser) with exactly the doc's scale shift on
+    every FIXED subframe — and never on the %4 == 0 contrast docs."""
+    import numpy as np
+
+    import sim_spark.ops.flac as fl
+
+    for d in (0, 1, 2, 3, 4, 5, 6, 7, 401, 402, 403):
+        rate, s = fl.formula_flac_wasted(d)
+        r2, s2 = fl.decode_flac(fl.gen_flac_wasted_payload(d))
+        assert r2 == rate and np.array_equal(s2.astype(np.int64), s)
+
+    recorded: dict[int, set[int]] = {}
+    orig = fl._decode_subframe
+
+    def recording(r, bs, bps, _orig=orig):
+        save = r.bitpos
+        if r.bit() != 0:
+            raise ValueError("subframe padding bit set")
+        sf_type = r.bits(6)
+        w = (r.unary() + 1) if r.bit() else 0
+        # CONSTANT subframes never carry wasted bits in our encoder
+        recorded.setdefault(recording.doc, set()).add(
+            w if sf_type != 0 else -1
+        )
+        r.byte_pos = save >> 3
+        r._acc = 0
+        r._n = 0
+        if save & 7:
+            r.bits(save & 7)
+        return _orig(r, bs, bps)
+
+    fl._decode_subframe = recording
+    try:
+        for d in (0, 1, 2, 3, 4, 5, 6, 7):
+            recording.doc = d
+            fl.decode_flac(fl.gen_flac_wasted_payload(d))
+    finally:
+        fl._decode_subframe = orig
+    for d, ws in recorded.items():
+        fixed_ws = {w for w in ws if w >= 0}
+        if fixed_ws:
+            assert fixed_ws == {d % 4}, (d, ws)
+    assert any({1, 2, 3} & ws for ws in recorded.values())
+
+
+def test_partitioned_rice_occurs_and_roundtrips():
+    """r12: real encoders emit partitioned rice almost universally —
+    now so does ours, whenever it is cheaper. Assert partition orders
+    above 0 genuinely occur across the three FLAC fixtures (spied via
+    _read_residuals) and that every such payload still round-trips
+    bit-exactly with all three checksums verified."""
+    import numpy as np
+
+    import sim_spark.ops.flac as fl
+
+    seen: set[int] = set()
+    orig = fl._read_residuals
+
+    def recording(r, bs, order, _orig=orig):
+        save = r.bitpos
+        r.bits(2)
+        seen.add(r.bits(4))
+        r.byte_pos = save >> 3
+        r._acc = 0
+        r._n = 0
+        if save & 7:
+            r.bits(save & 7)
+        return _orig(r, bs, order)
+
+    fl._read_residuals = recording
+    try:
+        for d in (0, 3, 7, 50, 123, 200, 399):
+            rate, s = fl.formula_flac_samples(d)
+            r2, s2 = fl.decode_flac(fl.gen_flac_payload(d))
+            assert r2 == rate and np.array_equal(s2.astype(np.int64), s)
+        for d in (0, 7, 50, 123):
+            rate, sl, sr = fl.formula_flac_stereo_samples(d)
+            _r, l2, r2_ = fl.decode_flac_stereo(fl.gen_flac_stereo_payload(d))
+            assert np.array_equal(l2.astype(np.int64), sl)
+            assert np.array_equal(r2_.astype(np.int64), sr)
+        for d in (0, 7, 77, 199):
+            rate, s, *_ = fl.formula_flac_lpc(d)
+            _r, s2 = fl.decode_flac(fl.gen_flac_lpc_payload(d))
+            assert np.array_equal(s2.astype(np.int64), s)
+    finally:
+        fl._read_residuals = orig
+    assert 0 in seen and any(po > 0 for po in seen), seen
+
+
+def test_partitioned_rice_rejects_malformed_partitions():
+    """Typed errors on the new fields: a partition count that does not
+    divide the blocksize, and a first partition shorter than the
+    predictor order, both raise ValueError (not IndexError)."""
+    import numpy as np
+
+    import sim_spark.ops.flac as fl
+
+    # craft a FIXED order-0 subframe body with po=5 over blocksize 200
+    # (200 % 32 != 0) by encoding a valid stream then flipping the
+    # partition-order nibble is brittle; instead call the parser direct.
+    w = fl._BitWriter()
+    w.put(0b00, 2)
+    w.put(5, 4)  # 32 partitions over bs=200 -> invalid
+    w.put(0, 4)
+    w.pad_to_byte()
+    r = fl._BitReader(bytes(w.out))
+    with pytest.raises(ValueError):
+        fl._read_residuals(r, 200, 0)
+    w2 = fl._BitWriter()
+    w2.put(0b00, 2)
+    w2.put(7, 4)  # 128 partitions over bs=256 -> first partition 2 < order 3
+    w2.pad_to_byte()
+    r2 = fl._BitReader(bytes(w2.out))
+    with pytest.raises(ValueError):
+        fl._read_residuals(r2, 256, 3)

@@ -790,8 +790,10 @@ _HEADLINE_SPECS: dict[str, dict] = {
         require=["Window", "HashAggregate"],
         forbid=["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"],
     ),
-    # micro-nat corpus-total attach
-    "text_bigram_perplexity": dict(bnlj=1, require=["Window"]),
+    # micro-nat corpus-total attach + r12 ntile_bounds model-scalar
+    # attaches (bucket bounds, boundary pairs) — every BNLJ here is a
+    # keyless 1-row broadcast, never a data-scale nested loop
+    "text_bigram_perplexity": dict(bnlj=4, require=["Window"]),
     # per-round materialize loop: the returned frame's plan is the final
     # round's read -- nothing to require beyond the global forbids
     "curate_bpe_train_iterative": dict(require=[]),
