@@ -80,6 +80,8 @@ HEADLINE = [
     "multimodal_jpeg_color_decode",
     "multimodal_flac_stereo_decode",
     "multimodal_flac_lpc_decode",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_flac_wasted_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

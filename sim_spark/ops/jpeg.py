@@ -420,10 +420,18 @@ class _BitReader:
         return self.bits(1)
 
     def align_past_restart(self) -> None:
-        """Discard partial bits and consume the RSTn marker."""
+        """Discard partial bits and consume the RSTn marker. Corrupt
+        streams reach here with something other than RSTn at the
+        interval boundary — that must surface as the typed decode error
+        (never AssertionError, never stripped under -O)."""
         self._n = 0
         self._acc = 0
-        assert self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing or malformed restart marker")
         self.pos += 2
 
 
@@ -496,6 +504,29 @@ def idct2_blocks(coeffs: np.ndarray) -> np.ndarray:
     return np.einsum("xu,nuv,yv->nxy", _IDCT_COS, coeffs, _IDCT_COS)
 
 
+def sniff_jpeg_frame(payload: bytes) -> tuple[int, int]:
+    """(SOF marker byte, component count) from the header marker walk —
+    the dispatch the generic multimodal.decode() router needs to send a
+    payload to the right entry point (baseline gray / baseline color /
+    progressive) without attempting a decode."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected (corrupt JPEG stream)")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return marker, payload[pos + 7]
+        pos += seglen
+    raise ValueError("no SOF marker found")
+
+
 def decode_jpeg(payload: bytes):
     """Baseline JFIF grayscale decode.
 
@@ -509,6 +540,8 @@ def decode_jpeg(payload: bytes):
         return _decode_jpeg(payload)
     except (IndexError, struct.error) as e:  # truncated / corrupt stream
         raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+    except _Restart as e:  # stray RSTn outside an interval boundary
+        raise ValueError("unexpected restart marker in scan") from e
 
 
 def _decode_block_into(r, row, dc_lut, ac_lut, prev_dc: int) -> int:
@@ -718,6 +751,8 @@ def decode_jpeg_color(payload: bytes):
         width, height, comps = _parse_jpeg(payload)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+    except _Restart as e:  # stray RSTn mid-MCU in a corrupt stream
+        raise ValueError("unexpected restart marker in scan") from e
     if len(comps) != 3:
         raise ValueError("decode_jpeg_color expects a 3-component scan")
     hmax = max(c["h"] for c in comps)
@@ -737,6 +772,418 @@ def decode_jpeg_color(payload: bytes):
 
 
 # --- deterministic payload synthesis (integer arithmetic => SQL oracle) -----
+
+
+# --- progressive (SOF2) grayscale (r12) -------------------------------------
+# Spectral selection + successive approximation, the shape a large share
+# of web JPEGs use. Coefficients are recovered losslessly regardless of
+# scan structure, so the SAME coefficient-checksum oracle as baseline
+# applies. Progressive AC scans need EOBn symbols the standard baseline
+# tables do not define, so both sides share fixed-length canonical
+# tables (optimal code lengths would shrink payloads, not change the
+# recovered coefficients the oracle checks).
+
+_P_DC_BITS = [0, 0, 0, 14] + [0] * 12  # 14 four-bit codes: SSSS 0..13
+_P_DC_VALS = list(range(14))
+_P_AC_VALS = sorted(
+    {n << 4 for n in range(15)}  # EOBn, run length 2^n..2^(n+1)-1
+    | {0xF0}  # ZRL
+    | {(run << 4) | size for run in range(16) for size in range(1, 11)}
+)
+_P_AC_BITS = [0] * 8 + [len(_P_AC_VALS)] + [0] * 7  # all nine-bit
+_P_DC_CODES = _build_canonical_codes(_P_DC_BITS, _P_DC_VALS)
+_P_AC_CODES = _build_canonical_codes(_P_AC_BITS, _P_AC_VALS)
+
+# scan script: DC first/refine, then each AC band first/refine
+_P_SCANS = (
+    ("dc_first", 0, 0, 0, 1),
+    ("dc_refine", 0, 0, 1, 0),
+    ("ac_first", 1, 5, 0, 1),
+    ("ac_first", 6, 63, 0, 1),
+    ("ac_refine", 1, 5, 1, 0),
+    ("ac_refine", 6, 63, 1, 0),
+)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): magnitude shift — division by
+    2^al truncating toward ZERO (the DC transform is the arithmetic
+    shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _p_emit(w: _BitWriter, codes: dict, symbol: int) -> None:
+    code, length = codes[symbol]
+    w.put(code, length)
+
+
+def _p_enc_ac_first(
+    w: _BitWriter, coeffs: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            _p_emit(w, _P_AC_CODES, n << 4)
+            if n:
+                w.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for row in coeffs:
+        band = [_pt_ac(int(row[z]), al) for z in range(ss, se + 1)]
+        last_nz = -1
+        for i, v in enumerate(band):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                _p_emit(w, _P_AC_CODES, 0xF0)
+                run -= 16
+            size = _magnitude_category(v)
+            _encode_coeff_bits(w, _P_AC_CODES, (run << 4) | size, v, size)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+    flush()
+
+
+def _p_enc_ac_refine(
+    w: _BitWriter, coeffs: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    """T.81 G.1.2.3 correction-bit coding: history coefficients (already
+    significant at al+1) contribute one bit each; newly-significant
+    ones are coded run/1 + sign; zero-run and correction bits buffer
+    across EOB runs exactly as the decoder consumes them."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered behind the EOBn
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            _p_emit(w, _P_AC_CODES, n << 4)
+            if n:
+                w.put(eobrun - (1 << n), n)
+            eobrun = 0
+        for bit in pending:
+            w.put(bit, 1)
+        pending = []
+
+    for row in coeffs:
+        vals = [int(row[z]) for z in range(ss, se + 1)]
+        hist = [_pt_ac(v, al + 1) != 0 for v in vals]
+        newpos = [
+            i
+            for i, v in enumerate(vals)
+            if not hist[i] and _pt_ac(v, al) != 0
+        ]
+        eobpos = newpos[-1] if newpos else -1
+        run = 0
+        local: list[int] = []  # correction bits since the last symbol
+        for i in range(eobpos + 1):
+            t = _pt_ac(vals[i], al)
+            if not hist[i] and t == 0:
+                run += 1
+                continue
+            # ZRLs drain at ANY nonzero position — history included —
+            # (T.81 figure G.7 ordering): the decoder's 16-zero skip
+            # window only reads correction bits for history positions
+            # it passes, so bits beyond the window must wait for the
+            # next symbol, which means the run must be cut HERE.
+            while run > 15:
+                flush()
+                _p_emit(w, _P_AC_CODES, 0xF0)
+                for bit in local:
+                    w.put(bit, 1)
+                local = []
+                run -= 16
+            if hist[i]:
+                local.append((abs(vals[i]) >> al) & 1)
+                continue
+            # newly significant: |t| == 1 by construction of the scan script
+            flush()
+            _p_emit(w, _P_AC_CODES, (run << 4) | 1)
+            w.put(1 if t > 0 else 0, 1)
+            for bit in local:
+                w.put(bit, 1)
+            local = []
+            run = 0
+        # band tail: corrections for history positions after the last
+        # newly-significant one ride the EOB run. A block whose last
+        # new coefficient sits exactly at Se ends the band itself — the
+        # decoder reads no EOB for it.
+        if eobpos < len(vals) - 1:
+            for i in range(eobpos + 1, len(vals)):
+                if hist[i]:
+                    local.append((abs(vals[i]) >> al) & 1)
+            eobrun += 1
+            pending.extend(local)
+            if eobrun == 32767:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive_from_coeffs(
+    wb: int, hb: int, coeffs_zz: np.ndarray, qtable_zz: list[int] = QTABLE_ZZ
+) -> bytes:
+    """Quantized coefficients -> progressive (SOF2) JFIF bytes: six
+    scans (DC first+refine, two AC bands first+refine), successive
+    approximation Al 1 -> 0 throughout."""
+    n_blocks = wb * hb
+    assert coeffs_zz.shape == (n_blocks, 64)
+    width, height = wb * 8, hb * 8
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(qtable_zz)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    dc_seg = bytes([0x00]) + bytes(_P_DC_BITS) + bytes(_P_DC_VALS)
+    ac_seg = bytes([0x10]) + bytes(_P_AC_BITS) + bytes(_P_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_seg) + len(ac_seg))
+    out += dc_seg + ac_seg
+    for kind, ss, se, ah, al in _P_SCANS:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([1, 0x00, ss, se, (ah << 4) | al])
+        w = _BitWriter()
+        if kind == "dc_first":
+            prev = 0
+            for row in coeffs_zz:
+                v = int(row[0]) >> al  # DC point transform: arithmetic shift
+                diff = v - prev
+                prev = v
+                size = _magnitude_category(diff)
+                _encode_coeff_bits(w, _P_DC_CODES, size, diff, size)
+        elif kind == "dc_refine":
+            for row in coeffs_zz:
+                w.put((int(row[0]) >> al) & 1, 1)
+        elif kind == "ac_first":
+            _p_enc_ac_first(w, coeffs_zz, ss, se, al)
+        else:
+            _p_enc_ac_refine(w, coeffs_zz, ss, se, al)
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _p_dec_ac_first(r, lut, row, ss: int, se: int, al: int, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(r, lut)
+        run, size = sym >> 4, sym & 15
+        if size == 0:
+            if run < 15:  # EOBn: run length 2^run + extra
+                return (1 << run) + (r.bits(run) if run else 0) - 1
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        row[k] = _extend(r.bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _p_dec_ac_refine(r, lut, row, ss: int, se: int, al: int, eobrun: int) -> int:
+    p1 = 1 << al
+    k = ss
+
+    def correct(z: int) -> None:
+        c = int(row[z])
+        if r.bit() and not (c & p1):
+            row[z] = c + p1 if c > 0 else c - p1
+
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(r, lut)
+            run, size = sym >> 4, sym & 15
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = (1 << run) + (r.bits(run) if run else 0)
+                    break
+                # ZRL: skip 16 insignificant positions, correcting
+                # significant ones passed over
+            else:
+                if size != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if r.bit() else -p1
+            while k <= se:
+                if row[k] != 0:
+                    correct(k)
+                elif run == 0:
+                    if newval:
+                        row[k] = newval
+                    k += 1
+                    break
+                else:
+                    run -= 1
+                    k += 1
+                    continue
+                k += 1
+            else:
+                if newval:
+                    raise ValueError("newly significant coefficient past band")
+    if eobrun > 0:
+        while k <= se:  # rest of this block: corrections only
+            if row[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """Progressive (SOF2) JFIF grayscale decode: full multi-scan marker
+    walk — spectral selection, successive approximation (DC arithmetic
+    shift, AC magnitude shift), EOB-run and correction-bit coding —
+    recovering the exact quantized coefficients (the hash-oracle
+    contract, identical to baseline because the entropy layer is
+    lossless whatever the scan structure). Returns
+    (width, height, pixels, coeffs_zz) like :func:`decode_jpeg`."""
+    try:
+        return _decode_jpeg_progressive(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+    except _Restart as e:
+        raise ValueError("unexpected restart marker in scan") from e
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    if payload[-2:] != b"\xff\xd9":
+        raise ValueError("truncated JPEG (missing EOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_luts: dict[int, list] = {}
+    ac_luts: dict[int, list] = {}
+    width = height = 0
+    comp: tuple[int, int, int, int] | None = None
+    coeffs: np.ndarray | None = None
+    bw = bh = 0
+    got_frame = False
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected (corrupt JPEG stream)")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = tuple(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(seg[i + 17 : i + 17 + n])
+                (dc_luts if tc == 0 else ac_luts)[th] = _build_decode_lut(
+                    bits, vals
+                )
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2
+            if got_frame:
+                raise ValueError("multiple frames")
+            got_frame = True
+            precision = seg[0]
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit progressive JPEG")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "progressive color JPEG (grayscale supported)"
+                )
+            comp = (seg[6], seg[7] >> 4, seg[7] & 15, seg[8])
+            bw = (width + 7) // 8
+            bh = (height + 7) // 8
+            coeffs = np.zeros((bw * bh, 64), dtype=np.int64)
+        elif marker == 0xC0 or marker in (
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+        ):
+            raise ValueError(
+                "not a progressive stream (use decode_jpeg for baseline)"
+            )
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[0:2])[0] != 0:
+                raise NotImplementedError(
+                    "restart markers in progressive scans"
+                )
+        elif marker == 0xDA:
+            if coeffs is None or comp is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component progressive scan")
+            if seg[1] != comp[0]:
+                raise ValueError("scan references unknown component")
+            tdc, tac = seg[2] >> 4, seg[2] & 15
+            ss, se = seg[3], seg[4]
+            ah, al = seg[5] >> 4, seg[5] & 15
+            if ss == 0 and se != 0:
+                raise ValueError("DC scan must have Se = 0")
+            if ss > se or se > 63:
+                raise ValueError("invalid spectral band")
+            r = _BitReader(payload, pos + seglen)
+            n_blocks = bw * bh
+            if ss == 0:
+                if ah == 0:
+                    dc_lut = dc_luts[tdc]
+                    prev = 0
+                    for b in range(n_blocks):
+                        size = _huff_decode(r, dc_lut)
+                        prev += _extend(r.bits(size), size)
+                        coeffs[b, 0] = prev << al
+                else:
+                    bit = 1 << al
+                    for b in range(n_blocks):
+                        if r.bit():
+                            coeffs[b, 0] |= bit
+            else:
+                ac_lut = ac_luts[tac]
+                eobrun = 0
+                dec = _p_dec_ac_first if ah == 0 else _p_dec_ac_refine
+                for b in range(n_blocks):
+                    eobrun = dec(r, ac_lut, coeffs[b], ss, se, al, eobrun)
+            pos = r.pos
+            continue
+        pos += seglen
+    if coeffs is None:
+        raise ValueError("no SOF2 frame found")
+    q = np.array(qtables[comp[3]], dtype=np.int64)
+    cdict = dict(h=comp[1], v=comp[2], coeffs=coeffs, q=q, bw=bw, bh=bh)
+    img = _idct_plane(cdict)[:height, :width].astype(np.uint8)
+    return width, height, img.reshape(-1), coeffs
 
 
 def formula_jpeg_coeffs(doc_id: int) -> tuple[int, int, np.ndarray, int]:

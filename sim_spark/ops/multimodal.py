@@ -56,8 +56,29 @@ def decode(payload: bytes) -> dict:
         rate, samples = decode_wav(payload)
         return {"kind": "wav", "sample_rate": rate, "samples": samples}
     if payload[:2] == b"\xff\xd8":
-        from sim_spark.ops.jpeg import decode_jpeg
+        # r12 (r11 advice): sniff the SOF marker + component count and
+        # route — 3-component scans to the color decoder, SOF2 streams
+        # to the progressive decoder — matching the FLAC branch's
+        # channel dispatch instead of forcing grayscale-baseline.
+        from sim_spark.ops.jpeg import (
+            decode_jpeg,
+            decode_jpeg_color,
+            decode_jpeg_progressive,
+            sniff_jpeg_frame,
+        )
 
+        sof, ncomp = sniff_jpeg_frame(payload)
+        if sof == 0xC2:
+            w, h, px, _coeffs = decode_jpeg_progressive(payload)
+            return {
+                "kind": "jpeg",
+                "width": w,
+                "height": h,
+                "pixels": px.tobytes(),
+            }
+        if ncomp == 3:
+            w, h, rgb, _coeffs = decode_jpeg_color(payload)
+            return {"kind": "jpeg", "width": w, "height": h, "pixels": rgb.tobytes()}
         w, h, px, _coeffs = decode_jpeg(payload)
         return {"kind": "jpeg", "width": w, "height": h, "pixels": px.tobytes()}
     if payload[:4] == b"fLaC":

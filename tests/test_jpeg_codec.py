@@ -332,3 +332,100 @@ def test_color_422_sampling_decodes_exactly():
     assert np.array_equal(coeffs[0], yc)
     assert np.array_equal(coeffs[1], cb)
     assert np.array_equal(coeffs[2], cr)
+
+
+# --- progressive (SOF2) — r12 ------------------------------------------------
+
+
+def test_progressive_roundtrip_exact_and_matches_baseline_pixels():
+    """The six-scan progressive encoding recovers the exact quantized
+    coefficients for the shared fixture formula, and the decoded pixels
+    equal the baseline decode of the same coefficients (the entropy
+    layer is lossless whatever the scan structure)."""
+    import numpy as np
+
+    from sim_spark.ops.jpeg import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+        formula_jpeg_coeffs,
+    )
+
+    for d in (0, 1, 2, 3, 11, 38, 77, 199, 4999):
+        wb, hb, coeffs, _rst = formula_jpeg_coeffs(d)
+        w, h, px, rec = decode_jpeg_progressive(
+            encode_jpeg_progressive_from_coeffs(wb, hb, coeffs)
+        )
+        assert (w, h) == (wb * 8, hb * 8)
+        assert np.array_equal(rec, coeffs)
+        _, _, pxb, _ = decode_jpeg(encode_jpeg_from_coeffs(wb, hb, coeffs))
+        assert np.array_equal(px, pxb)
+
+
+def test_progressive_dense_random_grids_roundtrip():
+    """Adversarial coefficient grids (dense bands, long zero runs, EOB
+    runs spanning many blocks, ZRL-over-history interleavings) —
+    the correction-bit/EOB-run coder must be exactly invertible."""
+    import numpy as np
+
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        wb, hb = int(rng.integers(1, 6)), int(rng.integers(1, 5))
+        n = wb * hb
+        coeffs = np.zeros((n, 64), dtype=np.int64)
+        coeffs[:, 0] = rng.integers(-200, 201, n)
+        density = rng.uniform(0, 0.5) if trial % 3 else rng.uniform(0, 0.03)
+        mask = rng.random((n, 63)) < density
+        coeffs[:, 1:] = np.where(mask, rng.integers(-40, 41, (n, 63)), 0)
+        _, _, _, rec = decode_jpeg_progressive(
+            encode_jpeg_progressive_from_coeffs(wb, hb, coeffs)
+        )
+        assert np.array_equal(rec, coeffs), trial
+
+
+def test_progressive_truncation_and_garbage_typed_errors():
+    import numpy as np
+
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_from_coeffs,
+        formula_jpeg_coeffs,
+    )
+
+    wb, hb, coeffs, _ = formula_jpeg_coeffs(11)
+    base = encode_jpeg_progressive_from_coeffs(wb, hb, coeffs)
+    for k in range(4, len(base)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_progressive(base[:k])
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        p = b"\xff\xd8" + rng.integers(0, 256, 150, dtype=np.uint8).tobytes() + b"\xff\xd9"
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_progressive(p)
+
+
+def test_progressive_and_baseline_entry_points_cross_reject():
+    """decode_jpeg must fence SOF2 streams (typed), and
+    decode_jpeg_progressive must fence baseline streams — no silent
+    misparse in either direction."""
+    from sim_spark.ops.jpeg import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+        formula_jpeg_coeffs,
+    )
+
+    wb, hb, coeffs, _ = formula_jpeg_coeffs(5)
+    prog = encode_jpeg_progressive_from_coeffs(wb, hb, coeffs)
+    base = encode_jpeg_from_coeffs(wb, hb, coeffs)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive(base)

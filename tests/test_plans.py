@@ -774,6 +774,14 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_png_rgba_decode": dict(
         require=["MapInPandas"], forbid=["BatchEvalPython"]
     ),
+    "multimodal_jpeg_progressive_decode": dict(
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"],
+    ),
+    "multimodal_flac_wasted_decode": dict(
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"],
+    ),
     # corpus-total 1-row attach
     "text_unigram_surprisal": dict(bnlj=1, require=["HashAggregate"]),
     # one 1-row stats attach per autocorr lag (6 lags)
