@@ -16,10 +16,63 @@ Same output, same oracle; the candidate stage shrinks ~20-30×.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sim_spark.scratch import track_cache
+
+
+class CandidateDensityError(ValueError):
+    """Raised BEFORE an exact pair generator launches a self-join whose
+    bucket density would materialize more candidate pairs than the
+    configured budget (default 2e9; override via
+    ``SIM_SPARK_EXACT_PAIR_BUDGET``). The r11 sf10 rehearsal measured
+    the failure mode this prevents: the shingle prefix buckets of the
+    30-word-vocabulary fixture go quadratically dense at sf10 (~13.5B
+    candidates) and OOM the executor heap mid-job — a loud, typed,
+    up-front refusal with a pointer to the banded/bucketed twins
+    (dedup_minhash_lsh, dedup_simhash, dedup_simhash64_tf) is the
+    deterministic outcome instead (SCALE.md §24)."""
+
+
+def check_candidate_density(
+    members: DataFrame,
+    bucket_cols: list[str],
+    *,
+    what: str,
+    twins: str,
+    budget: int | None = None,
+) -> int:
+    """Exact self-join candidate count Σ c·(c-1)/2 over bucket sizes —
+    ONE shuffle-parallel aggregate over the (bucket, member) frame,
+    run eagerly before the pair join is launched. Returns the count;
+    raises :class:`CandidateDensityError` above budget. The frames
+    passed here are already track_cache'd by their callers, so the
+    check warms the cache the join needs anyway."""
+    if budget is None:
+        # Calibrated against the measured heap boundary (SCALE.md §20/§24):
+        # dedup_simhash_pairs at sf1 generates 2.30B candidates and peaks
+        # at 7.2 GB of the 8 GB executor heap (THIN but green) — the
+        # densest run known to survive. Default sits just above it; the
+        # sf10 shingle fixture (~13.5B) and sf10 simhash refuse up front.
+        budget = int(os.environ.get("SIM_SPARK_EXACT_PAIR_BUDGET", "2500000000"))
+    row = (
+        members.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("m"))
+        .first()
+    )
+    mass = int(row["m"] or 0)
+    if mass > budget:
+        raise CandidateDensityError(
+            f"{what}: bucket density would generate {mass:,} exact candidate "
+            f"pairs (budget {budget:,}; raise SIM_SPARK_EXACT_PAIR_BUDGET to "
+            f"force). This corpus is too dense for the exact ground-truth "
+            f"formulation — use the banded twins instead: {twins}."
+        )
+    return mass
 
 
 def jaccard_join_prefix(
@@ -97,6 +150,12 @@ def jaccard_join_prefix(
     # prefix row per (doc, rare-token) — ~⌊0.2n⌋+1 rows/doc, smaller
     # than the corpus explode. Measured −8% on the query at sf0.1.
     prefixes = track_cache(prefixes)
+    check_candidate_density(
+        prefixes,
+        ["h"],
+        what="jaccard_join_prefix",
+        twins="dedup_minhash_lsh / dedup_simhash (banded LSH, bounded buckets)",
+    )
     a = prefixes.select(F.col("id").alias("id_a"), "h")
     b = prefixes.select(F.col("id").alias("id_b"), "h").hint("shuffle_hash")
     cand = (

@@ -293,6 +293,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = fp.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
     ).select("doc_id", "simhash", "b.bno", "b.bval")
+    from sim_spark.ops.setsim import check_candidate_density
+
+    check_candidate_density(
+        banded,
+        ["bno", "bval"],
+        what="dedup_simhash_pairs",
+        twins="dedup_simhash / dedup_simhash64_tf (banded output ∝ true dups)",
+    )
     a = banded.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "bno", "bval"
     )

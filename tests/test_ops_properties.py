@@ -1126,3 +1126,60 @@ def test_auto_join_connect_text_path_rewrites(spark):
         and "auto_join" in str(w.message)
     ]
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_candidate_density_guardrail(spark):
+    """r12 (r11 verdict task #4): the exact pair generators refuse —
+    loudly, up front, with a pointer to the banded twins — when bucket
+    density would exceed the candidate budget, instead of OOMing
+    mid-job; under the budget they are a no-op returning the exact
+    candidate count."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sim_spark.ops.setsim import CandidateDensityError, check_candidate_density
+
+    # 1000 members in ONE bucket -> 499,500 candidates
+    dense = spark.range(1000).select(F.lit(7).alias("h"), F.col("id"))
+    n = check_candidate_density(
+        dense, ["h"], what="t", twins="tw", budget=10_000_000
+    )
+    assert n == 1000 * 999 // 2
+    with pytest.raises(CandidateDensityError) as ei:
+        check_candidate_density(dense, ["h"], what="t", twins="banded-tw", budget=1000)
+    assert "banded-tw" in str(ei.value) and "499,500" in str(ei.value)
+    # empty frame: zero mass, no refusal
+    empty = dense.filter("id < 0")
+    assert check_candidate_density(empty, ["h"], what="t", twins="tw", budget=1) == 0
+    # env override is honored
+    import os
+
+    os.environ["SIM_SPARK_EXACT_PAIR_BUDGET"] = "100"
+    try:
+        with pytest.raises(CandidateDensityError):
+            check_candidate_density(dense, ["h"], what="t", twins="tw")
+    finally:
+        del os.environ["SIM_SPARK_EXACT_PAIR_BUDGET"]
+
+
+def test_jaccard_prefix_join_unchanged_under_budget(spark):
+    """The guardrail must not change the exact output where it admits
+    the run (the hash oracle pins this too — belt and braces)."""
+    import pyspark.sql.functions as F
+
+    from sim_spark.ops.setsim import jaccard_join_prefix
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "e"]),
+        (3, ["a", "b", "c", "d", "f"]),
+        (4, ["x", "y", "z", "w", "v"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_join_prefix(df, 0.6).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert abs(out[(1, 3)] - 4 / 6) < 1e-5  # output is round(j, 6)
+    assert (1, 4) not in out and (2, 4) not in out
