@@ -82,6 +82,7 @@ HEADLINE = [
     "multimodal_flac_lpc_decode",
     "multimodal_jpeg_progressive_decode",
     "multimodal_flac_wasted_decode",
+    "multimodal_png_palette_adam7_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

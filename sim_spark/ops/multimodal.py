@@ -243,22 +243,27 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def encode_png(
-    width: int, height: int, pixels: bytes, channels: int = 3
-) -> bytes:
-    """Non-interlaced 8-bit PNG. ``pixels`` is row-major TOP-DOWN,
-    ``channels`` bytes/pixel (1 = grayscale, 2 = gray+alpha, 3 = RGB,
-    4 = RGBA — the color type is derived). Row ``r`` is written with
-    filter type ``r % 5``, so every payload taller than 4 rows exercises
-    ALL five PNG filters (None/Sub/Up/Average/Paeth) — a decoder with
-    any unfilter bug cannot round-trip these bytes. The zlib stream is
-    split across two IDAT chunks to exercise IDAT concatenation, as
-    real encoders emit."""
-    import struct
-    import zlib
 
-    bpp, row_bytes = channels, width * channels
+def _adam7_passes(width: int, height: int):
+    """Non-empty (x0, y0, dx, dy, wp, hp) pass dimensions."""
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            yield x0, y0, dx, dy, wp, hp
+
+
+def _png_filter_rows(pixels: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Serialize ``height`` rows with filter type r % 5 (every payload
+    taller than 4 rows exercises all five predictors); shared by the
+    plain, indexed, and per-Adam7-pass encoders."""
+    row_bytes = width * bpp
     raw = bytearray()
     prior = bytes(row_bytes)
     for r in range(height):
@@ -294,10 +299,85 @@ def encode_png(
                 for i in range(row_bytes)
             )
         prior = row
+    return raw
+
+
+def _extract_pass(pixels: bytes, width: int, bpp: int, x0, y0, dx, dy, wp, hp) -> bytes:
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, width, bpp)
+    return a[y0::dy, x0::dx].tobytes()
+
+
+def encode_png_indexed(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    trns: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Color-type-3 (palette) 8-bit PNG — the shape icon/graphic files
+    off the web commonly are (r12). ``indices`` are row-major palette
+    indices; ``trns`` optionally gives per-entry alpha (tRNS chunk).
+    With ``interlace`` the scanlines are Adam7-ordered."""
+    import struct
+    import zlib
+
+    assert len(indices) == width * height and 1 <= len(palette) <= 256
+    assert max(indices) < len(palette)
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+            sub = _extract_pass(indices, width, 1, x0, y0, dx, dy, wp, hp)
+            raw += _png_filter_rows(sub, wp, hp, 1)
+    else:
+        raw = _png_filter_rows(indices, width, height, 1)
+    z = zlib.compress(bytes(raw), 6)
+    half = max(1, len(z) // 2)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, int(interlace))
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return (
+        out
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    interlace: bool = False,
+) -> bytes:
+    """Non-interlaced 8-bit PNG. ``pixels`` is row-major TOP-DOWN,
+    ``channels`` bytes/pixel (1 = grayscale, 2 = gray+alpha, 3 = RGB,
+    4 = RGBA — the color type is derived). Row ``r`` is written with
+    filter type ``r % 5``, so every payload taller than 4 rows exercises
+    ALL five PNG filters (None/Sub/Up/Average/Paeth) — a decoder with
+    any unfilter bug cannot round-trip these bytes. The zlib stream is
+    split across two IDAT chunks to exercise IDAT concatenation, as
+    real encoders emit."""
+    import struct
+    import zlib
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+            sub = _extract_pass(pixels, width, channels, x0, y0, dx, dy, wp, hp)
+            raw += _png_filter_rows(sub, wp, hp, channels)
+    else:
+        raw = _png_filter_rows(pixels, width, height, channels)
     z = zlib.compress(bytes(raw), 6)
     half = max(1, len(z) // 2)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0,
+        int(interlace),
     )
     return (
         PNG_SIG
@@ -316,61 +396,19 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, px
 
 
-def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse a non-interlaced 8-bit PNG of any non-palette color type
-    (grayscale / gray+alpha / RGB / RGBA — what real files off the web
-    overwhelmingly are) → (width, height, channels, pixels) with pixels
-    row-major TOP-DOWN: signature check, IHDR/IDAT/IEND chunk walk
-    (CRC-verified), multi-IDAT concatenation, zlib.decompress, and the
-    five per-row unfilter predictors (None/Sub/Up/Average/Paeth) with
-    the channel-count-dependent byte offset. Palette (PLTE) color,
-    non-8-bit depths, and interlacing raise."""
-    import struct
-    import zlib
-
-    if payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack_from(">I", payload, pos)
-        if pos + 12 + clen > len(payload):
-            # a corrupt/oversized clen would otherwise silently truncate
-            # `data` via slicing (defeating the CRC check) and the CRC
-            # unpack would raise struct.error instead of the documented
-            # ValueError
-            raise ValueError("truncated PNG chunk")
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
-        if ctype == b"IHDR":
-            width, height, depth, ctype_col, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_col)
-            if (depth, comp, filt, interlace) != (8, 0, 0, 0) or channels is None:
-                raise ValueError(
-                    f"unsupported PNG: depth={depth} color={ctype_col} "
-                    f"interlace={interlace} (non-interlaced 8-bit "
-                    f"gray/gray+alpha/RGB/RGBA only)"
-                )
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
-    bpp, row_bytes = channels, width * channels
-    if len(raw) != height * (1 + row_bytes):
+def _png_unfilter(raw: bytes, offset: int, w_px: int, h_px: int, bpp: int):
+    """Unfilter ``h_px`` scanlines of ``w_px`` pixels starting at
+    ``offset`` in the decompressed stream; returns (pixels, new_offset).
+    Shared by the sequential path and each Adam7 pass (whose predictor
+    state resets per pass, per spec)."""
+    row_bytes = w_px * bpp
+    need = h_px * (1 + row_bytes)
+    if offset + need > len(raw):
         raise ValueError("PNG scanline payload length mismatch")
     out = bytearray()
     prior = bytes(row_bytes)
-    for r in range(height):
-        base = r * (1 + row_bytes)
+    for r in range(h_px):
+        base = offset + r * (1 + row_bytes)
         ft = raw[base]
         row = bytearray(raw[base + 1 : base + 1 + row_bytes])
         if ft == 1:  # Sub
@@ -392,7 +430,106 @@ def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {ft}")
         out += row
         prior = bytes(row)
-    return width, height, channels, bytes(out)
+    return bytes(out), offset + need
+
+
+def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse an 8-bit PNG of any real-world shape (r12): grayscale /
+    gray+alpha / RGB / RGBA / PALETTE (PLTE, optional tRNS alpha), each
+    sequential or Adam7-INTERLACED → (width, height, channels, pixels)
+    row-major TOP-DOWN. Signature check, CRC-verified chunk walk,
+    multi-IDAT concatenation, zlib.decompress, the five unfilter
+    predictors with per-pass state resets, Adam7 pixel scatter, and
+    palette expansion (tRNS promotes to RGBA). Non-8-bit depths
+    raise ValueError — the one remaining PNG fence."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    palette: bytes | None = None
+    trns: bytes | None = None
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            # a corrupt/oversized clen would otherwise silently truncate
+            # `data` via slicing (defeating the CRC check) and the CRC
+            # unpack would raise struct.error instead of the documented
+            # ValueError
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_col, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_col)
+            if (
+                depth != 8
+                or comp != 0
+                or filt != 0
+                or interlace not in (0, 1)
+                or channels is None
+            ):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={ctype_col} "
+                    f"interlace={interlace} (8-bit gray/gray+alpha/RGB/"
+                    f"RGBA/palette, sequential or Adam7, only)"
+                )
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("malformed PLTE chunk")
+            palette = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    is_palette = ctype_col == 3
+    if is_palette and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    if interlace == 0:
+        px, end = _png_unfilter(raw, 0, width, height, bpp)
+        if end != len(raw):
+            raise ValueError("PNG scanline payload length mismatch")
+        img = np.frombuffer(px, dtype=np.uint8).reshape(height, width, bpp)
+    else:
+        img = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+            sub, off = _png_unfilter(raw, off, wp, hp, bpp)
+            img[y0::dy, x0::dx] = np.frombuffer(sub, dtype=np.uint8).reshape(
+                hp, wp, bpp
+            )
+        if off != len(raw):
+            raise ValueError("PNG scanline payload length mismatch")
+    if is_palette:
+        n_entries = len(palette) // 3
+        idx = img.reshape(height, width)
+        if int(idx.max(initial=0)) >= n_entries:
+            raise ValueError("palette index out of range")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_entries, 3)
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(n_entries, 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            out = np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+            return width, height, 4, out.tobytes()
+        return width, height, 3, rgb.tobytes()
+    return width, height, channels, img.tobytes()
 
 
 def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

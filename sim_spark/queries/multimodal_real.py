@@ -1525,3 +1525,107 @@ def multimodal_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, channels long, px_sum long, "
         "alpha_sum long, top_row_sum long",
     )
+
+
+# --- PNG palette + Adam7 interlace decode (r12) ------------------------------
+
+from sim_spark.ops.multimodal import encode_png_indexed  # noqa: E402
+
+
+def _gen_png_pal7_payload(doc_id: int) -> bytes:
+    """Deterministic PNG cycling the two shapes the r11 verdict listed
+    as the remaining real-world PNG gap — palette (PLTE) color and
+    Adam7 interlacing — plus their combination and an interlaced RGBA
+    contrast: doc_id % 4 = 0 palette sequential, 1 RGB Adam7,
+    2 palette+tRNS Adam7 (decodes to RGBA), 3 RGBA Adam7. All byte
+    formulas SQL-recomputable: palette size P = 3 + doc%5; index(r,c) =
+    (doc + 3r + 5c) % P; palette entry (e, ch) = (11·doc + 29e + 37ch)
+    % 256; tRNS alpha(e) = (7·doc + 13e) % 256; truecolor byte
+    (r, c, ch) = (5·doc + 7r + 11c + 23ch) % 256."""
+    import numpy as np
+
+    m = doc_id % 4
+    w, h = 4 + (doc_id % 9), 3 + (doc_id % 6)
+    if m in (1, 3):
+        ch_n = 3 if m == 1 else 4
+        r = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(w, dtype=np.int64)[None, :, None]
+        ch = np.arange(ch_n, dtype=np.int64)[None, None, :]
+        px = ((5 * doc_id + 7 * r + 11 * c + 23 * ch) % 256).astype(np.uint8)
+        return encode_png(w, h, px.tobytes(), channels=ch_n, interlace=True)
+    P = 3 + doc_id % 5
+    pal = [
+        tuple(int((11 * doc_id + 29 * e + 37 * ch) % 256) for ch in range(3))
+        for e in range(P)
+    ]
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    idx = ((doc_id + 3 * r + 5 * c) % P).astype(np.uint8)
+    trns = (
+        [int((7 * doc_id + 13 * e) % 256) for e in range(P)] if m == 2 else None
+    )
+    return encode_png_indexed(
+        w, h, idx.tobytes(), pal, trns=trns, interlace=(m == 2)
+    )
+
+
+_gen_png_pal7_batches = _make_gen_batches(_gen_png_pal7_payload)
+
+
+@query(
+    "multimodal_png_palette_adam7_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 AS m,
+         4 + (doc_id % 9) AS w, 3 + (doc_id % 6) AS h,
+         3 + (doc_id % 5) AS p,
+         CASE WHEN doc_id % 4 IN (2, 3) THEN 4 ELSE 3 END AS ch_n
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, m, w, h, ch_n, rr.r, cc.c, hh.ch,
+         (doc_id + 3 * rr.r + 5 * cc.c) % p AS idx
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, ch_n)) AS ch) hh
+),
+vals AS (
+  SELECT doc_id, w, h, ch_n, r, c, ch,
+         CASE
+           WHEN m IN (1, 3) THEN (5 * doc_id + 7 * r + 11 * c + 23 * ch) % 256
+           WHEN ch < 3 THEN (11 * doc_id + 29 * idx + 37 * ch) % 256
+           ELSE (7 * doc_id + 13 * idx) % 256
+         END AS val
+  FROM cells
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch_n AS BIGINT) AS channels,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN ch = 3 THEN val ELSE 0 END) AS BIGINT) AS alpha_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT) AS top_row_sum
+FROM vals GROUP BY doc_id, w, h, ch_n
+""",
+)
+def multimodal_png_palette_adam7_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Palette (PLTE/tRNS) and Adam7-interlaced PNG decode under the
+    exact byte oracle (r12 — closing the r11 verdict's PNG fence):
+    both shapes are pure reindexing/reordering, so the decoded pixels
+    are integer-exact. One key cycles palette-sequential, RGB-Adam7,
+    palette+tRNS-Adam7 (palette expansion promotes to RGBA), and
+    RGBA-Adam7; the decoder walks CRC-verified chunks, deinterlaces
+    the seven passes with per-pass filter-state resets, expands the
+    palette, and applies tRNS alpha. The oracle recomputes every byte
+    (palette indirection included) in integer SQL. Light fan-out class
+    like the other PNG keys: Arrow-batched mapInPandas, no shuffle
+    until the feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_png_pal7_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _png_any_feature_batches,
+        "doc_id long, width long, height long, channels long, px_sum long, "
+        "alpha_sum long, top_row_sum long",
+    )

@@ -124,17 +124,26 @@ def test_png_crc_is_verified():
 
 
 def test_png_rejects_unsupported_shapes():
+    """Adam7 decodes since r12, so the lying-header probe (sequential
+    scanlines labeled interlaced) now fails the pass-layout length
+    check rather than a fence; a 16-bit depth remains fenced."""
     from sim_spark.ops.multimodal import decode_png, encode_png
+
+    import zlib
 
     p = bytearray(encode_png(2, 2, bytes(12)))
     # IHDR data starts at offset 16 (8 sig + 4 len + 4 type);
     # interlace byte is IHDR data[12]
-    p[16 + 12] = 1  # Adam7
-    import zlib
-
+    p[16 + 12] = 1  # claim Adam7 over sequential scanline bytes
     crc = zlib.crc32(bytes(p[12:16]) + bytes(p[16 : 16 + 13])) & 0xFFFFFFFF
     struct.pack_into(">I", p, 16 + 13, crc)
-    with pytest.raises(ValueError, match="non-interlaced 8-bit"):
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(bytes(p))
+    p = bytearray(encode_png(2, 2, bytes(12)))
+    p[16 + 8] = 16  # depth byte: 16-bit stays fenced
+    crc = zlib.crc32(bytes(p[12:16]) + bytes(p[16 : 16 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", p, 16 + 13, crc)
+    with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(bytes(p))
 
 
@@ -199,3 +208,103 @@ def test_png_all_color_types_roundtrip():
         from sim_spark.ops.multimodal import decode_png
 
         decode_png(encode_png(2, 2, bytes(16), channels=4))
+
+
+# --- PNG palette + Adam7 (r12) -----------------------------------------------
+
+
+def test_png_adam7_grid_covers_every_pixel_once():
+    import numpy as np
+
+    from sim_spark.ops.multimodal import _ADAM7
+
+    cov = np.zeros((16, 16), dtype=int)
+    for x0, y0, dx, dy in _ADAM7:
+        cov[y0::dy, x0::dx] += 1
+    assert (cov == 1).all()
+
+
+def test_png_palette_and_adam7_roundtrip_all_shapes():
+    import numpy as np
+
+    from sim_spark.ops.multimodal import (
+        decode_png_any,
+        encode_png,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 3, 4):
+        for il in (False, True):
+            for (w, h) in [(1, 1), (2, 3), (8, 8), (13, 11), (1, 9), (9, 1)]:
+                px = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+                w2, h2, c2, px2 = decode_png_any(
+                    encode_png(w, h, px, channels=ch, interlace=il)
+                )
+                assert (w2, h2, c2) == (w, h, ch) and px2 == px
+    for il in (False, True):
+        for trns in (None, [0, 128, 255]):
+            pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(5)]
+            idx = rng.integers(0, 5, 13 * 7, dtype=np.uint8).tobytes()
+            w2, h2, c2, px2 = decode_png_any(
+                encode_png_indexed(13, 7, idx, pal, trns=trns, interlace=il)
+            )
+            assert (w2, h2) == (13, 7) and c2 == (4 if trns else 3)
+            a = np.frombuffer(px2, dtype=np.uint8).reshape(7, 13, c2)
+            ii = np.frombuffer(idx, dtype=np.uint8).reshape(7, 13)
+            assert np.array_equal(a[..., :3], np.array(pal, dtype=np.uint8)[ii])
+
+
+def test_png_palette_malformed_typed_errors():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from sim_spark.ops.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png_any,
+        encode_png_indexed,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = encode_png_indexed(4, 3, bytes([0, 1] * 6), pal)
+    # out-of-range palette index
+    z = zlib.compress(bytes([0, 0, 1, 5, 0]) + bytes([0, 1, 0, 1]) + bytes([0, 0, 0, 1, 0]))
+    bad = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x07\x00" * 3))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_any(bad)
+    # missing PLTE
+    no_plte = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00" * 3))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_any(no_plte)
+    # malformed PLTE length
+    bad_plte = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([1, 2, 3, 4]))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00" * 3))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_any(bad_plte)
+    # truncations of a valid palette+interlace stream stay typed
+    full = encode_png_indexed(5, 4, bytes(range(20)), [(i, i, i) for i in range(20)], interlace=True)
+    for k in range(9, len(full), 2):
+        try:
+            decode_png_any(full[:k])
+        except (ValueError, zlib.error):
+            pass
