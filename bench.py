@@ -83,6 +83,7 @@ HEADLINE = [
     "multimodal_jpeg_progressive_decode",
     "multimodal_flac_wasted_decode",
     "multimodal_png_palette_adam7_decode",
+    "multimodal_mp3_header_parse",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

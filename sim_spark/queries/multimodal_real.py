@@ -1437,6 +1437,108 @@ def multimodal_flac_wasted_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- MP3 frame-header / container parse (r12) --------------------------------
+
+from sim_spark.ops.mp3 import gen_mp3_payload, parse_mp3  # noqa: E402
+
+_gen_mp3_batches = _make_gen_batches(gen_mp3_payload)
+
+
+def _mp3_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = parse_mp3(bytes(payload))
+            rows.append(
+                (int(doc_id), d["n_frames"], d["sample_rate"], d["mode"],
+                 d["total_bytes"], d["kbps_sum"], d["duration_us"],
+                 d["xing_frames"], d["xing_bytes"], d["head16_sum"])
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "sample_rate", "mode",
+                     "total_bytes", "kbps_sum", "duration_us",
+                     "xing_frames", "xing_bytes", "head16_sum"],
+        ).astype("int64")
+
+
+_MP3_KBPS_SQL = (
+    "CASE 1 + (doc_id + 3 * ii.i) % 14 "
+    "WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56 "
+    "WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112 "
+    "WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224 "
+    "WHEN 13 THEN 256 ELSE 320 END"
+)
+
+
+@query(
+    "multimodal_mp3_header_parse",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 6 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr,
+         doc_id % 4 AS mode
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, nf, sr, mode, ii.i,
+         {_MP3_KBPS_SQL} AS kbps,
+         (doc_id + ii.i) % 2 AS pad
+  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS i) ii
+),
+fs AS (
+  SELECT doc_id, nf, sr, mode, i, kbps, pad,
+         144000 * kbps // sr + pad AS fsize
+  FROM fr
+),
+h16 AS (
+  SELECT fs.doc_id, SUM((fs.doc_id + 17 * fs.i + jj.j) % 256) AS s16
+  FROM fs, LATERAL (SELECT unnest(range(0, 16)) AS j) jj
+  WHERE fs.i >= 1 GROUP BY fs.doc_id
+)
+SELECT fs.doc_id,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(MAX(sr) AS BIGINT) AS sample_rate,
+       CAST(MAX(mode) AS BIGINT) AS mode,
+       CAST(SUM(fsize) AS BIGINT) AS total_bytes,
+       CAST(SUM(kbps) AS BIGINT) AS kbps_sum,
+       CAST(MAX(nf) * 1152 * 1000000 // MAX(sr) AS BIGINT) AS duration_us,
+       CAST(MAX(nf) AS BIGINT) AS xing_frames,
+       CAST(SUM(fsize) AS BIGINT) AS xing_bytes,
+       CAST(MAX(h16.s16) AS BIGINT) AS head16_sum
+FROM fs JOIN h16 ON fs.doc_id = h16.doc_id
+GROUP BY fs.doc_id
+""",
+)
+def multimodal_mp3_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 container/frame-header parse (r12 — shrinking the last
+    multimodal fence to "psychoacoustic samples only", per the r11
+    verdict): synthesize spec-shaped MPEG-1 Layer III VBR streams
+    (sync-worded headers, exact Layer III frame-length arithmetic with
+    padding, a Xing VBR tag with frame/byte counts behind the
+    mode-dependent side-info offset, per-frame bitrates cycling the
+    whole table) and walk them back with ops/mp3.parse_mp3 — sync
+    validation, reserved-code fences, duration/bitrate/channel-mode
+    extraction, Xing consistency, and a first-16-bytes body checksum
+    that pins the frame-length walk (an off-by-one padding bug lands
+    mid-body and breaks sync or the checksum). Everything a curation
+    pipeline reads from audio metadata, integer-exact in both engines;
+    sample decode remains the documented psychoacoustic fence. Light
+    fan-out class: Arrow-batched mapInPandas, no shuffle until the
+    10-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_mp3_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _mp3_feature_batches,
+        "doc_id long, n_frames long, sample_rate long, mode long, "
+        "total_bytes long, kbps_sum long, duration_us long, "
+        "xing_frames long, xing_bytes long, head16_sum long",
+    )
+
+
 # --- PNG gray/RGBA decode (r11): real-world color types ---------------------
 
 from sim_spark.ops.multimodal import decode_png_any, encode_png  # noqa: E402

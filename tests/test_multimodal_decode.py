@@ -308,3 +308,52 @@ def test_png_palette_malformed_typed_errors():
             decode_png_any(full[:k])
         except (ValueError, zlib.error):
             pass
+
+
+# --- MP3 frame-header parse (r12) --------------------------------------------
+
+
+def test_mp3_parse_roundtrip_and_xing_consistency():
+    from sim_spark.ops.mp3 import (
+        BITRATES_V1L3,
+        SAMPLE_RATES_V1,
+        _frame_len,
+        formula_mp3_params,
+        gen_mp3_payload,
+        parse_mp3,
+    )
+
+    for doc in (0, 1, 2, 3, 4, 5, 6, 7, 11, 12, 401, 4999):
+        sr_idx, mode, frames = formula_mp3_params(doc)
+        d = parse_mp3(gen_mp3_payload(doc))
+        sr = SAMPLE_RATES_V1[sr_idx]
+        total = sum(_frame_len(BITRATES_V1L3[bi], sr, p) for bi, p in frames)
+        assert d["n_frames"] == len(frames) == d["xing_frames"]
+        assert d["sample_rate"] == sr and d["mode"] == mode
+        assert d["total_bytes"] == total == d["xing_bytes"]
+        assert d["duration_us"] == len(frames) * 1152 * 1000000 // sr
+
+
+def test_mp3_parse_typed_errors_on_malformed_streams():
+    import numpy as np
+
+    from sim_spark.ops.mp3 import gen_mp3_payload, parse_mp3
+
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_mp3(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+    base = gen_mp3_payload(7)
+    for k in range(1, len(base)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_mp3(base[:k])
+    # flipped version bits -> MPEG-2 fence, typed
+    p = bytearray(base)
+    p[1] &= ~0b00011000  # version 00 (MPEG-2.5)
+    with pytest.raises((ValueError, NotImplementedError)):
+        parse_mp3(bytes(p))
+    # reserved sample-rate index
+    p = bytearray(base)
+    p[2] = (p[2] & ~0b1100) | 0b1100
+    with pytest.raises(ValueError):
+        parse_mp3(bytes(p))

@@ -785,6 +785,9 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_png_palette_adam7_decode": dict(
         require=["MapInPandas"], forbid=["BatchEvalPython"]
     ),
+    "multimodal_mp3_header_parse": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
     # corpus-total 1-row attach
     "text_unigram_surprisal": dict(bnlj=1, require=["HashAggregate"]),
     # one 1-row stats attach per autocorr lag (6 lags)
