@@ -47,10 +47,13 @@ def _edges_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this frame; un-cut, the pair-generation self-join re-executes per
     # reference and the K-round plan grows exponentially (each round's
     # state references the previous state twice: relax + union).
-    e = _copurchase_edges(spark, sf_dir)
+    # r12: checkpoint the 12M-row UNDIRECTED half and mirror it lazily —
+    # the union of two reads of one checkpoint costs no shuffle, and the
+    # durable write halves (the mirrored frame was 24M rows at sf1).
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
     return e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).transform(materialize)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -442,7 +445,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("src"), "node", F.lit(1).cast("long").alias("sigma")
     )
     layers = [l0]
-    for _ in range(_BC_DEPTH):
+    for rnd in range(_BC_DEPTH):
         prev = layers[-1]
         seen = layers[0].select("src", "node")
         for x in layers[1:]:
@@ -453,8 +456,13 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(seen, ["src", "node"], "left_anti")
             .groupBy("src", "node")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
-            .transform(materialize)
         )
+        # The FINAL forward layer is consumed exactly once — as deps[D],
+        # which materializes right below. Cutting it here too wrote and
+        # re-read the same frame twice (r12: one checkpoint round saved,
+        # ~2 s of the sf1 wall).
+        if rnd < _BC_DEPTH - 1:
+            nxt = nxt.transform(materialize)
         layers.append(nxt)
     deps = {
         _BC_DEPTH: layers[_BC_DEPTH].withColumn("dq", F.lit(0).cast("long"))
@@ -472,8 +480,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.sigma") * (F.lit(1000000000.0) + F.col("wdq")) / F.col("wsigma")
             + F.lit(0.5)
         ).cast("long")
+        # every layer node sits on the mirrored edge list by construction
+        # (sources are edge endpoints; reached nodes arrived via an edge),
+        # so the edge join is INNER (r12) — the dq=0 preservation the old
+        # outer join provided is carried entirely by the w-side left join.
         deps[k] = (
-            v.join(ed, F.col("v.node") == F.col("es"), "left")
+            v.join(ed, F.col("v.node") == F.col("es"))
             .join(
                 w,
                 (F.col("v.src") == F.col("wsrc"))

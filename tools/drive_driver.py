@@ -25,6 +25,28 @@ ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else None
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 
+def _head_commit() -> str:
+    """Short HEAD hash stamped onto every per-key record (r11 advice):
+    a scoped DRIVE_KEYS merge keeps older keys' results, so without a
+    per-key commit a regressed key could keep looking green under
+    evidence recorded at an older tree."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+HEAD = _head_commit()
+
+
 def _out_path() -> str:
     base = os.path.basename(SF_DIR.rstrip("/"))
     if base.startswith("testdata_"):  # repo-local fixtures: testdata_sf10 -> sf10
@@ -195,10 +217,12 @@ for k in sorted(qs):
         "spark_rows": None,
         "oracle_rows": None,
         "err": None,
+        "commit": HEAD,
     }
     if k in CHECKSUM_KEYS and k in os_:
         try:
             rec = _checksum_compare(k)
+            rec["commit"] = HEAD
             ok = rec["rows_match"] and rec["hash_match"] and rec["schema_match"]
             if not ok:
                 failed.append(k)
@@ -252,9 +276,23 @@ if ROUND is not None:
     out = _out_path()
     if os.environ.get("DRIVE_KEYS") and os.path.exists(out):
         # scoped runs MERGE into the round's subset artifact: two
-        # successive single-key drives previously overwrote each other
+        # successive single-key drives previously overwrote each other.
+        # Every record carries the HEAD commit it ran under (r11 advice);
+        # carried-over keys recorded at an OLDER tree are flagged loudly
+        # so stale green can't masquerade as current evidence.
         with open(out) as f:
             merged = json.load(f)
+        stale = sorted(
+            k
+            for k, v in merged.items()
+            if k not in results and isinstance(v, dict) and v.get("commit") != HEAD
+        )
+        if stale:
+            print(
+                f"WARNING: {len(stale)} carried keys were recorded under an "
+                f"older commit (current {HEAD}): {', '.join(stale[:12])}"
+                + ("..." if len(stale) > 12 else "")
+            )
         merged.update(results)
         results = merged
     with open(out, "w") as f:
