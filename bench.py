@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_flac_wasted_decode",
     "multimodal_png_palette_adam7_decode",
     "multimodal_mp3_header_parse",
+    "multimodal_flac_depth_decode",
     "text_bigram_perplexity",
     "dedup_simhash64_tf",
     "curate_bpe_train_iterative",

@@ -298,12 +298,35 @@ def _rice_cost(samples: np.ndarray, order: int, bps: int = 16) -> int:
     return cost + order * bps  # residual bits + verbatim warm-up
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Mono int16 samples -> FLAC stream (STREAMINFO + frames)."""
+_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_BPS_FROM_CODE = {v: k for k, v in _BPS_CODE.items()}
+
+
+def _pack_samples(arr: np.ndarray, bps: int) -> bytes:
+    """Little-endian ceil(bps/8)-byte packing of the sample stream —
+    what the STREAMINFO MD5 is computed over, per spec (r12: the codec
+    handles 8/12/16/20/24-bit depths, retiring the 16-bit fence)."""
+    if bps <= 8:
+        return arr.astype("<i1").tobytes()
+    if bps <= 16:
+        return arr.astype("<i2").tobytes()
+    # 17..24: three bytes per sample, two's complement little-endian
+    return (
+        arr.astype("<i4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    )
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int, bps: int = 16
+) -> bytes:
+    """Mono samples -> FLAC stream (STREAMINFO + frames) at any
+    supported depth (8/12/16/20/24 bits, r12)."""
+    assert bps in _BPS_CODE, bps
     s = np.asarray(samples, dtype=np.int64)
-    assert s.size and np.all((s >= -32768) & (s <= 32767))
+    lim = 1 << (bps - 1)
+    assert s.size and np.all((s >= -lim) & (s <= lim - 1))
     n = s.size
-    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_pack_samples(s, bps)).digest()
 
     out = bytearray(b"fLaC")
     # STREAMINFO: last-metadata-block flag set, type 0, length 34
@@ -315,18 +338,18 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
     si.put(0, 24)  # max frame size unknown
     si.put(sample_rate, 20)
     si.put(0, 3)  # channels - 1
-    si.put(15, 5)  # bps - 1
+    si.put(bps - 1, 5)
     si.put(n, 36)
     out += b"\x80" + (34).to_bytes(3, "big") + bytes(si.out) + md5
     del last_bs
 
     for frame_no, start in enumerate(range(0, n, _BLOCKSIZE)):
         blk = s[start : start + _BLOCKSIZE]
-        out += _encode_frame(blk, frame_no, sample_rate)
+        out += _encode_frame(blk, frame_no, sample_rate, bps)
     return bytes(out)
 
 
-def _frame_header(bs: int, frame_no: int, ch_code: int) -> bytes:
+def _frame_header(bs: int, frame_no: int, ch_code: int, bps: int = 16) -> bytes:
     w = _BitWriter()
     w.put(0b11111111111110, 14)  # sync
     w.put(0, 1)  # reserved
@@ -340,7 +363,7 @@ def _frame_header(bs: int, frame_no: int, ch_code: int) -> bytes:
         bs_tail = struct.pack(">H", bs - 1)
     w.put(0b0000, 4)  # sample rate: from STREAMINFO
     w.put(ch_code, 4)  # 0 = mono; 1 = L/R; 8/9/10 = LS/RS/MS
-    w.put(0b100, 3)  # bps: 16
+    w.put(_BPS_CODE[bps], 3)
     w.put(0, 1)  # reserved
     header = bytes(w.out) + _utf8_coded(frame_no) + bs_tail
     return header + bytes([_crc8(header)])
@@ -401,10 +424,12 @@ def _encode_subframe(body: _BitWriter, blk: np.ndarray, bps: int) -> None:
     _write_residuals(body, _zigzag(_fixed_residual(sub, order)), blk.size, order)
 
 
-def _encode_frame(blk: np.ndarray, frame_no: int, sample_rate: int) -> bytes:
-    header = _frame_header(blk.size, frame_no, 0)
+def _encode_frame(
+    blk: np.ndarray, frame_no: int, sample_rate: int, bps: int = 16
+) -> bytes:
+    header = _frame_header(blk.size, frame_no, 0, bps)
     body = _BitWriter()
-    _encode_subframe(body, blk, 16)
+    _encode_subframe(body, blk, bps)
     body.pad_to_byte()
     payload = header + bytes(body.out)
     return payload + struct.pack(">H", _crc16(payload))
@@ -499,8 +524,8 @@ def _decode_stream(payload: bytes, want_channels: int):
             nch = r.bits(3) + 1
             bps = r.bits(5) + 1
             total = r.bits(36)
-            if bps != 16:
-                raise NotImplementedError("only 16-bit FLAC supported")
+            if bps not in _BPS_CODE:
+                raise NotImplementedError(f"unsupported FLAC bit depth {bps}")
             if nch != want_channels:
                 raise NotImplementedError(
                     f"stream has {nch} channel(s); use "
@@ -519,7 +544,7 @@ def _decode_stream(payload: bytes, want_channels: int):
     frames = []
     got = 0
     while got < total and pos < len(payload):
-        frame, consumed = _decode_frame(payload, pos)
+        frame, consumed = _decode_frame(payload, pos, bps)
         if (frame.ndim == 2) != (want_channels == 2):
             raise ValueError("frame channel layout contradicts STREAMINFO")
         frames.append(frame)
@@ -530,20 +555,20 @@ def _decode_stream(payload: bytes, want_channels: int):
             f"FLAC sample-count mismatch: STREAMINFO says {total}, stream "
             f"holds {got}"
         )
-    return sample_rate, frames, md5_expect
+    return sample_rate, frames, md5_expect, bps
 
 
 def decode_flac(payload: bytes):
     """Mono FLAC stream -> (sample_rate, int16 samples). Verifies frame
     CRC-8/CRC-16 and the STREAMINFO MD5 of the decoded stream."""
     try:
-        sample_rate, frames, md5_expect = _decode_stream(payload, 1)
+        sample_rate, frames, md5_expect, bps = _decode_stream(payload, 1)
     except (IndexError, struct.error) as e:  # truncated / corrupt stream
         raise ValueError(f"truncated or corrupt FLAC: {e!r}") from e
-    s16 = np.concatenate(frames).astype("<i2")
-    if hashlib.md5(s16.tobytes()).digest() != md5_expect:
+    arr = np.concatenate(frames)
+    if hashlib.md5(_pack_samples(arr, bps)).digest() != md5_expect:
         raise ValueError("FLAC MD5 mismatch: decoded stream corrupt")
-    return sample_rate, s16
+    return sample_rate, arr.astype("<i2") if bps <= 16 else arr.astype("<i4")
 
 
 def decode_flac_stereo(payload: bytes):
@@ -553,19 +578,20 @@ def decode_flac_stereo(payload: bytes):
     computed over the interleaved L,R stream exactly as the spec says,
     so a decorrelation-mode or reconstruction bug cannot pass."""
     try:
-        sample_rate, frames, md5_expect = _decode_stream(payload, 2)
+        sample_rate, frames, md5_expect, bps = _decode_stream(payload, 2)
     except (IndexError, struct.error) as e:  # truncated / corrupt stream
         raise ValueError(f"truncated or corrupt FLAC: {e!r}") from e
     lr = np.concatenate(frames, axis=1)
-    inter = np.empty(2 * lr.shape[1], dtype="<i2")
-    inter[0::2] = lr[0].astype("<i2")
-    inter[1::2] = lr[1].astype("<i2")
-    if hashlib.md5(inter.tobytes()).digest() != md5_expect:
+    inter = np.empty(2 * lr.shape[1], dtype=np.int64)
+    inter[0::2] = lr[0]
+    inter[1::2] = lr[1]
+    if hashlib.md5(_pack_samples(inter, bps)).digest() != md5_expect:
         raise ValueError("FLAC MD5 mismatch: decoded stream corrupt")
-    return sample_rate, lr[0].astype("<i2"), lr[1].astype("<i2")
+    dt = "<i2" if bps <= 16 else "<i4"
+    return sample_rate, lr[0].astype(dt), lr[1].astype(dt)
 
 
-def _decode_frame(payload: bytes, byte_pos: int):
+def _decode_frame(payload: bytes, byte_pos: int, stream_bps: int = 16):
     r = _BitReader(payload, byte_pos)
     if r.bits(14) != 0b11111111111110:
         raise ValueError("lost frame sync")
@@ -578,8 +604,11 @@ def _decode_frame(payload: bytes, byte_pos: int):
     r.bit()  # reserved
     if ch_code not in (0b0000, 0b0001, 0b1000, 0b1001, 0b1010):
         raise NotImplementedError(f"channel assignment {ch_code:#06b}")
-    if bps_code != 0b100:
-        raise NotImplementedError("only 16-bit frames supported")
+    bps = _BPS_FROM_CODE.get(bps_code)
+    if bps is None:
+        raise NotImplementedError(f"bit-depth code {bps_code:#05b}")
+    if bps != stream_bps:
+        raise ValueError("frame bit depth contradicts STREAMINFO")
     _frame_no = _read_utf8_coded(r)
     if bs_code == 0b1000:
         bs = 256
@@ -597,10 +626,10 @@ def _decode_frame(payload: bytes, byte_pos: int):
         raise ValueError("frame header CRC-8 mismatch")
 
     if ch_code == 0b0000:
-        frame = _decode_subframe(r, bs, 16)
+        frame = _decode_subframe(r, bs, bps)
     else:
-        bps1 = 17 if ch_code == 0b1001 else 16  # RS: ch1 is the side
-        bps2 = 17 if ch_code in (0b1000, 0b1010) else 16  # LS/MS: ch2 side
+        bps1 = bps + 1 if ch_code == 0b1001 else bps  # RS: ch1 is the side
+        bps2 = bps + 1 if ch_code in (0b1000, 0b1010) else bps  # LS/MS side
         ch1 = _decode_subframe(r, bs, bps1)
         ch2 = _decode_subframe(r, bs, bps2)
         if ch_code == 0b0001:  # independent L, R
@@ -896,6 +925,33 @@ def formula_flac_lpc(doc_id: int):
     order = 1 + doc_id % 3
     coefs = [16 + (doc_id + 7 * j) % 17 for j in range(order)]
     return rate, s, coefs, 8, 5
+
+
+def formula_flac_depth(doc_id: int):
+    """(rate, bps, samples) for the bit-depth key (r12): depth cycles
+    8/16/24 by doc_id %% 3, sample magnitudes scale with the depth —
+    constant head (subframe variety) then quadratic-hash noise, all
+    integer arithmetic the DuckDB oracle recomputes:
+      bps 8:  C=121,   M=241      (|s| <= 120)
+      bps 16: C=1001,  M=4001     (|s| <= 2000)
+      bps 24: C=100001, M=1000001 (|s| <= 500000)
+      s(i) = (doc*7) %% C - C div 2            for i < 64
+             (doc*31 + i*i*17) %% M - M div 2  otherwise
+      n = 200 + doc %% 300, rate = 8000 + (doc %% 3) * 4000."""
+    bps = (8, 16, 24)[doc_id % 3]
+    C = {8: 121, 16: 1001, 24: 100001}[bps]
+    M = {8: 241, 16: 4001, 24: 1000001}[bps]
+    n = 200 + doc_id % 300
+    rate = 8000 + (doc_id % 3) * 4000
+    i = np.arange(n, dtype=np.int64)
+    const = (doc_id * 7) % C - C // 2
+    noise = (doc_id * 31 + i * i * 17) % M - M // 2
+    return rate, bps, np.where(i < 64, const, noise)
+
+
+def gen_flac_depth_payload(doc_id: int) -> bytes:
+    rate, bps, s = formula_flac_depth(doc_id)
+    return encode_flac(s, rate, bps=bps)
 
 
 def formula_flac_wasted(doc_id: int) -> tuple[int, np.ndarray]:

@@ -1539,6 +1539,64 @@ def multimodal_mp3_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FLAC bit-depth decode (r12): 8/16/24-bit ---------------------------------
+
+from sim_spark.ops.flac import gen_flac_depth_payload  # noqa: E402
+
+_gen_flac_depth_batches = _make_gen_batches(gen_flac_depth_payload)
+
+
+@query(
+    "multimodal_flac_depth_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 200 + (doc_id % 300) AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         CASE doc_id % 3 WHEN 0 THEN 121 WHEN 1 THEN 1001
+              ELSE 100001 END AS c,
+         CASE doc_id % 3 WHEN 0 THEN 241 WHEN 1 THEN 4001
+              ELSE 1000001 END AS m
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate, ii.i,
+         CASE
+           WHEN ii.i < 64 THEN (doc_id * 7) % c - c // 2
+           ELSE (doc_id * 31 + ii.i * ii.i * 17) % m - m // 2
+         END AS smp
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(smp)) AS BIGINT) AS max_abs,
+       CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+       CAST(min(CASE WHEN i = n - 1 THEN smp END) AS BIGINT) AS last_sample
+FROM s GROUP BY doc_id, n, rate
+""",
+)
+def multimodal_flac_depth_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8/16/24-bit FLAC decode under the hash oracle (r12 — retiring
+    the codec's last fence, non-16-bit depths): depth cycles with
+    doc_id %% 3 and sample magnitudes scale accordingly (|s| <= 120 /
+    2000 / 500000). STREAMINFO declares the depth, every frame header
+    carries the matching bit-depth code (a contradiction is a typed
+    error), warm-ups/constants/verbatims code at the declared width,
+    and the STREAMINFO MD5 is computed over the spec's little-endian
+    ceil(bps/8)-byte packing — one/two/three bytes per sample — so a
+    width or packing bug cannot pass. The oracle recomputes every
+    sample in integer SQL. Heavy fan-out class like the other FLAC
+    keys."""
+    d = _doc_ids(spark, sf_dir, heavy=True)
+    payloads = d.mapInPandas(_gen_flac_depth_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _flac_feature_batches,
+        "doc_id long, sample_rate long, n_samples long, sum_abs long, "
+        "max_abs long, first_sample long, last_sample long",
+    )
+
+
 # --- PNG gray/RGBA decode (r11): real-world color types ---------------------
 
 from sim_spark.ops.multimodal import decode_png_any, encode_png  # noqa: E402

@@ -396,3 +396,36 @@ def test_partitioned_rice_rejects_malformed_partitions():
     r2 = fl._BitReader(bytes(w2.out))
     with pytest.raises(ValueError):
         fl._read_residuals(r2, 256, 3)
+
+
+def test_bit_depths_roundtrip_and_cross_checks():
+    """r12: 8/16/24-bit mono streams round-trip exactly; the MD5 packs
+    at ceil(bps/8) little-endian bytes; a frame whose bit-depth code
+    contradicts STREAMINFO raises the typed error."""
+    import numpy as np
+
+    import sim_spark.ops.flac as fl
+
+    for d in (0, 1, 2, 3, 4, 5, 100, 101, 102, 299):
+        rate, bps, s = fl.formula_flac_depth(d)
+        pay = fl.gen_flac_depth_payload(d)
+        r2, s2 = fl.decode_flac(pay)
+        assert r2 == rate and np.array_equal(s2.astype(np.int64), s), (d, bps)
+        assert s2.dtype == (np.dtype("<i4") if bps > 16 else np.dtype("<i2"))
+    # extremes of each depth survive
+    for bps in (8, 16, 24):
+        lim = 1 << (bps - 1)
+        s = np.array([-lim, lim - 1, 0, -1, 1] * 60, dtype=np.int64)
+        r2, s2 = fl.decode_flac(fl.encode_flac(s, 8000, bps=bps))
+        assert np.array_equal(s2.astype(np.int64), s), bps
+    # contradiction probe: 24-bit STREAMINFO over 16-bit frames
+    pay = bytearray(fl.encode_flac(np.arange(-100, 100), 8000, bps=16))
+    # STREAMINFO bps-1 field: byte offset 8+4+13 = bits 132..136 of the
+    # 34-byte block starting at offset 8; flip via re-encode instead:
+    good24 = fl.encode_flac(np.arange(-100, 100), 8000, bps=24)
+    hdr = bytearray(good24[: 8 + 34])
+    body16 = fl.encode_flac(np.arange(-100, 100), 8000, bps=16)[8 + 34 :]
+    import pytest
+
+    with pytest.raises(ValueError):
+        fl.decode_flac(bytes(hdr) + body16)

@@ -788,6 +788,10 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_mp3_header_parse": dict(
         require=["MapInPandas"], forbid=["BatchEvalPython"]
     ),
+    "multimodal_flac_depth_decode": dict(
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"],
+    ),
     # corpus-total 1-row attach
     "text_unigram_surprisal": dict(bnlj=1, require=["HashAggregate"]),
     # one 1-row stats attach per autocorr lag (6 lags)
