@@ -95,10 +95,22 @@ def decode(payload: bytes) -> dict:
             }
         rate, samples = decode_flac(payload)
         return {"kind": "flac", "sample_rate": rate, "samples": samples}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from sim_spark.ops.gif import decode_gif
+
+        w, h, rgb, transparent = decode_gif(payload)
+        return {
+            "kind": "gif",
+            "width": w,
+            "height": h,
+            "pixels": rgb,
+            "transparent": transparent,
+        }
     raise NotImplementedError(
-        "MP3/video decode requires codec libraries not present in this "
-        "environment; BMP, non-interlaced RGB8 PNG (stdlib zlib), WAV, "
-        "and baseline grayscale JPEG (ops/jpeg.py) decode is real"
+        "MP3/video sample decode requires codec libraries not present in "
+        "this environment (frame-header/container parse is real — "
+        "ops/mp3.py); BMP, PNG, WAV, GIF (ops/gif.py), JPEG (ops/jpeg.py) "
+        "and FLAC (ops/flac.py) decode is real"
     )
 
 
@@ -259,11 +271,17 @@ def _adam7_passes(width: int, height: int):
             yield x0, y0, dx, dy, wp, hp
 
 
-def _png_filter_rows(pixels: bytes, width: int, height: int, bpp: int) -> bytearray:
+def _png_filter_rows(
+    pixels: bytes, width: int, height: int, bpp: int, row_bytes: int | None = None
+) -> bytearray:
     """Serialize ``height`` rows with filter type r % 5 (every payload
     taller than 4 rows exercises all five predictors); shared by the
-    plain, indexed, and per-Adam7-pass encoders."""
-    row_bytes = width * bpp
+    plain, indexed, and per-Adam7-pass encoders. ``row_bytes`` defaults
+    to ``width * bpp`` (whole-byte samples); sub-8-bit depths pass the
+    packed scanline length explicitly while ``bpp`` stays the spec's
+    filter offset of max(1, bits//8) = 1."""
+    if row_bytes is None:
+        row_bytes = width * bpp
     raw = bytearray()
     prior = bytes(row_bytes)
     for r in range(height):
@@ -316,26 +334,41 @@ def encode_png_indexed(
     palette: list[tuple[int, int, int]],
     trns: list[int] | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Color-type-3 (palette) 8-bit PNG — the shape icon/graphic files
-    off the web commonly are (r12). ``indices`` are row-major palette
-    indices; ``trns`` optionally gives per-entry alpha (tRNS chunk).
-    With ``interlace`` the scanlines are Adam7-ordered."""
+    """Color-type-3 (palette) PNG — the shape icon/graphic files off
+    the web commonly are (r12). ``indices`` are row-major palette
+    indices, one per byte regardless of ``depth`` (1/2/4-bit depths are
+    bit-packed here, MSB-first with scanline padding); ``trns``
+    optionally gives per-entry alpha (tRNS chunk). With ``interlace``
+    the scanlines are Adam7-ordered."""
     import struct
     import zlib
 
     assert len(indices) == width * height and 1 <= len(palette) <= 256
     assert max(indices) < len(palette)
+    if depth not in (1, 2, 4, 8) or max(indices) >> depth:
+        raise ValueError(f"palette depth {depth} cannot hold these indices")
+
+    def _pack(sub: bytes, wp: int, hp: int) -> tuple[bytes, int]:
+        if depth == 8:
+            return sub, wp
+        return _png_pack_rows(sub, wp, hp, depth), (wp * depth + 7) // 8
+
     if interlace:
         raw = bytearray()
         for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
             sub = _extract_pass(indices, width, 1, x0, y0, dx, dy, wp, hp)
-            raw += _png_filter_rows(sub, wp, hp, 1)
+            packed, rb = _pack(sub, wp, hp)
+            raw += _png_filter_rows(packed, wp, hp, 1, row_bytes=rb)
     else:
-        raw = _png_filter_rows(indices, width, height, 1)
+        packed, rb = _pack(indices, width, height)
+        raw = _png_filter_rows(packed, width, height, 1, row_bytes=rb)
     z = zlib.compress(bytes(raw), 6)
     half = max(1, len(z) // 2)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, 3, 0, 0, int(interlace)
+    )
     plte = b"".join(bytes(rgb) for rgb in palette)
     out = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
     if trns is not None:
@@ -396,12 +429,18 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, px
 
 
-def _png_unfilter(raw: bytes, offset: int, w_px: int, h_px: int, bpp: int):
+def _png_unfilter(
+    raw: bytes, offset: int, w_px: int, h_px: int, bpp: int,
+    row_bytes: int | None = None,
+):
     """Unfilter ``h_px`` scanlines of ``w_px`` pixels starting at
     ``offset`` in the decompressed stream; returns (pixels, new_offset).
     Shared by the sequential path and each Adam7 pass (whose predictor
-    state resets per pass, per spec)."""
-    row_bytes = w_px * bpp
+    state resets per pass, per spec). ``row_bytes`` defaults to
+    ``w_px * bpp``; sub-8-bit depths pass the packed scanline length
+    while ``bpp`` stays the spec's filter offset of 1."""
+    if row_bytes is None:
+        row_bytes = w_px * bpp
     need = h_px * (1 + row_bytes)
     if offset + need > len(raw):
         raise ValueError("PNG scanline payload length mismatch")
@@ -433,15 +472,127 @@ def _png_unfilter(raw: bytes, offset: int, w_px: int, h_px: int, bpp: int):
     return bytes(out), offset + need
 
 
-def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse an 8-bit PNG of any real-world shape (r12): grayscale /
-    gray+alpha / RGB / RGBA / PALETTE (PLTE, optional tRNS alpha), each
-    sequential or Adam7-INTERLACED → (width, height, channels, pixels)
-    row-major TOP-DOWN. Signature check, CRC-verified chunk walk,
-    multi-IDAT concatenation, zlib.decompress, the five unfilter
-    predictors with per-pass state resets, Adam7 pixel scatter, and
-    palette expansion (tRNS promotes to RGBA). Non-8-bit depths
-    raise ValueError — the one remaining PNG fence."""
+# bit depths the PNG spec allows per color type (IHDR table, spec 11.2.2)
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),  # grayscale
+    2: (8, 16),           # RGB
+    3: (1, 2, 4, 8),      # palette
+    4: (8, 16),           # gray + alpha
+    6: (8, 16),           # RGBA
+}
+
+
+def _png_pack_rows(vals, w_px: int, h_px: int, depth: int) -> bytes:
+    """MSB-first bit packing of sub-8-bit samples into scanlines with
+    per-row byte padding (PNG spec 7.2)."""
+    import numpy as np
+
+    if isinstance(vals, (bytes, bytearray)):
+        vals = np.frombuffer(vals, dtype=np.uint8)
+    a = np.asarray(vals, dtype=np.uint8).reshape(h_px, w_px)
+    bits = np.unpackbits(a[..., None], axis=2)[..., 8 - depth :]
+    flat = bits.reshape(h_px, w_px * depth)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros((h_px, pad), dtype=np.uint8)], axis=1
+        )
+    return np.packbits(flat, axis=1).tobytes()
+
+
+def _png_unpack_rows(px: bytes, w_px: int, h_px: int, depth: int):
+    """Inverse of :func:`_png_pack_rows` → uint8 array (h_px, w_px)."""
+    import numpy as np
+
+    row_bytes = (w_px * depth + 7) // 8
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h_px, row_bytes)
+    bits = np.unpackbits(a, axis=1)[:, : w_px * depth]
+    grouped = bits.reshape(h_px, w_px, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)
+
+
+def encode_png_deep(
+    width: int,
+    height: int,
+    samples,
+    channels: int = 1,
+    depth: int = 16,
+    interlace: bool = False,
+) -> bytes:
+    """Non-palette PNG at the spec's non-8-bit depths (r12): 16-bit
+    gray/GA/RGB/RGBA (big-endian sample packing) and 1/2/4-bit
+    grayscale (MSB-first bit packing with per-scanline padding).
+    ``samples`` is a flat sequence of h·w·channels ints < 2^depth,
+    row-major TOP-DOWN. Filter offset follows the spec: the byte
+    holding the corresponding sample of the pixel to the left —
+    channels·2 for 16-bit, 1 for sub-byte depths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ctype_col = _PNG_COLOR_TYPE[channels]
+    if depth not in _PNG_VALID_DEPTHS[ctype_col] or depth == 8:
+        raise ValueError(f"encode_png_deep: depth {depth} invalid for "
+                         f"{channels}-channel (use encode_png for 8-bit)")
+    if depth < 8 and channels != 1:
+        raise ValueError("sub-8-bit PNG is grayscale-only")
+    a = np.asarray(samples, dtype=np.int64)
+    if a.size != width * height * channels or a.min(initial=0) < 0 or (
+        a.max(initial=0) >> depth
+    ):
+        raise ValueError("bad sample count or sample out of depth range")
+    raw = bytearray()
+    if depth == 16:
+        packed = a.astype(">u2").tobytes()
+        bpp = 2 * channels
+        if interlace:
+            for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+                sub = _extract_pass(packed, width, bpp, x0, y0, dx, dy, wp, hp)
+                raw += _png_filter_rows(sub, wp, hp, bpp)
+        else:
+            raw += _png_filter_rows(packed, width, height, bpp)
+    else:
+        grid = a.astype(np.uint8).reshape(height, width)
+        if interlace:
+            for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+                sub = grid[y0::dy, x0::dx]
+                packed = _png_pack_rows(sub, wp, hp, depth)
+                raw += _png_filter_rows(
+                    packed, wp, hp, 1, row_bytes=(wp * depth + 7) // 8
+                )
+        else:
+            packed = _png_pack_rows(grid, width, height, depth)
+            raw += _png_filter_rows(
+                packed, width, height, 1, row_bytes=(width * depth + 7) // 8
+            )
+    z = zlib.compress(bytes(raw), 6)
+    half = max(1, len(z) // 2)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ctype_col, 0, 0, int(interlace)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_deep(payload: bytes):
+    """Parse a PNG at ANY spec-valid bit depth / color type combination
+    (r12 — retiring the r11 "8-bit only" fence): grayscale 1/2/4/8/16,
+    gray+alpha / RGB / RGBA 8/16, palette 1/2/4/8 (PLTE + optional tRNS),
+    sequential or Adam7-interlaced. Returns (width, height, channels,
+    depth, samples) where ``samples`` is a numpy (height, width,
+    channels) int64 array of decoded sample values (palette expanded to
+    8-bit RGB/RGBA; ``depth`` reports the SOURCE bit depth). Signature
+    check, CRC-verified chunk walk, multi-IDAT concatenation, the five
+    unfilter predictors at the spec's filter offset, per-pass state
+    resets, MSB-first sub-byte unpacking, and big-endian 16-bit
+    samples."""
     import struct
     import zlib
 
@@ -472,16 +623,15 @@ def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
             )
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_col)
             if (
-                depth != 8
+                channels is None
+                or depth not in _PNG_VALID_DEPTHS[ctype_col]
                 or comp != 0
                 or filt != 0
                 or interlace not in (0, 1)
-                or channels is None
             ):
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color={ctype_col} "
-                    f"interlace={interlace} (8-bit gray/gray+alpha/RGB/"
-                    f"RGBA/palette, sequential or Adam7, only)"
+                    f"interlace={interlace}"
                 )
         elif ctype == b"PLTE":
             if len(data) % 3 or not 3 <= len(data) <= 768:
@@ -500,20 +650,32 @@ def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
     if is_palette and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = channels
+    sample_bytes = 2 if depth == 16 else 1
+    bpp = max(1, channels * depth // 8)  # spec filter offset
+
+    def _rows(w_px: int) -> int:
+        return (w_px * channels * depth + 7) // 8
+
+    def _to_grid(px: bytes, w_px: int, h_px: int):
+        if depth == 16:
+            return np.frombuffer(px, dtype=">u2").reshape(h_px, w_px, channels)
+        if depth == 8:
+            return np.frombuffer(px, dtype=np.uint8).reshape(
+                h_px, w_px, channels
+            )
+        return _png_unpack_rows(px, w_px, h_px, depth)[..., None]
+
     if interlace == 0:
-        px, end = _png_unfilter(raw, 0, width, height, bpp)
+        px, end = _png_unfilter(raw, 0, width, height, bpp, _rows(width))
         if end != len(raw):
             raise ValueError("PNG scanline payload length mismatch")
-        img = np.frombuffer(px, dtype=np.uint8).reshape(height, width, bpp)
+        img = _to_grid(px, width, height).astype(np.int64)
     else:
-        img = np.zeros((height, width, bpp), dtype=np.uint8)
+        img = np.zeros((height, width, channels), dtype=np.int64)
         off = 0
         for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
-            sub, off = _png_unfilter(raw, off, wp, hp, bpp)
-            img[y0::dy, x0::dx] = np.frombuffer(sub, dtype=np.uint8).reshape(
-                hp, wp, bpp
-            )
+            sub, off = _png_unfilter(raw, off, wp, hp, bpp, _rows(wp))
+            img[y0::dy, x0::dx] = _to_grid(sub, wp, hp)
         if off != len(raw):
             raise ValueError("PNG scanline payload length mismatch")
     if is_palette:
@@ -522,14 +684,32 @@ def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
         if int(idx.max(initial=0)) >= n_entries:
             raise ValueError("palette index out of range")
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_entries, 3)
-        rgb = pal[idx]
+        rgb = pal[idx].astype(np.int64)
         if trns is not None:
-            alpha = np.full(n_entries, 255, dtype=np.uint8)
+            alpha = np.full(n_entries, 255, dtype=np.int64)
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             out = np.concatenate([rgb, alpha[idx][..., None]], axis=2)
-            return width, height, 4, out.tobytes()
-        return width, height, 3, rgb.tobytes()
-    return width, height, channels, img.tobytes()
+            return width, height, 4, depth, out
+        return width, height, 3, depth, rgb
+    return width, height, channels, depth, img
+
+
+def decode_png_any(payload: bytes) -> tuple[int, int, int, bytes]:
+    """8-bit entry point (back-compat contract: one BYTE per sample):
+    grayscale / gray+alpha / RGB / RGBA / palette, sequential or Adam7
+    → (width, height, channels, pixels) row-major TOP-DOWN. Non-8-bit
+    depths decode through :func:`decode_png_deep`, whose sample array
+    this byte-oriented contract cannot represent — a typed error points
+    there."""
+    import numpy as np
+
+    w, h, channels, depth, img = decode_png_deep(payload)
+    if depth != 8:
+        raise ValueError(
+            f"{depth}-bit PNG: use decode_png_deep (byte-per-sample "
+            f"contract cannot represent it)"
+        )
+    return w, h, channels, img.astype(np.uint8).tobytes()
 
 
 def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

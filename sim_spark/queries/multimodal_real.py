@@ -1789,3 +1789,270 @@ def multimodal_png_palette_adam7_decode(
         "doc_id long, width long, height long, channels long, px_sum long, "
         "alpha_sum long, top_row_sum long",
     )
+
+
+# --- GIF decode (r12): LZW container, interlace, transparency ----------------
+
+from sim_spark.ops.gif import decode_gif, decode_gif_indices, encode_gif  # noqa: E402
+
+
+def _gen_gif_payload(doc_id: int) -> bytes:
+    """Deterministic GIF89a cycling the container's three real-world
+    shapes: doc_id % 3 = 0 sequential opaque, 1 four-pass INTERLACED,
+    2 sequential with a transparent palette entry (graphic control
+    extension). All formulas SQL-recomputable: palette size
+    P = 3 + doc%6; index(r,c) = (doc + 3r + 5c) % P; palette entry
+    (e, ch) = (11·doc + 29e + 37ch) % 256; transparent index doc % P."""
+    import numpy as np
+
+    m = doc_id % 3
+    w, h = 4 + (doc_id % 9), 3 + (doc_id % 6)
+    P = 3 + doc_id % 6
+    pal = [
+        tuple(int((11 * doc_id + 29 * e + 37 * ch) % 256) for ch in range(3))
+        for e in range(P)
+    ]
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    idx = ((doc_id + 3 * r + 5 * c) % P).astype(np.uint8)
+    return encode_gif(
+        w,
+        h,
+        idx.tobytes(),
+        pal,
+        transparent=(doc_id % P) if m == 2 else None,
+        interlace=(m == 1),
+    )
+
+
+_gen_gif_batches = _make_gen_batches(_gen_gif_payload)
+
+
+def _gif_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb, transparent = decode_gif(bytes(payload))
+            _, _, idx, _ = decode_gif_indices(bytes(payload))
+            a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+            img = a.reshape(h, w, 3)
+            # row-weighted sum: px_sum alone is permutation-invariant,
+            # so an interlace reorder bug would slip through it
+            wrow = int((img.sum(axis=(1, 2)) * (np.arange(h) + 1)).sum())
+            ix = np.frombuffer(idx, dtype=np.uint8)
+            tn = int((ix == transparent).sum()) if transparent is not None else 0
+            rows.append(
+                (
+                    int(doc_id),
+                    w,
+                    h,
+                    int(a.sum()),
+                    wrow,
+                    int(img[0].sum()),
+                    tn,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "px_sum", "wrow_sum",
+                "top_row_sum", "transparent_n",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         4 + (doc_id % 9) AS w, 3 + (doc_id % 6) AS h,
+         3 + (doc_id % 6) AS p
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, m, w, h, p, rr.r, cc.c,
+         (doc_id + 3 * rr.r + 5 * cc.c) % p AS idx
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc
+),
+vals AS (
+  SELECT doc_id, m, w, h, p, r, c, idx, hh.ch,
+         (11 * doc_id + 29 * idx + 37 * hh.ch) % 256 AS val
+  FROM cells, LATERAL (SELECT unnest(range(0, 3)) AS ch) hh
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum((r + 1) * val) AS BIGINT) AS wrow_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT)
+         AS top_row_sum,
+       CAST(sum(CASE WHEN m = 2 AND idx = doc_id % p AND ch = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS transparent_n
+FROM vals GROUP BY doc_id, w, h
+""",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a decode under the exact integer oracle (r12 — the last
+    common crawled-image container the multimodal layer lacked). GIF
+    is LOSSLESS (LZW over palette indices), so a from-scratch
+    variable-width LZW decoder, the 255-byte sub-block walk, the
+    4-pass interlace reorder, and the transparency extension all sit
+    under the same hash oracle as the PNG keys: `wrow_sum` is
+    row-weighted specifically because `px_sum` is permutation-
+    invariant and would miss an interlace reorder bug, and
+    `transparent_n` breaks if the graphic control extension is
+    dropped. The oracle recomputes every expanded RGB byte (palette
+    indirection included) in integer SQL. Light fan-out class:
+    Arrow-batched mapInPandas over the round-robined id frame, no
+    shuffle until the 7-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_gif_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _gif_feature_batches,
+        "doc_id long, width long, height long, px_sum long, wrow_sum long, "
+        "top_row_sum long, transparent_n long",
+    )
+
+
+# --- PNG bit depths (r12): 16-bit and sub-byte, the last PNG fence -----------
+
+from sim_spark.ops.multimodal import decode_png_deep, encode_png_deep  # noqa: E402
+
+
+def _gen_png_depth_payload(doc_id: int) -> bytes:
+    """Deterministic PNG cycling the non-8-bit depths the spec allows
+    (doc_id % 5): 0 = 16-bit grayscale sequential, 1 = 16-bit RGB
+    Adam7, 2 = 4-bit grayscale sequential, 3 = 2-bit palette Adam7,
+    4 = 1-bit grayscale Adam7. SQL-recomputable formulas: 16-bit
+    sample (r, c, ch) = (5·doc + 257r + 263c + 1031ch) % 65536
+    (grayscale uses ch = 0); 4-bit (doc + 3r + 5c) % 16; 1-bit
+    (doc + r + c) % 2; palette size P = 3 + doc % 2 with index
+    (doc + 3r + 5c) % P and entry (e, ch) = (11·doc + 29e + 37ch)
+    % 256."""
+    import numpy as np
+
+    m = doc_id % 5
+    w, h = 4 + (doc_id % 9), 3 + (doc_id % 6)
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    if m in (0, 1):
+        ch_n = 1 if m == 0 else 3
+        ch = np.arange(ch_n, dtype=np.int64)[None, None, :]
+        s = (5 * doc_id + 257 * r + 263 * c + 1031 * ch) % 65536
+        return encode_png_deep(
+            w, h, s.ravel(), channels=ch_n, depth=16, interlace=(m == 1)
+        )
+    if m == 2:
+        s = (doc_id + 3 * r[..., 0] + 5 * c[..., 0]) % 16
+        return encode_png_deep(w, h, s.ravel(), channels=1, depth=4)
+    if m == 4:
+        s = (doc_id + r[..., 0] + c[..., 0]) % 2
+        return encode_png_deep(
+            w, h, s.ravel(), channels=1, depth=1, interlace=True
+        )
+    P = 3 + doc_id % 2
+    pal = [
+        tuple(int((11 * doc_id + 29 * e + 37 * ch) % 256) for ch in range(3))
+        for e in range(P)
+    ]
+    idx = ((doc_id + 3 * r[..., 0] + 5 * c[..., 0]) % P).astype(np.uint8)
+    return encode_png_indexed(
+        w, h, idx.tobytes(), pal, interlace=True, depth=2
+    )
+
+
+_gen_png_depth_batches = _make_gen_batches(_gen_png_depth_payload)
+
+
+def _png_depth_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch_n, depth, img = decode_png_deep(bytes(payload))
+            wrow = int((img.sum(axis=(1, 2)) * (np.arange(h) + 1)).sum())
+            rows.append(
+                (
+                    int(doc_id), w, h, ch_n, depth,
+                    int(img.sum()), wrow, int(img[0].sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels", "depth",
+                "px_sum", "wrow_sum", "top_row_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_png_depth_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 5 AS m,
+         4 + (doc_id % 9) AS w, 3 + (doc_id % 6) AS h,
+         3 + (doc_id % 2) AS p,
+         CASE WHEN doc_id % 5 IN (1, 3) THEN 3 ELSE 1 END AS ch_n,
+         CASE doc_id % 5 WHEN 0 THEN 16 WHEN 1 THEN 16 WHEN 2 THEN 4
+                         WHEN 3 THEN 2 ELSE 1 END AS depth
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, m, w, h, p, ch_n, depth, rr.r, cc.c, hh.ch,
+         (doc_id + 3 * rr.r + 5 * cc.c) % p AS idx
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, ch_n)) AS ch) hh
+),
+vals AS (
+  SELECT doc_id, w, h, ch_n, depth, r, c,
+         CASE
+           WHEN m IN (0, 1)
+             THEN (5 * doc_id + 257 * r + 263 * c + 1031 * ch) % 65536
+           WHEN m = 2 THEN (doc_id + 3 * r + 5 * c) % 16
+           WHEN m = 4 THEN (doc_id + r + c) % 2
+           ELSE (11 * doc_id + 29 * idx + 37 * ch) % 256
+         END AS val
+  FROM cells
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch_n AS BIGINT) AS channels, CAST(depth AS BIGINT) AS depth,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum((r + 1) * val) AS BIGINT) AS wrow_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT)
+         AS top_row_sum
+FROM vals GROUP BY doc_id, w, h, ch_n, depth
+""",
+)
+def multimodal_png_depth_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG bit-depth decode under the exact integer oracle (r12 —
+    retiring the codec's LAST fence, non-8-bit depths): 16-bit
+    grayscale and RGB (big-endian samples, filter offset 2·channels),
+    4-bit and 1-bit grayscale, and 2-bit palette (MSB-first bit-packed
+    scanlines with per-row padding, filter offset 1), three of the five
+    shapes Adam7-INTERLACED so sub-byte unpacking composes with the
+    seven-pass scatter. `wrow_sum` is row-weighted because `px_sum`
+    alone is permutation-invariant and would miss a deinterlace bug;
+    `px_sum` breaks on any bit-order, padding, or byte-endianness
+    mistake. The oracle recomputes every sample in integer SQL. Light
+    fan-out class: Arrow-batched mapInPandas, no shuffle until the
+    feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_png_depth_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _png_depth_feature_batches,
+        "doc_id long, width long, height long, channels long, depth long, "
+        "px_sum long, wrow_sum long, top_row_sum long",
+    )

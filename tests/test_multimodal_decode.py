@@ -126,7 +126,10 @@ def test_png_crc_is_verified():
 def test_png_rejects_unsupported_shapes():
     """Adam7 decodes since r12, so the lying-header probe (sequential
     scanlines labeled interlaced) now fails the pass-layout length
-    check rather than a fence; a 16-bit depth remains fenced."""
+    check rather than a fence; 16-bit decodes since r12 too, so a
+    LYING 16-bit header over 8-bit-packed scanlines likewise fails the
+    length check, and only spec-INVALID depth/color combinations stay
+    typed-fenced."""
     from sim_spark.ops.multimodal import decode_png, encode_png
 
     import zlib
@@ -140,7 +143,13 @@ def test_png_rejects_unsupported_shapes():
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(bytes(p))
     p = bytearray(encode_png(2, 2, bytes(12)))
-    p[16 + 8] = 16  # depth byte: 16-bit stays fenced
+    p[16 + 8] = 16  # lying depth byte over 8-bit scanline bytes
+    crc = zlib.crc32(bytes(p[12:16]) + bytes(p[16 : 16 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", p, 16 + 13, crc)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(bytes(p))
+    p = bytearray(encode_png(2, 2, bytes(12)))
+    p[16 + 8] = 4  # depth 4 is spec-invalid for color type 2 (RGB)
     crc = zlib.crc32(bytes(p[12:16]) + bytes(p[16 : 16 + 13])) & 0xFFFFFFFF
     struct.pack_into(">I", p, 16 + 13, crc)
     with pytest.raises(ValueError, match="unsupported PNG"):
@@ -184,7 +193,13 @@ def test_png_dispatch_and_remaining_fence():
     assert out["kind"] == "png" and out["width"] == 5 + 7 % 11
     out = decode(gen_jpeg_payload(7))  # JPEG dispatches for real since r11
     assert out["kind"] == "jpeg" and out["width"] == (2 + 7 % 4) * 8
-    with pytest.raises(NotImplementedError):  # MP3/video stay fenced
+    from sim_spark.ops.gif import encode_gif  # GIF dispatches since r12
+
+    out = decode(encode_gif(3, 2, bytes([0, 1] * 3), [(9, 9, 9), (1, 2, 3)],
+                            transparent=1))
+    assert out["kind"] == "gif" and out["width"] == 3
+    assert out["transparent"] == 1 and len(out["pixels"]) == 3 * 2 * 3
+    with pytest.raises(NotImplementedError):  # MP3/video samples stay fenced
         decode(b"ID3\x04\x00 mp3-ish")
 
 
@@ -357,3 +372,72 @@ def test_mp3_parse_typed_errors_on_malformed_streams():
     p[2] = (p[2] & ~0b1100) | 0b1100
     with pytest.raises(ValueError):
         parse_mp3(bytes(p))
+
+
+def test_png_deep_roundtrip_16bit_and_subbyte():
+    """decode_png_deep (r12): 16-bit gray/GA/RGB/RGBA and 1/2/4-bit
+    grayscale round-trip exactly, sequential and Adam7; sub-byte
+    palette expands through PLTE/tRNS."""
+    import numpy as np
+
+    from sim_spark.ops.multimodal import (
+        decode_png_deep,
+        encode_png_deep,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(42)
+    for ch in (1, 2, 3, 4):
+        for inter in (False, True):
+            w, h = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+            s = rng.integers(0, 65536, w * h * ch)
+            g = encode_png_deep(w, h, s, channels=ch, depth=16, interlace=inter)
+            w2, h2, ch2, d2, img = decode_png_deep(g)
+            assert (w2, h2, ch2, d2) == (w, h, ch, 16)
+            assert np.array_equal(img.ravel(), s)
+    for d in (1, 2, 4):
+        for inter in (False, True):
+            w, h = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+            s = rng.integers(0, 1 << d, w * h)
+            g = encode_png_deep(w, h, s, channels=1, depth=d, interlace=inter)
+            w2, h2, ch2, d2, img = decode_png_deep(g)
+            assert (w2, h2, ch2, d2) == (w, h, 1, d)
+            assert np.array_equal(img.ravel(), s)
+    # 2-bit palette with tRNS, interlaced
+    w, h, P = 9, 7, 4
+    pal = [(e, 2 * e, 3 * e) for e in range(P)]
+    trns = [10 * e for e in range(P)]
+    idx = (np.arange(w * h) % P).astype(np.uint8)
+    g = encode_png_indexed(
+        w, h, idx.tobytes(), pal, trns=trns, interlace=True, depth=2
+    )
+    w2, h2, ch2, d2, img = decode_png_deep(g)
+    assert (w2, h2, ch2, d2) == (w, h, 4, 2)
+    assert np.array_equal(img[..., :3], np.array(pal)[idx].reshape(h, w, 3))
+    assert np.array_equal(img[..., 3], np.array(trns)[idx].reshape(h, w))
+
+
+def test_png_deep_typed_fences():
+    """Byte-oriented decode_png_any refuses non-8-bit with a pointer;
+    invalid depth/color combos and out-of-range samples are typed."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from sim_spark.ops.multimodal import (
+        decode_png_any,
+        encode_png_deep,
+        encode_png_indexed,
+    )
+
+    g16 = encode_png_deep(4, 4, np.arange(16) * 97 % 65536, channels=1,
+                          depth=16)
+    with _pytest.raises(ValueError, match="decode_png_deep"):
+        decode_png_any(g16)
+    with _pytest.raises(ValueError):
+        encode_png_deep(4, 4, np.zeros(16), channels=3, depth=4)  # sub-8 RGB
+    with _pytest.raises(ValueError):
+        encode_png_deep(4, 4, np.full(16, 99), channels=1, depth=4)  # range
+    with _pytest.raises(ValueError):
+        encode_png_indexed(2, 2, bytes([0, 1, 2, 3]), [(0, 0, 0)] * 4,
+                           depth=1)  # index 3 does not fit 1 bit
