@@ -41,7 +41,9 @@ SELECT COALESCE(t.c_custkey, d.k) AS c_custkey,
        CASE WHEN t.c_custkey IS NULL THEN 'insert'
             WHEN d.k IS NULL THEN 'keep'
             ELSE 'update' END AS action
-FROM customer t FULL OUTER JOIN delta d ON t.c_custkey = d.k
+FROM (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(15,2)) AS c_acctbal
+      FROM customer) t
+FULL OUTER JOIN delta d ON t.c_custkey = d.k
 """,
 )
 def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +52,15 @@ def merge_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted by 1e6) upserts into the target in one full-outer join —
     matched rows take the delta's value, unmatched target rows pass
     through, unmatched delta rows insert. Per-row `action` makes the
-    merge decision itself oracle-checkable, not just the end state."""
+    merge decision itself oracle-checkable, not just the end state.
+
+    Both sides canonicalize the TARGET balance through DECIMAL(15,2)
+    before the merge (r12): the sf10 sweep surfaced a customer whose
+    raw double balance is -0.0 — the decimal round-trip drops the sign
+    on the Spark side, so an oracle keep-path reading the raw double
+    disagreed on negative zero. Note the fixture's +1e6 insert keys
+    COLLIDE with real custkeys at sf10 (1.5M customers) and become
+    updates — semantics both engines apply identically."""
     c = table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal").cast("decimal(15,2)")
     updates = c.filter(F.col("c_custkey") % 7 == 0).select(
