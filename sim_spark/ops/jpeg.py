@@ -755,6 +755,13 @@ def decode_jpeg_color(payload: bytes):
         raise ValueError("unexpected restart marker in scan") from e
     if len(comps) != 3:
         raise ValueError("decode_jpeg_color expects a 3-component scan")
+    return _color_reconstruct(width, height, comps)
+
+
+def _color_reconstruct(width: int, height: int, comps: list):
+    """Per-plane dequant+IDCT, chroma upsample, BT.601 YCbCr->RGB —
+    shared by the baseline and progressive color decoders (the scan
+    structure never changes the reconstruction math)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
@@ -984,6 +991,103 @@ def encode_jpeg_progressive_from_coeffs(
     return bytes(out)
 
 
+def encode_jpeg_progressive_color_from_coeffs(
+    mcus_x: int,
+    mcus_y: int,
+    y_coeffs_zz: np.ndarray,
+    cb_coeffs_zz: np.ndarray,
+    cr_coeffs_zz: np.ndarray,
+) -> bytes:
+    """Quantized per-component coefficients -> progressive (SOF2) 4:2:0
+    YCbCr JFIF — the shape most real web progressive JPEGs take. Same
+    component layout as :func:`encode_jpeg_color_from_coeffs` (Y 2x2
+    table 0, chroma 1x1 table 1, image exactly (mcus_x*16) x
+    (mcus_y*16)). Ten scans: an INTERLEAVED 3-component DC first scan
+    (Al=1, per-component predictors in MCU order — the only scan shape
+    T.81 allows to be multi-component in progressive mode) + its
+    interleaved refine, then per-component NON-interleaved AC band
+    scans in each component's own raster block order (Y split 1-5 /
+    6-63 to exercise spectral selection; chroma full-band), firsts
+    then refines."""
+    ybw = mcus_x * 2
+    assert y_coeffs_zz.shape == (mcus_y * 2 * ybw, 64)
+    assert cb_coeffs_zz.shape == cr_coeffs_zz.shape == (mcus_y * mcus_x, 64)
+    width, height = mcus_x * 16, mcus_y * 16
+    comps = (y_coeffs_zz, cb_coeffs_zz, cr_coeffs_zz)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+    out += bytes([0]) + bytes(QTABLE_ZZ) + bytes([1]) + bytes(QTABLE_CHR_ZZ)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    segs = [
+        bytes([0x00]) + bytes(_P_DC_BITS) + bytes(_P_DC_VALS),
+        bytes([0x10]) + bytes(_P_AC_BITS) + bytes(_P_AC_VALS),
+        bytes([0x01]) + bytes(_P_DC_BITS) + bytes(_P_DC_VALS),
+        bytes([0x11]) + bytes(_P_AC_BITS) + bytes(_P_AC_VALS),
+    ]
+    out += b"\xff\xc4" + struct.pack(">H", 2 + sum(len(s) for s in segs))
+    for s in segs:
+        out += s
+
+    def _mcu_blocks():
+        """(comp_index, block_row_index) in interleaved MCU order."""
+        for m in range(mcus_y * mcus_x):
+            my, mx = divmod(m, mcus_x)
+            for by in range(2):
+                for bx in range(2):
+                    yield 0, (my * 2 + by) * ybw + (mx * 2 + bx)
+            yield 1, m
+            yield 2, m
+
+    al = 1
+    # scan 1: DC first, interleaved, Al=1
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x10, 3, 0x10, 0, 0, (0 << 4) | al])
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for ci, b in _mcu_blocks():
+        v = int(comps[ci][b, 0]) >> al
+        diff = v - prev[ci]
+        prev[ci] = v
+        size = _magnitude_category(diff)
+        _encode_coeff_bits(w, _P_DC_CODES, size, diff, size)
+    w.flush()
+    out += w.out
+    # scan 2: DC refine, interleaved, Ah=1 Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x10, 3, 0x10, 0, 0, (1 << 4) | 0])
+    w = _BitWriter()
+    for ci, b in _mcu_blocks():
+        w.put(int(comps[ci][b, 0]) & 1, 1)
+    w.flush()
+    out += w.out
+    # per-component AC band scans, firsts then refines
+    ac_scans = [
+        (0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63),
+    ]
+    for refine in (False, True):
+        for ci, ss, se in ac_scans:
+            cid = ci + 1
+            ta = 0 if ci == 0 else 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            ah, sal = (1, 0) if refine else (0, 1)
+            out += bytes([cid, ta, ss, se, (ah << 4) | sal])
+            w = _BitWriter()
+            if refine:
+                _p_enc_ac_refine(w, comps[ci], ss, se, 0)
+            else:
+                _p_enc_ac_first(w, comps[ci], ss, se, 1)
+            w.flush()
+            out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _p_dec_ac_first(r, lut, row, ss: int, se: int, al: int, eobrun: int) -> int:
     if eobrun > 0:
         return eobrun - 1
@@ -1069,7 +1173,15 @@ def decode_jpeg_progressive(payload: bytes):
         raise ValueError("unexpected restart marker in scan") from e
 
 
-def _decode_jpeg_progressive(payload: bytes):
+def _parse_jpeg_progressive(payload: bytes):
+    """Multi-scan SOF2 marker walk for 1- or 3-component streams.
+    Returns (width, height, comps) shaped like :func:`_parse_jpeg`'s
+    output, so the baseline reconstruction helpers apply unchanged.
+
+    Interleaved (multi-component) scans are DC-only, as T.81 requires
+    in progressive mode; AC scans walk the named component's OWN
+    non-interleaved block raster — ceil(comp_dims/8), which can be
+    smaller than the MCU-padded grid the interleaved DC scan fills."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     if payload[-2:] != b"\xff\xd9":
@@ -1079,9 +1191,8 @@ def _decode_jpeg_progressive(payload: bytes):
     dc_luts: dict[int, list] = {}
     ac_luts: dict[int, list] = {}
     width = height = 0
-    comp: tuple[int, int, int, int] | None = None
-    coeffs: np.ndarray | None = None
-    bw = bh = 0
+    comps: list[dict] = []
+    by_id: dict[int, dict] = {}
     got_frame = False
     while True:
         if payload[pos] != 0xFF:
@@ -1120,14 +1231,32 @@ def _decode_jpeg_progressive(payload: bytes):
             ncomp = seg[5]
             if precision != 8:
                 raise NotImplementedError("only 8-bit progressive JPEG")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "progressive color JPEG (grayscale supported)"
+                    "only 1- or 3-component progressive JPEG"
                 )
-            comp = (seg[6], seg[7] >> 4, seg[7] & 15, seg[8])
-            bw = (width + 7) // 8
-            bh = (height + 7) // 8
-            coeffs = np.zeros((bw * bh, 64), dtype=np.int64)
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                h, v = seg[7 + 3 * ci] >> 4, seg[7 + 3 * ci] & 15
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise NotImplementedError("sampling factors beyond 2")
+                comps.append(dict(id=cid, h=h, v=v, tq=seg[8 + 3 * ci]))
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # interleaved (MCU-padded) grid holds the coefficients;
+                # non-interleaved scans address the ceil-dims sub-grid
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                cw = (width * c["h"] + hmax - 1) // hmax
+                chg = (height * c["v"] + vmax - 1) // vmax
+                c["bw_nc"] = (cw + 7) // 8
+                c["bh_nc"] = (chg + 7) // 8
+                c["coeffs"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+                by_id[c["id"]] = c
+            frame = (mcus_x, mcus_y)
         elif marker == 0xC0 or marker in (
             0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
         ):
@@ -1140,50 +1269,124 @@ def _decode_jpeg_progressive(payload: bytes):
                     "restart markers in progressive scans"
                 )
         elif marker == 0xDA:
-            if coeffs is None or comp is None:
+            if not got_frame:
                 raise ValueError("SOS before SOF2")
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component progressive scan")
-            if seg[1] != comp[0]:
-                raise ValueError("scan references unknown component")
-            tdc, tac = seg[2] >> 4, seg[2] & 15
-            ss, se = seg[3], seg[4]
-            ah, al = seg[5] >> 4, seg[5] & 15
+            scan = []
+            for si in range(ns):
+                cid = seg[1 + 2 * si]
+                if cid not in by_id:
+                    raise ValueError("scan references unknown component")
+                tdc = seg[2 + 2 * si] >> 4
+                tac = seg[2 + 2 * si] & 15
+                scan.append((by_id[cid], tdc, tac))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             if ss == 0 and se != 0:
                 raise ValueError("DC scan must have Se = 0")
             if ss > se or se > 63:
                 raise ValueError("invalid spectral band")
+            if ns > 1 and ss != 0:
+                raise ValueError("progressive AC scans must be single-component")
             r = _BitReader(payload, pos + seglen)
-            n_blocks = bw * bh
-            if ss == 0:
+            if ns > 1:  # interleaved DC scan, MCU order
+                mcus_x, mcus_y = frame
                 if ah == 0:
-                    dc_lut = dc_luts[tdc]
-                    prev = 0
-                    for b in range(n_blocks):
-                        size = _huff_decode(r, dc_lut)
-                        prev += _extend(r.bits(size), size)
-                        coeffs[b, 0] = prev << al
+                    luts = [dc_luts[tdc] for _c, tdc, _t in scan]
+                    prev = [0] * ns
+                    for m in range(mcus_y * mcus_x):
+                        my, mx = divmod(m, mcus_x)
+                        for si, (c, _tdc, _tac) in enumerate(scan):
+                            for dy in range(c["v"]):
+                                for dx in range(c["h"]):
+                                    size = _huff_decode(r, luts[si])
+                                    prev[si] += _extend(r.bits(size), size)
+                                    b = (my * c["v"] + dy) * c["bw"] + (
+                                        mx * c["h"] + dx
+                                    )
+                                    c["coeffs"][b, 0] = prev[si] << al
                 else:
                     bit = 1 << al
-                    for b in range(n_blocks):
-                        if r.bit():
-                            coeffs[b, 0] |= bit
+                    for m in range(mcus_y * mcus_x):
+                        my, mx = divmod(m, mcus_x)
+                        for c, _tdc, _tac in scan:
+                            for dy in range(c["v"]):
+                                for dx in range(c["h"]):
+                                    if r.bit():
+                                        b = (my * c["v"] + dy) * c["bw"] + (
+                                            mx * c["h"] + dx
+                                        )
+                                        c["coeffs"][b, 0] |= bit
             else:
-                ac_lut = ac_luts[tac]
-                eobrun = 0
-                dec = _p_dec_ac_first if ah == 0 else _p_dec_ac_refine
-                for b in range(n_blocks):
-                    eobrun = dec(r, ac_lut, coeffs[b], ss, se, al, eobrun)
+                c, tdc, tac = scan[0]
+                coeffs, bw = c["coeffs"], c["bw"]
+
+                def _nc_blocks():
+                    for row in range(c["bh_nc"]):
+                        for col in range(c["bw_nc"]):
+                            yield row * bw + col
+
+                if ss == 0:
+                    if ah == 0:
+                        dc_lut = dc_luts[tdc]
+                        prev = 0
+                        for b in _nc_blocks():
+                            size = _huff_decode(r, dc_lut)
+                            prev += _extend(r.bits(size), size)
+                            coeffs[b, 0] = prev << al
+                    else:
+                        bit = 1 << al
+                        for b in _nc_blocks():
+                            if r.bit():
+                                coeffs[b, 0] |= bit
+                else:
+                    ac_lut = ac_luts[tac]
+                    eobrun = 0
+                    dec = _p_dec_ac_first if ah == 0 else _p_dec_ac_refine
+                    for b in _nc_blocks():
+                        eobrun = dec(r, ac_lut, coeffs[b], ss, se, al, eobrun)
             pos = r.pos
             continue
         pos += seglen
-    if coeffs is None:
+    if not comps:
         raise ValueError("no SOF2 frame found")
-    q = np.array(qtables[comp[3]], dtype=np.int64)
-    cdict = dict(h=comp[1], v=comp[2], coeffs=coeffs, q=q, bw=bw, bh=bh)
-    img = _idct_plane(cdict)[:height, :width].astype(np.uint8)
-    return width, height, img.reshape(-1), coeffs
+    for c in comps:
+        c["q"] = np.array(qtables[c["tq"]], dtype=np.int64)
+    return width, height, comps
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    width, height, comps = _parse_jpeg_progressive(payload)
+    if len(comps) != 1:
+        raise ValueError(
+            "decode_jpeg_progressive is the grayscale entry point; "
+            "use decode_jpeg_progressive_color"
+        )
+    c = comps[0]
+    img = _idct_plane(c)[:height, :width].astype(np.uint8)
+    return width, height, img.reshape(-1), c["coeffs"]
+
+
+def decode_jpeg_progressive_color(payload: bytes):
+    """Progressive (SOF2) YCbCr color decode (r12): the interleaved
+    multi-component DC scans + per-component non-interleaved AC band
+    scans of real web progressive JPEGs, recovering exact per-plane
+    quantized coefficients; reconstruction (dequant, IDCT, chroma
+    upsample, BT.601) is shared byte-for-byte with the baseline color
+    decoder. Returns (width, height, rgb, [y, cb, cr] coeffs) like
+    :func:`decode_jpeg_color`."""
+    try:
+        width, height, comps = _parse_jpeg_progressive(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+    except _Restart as e:
+        raise ValueError("unexpected restart marker in scan") from e
+    if len(comps) != 3:
+        raise ValueError(
+            "decode_jpeg_progressive_color expects a 3-component frame"
+        )
+    return _color_reconstruct(width, height, comps)
 
 
 def formula_jpeg_coeffs(doc_id: int) -> tuple[int, int, np.ndarray, int]:

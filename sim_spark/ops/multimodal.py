@@ -64,11 +64,20 @@ def decode(payload: bytes) -> dict:
             decode_jpeg,
             decode_jpeg_color,
             decode_jpeg_progressive,
+            decode_jpeg_progressive_color,
             sniff_jpeg_frame,
         )
 
         sof, ncomp = sniff_jpeg_frame(payload)
         if sof == 0xC2:
+            if ncomp == 3:
+                w, h, rgb, _coeffs = decode_jpeg_progressive_color(payload)
+                return {
+                    "kind": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "pixels": rgb.tobytes(),
+                }
             w, h, px, _coeffs = decode_jpeg_progressive(payload)
             return {
                 "kind": "jpeg",

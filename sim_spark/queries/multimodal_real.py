@@ -2056,3 +2056,91 @@ def multimodal_png_depth_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, channels long, depth long, "
         "px_sum long, wrow_sum long, top_row_sum long",
     )
+
+
+# --- progressive COLOR JPEG (r12): the dominant real-world progressive shape -
+
+from sim_spark.registry import ORACLES as _ORACLES  # noqa: E402
+from sim_spark.ops.jpeg import (  # noqa: E402
+    decode_jpeg_progressive_color,
+    encode_jpeg_progressive_color_from_coeffs,
+    formula_jpeg_color_coeffs,
+)
+
+
+def _gen_jpeg_prog_color_payload(doc_id: int) -> bytes:
+    mx, my, y, cb, cr, _rst = formula_jpeg_color_coeffs(doc_id)
+    return encode_jpeg_progressive_color_from_coeffs(mx, my, y, cb, cr)
+
+
+_gen_jpeg_prog_color_batches = _make_gen_batches(_gen_jpeg_prog_color_payload)
+
+
+def _jpeg_prog_color_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb, (y, cb, cr) = decode_jpeg_progressive_color(
+                bytes(payload)
+            )
+
+            def chk(c):
+                b = np.arange(c.shape[0], dtype=np.int64)[:, None]
+                z = np.arange(64, dtype=np.int64)[None, :]
+                return int(((z + 64 * b) * c).sum())
+
+            rows.append(
+                (
+                    int(doc_id), w, h, y.shape[0] // 4,
+                    int(y[:, 0].sum()), int(cb[:, 0].sum()), int(cr[:, 0].sum()),
+                    int((y[:, 1:] != 0).sum() + (cb[:, 1:] != 0).sum()
+                        + (cr[:, 1:] != 0).sum()),
+                    chk(y), chk(cb), chk(cr),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_mcus", "y_dc_sum",
+                     "cb_dc_sum", "cr_dc_sum", "ac_nonzero",
+                     "y_checksum", "cb_checksum", "cr_checksum"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_jpeg_progressive_color_decode",
+    # the entropy layer is lossless whatever the scan structure, so the
+    # recovered coefficients — and therefore the oracle — are literally
+    # the baseline color key's
+    oracle=_ORACLES["multimodal_jpeg_color_decode"],
+)
+def multimodal_jpeg_progressive_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive (SOF2) COLOR JPEG decode end-to-end (r12 — closing
+    the 'progressive color' fence the grayscale SOF2 key left): the
+    baseline color key's per-component coefficient formula re-encoded
+    as a ten-scan progressive stream — an INTERLEAVED 3-component DC
+    first scan (the only multi-component shape T.81 allows in
+    progressive mode; per-component predictors in MCU order) + its
+    interleaved refine, then per-component NON-interleaved AC band
+    scans in each component's own raster order (a layout genuinely
+    different from the MCU order, so an index-mapping bug between the
+    two walks cannot cancel), successive approximation Al 1 -> 0
+    throughout, distinct luma/chroma table slots. Decoded through the
+    full multi-scan walk; reconstruction shares the baseline color
+    decoder's code. Three independent per-plane position-weighted
+    checksums hash-match the SAME integer-SQL oracle as
+    multimodal_jpeg_color_decode. Heavy fan-out class like the other
+    JPEG keys."""
+    d = _doc_ids(spark, sf_dir, heavy=True)
+    payloads = d.mapInPandas(_gen_jpeg_prog_color_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _jpeg_prog_color_feature_batches,
+        "doc_id long, width long, height long, n_mcus long, y_dc_sum long, "
+        "cb_dc_sum long, cr_dc_sum long, ac_nonzero long, y_checksum long, "
+        "cb_checksum long, cr_checksum long",
+    )

@@ -429,3 +429,96 @@ def test_progressive_and_baseline_entry_points_cross_reject():
         decode_jpeg(prog)
     with pytest.raises(ValueError):
         decode_jpeg_progressive(base)
+
+
+# --- progressive color (r12) -------------------------------------------------
+
+
+def test_progressive_color_matches_baseline_exactly():
+    """The progressive color stream must recover the SAME per-plane
+    coefficients and the SAME RGB pixels as the baseline encoding of
+    identical coefficients — scan structure is presentation, not
+    content."""
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_progressive_color,
+        encode_jpeg_color_from_coeffs,
+        encode_jpeg_progressive_color_from_coeffs,
+        formula_jpeg_color_coeffs,
+    )
+
+    for d in (0, 1, 2, 3, 5, 11, 59, 499):
+        mx, my, y, cb, cr, rst = formula_jpeg_color_coeffs(d)
+        base = encode_jpeg_color_from_coeffs(mx, my, y, cb, cr,
+                                             restart_interval=rst)
+        prog = encode_jpeg_progressive_color_from_coeffs(mx, my, y, cb, cr)
+        wb, hb, rgb_b, cb_b = decode_jpeg_color(base)
+        wp, hp, rgb_p, cb_p = decode_jpeg_progressive_color(prog)
+        assert (wb, hb) == (wp, hp)
+        for a, b in zip(cb_b, cb_p):
+            assert np.array_equal(a, b), d
+        assert np.array_equal(y, cb_p[0]) and np.array_equal(cb, cb_p[1])
+        assert np.array_equal(cr, cb_p[2])
+        assert np.array_equal(rgb_b, rgb_p), d
+
+
+def test_progressive_color_random_grids_roundtrip():
+    """Adversarial dense/sparse coefficient grids through the ten-scan
+    structure: interleaved DC walk vs per-component raster AC walk must
+    agree on block indexing."""
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_progressive_color,
+        encode_jpeg_progressive_color_from_coeffs,
+    )
+
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        mx, my = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        ny, nc = my * 2 * mx * 2, my * mx
+
+        def grid(n):
+            g = np.zeros((n, 64), dtype=np.int64)
+            mask = rng.random((n, 64)) < 0.25
+            g[mask] = rng.integers(-500, 500, mask.sum())
+            g[:, 0] = rng.integers(-1000, 1000, n)
+            return g
+
+        y, cbc, crc = grid(ny), grid(nc), grid(nc)
+        prog = encode_jpeg_progressive_color_from_coeffs(mx, my, y, cbc, crc)
+        _, _, _, (yp, cbp, crp) = decode_jpeg_progressive_color(prog)
+        assert np.array_equal(y, yp) and np.array_equal(cbc, cbp)
+        assert np.array_equal(crc, crp)
+
+
+def test_progressive_color_truncations_are_typed():
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_progressive_color,
+        encode_jpeg_progressive_color_from_coeffs,
+        formula_jpeg_color_coeffs,
+    )
+
+    mx, my, y, cb, cr, _ = formula_jpeg_color_coeffs(3)
+    prog = encode_jpeg_progressive_color_from_coeffs(mx, my, y, cb, cr)
+    for cut in range(2, len(prog) - 1, 53):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg_progressive_color(prog[:cut])
+
+
+def test_progressive_entry_points_reject_wrong_component_count():
+    from sim_spark.ops.jpeg import (
+        decode_jpeg_progressive,
+        decode_jpeg_progressive_color,
+        encode_jpeg_progressive_color_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+        formula_jpeg_color_coeffs,
+        formula_jpeg_coeffs,
+    )
+
+    mx, my, y, cb, cr, _ = formula_jpeg_color_coeffs(1)
+    color = encode_jpeg_progressive_color_from_coeffs(mx, my, y, cb, cr)
+    with pytest.raises(ValueError, match="grayscale entry point"):
+        decode_jpeg_progressive(color)
+    wb, hb, coeffs, _ = formula_jpeg_coeffs(1)
+    gray = encode_jpeg_progressive_from_coeffs(wb, hb, coeffs)
+    with pytest.raises(ValueError, match="3-component"):
+        decode_jpeg_progressive_color(gray)
