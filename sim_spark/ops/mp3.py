@@ -26,6 +26,8 @@ __all__ = [
     "BITRATES_V1L3",
     "SAMPLE_RATES_V1",
     "encode_mp3_stream",
+    "encode_id3v2",
+    "parse_id3v2",
     "parse_mp3",
     "formula_mp3_params",
     "gen_mp3_payload",
@@ -83,6 +85,106 @@ def encode_mp3_stream(
     return bytes(out)
 
 
+# --- ID3v2 (id3.org informal standard; v2.3 and v2.4) ------------------------
+
+
+def _syncsafe(n: int) -> bytes:
+    """28-bit size in four 7-bit bytes (high bit of each byte zero)."""
+    if not 0 <= n < (1 << 28):
+        raise ValueError("syncsafe size out of range")
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsyncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("non-syncsafe byte in ID3v2 size")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def encode_id3v2(
+    frames: list[tuple[str, str]],
+    version: int = 3,
+    padding: int = 0,
+    utf8: bool = False,
+) -> bytes:
+    """Build an ID3v2.3 or v2.4 tag of text frames (TIT2/TPE1/TRCK/...).
+
+    The two versions differ in the FRAME size field: v2.3 writes plain
+    big-endian, v2.4 syncsafe — the classic interop trap this encoder
+    exists to put under the oracle. Text payload is the encoding byte
+    (0 latin-1 / 3 utf-8) + the text, no terminator (spec-legal)."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3 / v2.4")
+    if utf8 and version == 3:
+        raise ValueError("utf-8 text encoding is v2.4-only (v2.3: latin-1)")
+    body = bytearray()
+    enc_byte = 3 if utf8 else 0
+    for fid, text in frames:
+        if len(fid) != 4 or not fid.isascii():
+            raise ValueError(f"bad ID3v2 frame id {fid!r}")
+        data = bytes([enc_byte]) + text.encode(
+            "utf-8" if utf8 else "latin-1"
+        )
+        body += fid.encode("ascii")
+        body += _syncsafe(len(data)) if version == 4 else struct.pack(
+            ">I", len(data)
+        )
+        body += b"\x00\x00"  # frame flags
+        body += data
+    body += bytes(padding)
+    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+
+
+def parse_id3v2(payload: bytes) -> tuple[dict, int]:
+    """Parse a leading ID3v2 tag → ({frame_id: text, ...,
+    "_version": 3|4}, total_tag_bytes). Returns ({}, 0) when no tag
+    leads the payload. Typed ValueError on every malformed shape
+    (truncated header/frame, non-syncsafe size byte, bad encoding)."""
+    if payload[:3] != b"ID3":
+        return {}, 0
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    version = payload[3]
+    if version not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{version}")
+    if payload[5] & 0x80:
+        raise ValueError("ID3v2 unsynchronisation not supported")
+    size = _unsyncsafe(payload[6:10])
+    total = 10 + size
+    if total > len(payload):
+        raise ValueError("ID3v2 tag size exceeds payload")
+    tags: dict[str, object] = {"_version": version}
+    pos = 10
+    end = total
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding reached
+            break
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(f"bad ID3v2 frame id {fid!r}")
+        fsize = (
+            _unsyncsafe(payload[pos + 4 : pos + 8])
+            if version == 4
+            else struct.unpack(">I", payload[pos + 4 : pos + 8])[0]
+        )
+        if pos + 10 + fsize > end:
+            raise ValueError("ID3v2 frame overruns tag")
+        data = payload[pos + 10 : pos + 10 + fsize]
+        if fid[0:1] == b"T" and fsize >= 1:
+            enc = data[0]
+            if enc == 0:
+                text = data[1:].decode("latin-1")
+            elif enc == 3:
+                text = data[1:].decode("utf-8")
+            else:
+                raise ValueError(f"unsupported ID3v2 text encoding {enc}")
+            tags[fid.decode("ascii")] = text.rstrip("\x00")
+        pos += 10 + fsize
+    return tags, total
+
+
 def parse_mp3(payload: bytes) -> dict:
     """Walk every frame header; returns the container profile:
     n_frames, sample_rate, mode, total_bytes, kbps values per frame,
@@ -94,9 +196,17 @@ def parse_mp3(payload: bytes) -> dict:
 
     Typed errors on every malformed shape: lost sync, reserved
     version/layer/bitrate/sample-rate codes, truncated final frame.
+
+    A leading ID3v2 tag (r12) is parsed and skipped — the shape
+    virtually every real-world MP3 takes; its text frames surface as
+    `id3` / `id3_bytes`, and the Xing byte-count consistency check
+    compares against the AUDIO stream length (tag excluded), which is
+    what VBR encoders count.
     """
-    pos = 0
+    id3, tag_len = parse_id3v2(payload)
+    pos = tag_len
     n = len(payload)
+    stream_bytes = n - tag_len
     sr_expect = mode_expect = None
     kbps_sum = 0
     n_frames = 0
@@ -157,8 +267,10 @@ def parse_mp3(payload: bytes) -> dict:
         raise ValueError(
             f"Xing frame count {xing_frames} != walked frames {n_frames}"
         )
-    if xing_bytes >= 0 and xing_bytes != n:
-        raise ValueError(f"Xing byte count {xing_bytes} != stream bytes {n}")
+    if xing_bytes >= 0 and xing_bytes != stream_bytes:
+        raise ValueError(
+            f"Xing byte count {xing_bytes} != stream bytes {stream_bytes}"
+        )
     return dict(
         n_frames=n_frames,
         sample_rate=sr_expect,
@@ -169,6 +281,8 @@ def parse_mp3(payload: bytes) -> dict:
         xing_frames=xing_frames,
         xing_bytes=xing_bytes,
         head16_sum=head16,
+        id3=id3,
+        id3_bytes=tag_len,
     )
 
 
@@ -195,4 +309,35 @@ def gen_mp3_payload(doc_id: int) -> bytes:
         mode,
         frames,
         body_byte=lambda i, j: (doc_id + 17 * i + j) % 256,
+    )
+
+
+def formula_id3_fields(doc_id: int):
+    """(version, utf8, frames, padding) — integer/string arithmetic the
+    DuckDB oracle recomputes: v2.3 on even docs, v2.4 on odd (the two
+    frame-size encodings); utf-8 text on v2.4 docs with doc%4 == 1
+    (content is ASCII so byte sums are encoding-invariant); title
+    'doc-<id>', artist 'author-<id%97>', track <id%20+1>, TLEN = the
+    stream's exact duration in ms (cross-checkable against the frame
+    walk); padding doc%7 bytes."""
+    version = 3 + (doc_id % 2)
+    utf8 = version == 4 and doc_id % 4 == 1
+    sr_idx, _mode, frames = formula_mp3_params(doc_id)
+    sr = SAMPLE_RATES_V1[sr_idx]
+    duration_ms = len(frames) * SAMPLES_PER_FRAME * 1000 // sr
+    tag_frames = [
+        ("TIT2", f"doc-{doc_id}"),
+        ("TPE1", f"author-{doc_id % 97}"),
+        ("TRCK", str(doc_id % 20 + 1)),
+        ("TLEN", str(duration_ms)),
+    ]
+    return version, utf8, tag_frames, doc_id % 7
+
+
+def gen_mp3_id3_payload(doc_id: int) -> bytes:
+    """An ID3v2-tagged VBR stream — the shape real-world MP3s take."""
+    version, utf8, tag_frames, padding = formula_id3_fields(doc_id)
+    return (
+        encode_id3v2(tag_frames, version=version, padding=padding, utf8=utf8)
+        + gen_mp3_payload(doc_id)
     )

@@ -2144,3 +2144,103 @@ def multimodal_jpeg_progressive_color_decode(
         "cb_dc_sum long, cr_dc_sum long, ac_nonzero long, y_checksum long, "
         "cb_checksum long, cr_checksum long",
     )
+
+
+# --- ID3v2-tagged MP3 (r12): the shape real-world MP3 files take -------------
+
+from sim_spark.ops.mp3 import gen_mp3_id3_payload, parse_mp3  # noqa: E402
+
+_gen_mp3_id3_batches = _make_gen_batches(gen_mp3_id3_payload)
+
+
+def _mp3_id3_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            prof = parse_mp3(bytes(payload))
+            tags = prof["id3"]
+            rows.append(
+                (
+                    int(doc_id),
+                    tags["_version"],
+                    prof["id3_bytes"],
+                    sum(tags["TIT2"].encode("latin-1")),
+                    sum(tags["TPE1"].encode("latin-1")),
+                    int(tags["TRCK"]),
+                    int(tags["TLEN"]),
+                    prof["n_frames"],
+                    prof["duration_us"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "tag_version", "tag_bytes", "title_sum",
+                "artist_sum", "track", "tlen_ms", "n_frames", "duration_us",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_mp3_id3_parse",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 6 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr,
+         'doc-' || CAST(doc_id AS VARCHAR) AS title_s,
+         'author-' || CAST(doc_id % 97 AS VARCHAR) AS artist_s,
+         CAST(doc_id % 20 + 1 AS VARCHAR) AS track_s
+  FROM documents
+),
+q AS (
+  SELECT *, CAST(nf * 1152 * 1000 // sr AS VARCHAR) AS tlen_s FROM p
+),
+tsum AS (
+  SELECT doc_id, SUM(ascii(substr(title_s, ii.i + 1, 1))) AS title_sum
+  FROM q, LATERAL (SELECT unnest(range(0, length(title_s))) AS i) ii
+  GROUP BY doc_id
+),
+asum AS (
+  SELECT doc_id, SUM(ascii(substr(artist_s, ii.i + 1, 1))) AS artist_sum
+  FROM q, LATERAL (SELECT unnest(range(0, length(artist_s))) AS i) ii
+  GROUP BY doc_id
+)
+SELECT q.doc_id,
+       CAST(3 + q.doc_id % 2 AS BIGINT) AS tag_version,
+       CAST(10 + (10 + 1 + length(title_s)) + (10 + 1 + length(artist_s))
+            + (10 + 1 + length(track_s)) + (10 + 1 + length(tlen_s))
+            + q.doc_id % 7 AS BIGINT) AS tag_bytes,
+       CAST(tsum.title_sum AS BIGINT) AS title_sum,
+       CAST(asum.artist_sum AS BIGINT) AS artist_sum,
+       CAST(q.doc_id % 20 + 1 AS BIGINT) AS track,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS tlen_ms,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1152 * 1000000 // sr AS BIGINT) AS duration_us
+FROM q
+JOIN tsum ON q.doc_id = tsum.doc_id
+JOIN asum ON q.doc_id = asum.doc_id
+""",
+)
+def multimodal_mp3_id3_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2-tagged MP3 parse (r12): virtually every real-world MP3
+    leads with an ID3v2 tag, so the frame walk must skip it by its
+    syncsafe declared size and the metadata a curation pipeline wants
+    (title/artist/track/declared length) lives in its text frames.
+    The fixture cycles ID3v2.3 (plain big-endian frame sizes) and
+    v2.4 (SYNCSAFE frame sizes — the classic interop trap), latin-1
+    and utf-8 text encodings, and declared padding; TLEN cross-checks
+    the frame walk's exact duration, and the Xing byte-count check now
+    correctly excludes the tag. Byte sums of the decoded text and the
+    exact total tag size hash-match integer SQL. Light fan-out class:
+    Arrow-batched mapInPandas, no shuffle until the feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_mp3_id3_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _mp3_id3_feature_batches,
+        "doc_id long, tag_version long, tag_bytes long, title_sum long, "
+        "artist_sum long, track long, tlen_ms long, n_frames long, "
+        "duration_us long",
+    )

@@ -441,3 +441,40 @@ def test_png_deep_typed_fences():
     with _pytest.raises(ValueError):
         encode_png_indexed(2, 2, bytes([0, 1, 2, 3]), [(0, 0, 0)] * 4,
                            depth=1)  # index 3 does not fit 1 bit
+
+
+def test_id3v2_roundtrip_and_walk_continues():
+    """ID3v2.3/2.4 tags round-trip (syncsafe vs plain frame sizes,
+    latin-1 vs utf-8), the MP3 frame walk resumes after the declared
+    tag size, and the Xing byte check excludes the tag."""
+    from sim_spark.ops.mp3 import (
+        encode_id3v2,
+        formula_id3_fields,
+        gen_mp3_id3_payload,
+        gen_mp3_payload,
+        parse_id3v2,
+        parse_mp3,
+    )
+
+    for d in (0, 1, 2, 3, 5, 12, 97, 196, 399):
+        prof = parse_mp3(gen_mp3_id3_payload(d))
+        version, _utf8, frames, pad = formula_id3_fields(d)
+        assert prof["id3"]["_version"] == version
+        assert prof["id3"]["TIT2"] == f"doc-{d}"
+        assert prof["id3_bytes"] == 10 + sum(
+            10 + 1 + len(t) for _f, t in frames
+        ) + pad
+        assert int(prof["id3"]["TLEN"]) == prof["duration_us"] // 1000
+    # untagged stream: empty id3, zero tag bytes
+    prof = parse_mp3(gen_mp3_payload(7))
+    assert prof["id3"] == {} and prof["id3_bytes"] == 0
+    # typed errors
+    t = encode_id3v2([("TIT2", "x")], version=4, utf8=True)
+    with pytest.raises(ValueError):
+        parse_id3v2(t[:5])
+    with pytest.raises(ValueError):
+        parse_id3v2(t[:12])
+    with pytest.raises(ValueError):
+        parse_id3v2(b"ID3\x05\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        encode_id3v2([("TIT2", "x")], version=3, utf8=True)
