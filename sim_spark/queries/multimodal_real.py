@@ -2244,3 +2244,130 @@ def multimodal_mp3_id3_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "artist_sum long, track long, tlen_ms long, n_frames long, "
         "duration_us long",
     )
+
+
+# --- multi-member gzip walk (r12): the WARC/WET crawl-archive shape ----------
+
+from sim_spark.ops.gzf import encode_gzip_members, parse_gzip_members  # noqa: E402
+
+
+def _gen_gzip_members_payload(doc_id: int) -> bytes:
+    """Deterministic multi-member gzip: n = 1 + doc%4 members; member m
+    content byte j = (7·doc + 13m + 3j) % 95 + 32 (printable ASCII)
+    with length 40 + (doc + 17m) % 40; FNAME 'rec-<doc>-<m>' on even
+    members; encoder adds FEXTRA every third member and FHCRC every
+    second — all SQL-recomputable."""
+    n = 1 + doc_id % 4
+    members = []
+    for m in range(n):
+        ln = 40 + (doc_id + 17 * m) % 40
+        content = bytes(
+            (7 * doc_id + 13 * m + 3 * j) % 95 + 32 for j in range(ln)
+        )
+        name = f"rec-{doc_id}-{m}" if m % 2 == 0 else None
+        members.append((name, content))
+    return encode_gzip_members(members)
+
+
+_gen_gzip_batches = _make_gen_batches(_gen_gzip_members_payload)
+
+
+def _gzip_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_gzip_members(bytes(payload))
+            rows.append(
+                (
+                    int(doc_id),
+                    len(recs),
+                    sum(len(r["content"]) for r in recs),
+                    sum(sum(r["content"]) for r in recs),
+                    sum(
+                        sum(r["name"].encode("latin-1"))
+                        for r in recs
+                        if r["name"] is not None
+                    ),
+                    sum(r["header_bytes"] for r in recs),
+                    sum(r["mtime"] for r in recs),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_members", "total_len", "content_sum",
+                "names_sum", "header_sum", "mtime_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_gzip_member_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+),
+mem AS (
+  SELECT doc_id, n, mm.m,
+         40 + (doc_id + 17 * mm.m) % 40 AS ln,
+         CASE WHEN mm.m % 2 = 0
+              THEN 'rec-' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(mm.m AS VARCHAR) END AS name
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS m) mm
+),
+csum AS (
+  SELECT doc_id, m,
+         SUM((7 * doc_id + 13 * m + 3 * jj.j) % 95 + 32) AS c_sum
+  FROM mem, LATERAL (SELECT unnest(range(0, ln)) AS j) jj
+  GROUP BY doc_id, m
+),
+nsum AS (
+  SELECT mem.doc_id, SUM(ascii(substr(name, ii.i + 1, 1))) AS name_sum
+  FROM mem, LATERAL (SELECT unnest(range(0, length(name))) AS i) ii
+  WHERE name IS NOT NULL GROUP BY mem.doc_id
+),
+hdr AS (
+  SELECT doc_id, m,
+         10 + CASE WHEN m % 3 = 0 THEN 10 ELSE 0 END
+            + CASE WHEN m % 2 = 0 THEN length(name) + 1 + 2 ELSE 0 END
+           AS h
+  FROM mem
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_members,
+       CAST((SELECT SUM(ln) FROM mem WHERE mem.doc_id = p.doc_id)
+            AS BIGINT) AS total_len,
+       CAST((SELECT SUM(c_sum) FROM csum WHERE csum.doc_id = p.doc_id)
+            AS BIGINT) AS content_sum,
+       CAST(COALESCE((SELECT name_sum FROM nsum
+                      WHERE nsum.doc_id = p.doc_id), 0)
+            AS BIGINT) AS names_sum,
+       CAST((SELECT SUM(h) FROM hdr WHERE hdr.doc_id = p.doc_id)
+            AS BIGINT) AS header_sum,
+       CAST((SELECT SUM(m * 1000003) FROM mem WHERE mem.doc_id = p.doc_id)
+            AS BIGINT) AS mtime_sum
+FROM p
+""",
+)
+def multimodal_gzip_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-member gzip container walk (r12) — the WARC/WET shape
+    crawl archives take (one independently-deflated member per record,
+    concatenated): ops/gzf.py walks RFC 1952 headers (FTEXT/FHCRC/
+    FEXTRA/FNAME optional fields, header CRC16), inflates each member
+    with raw-deflate zlib, recovers member boundaries from the
+    decompressor's unused tail, and verifies per-member CRC32 + ISIZE
+    — a single flipped content byte is a typed error. The fixture
+    cycles member counts, FNAME presence, FEXTRA subfields, and FHCRC;
+    the oracle recomputes member lengths, content byte sums, name
+    ascii sums, exact per-member header sizes, and MTIME sums in
+    integer SQL. Light fan-out class: Arrow-batched mapInPandas, no
+    shuffle until the 7-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_gzip_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _gzip_feature_batches,
+        "doc_id long, n_members long, total_len long, content_sum long, "
+        "names_sum long, header_sum long, mtime_sum long",
+    )

@@ -478,3 +478,28 @@ def test_id3v2_roundtrip_and_walk_continues():
         parse_id3v2(b"ID3\x05\x00\x00\x00\x00\x00\x00")
     with pytest.raises(ValueError):
         encode_id3v2([("TIT2", "x")], version=3, utf8=True)
+
+
+def test_gzip_member_walk_roundtrip_and_integrity():
+    """RFC 1952 multi-member walk: member boundaries, optional header
+    fields, and per-member CRC32/ISIZE verification; stdlib gzip agrees
+    on the concatenated content."""
+    import gzip as _gzip
+
+    from sim_spark.ops.gzf import encode_gzip_members, parse_gzip_members
+
+    members = [("a.txt", b"hello"), (None, b"world" * 100), ("c", b"")]
+    p = encode_gzip_members(members)
+    recs = parse_gzip_members(p)
+    assert [(r["name"], r["content"]) for r in recs] == members
+    assert _gzip.decompress(p) == b"".join(c for _n, c in members)
+    with pytest.raises(ValueError):
+        parse_gzip_members(p[:-1])  # truncated trailer
+    with pytest.raises(ValueError):
+        parse_gzip_members(p + b"junk")  # trailing garbage
+    q = bytearray(p)
+    q[30] ^= 0xFF  # flip one deflate byte
+    with pytest.raises(ValueError):
+        parse_gzip_members(bytes(q))
+    with pytest.raises(ValueError):
+        parse_gzip_members(b"\x1f\x8b\x09" + p[3:])  # bad method

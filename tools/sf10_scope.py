@@ -44,6 +44,19 @@ EXCLUDE: dict[str, str] = {
     "dedup_simhash64_tf": (
         "oracle >75 GB DuckDB spill at sf10 (SCALE §24)"
     ),
+    "dedup_audio_fingerprint": (
+        "MEASURED in the r12 sweep: the oracle recomputes per-doc "
+        "spectral fingerprints corpus-wide in DuckDB and its temp "
+        "spill filled the sandbox disk (~78 GB free) at 500k docs — "
+        "IOException mid-sweep; same oracle-spill class as "
+        "dedup_simhash64_tf; verified at sf1 (SCALE §24a)"
+    ),
+    "dedup_audio_fingerprint_metricband": (
+        "same fingerprint-recompute oracle as dedup_audio_fingerprint "
+        "(plus the metric-band join): >50 min CPU-bound in DuckDB at "
+        "sf10 before the sweep budget cut it; verified at sf1 with "
+        "measured 100% uncapped recall (SCALE §21)"
+    ),
     "join_range_interval": (
         "925M output rows at sf10 — hash-materialization exceeds the "
         "sandbox; ALREADY checksum-verified in-engine at sf10 in r11 "
