@@ -2371,3 +2371,123 @@ def multimodal_gzip_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_members long, total_len long, content_sum long, "
         "names_sum long, header_sum long, mtime_sum long",
     )
+
+
+# --- tar (ustar) walk (r12): the WebDataset training-shard shape -------------
+
+from sim_spark.ops.tarwalk import encode_tar, parse_tar  # noqa: E402
+
+
+def _gen_tar_payload(doc_id: int) -> bytes:
+    """Deterministic WebDataset-style shard: 1 + doc%3 samples, each a
+    ('s<doc>-<k>.txt', formula text) + ('s<doc>-<k>.cls', class digit)
+    member pair; txt byte j = (5·doc + 7k + 3j) % 95 + 32 with length
+    30 + (doc + 11k) % 50; class = (doc + k) % 10; mtime = 100·doc + k
+    — all SQL-recomputable."""
+    ns = 1 + doc_id % 3
+    members = []
+    for k in range(ns):
+        ln = 30 + (doc_id + 11 * k) % 50
+        txt = bytes((5 * doc_id + 7 * k + 3 * j) % 95 + 32 for j in range(ln))
+        members.append((f"s{doc_id}-{k}.txt", txt, 100 * doc_id + k))
+        members.append(
+            (f"s{doc_id}-{k}.cls", str((doc_id + k) % 10).encode(),
+             100 * doc_id + k)
+        )
+    return encode_tar(members)
+
+
+_gen_tar_batches = _make_gen_batches(_gen_tar_payload)
+
+
+def _tar_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_tar(bytes(payload))
+            txt = [r for r in recs if r["name"].endswith(".txt")]
+            cls = [r for r in recs if r["name"].endswith(".cls")]
+            rows.append(
+                (
+                    int(doc_id),
+                    len(recs),
+                    sum(r["size"] for r in recs),
+                    sum(sum(r["content"]) for r in txt),
+                    sum(int(r["content"]) for r in cls),
+                    sum(sum(r["name"].encode()) for r in recs),
+                    sum(r["mtime"] for r in recs),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_members", "total_size", "txt_sum", "cls_sum",
+                "names_sum", "mtime_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_tar_webdataset_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents
+),
+sm AS (
+  SELECT doc_id, ns, kk.k,
+         30 + (doc_id + 11 * kk.k) % 50 AS ln,
+         's' || CAST(doc_id AS VARCHAR) || '-' || CAST(kk.k AS VARCHAR)
+           AS stem
+  FROM p, LATERAL (SELECT unnest(range(0, ns)) AS k) kk
+),
+tsum AS (
+  SELECT doc_id, k, SUM((5 * doc_id + 7 * k + 3 * jj.j) % 95 + 32) AS t
+  FROM sm, LATERAL (SELECT unnest(range(0, ln)) AS j) jj
+  GROUP BY doc_id, k
+),
+nsum AS (
+  SELECT sm.doc_id,
+         SUM(ascii(substr(stem || '.txt', ii.i + 1, 1))
+             + ascii(substr(stem || '.cls', ii.i + 1, 1))) AS ns_shared,
+         MAX(length(stem)) AS sl
+  FROM sm, LATERAL (
+    SELECT unnest(range(0, length(stem) + 4)) AS i
+  ) ii
+  GROUP BY sm.doc_id
+)
+SELECT p.doc_id,
+       CAST(2 * p.ns AS BIGINT) AS n_members,
+       CAST((SELECT SUM(ln) + COUNT(*) FROM sm WHERE sm.doc_id = p.doc_id)
+            AS BIGINT) AS total_size,
+       CAST((SELECT SUM(t) FROM tsum WHERE tsum.doc_id = p.doc_id)
+            AS BIGINT) AS txt_sum,
+       CAST((SELECT SUM((p.doc_id + k) % 10) FROM sm
+             WHERE sm.doc_id = p.doc_id) AS BIGINT) AS cls_sum,
+       CAST((SELECT ns_shared FROM nsum WHERE nsum.doc_id = p.doc_id)
+            AS BIGINT) AS names_sum,
+       CAST((SELECT SUM(2 * (100 * p.doc_id + k)) FROM sm
+             WHERE sm.doc_id = p.doc_id) AS BIGINT) AS mtime_sum
+FROM p
+""",
+)
+def multimodal_tar_webdataset_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX ustar walk (r12) — WebDataset, the de-facto sharding
+    format for multimodal training corpora, is plain tar read
+    sequentially as (sample.txt, sample.cls, ...) member pairs.
+    ops/tarwalk.py walks 512-byte ustar headers (octal size/mtime
+    fields, per-member header CHECKSUM verified — a single flipped
+    name byte is a typed error), block-aligned data, and the required
+    two-zero-block EOF trailer; stdlib tarfile cross-checks the
+    encoder in tests. The oracle recomputes member counts, sizes,
+    text-byte sums, class labels, name ascii sums, and mtimes in
+    integer SQL. Light fan-out class: Arrow-batched mapInPandas, no
+    shuffle until the 7-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_tar_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _tar_feature_batches,
+        "doc_id long, n_members long, total_size long, txt_sum long, "
+        "cls_sum long, names_sum long, mtime_sum long",
+    )

@@ -503,3 +503,29 @@ def test_gzip_member_walk_roundtrip_and_integrity():
         parse_gzip_members(bytes(q))
     with pytest.raises(ValueError):
         parse_gzip_members(b"\x1f\x8b\x09" + p[3:])  # bad method
+
+
+def test_tar_walk_roundtrip_stdlib_crosscheck():
+    """ustar members round-trip; stdlib tarfile reads our archives;
+    header checksum and EOF trailer are enforced."""
+    import io
+    import tarfile
+
+    from sim_spark.ops.tarwalk import encode_tar, parse_tar
+
+    members = [("a.txt", b"hello world", 1234), ("a.cls", b"7", 1234),
+               ("big.bin", bytes(range(256)) * 5, 0)]
+    p = encode_tar(members)
+    recs = parse_tar(p)
+    assert [(r["name"], r["content"], r["mtime"]) for r in recs] == members
+    with tarfile.open(fileobj=io.BytesIO(p)) as tf:
+        assert [t.name for t in tf.getmembers()] == [m[0] for m in members]
+        assert tf.extractfile("big.bin").read() == members[2][1]
+    with pytest.raises(ValueError):
+        parse_tar(p[:-512])  # only one EOF block
+    with pytest.raises(ValueError):
+        parse_tar(p[:700])  # truncated member data
+    q = bytearray(p)
+    q[0] ^= 1  # name byte flip -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(q))
