@@ -448,14 +448,14 @@ def sim_topk_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_pairs_threshold",
     oracle="""
-WITH prod AS (
+WITH dots AS (
+  -- list_inner_product over DOUBLE[]-cast lists: identical rounded
+  -- scores to the unnest-SUM formulation (verified pairwise at sf0.1),
+  -- without the 64x unnest blowup that spilled ~38 GB at sf10
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         unnest(a.embedding) AS ax, unnest(b.embedding) AS bx
+         ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS score
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-),
-dots AS (
-  SELECT id_a, id_b, ROUND(SUM(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)), 6) AS score
-  FROM prod GROUP BY id_a, id_b
 )
 SELECT id_a, id_b, score FROM dots WHERE score > 0.4
 """,

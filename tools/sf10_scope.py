@@ -37,6 +37,13 @@ EXCLUDE: dict[str, str] = {
         "oracle is DuckDB's recursive all-pairs CTE: ~33B intermediate "
         "rows at sf10 (SCALE §24); the Spark side runs, the oracle cannot"
     ),
+    "dedup_cluster_canonical": (
+        "MEASURED in the r12 sweep: the oracle's edge derivation is the "
+        "same all-pairs embedding dot-product CTE as "
+        "dedup_connected_components (~33B unnested rows at sf10 "
+        "embedding volume) — 38 GB of DuckDB temp spill before the "
+        "sweep cut it; verified at sf1"
+    ),
     "dedup_minhash_exactperm": (
         "oracle recomputes md5-affine permutations corpus-wide: >100 GB "
         "DuckDB spill at sf10 (SCALE §24)"
