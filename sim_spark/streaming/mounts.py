@@ -14,7 +14,17 @@ user_id / window, so the state store shards with the shuffle.
 
 from __future__ import annotations
 
+import os
 import uuid
+
+
+def _default_await() -> int:
+    """Completion guard for availableNow/idle streams. 300 s fits every
+    fixture up to sf1 on an idle machine; big-fixture sweeps (sf10) on a
+    contended box override via SIM_SPARK_STREAM_AWAIT — the guard's job
+    is catching HUNG queries, not capping honest throughput."""
+    return int(os.environ.get("SIM_SPARK_STREAM_AWAIT", "300"))
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,10 +167,12 @@ def stream_documents(
 
 
 def run_streaming_to_memory(
-    out: DataFrame, output_mode: str, await_seconds: int = 300
+    out: DataFrame, output_mode: str, await_seconds: int | None = None
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the sink table as a batch DataFrame."""
+    if await_seconds is None:
+        await_seconds = _default_await()
     name = "sink_" + uuid.uuid4().hex[:12]
     q = (
         out.writeStream.format("memory")
@@ -180,7 +192,7 @@ def run_streaming_to_memory(
 
 
 def run_streaming_until_idle(
-    out: DataFrame, output_mode: str, await_seconds: int = 300
+    out: DataFrame, output_mode: str, await_seconds: int | None = None
 ) -> DataFrame:
     """Run a continuous-trigger stream until the source reports idle
     (two consecutive empty triggers with no data available), then stop
@@ -193,6 +205,8 @@ def run_streaming_until_idle(
     connector."""
     import time
 
+    if await_seconds is None:
+        await_seconds = _default_await()
     name = "sink_" + uuid.uuid4().hex[:12]
     q = (
         out.writeStream.format("memory")

@@ -33,17 +33,6 @@ EXCLUDE: dict[str, str] = {
         "quadratic-OUTPUT class: the band predicate itself yields ~15B "
         "pairs at sf10 (SCALE §24)"
     ),
-    "dedup_connected_components": (
-        "oracle is DuckDB's recursive all-pairs CTE: ~33B intermediate "
-        "rows at sf10 (SCALE §24); the Spark side runs, the oracle cannot"
-    ),
-    "dedup_cluster_canonical": (
-        "MEASURED in the r12 sweep: the oracle's edge derivation is the "
-        "same all-pairs embedding dot-product CTE as "
-        "dedup_connected_components (~33B unnested rows at sf10 "
-        "embedding volume) — 38 GB of DuckDB temp spill before the "
-        "sweep cut it; verified at sf1"
-    ),
     "dedup_minhash_exactperm": (
         "oracle recomputes md5-affine permutations corpus-wide: >100 GB "
         "DuckDB spill at sf10 (SCALE §24)"
@@ -125,10 +114,6 @@ EXCLUDE: dict[str, str] = {
         "rows-only seeded Lloyd trajectory: an sf10 run yields only a "
         "row count for ~an hour of compute; invariants + oracled twin "
         "carry the evidence (ROWSONLY.md)"
-    ),
-    "ml_kmeans_unrolled": (
-        "the kmeans oracled twin unrolls Lloyd in SQL — DuckDB side "
-        "out of sandbox at sf10 embedding volume; verified sf1"
     ),
     "ml_kmeans_lloyd": (
         "rows-only seeded Lloyd trajectory (same family as "
