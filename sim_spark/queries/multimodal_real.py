@@ -2491,3 +2491,116 @@ def multimodal_tar_webdataset_walk(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id long, n_members long, total_size long, txt_sum long, "
         "cls_sum long, names_sum long, mtime_sum long",
     )
+
+
+# --- TIFF decode (r12): scanned-document container, PackBits + TIFF-LZW ------
+
+from sim_spark.ops.tiff import decode_tiff, encode_tiff  # noqa: E402
+
+
+def _gen_tiff_payload(doc_id: int) -> bytes:
+    """Deterministic baseline TIFF cycling the container's real-world
+    axes: compression none / TIFF-LZW / PackBits (doc % 3), little vs
+    BIG endian (doc % 6 >= 3), grayscale vs RGB (doc % 2), multi-strip
+    (rows_per_strip 1 + doc % 4). Pixel (r, c, k) =
+    (5·doc + 7r + 11c + 23k) % 256 — SQL-recomputable."""
+    import numpy as np
+
+    w, h = 4 + (doc_id % 9), 3 + (doc_id % 6)
+    ch_n = 3 if doc_id % 2 else 1
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    k = np.arange(ch_n, dtype=np.int64)[None, None, :]
+    px = ((5 * doc_id + 7 * r + 11 * c + 23 * k) % 256).astype(np.uint8)
+    return encode_tiff(
+        w,
+        h,
+        px.tobytes(),
+        channels=ch_n,
+        compression=[1, 5, 32773][doc_id % 3],
+        big_endian=(doc_id % 6) >= 3,
+        rows_per_strip=1 + doc_id % 4,
+    )
+
+
+_gen_tiff_batches = _make_gen_batches(_gen_tiff_payload)
+
+
+def _tiff_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch_n, px = decode_tiff(bytes(payload))
+            a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+            img = a.reshape(h, w, ch_n)
+            wrow = int((img.sum(axis=(1, 2)) * (np.arange(h) + 1)).sum())
+            rows.append(
+                (
+                    int(doc_id), w, h, ch_n, int(doc_id % 3),
+                    int((doc_id % 6) >= 3), int(a.sum()), wrow,
+                    int(img[0].sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels", "comp_kind",
+                "big_endian", "px_sum", "wrow_sum", "top_row_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id % 9) AS w, 3 + (doc_id % 6) AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch_n
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, ch_n, rr.r, cc.c,
+         (5 * doc_id + 7 * rr.r + 11 * cc.c + 23 * kk.k) % 256 AS val
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS r) rr,
+       LATERAL (SELECT unnest(range(0, w)) AS c) cc,
+       LATERAL (SELECT unnest(range(0, ch_n)) AS k) kk
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch_n AS BIGINT) AS channels,
+       CAST(doc_id % 3 AS BIGINT) AS comp_kind,
+       CAST(CASE WHEN doc_id % 6 >= 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS big_endian,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum((r + 1) * val) AS BIGINT) AS wrow_sum,
+       CAST(sum(CASE WHEN r = 0 THEN val ELSE 0 END) AS BIGINT)
+         AS top_row_sum
+FROM cells GROUP BY doc_id, w, h, ch_n
+""",
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode (r12) — the scanned-document container:
+    endian-tagged IFD walk (II and MM both occur in the fixture),
+    multi-strip layout with offset/count arrays, and the two classic
+    baseline compressions — PackBits RLE and TIFF-variant LZW
+    (MSB-first code packing with the EARLY width change at 2^w - 1,
+    both deliberately opposite to GIF's LSB-first/late-change variant;
+    having the two LZW dialects under one oracle pins the distinction
+    a generic 'LZW' implementation gets wrong). `wrow_sum` is
+    row-weighted so a strip-ordering bug cannot cancel. The oracle
+    recomputes every byte in integer SQL. Light fan-out class:
+    Arrow-batched mapInPandas, no shuffle until the feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_tiff_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _tiff_feature_batches,
+        "doc_id long, width long, height long, channels long, "
+        "comp_kind long, big_endian long, px_sum long, wrow_sum long, "
+        "top_row_sum long",
+    )

@@ -529,3 +529,58 @@ def test_tar_walk_roundtrip_stdlib_crosscheck():
     q[0] ^= 1  # name byte flip -> checksum mismatch
     with pytest.raises(ValueError, match="checksum"):
         parse_tar(bytes(q))
+
+
+def test_tiff_roundtrip_both_lzw_dialects_and_endianness():
+    """TIFF container round-trips across compression x endianness x
+    channels; the TIFF-LZW early-change rule is exercised at every
+    width boundary by constant streams; PackBits edge shapes hold."""
+    import numpy as np
+
+    from sim_spark.ops.tiff import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    for n in list(range(0, 600, 53)) + [5000]:
+        d = bytes(n)  # constant stream walks every width bump exactly
+        assert tiff_lzw_decode(tiff_lzw_encode(d), n) == d
+    rng = np.random.default_rng(8)
+    d = bytes(rng.integers(0, 256, 50_000).astype(np.uint8))
+    assert tiff_lzw_decode(tiff_lzw_encode(d), len(d)) == d  # CLEAR reset
+    assert packbits_decode(packbits_encode(b"\x00" * 300), 300) == b"\x00" * 300
+    assert packbits_decode(packbits_encode(b""), 0) == b""
+    for comp in (1, 5, 32773):
+        for be in (False, True):
+            for ch in (1, 3):
+                w, h = 7, 5
+                px = bytes(rng.integers(0, 256, w * h * ch).astype(np.uint8))
+                t = encode_tiff(w, h, px, channels=ch, compression=comp,
+                                big_endian=be, rows_per_strip=2)
+                assert decode_tiff(t) == (w, h, ch, px)
+    t = encode_tiff(3, 3, bytes(9), compression=5)
+    for bad in (b"XX", t[:6], t[:30], t[:-3]):
+        with pytest.raises(ValueError):
+            decode_tiff(bad)
+
+
+def test_gif_and_tiff_lzw_dialects_differ():
+    """The two LZW variants must NOT be interchangeable: GIF packs
+    LSB-first with the late width change, TIFF MSB-first with early
+    change — feeding one stream to the other decoder fails."""
+    from sim_spark.ops.gif import lzw_decode as gif_decode
+    from sim_spark.ops.gif import lzw_encode as gif_encode
+    from sim_spark.ops.tiff import tiff_lzw_decode, tiff_lzw_encode
+
+    data = bytes(range(200)) * 3
+    gif_stream = gif_encode(data, 8)
+    tiff_stream = tiff_lzw_encode(data)
+    assert gif_stream != tiff_stream
+    with pytest.raises(ValueError):
+        tiff_lzw_decode(gif_stream, len(data))
+    with pytest.raises(ValueError):
+        gif_decode(tiff_stream, 8, len(data))
