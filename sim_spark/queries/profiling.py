@@ -147,7 +147,8 @@ def profile_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 0) AS BIGINT)
+         AS sum_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -171,12 +172,16 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = out.reset_index().to_spark()
     # the exact-decimal sum joins in via the native API (ps sums are
     # float; the engine convention is decimal-exact monetary sums)
+    # whole-unit BIGINT via DECIMAL rounding (r12): the exact decimal
+    # sums agree, but each engine's DECIMAL->DOUBLE cast rounds its own
+    # way and at sf10's ~7.5e11 magnitude they land one ulp apart —
+    # integer units keep the contract exact at every scale
     dec = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
-            .cast("double")
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 0)
+            .cast("bigint")
             .alias("sum_price")
         )
     )

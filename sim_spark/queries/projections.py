@@ -86,8 +86,9 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "voxel_binarize",
     oracle="""
 SELECT vec_id,
-       CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0.1 THEN 1 ELSE 0 END)) AS BIGINT)
-         AS n_above
+       CAST(list_sum(list_transform(embedding,
+            x -> CASE WHEN CAST(x AS DOUBLE) > 0.1 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_above
 FROM embeddings
 """,
 )
@@ -95,7 +96,13 @@ def voxel_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-element threshold over the embedding array (sim's binarization
     pipeline semantics — threshold a block of voxel intensities, count
     survivors). Higher-order functions keep it in Tungsten: no Python, no
-    explode-shuffle; at 100 TB this is a pure map stage."""
+    explode-shuffle; at 100 TB this is a pure map stage.
+
+    The oracle casts each float element to DOUBLE before comparing
+    (r12): Spark promotes float > double-literal to a double compare,
+    while DuckDB's bare ``x > 0.1`` compares on the float side — the
+    sf10 sweep caught one element (of 2M) whose float32 value sits
+    inside that one-ulp window and flips between the two readings."""
     e = table(spark, sf_dir, "embeddings")
     binarized = F.transform("embedding", lambda x: (x > F.lit(0.1)).cast("int"))
     return e.select(
