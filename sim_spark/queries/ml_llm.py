@@ -336,8 +336,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary shingle vector (HashingTF). The scale path: candidate pairs
     come from LSH band buckets instead of the exact shingle join.
     tests/test_invariants.py checks recall ≥ 0.9 against
-    dedup_jaccard_shingles ground truth."""
+    dedup_jaccard_shingles ground truth.
+
+    The banded join is EXPLICIT since r12: MLlib's
+    ``approxSimilarityJoin`` hides the bucket join inside a plan whose
+    mis-estimated explode side Catalyst tried to BROADCAST at sf10
+    (11.5 GiB > the 8 GiB broadcast ceiling — measured in the r12
+    sweep). The model supplies only the seeded hash functions; buckets
+    are (table_no, hash) keys under the same >CAP saturation guard as
+    ops/bandlsh (a bucket holding c docs contributes c² candidates and
+    ~no signal on a dense fixture), the candidate join is a plain
+    shuffle equi-join on the bucket key, and the exact Jaccard refine
+    runs on the distinct-shingle sets. Scale shape: explode is 8 rows
+    per doc, the only broadcast is the tiny over-cap bucket list, and
+    every join keys on bucket/doc ids."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     d = table(spark, sf_dir, "documents")
     sh = _shingle_sets(d).filter(F.col("n_sh") > 0)
@@ -347,14 +361,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", seed=42, numHashTables=8)
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    buckets = (
+        model.transform(feat)
+        .select("doc_id", F.posexplode("hashes").alias("table_no", "hv"))
         .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+            "doc_id",
+            "table_no",
+            vector_to_array("hv").getItem(0).cast("long").alias("h"),
         )
+    )
+    over = (
+        buckets.groupBy("table_no", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 64)
+        .select("table_no", "h")
+    )
+    buckets = buckets.join(F.broadcast(over), ["table_no", "h"], "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_no") == F.col("b.table_no"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", F.round(jac, 6))
+        .filter(F.col("jaccard_est") >= 0.8)
+        .select("id_a", "id_b", "jaccard_est")
     )
 
 
