@@ -231,7 +231,11 @@ for k in sorted(qs):
                 f"{rec['spark_rows']} rows)"
             )
         except Exception as e:  # noqa: BLE001
-            rec["err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            # (str(e) can be EMPTY — a bare Py4JJavaError killed a whole sf10
+            # shard through splitlines()[0] before r12 guarded this)
+            rec["err"] = f"{type(e).__name__}: " + (
+                (str(e).splitlines() or [""])[0][:160]
+            )
             failed.append(k)
             print(f"  {k}: ERROR {rec['err']}")
         results[k] = rec
@@ -265,7 +269,11 @@ for k in sorted(qs):
             rec["err"] = "no_oracle"
             print(f"  {k}: rows-only, {len(srows)} rows")
     except Exception as e:  # noqa: BLE001 - record per-key instead of aborting the sweep
-        rec["err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+        # (str(e) can be EMPTY — a bare Py4JJavaError killed a whole sf10
+            # shard through splitlines()[0] before r12 guarded this)
+            rec["err"] = f"{type(e).__name__}: " + (
+                (str(e).splitlines() or [""])[0][:160]
+            )
         failed.append(k)
         print(f"  {k}: ERROR {rec['err']}")
     results[k] = rec
@@ -317,7 +325,8 @@ try:
     qs_all["agg_q1_pricing"](spark, "/root/testdata/sf9").toPandas()
     print("missing-dir probe: NO ERROR (unexpected)")
 except Exception as e:
-    print("missing-dir probe: raised", type(e).__name__, str(e).splitlines()[0][:90])
+    print("missing-dir probe: raised", type(e).__name__,
+          (str(e).splitlines() or [""])[0][:90])
 spark.stop()
 
 n_oracled = sum(1 for k in qs if k in os_)
