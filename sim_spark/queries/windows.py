@@ -378,7 +378,7 @@ agg AS (
 )
 SELECT decile,
        CAST(n_customers AS BIGINT) AS n_customers,
-       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(ROUND(revenue, 0) AS BIGINT) AS revenue,
        ROUND(CAST(sum(revenue) OVER (ORDER BY decile) AS DOUBLE)
              / CAST((SELECT sum(total) FROM spend) AS DOUBLE), 6) AS cum_share
 FROM agg ORDER BY decile
@@ -463,7 +463,10 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             "n_customers",
-            F.col("revenue").cast("double").alias("revenue"),
+            # whole-unit BIGINT via decimal rounding (r12): the exact
+            # decimal revenues agree, but each engine's DECIMAL->DOUBLE
+            # cast rounds its own way — one ulp apart at sf10's ~2.8e11
+            F.round("revenue", 0).cast("bigint").alias("revenue"),
             F.round(
                 F.sum("revenue").over(wcum).cast("decimal(30,6)").cast("double")
                 / F.col("grand"),

@@ -270,10 +270,10 @@ for k in sorted(qs):
             print(f"  {k}: rows-only, {len(srows)} rows")
     except Exception as e:  # noqa: BLE001 - record per-key instead of aborting the sweep
         # (str(e) can be EMPTY — a bare Py4JJavaError killed a whole sf10
-            # shard through splitlines()[0] before r12 guarded this)
-            rec["err"] = f"{type(e).__name__}: " + (
-                (str(e).splitlines() or [""])[0][:160]
-            )
+        # shard through splitlines()[0] before r12 guarded this)
+        rec["err"] = f"{type(e).__name__}: " + (
+            (str(e).splitlines() or [""])[0][:160]
+        )
         failed.append(k)
         print(f"  {k}: ERROR {rec['err']}")
     results[k] = rec
