@@ -33,15 +33,25 @@ GROUP BY r.r_name
 def sql_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multiway star join written as SQL text (EP3, SURVEY §3.2):
     same Catalyst plan as the DataFrame build in join_multiway_star —
-    parser entry point exercised on a join-heavy query."""
+    parser entry point exercised on a join-heavy query.
+
+    Revenue goes through the µ-unit integer route (exprs.dsum's
+    convention) IN THE SQL TEXT too (r12): the raw decimal→double cast
+    is engine-asymmetric once the unscaled total exceeds 2^53 — Spark
+    rounds via BigDecimal.doubleValue, DuckDB computes
+    double(unscaled)/10^scale — and the sf10 sweep measured the one-ulp
+    split at this key's ~1.45e11 revenue while the oracle already used
+    the µ-unit formula."""
     register_views(
         spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"]
     )
     return spark.sql(
         """
         SELECT r.r_name AS region,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(30,6)) * 1000000
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+                 AS revenue,
                COUNT(DISTINCT o.o_orderkey) AS n_orders
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey

@@ -74,41 +74,22 @@ EXCLUDE: dict[str, str] = {
         "edges in DuckDB — out of sandbox; triangle plan verified at sf1"
     ),
     "graph_modularity_score": (
-        "oracle chains LPA rounds over the 240M-row mirrored edge CTE "
-        "in DuckDB — out of sandbox at sf10; verified at sf1"
+        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 185 s at sf10 (same LPA chain plus modularity terms); verified sf1"
     ),
     "graph_label_propagation": (
-        "same LPA-in-SQL oracle chain as modularity — out of sandbox at "
-        "sf10; verified at sf1"
-    ),
-    "graph_bfs_layers": (
-        "edge-CTE chain in DuckDB at sf10 out of sandbox; verified sf1"
+        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 199 s at sf10 (LPA rounds over the edge CTE); verified sf1"
     ),
     "graph_sssp_weighted": (
-        "edge-CTE chain in DuckDB at sf10 out of sandbox; verified sf1"
-    ),
-    "graph_pagerank": (
-        "edge-CTE chain in DuckDB at sf10 out of sandbox; verified sf1"
+        "MEASURED r12 probe: oracle OOMs DuckDB at 20 GB memory + 30 GB temp caps after 209 s at sf10 (iterative relaxation over the ~120M-row edge CTE); verified sf1"
     ),
     "graph_hits_unrolled": (
-        "unrolled hub/authority rounds over the sf10 edge CTE in DuckDB "
-        "— out of sandbox; verified sf1"
-    ),
-    "graph_kcore_peel": (
-        "iterative peel CTE chain over the sf10 edge list in DuckDB — "
-        "out of sandbox; verified sf1"
+        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 89 s at sf10 (unrolled hub/authority rounds over the edge CTE); verified sf1"
     ),
     "graph_clustering_global": (
-        "wedge/triangle joins over the sf10 edge CTE in DuckDB out of "
-        "sandbox; verified sf1"
+        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 410 s at sf10 (wedge/triangle joins over the edge CTE); verified sf1"
     ),
     "graph_assortativity": (
-        "degree-pair joins over the sf10 edge CTE in DuckDB out of "
-        "sandbox; verified sf1"
-    ),
-    "graph_degree_hist": (
-        "sf10 edge CTE (pair self-join) in DuckDB out of sandbox; "
-        "verified sf1"
+        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 296 s at sf10 (degree-pair joins over the edge CTE); verified sf1"
     ),
     "ml_kmeans_embeddings": (
         "rows-only seeded Lloyd trajectory: an sf10 run yields only a "
