@@ -10,6 +10,7 @@ value-hash implies.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import duckdb
@@ -21,6 +22,19 @@ from sim_spark.io import TABLES
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # DuckDB defaults to 80% of machine RAM; an unbounded in-process
+    # oracle alongside a Spark JVM got a big-fixture sweep shard
+    # kernel-OOM-killed at 54 GB anon RSS (r12). SIM_SPARK_DUCKDB_MEM
+    # (e.g. '24GB') caps the buffer pool; SIM_SPARK_DUCKDB_TEMPCAP
+    # (e.g. '40GB') bounds spill so a runaway oracle errors instead of
+    # filling the shared disk.
+    mem = os.environ.get("SIM_SPARK_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmpcap = os.environ.get("SIM_SPARK_DUCKDB_TEMPCAP")
+    if tmpcap:
+        con.execute("SET temp_directory='/root/repo/.tmp'")
+        con.execute(f"SET max_temp_directory_size='{tmpcap}'")
     safe_dir = sf_dir.replace("'", "''")  # quote-escape: paths are data
     for t in TABLES:
         con.execute(
