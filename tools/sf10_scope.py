@@ -19,6 +19,18 @@ from sim_spark.registry import ORACLES, QUERIES
 # SCALE.md §20/§24); (b) heavy seeded-trajectory rows-only keys whose
 # sf10 run yields only a row count for hours of compute.
 EXCLUDE: dict[str, str] = {
+    "fn_math": (
+        "corpus-wide per-ROW output (60M rows at sf10) with FLOAT "
+        "columns: the pandas canonicalizer was MEASURED kernel-OOM at "
+        "81 GB RSS on this class in the r12 sweep, and the in-engine "
+        "md5-checksum path is integer/string-only by design (float "
+        "casts are engine-formatting-dependent); verified at sf1"
+    ),
+    "fn_try_safe": (
+        "same class as fn_math: 60M-row per-row frame with a float "
+        "column — materialization OOMs, checksum path cannot take "
+        "floats; verified at sf1"
+    ),
     "dedup_jaccard_shingles": (
         "exact-SSJoin ground truth; prefix buckets ~13.5B candidates on "
         "this 30-word-vocab fixture — the r12 density guardrail now "
