@@ -137,8 +137,9 @@ def cbo_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.r_name AS region_name,
                n.n_name AS nation_name,
                COUNT(*) AS n_lines,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(30,6)) * 1000000
+                     AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue
         FROM {n['lineitem']} l
         JOIN {n['orders']} o ON o.o_orderkey = l.l_orderkey
         JOIN {n['customer']} c ON c.c_custkey = o.o_custkey

@@ -739,8 +739,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT r.r_name AS region_name,
        n.n_name AS nation_name,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(30,6)) * 1000000
+                     AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
