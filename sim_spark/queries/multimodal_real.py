@@ -2604,3 +2604,114 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp_kind long, big_endian long, px_sum long, wrow_sum long, "
         "top_row_sum long",
     )
+
+
+# --- ZIP walk (r12): the dataset-distribution container ----------------------
+
+from sim_spark.ops.zipwalk import encode_zip, parse_zip  # noqa: E402
+
+
+def _gen_zip_payload(doc_id: int) -> bytes:
+    """Deterministic ZIP: n = 1 + doc%4 members named 'f<doc>-<m>.txt',
+    content byte j = (11·doc + 17m + 3j) % 95 + 32 with length
+    35 + (doc + 13m) % 45, odd members DEFLATED / even STORED — all
+    SQL-recomputable."""
+    n = 1 + doc_id % 4
+    members = []
+    for m in range(n):
+        ln = 35 + (doc_id + 13 * m) % 45
+        content = bytes(
+            (11 * doc_id + 17 * m + 3 * j) % 95 + 32 for j in range(ln)
+        )
+        members.append((f"f{doc_id}-{m}.txt", content, bool(m % 2)))
+    return encode_zip(members)
+
+
+_gen_zip_batches = _make_gen_batches(_gen_zip_payload)
+
+
+def _zip_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_zip(bytes(payload))
+            rows.append(
+                (
+                    int(doc_id),
+                    len(recs),
+                    sum(len(r["content"]) for r in recs),
+                    sum(sum(r["content"]) for r in recs),
+                    sum(sum(r["name"].encode()) for r in recs),
+                    sum(1 for r in recs if r["method"] == 8),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_members", "total_len", "content_sum",
+                "names_sum", "n_deflated",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_zip_member_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+),
+mem AS (
+  SELECT doc_id, n, mm.m,
+         35 + (doc_id + 13 * mm.m) % 45 AS ln,
+         'f' || CAST(doc_id AS VARCHAR) || '-'
+             || CAST(mm.m AS VARCHAR) || '.txt' AS name
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS m) mm
+),
+csum AS (
+  SELECT doc_id, m,
+         SUM((11 * doc_id + 17 * m + 3 * jj.j) % 95 + 32) AS c_sum
+  FROM mem, LATERAL (SELECT unnest(range(0, ln)) AS j) jj
+  GROUP BY doc_id, m
+),
+nsum AS (
+  SELECT mem.doc_id, SUM(ascii(substr(name, ii.i + 1, 1))) AS name_sum
+  FROM mem, LATERAL (SELECT unnest(range(0, length(name))) AS i) ii
+  GROUP BY mem.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_members,
+       CAST((SELECT SUM(ln) FROM mem WHERE mem.doc_id = p.doc_id)
+            AS BIGINT) AS total_len,
+       CAST((SELECT SUM(c_sum) FROM csum WHERE csum.doc_id = p.doc_id)
+            AS BIGINT) AS content_sum,
+       CAST((SELECT name_sum FROM nsum WHERE nsum.doc_id = p.doc_id)
+            AS BIGINT) AS names_sum,
+       CAST((SELECT COUNT(*) FROM mem
+             WHERE mem.doc_id = p.doc_id AND m % 2 = 1)
+            AS BIGINT) AS n_deflated
+FROM p
+""",
+)
+def multimodal_zip_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP container walk (r12) — how datasets are actually
+    distributed. The parser does what naive readers skip: discovers
+    the end-of-central-directory record by scanning BACKWARD (past an
+    optional archive comment), treats the CENTRAL directory as
+    authoritative, cross-validates each local header against its
+    central entry, inflates method-8 members with raw-deflate zlib,
+    and verifies CRC32 + both sizes per member — one flipped byte is
+    a typed error. Interop is tested in BOTH directions against
+    stdlib zipfile (it reads our archives; we read its, comments
+    included). The fixture alternates stored and deflated members;
+    the oracle recomputes member counts, lengths, content/name byte
+    sums, and the deflate count in integer SQL. Light fan-out class:
+    Arrow-batched mapInPandas, no shuffle until the feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_zip_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _zip_feature_batches,
+        "doc_id long, n_members long, total_len long, content_sum long, "
+        "names_sum long, n_deflated long",
+    )

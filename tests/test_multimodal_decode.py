@@ -584,3 +584,36 @@ def test_gif_and_tiff_lzw_dialects_differ():
         tiff_lzw_decode(gif_stream, len(data))
     with pytest.raises(ValueError):
         gif_decode(tiff_stream, 8, len(data))
+
+
+def test_zip_walk_interop_both_directions():
+    """EOCD backward scan, central-directory authority, local-header
+    cross-check, CRC/size verification; stdlib zipfile reads our
+    archives AND we read stdlib's (archive comment included)."""
+    import io
+    import zipfile
+
+    from sim_spark.ops.zipwalk import encode_zip, parse_zip
+
+    members = [("a.txt", b"hello" * 100, True), ("b.bin", bytes(range(256)), False)]
+    p = encode_zip(members)
+    recs = parse_zip(p)
+    assert [(r["name"], r["content"]) for r in recs] == [
+        (n, c) for n, c, _d in members
+    ]
+    with zipfile.ZipFile(io.BytesIO(p)) as z:
+        for name, content, _d in members:
+            assert z.read(name) == content
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("c.txt", b"stdlib-written")
+        z.comment = b"a trailing archive comment"
+    assert parse_zip(buf.getvalue())[0]["content"] == b"stdlib-written"
+    with pytest.raises(ValueError):
+        parse_zip(p[:-1])
+    with pytest.raises(ValueError):
+        parse_zip(p[:10])
+    q = bytearray(p)
+    q[35] ^= 0xFF  # flip a deflate byte -> CRC/deflate error
+    with pytest.raises(ValueError):
+        parse_zip(bytes(q))
