@@ -1,9 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-  {"metric": ..., "value": <suite sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+stdout's FINAL line is a COMPACT JSON summary (≤ ~400 bytes):
+
+  {"metric": ..., "value": <suite sec>, "unit": "sec", "sf": ...,
+   "cpus": N, "n_queries": N, "queries": {<5 control keys>: sec},
+   "ctrl": {"duck_sec": ..., "spark_sec": ..., "ratio": ...}}
+
+The external driver records only a bounded (~2000-char) tail of stdout;
+r11/r12 both landed `parsed: null` because the full per-query map grew
+past that window (VERDICT r12 item 1). The FULL record — every
+headline query's median, the raw samples, and the complete DuckDB
+sanity column — goes to stderr and to the artifact file
+$SPARK_GRAFT_BENCH_OUT (default ./BENCH_local_last.json), which each
+round is committed as BENCH_r{N}_local.json.
+
+`ctrl` is the same-box DuckDB control (VERDICT r12 item 7): five fixed
+cheap oracle keys timed in BOTH engines every run, so any cross-round
+drift in the box itself is visible inline (a rising suite value with a
+flat ratio is environment, not regression).
 
 Rules (BASELINE.md): session startup excluded; per-query value is the
 median of 3 runs after one warm-up; results are fully materialized via
@@ -120,6 +136,19 @@ SPECIAL = {
     "join_bucketed_colocated_read": _bucketed_read_leg,
 }
 
+# Same-box control (VERDICT r12 item 7): five fixed, cheap, oracled keys
+# timed in BOTH engines every run. Deliberately scan/join/agg/window/text
+# shaped — one per major plan family — and none is iterative, so the
+# control adds < ~2 s at sf0.1 even when SPARK_GRAFT_SKIP_DUCK=1 skips
+# the full sanity column.
+CONTROL = [
+    "agg_q1_pricing",
+    "scan_filter_pushdown",
+    "join_inner_shuffle",
+    "win_running_sum",
+    "text_wordcount",
+]
+
 # Samples per query (median reported). Overridable for variance studies
 # (e.g. SPARK_GRAFT_BENCH_RUNS=5 for the r8 drift adjudication) without
 # touching the recorded default protocol.
@@ -184,45 +213,68 @@ def main() -> None:
         release_tracked_caches()
 
     # DuckDB sanity column (same parquet, oracle SQL) — context, not a
-    # gate. SPARK_GRAFT_SKIP_DUCK=1 skips it (its CC recursive CTE alone
-    # runs ~250 s at sf0.1 — pure overhead for variance studies).
+    # gate. SPARK_GRAFT_SKIP_DUCK=1 skips the FULL column (its CC
+    # recursive CTE alone runs ~250 s at sf0.1 — pure overhead for
+    # variance studies); the 5-key CONTROL is always timed.
     duck: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_SKIP_DUCK") != "1":
-        try:
-            from sim_spark.testing import duckdb_connect
+    full_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK") != "1"
+    try:
+        from sim_spark.testing import duckdb_connect
 
-            con = duckdb_connect(sf_dir)
-            for name in HEADLINE:
-                if name not in ORACLES:
-                    continue
-                t0 = time.perf_counter()
-                con.execute(ORACLES[name]).fetchall()
-                duck[name] = round(time.perf_counter() - t0, 3)
-            con.close()
-        except Exception:
-            pass  # sanity column is best-effort
+        con = duckdb_connect(sf_dir)
+        for name in HEADLINE if full_duck else CONTROL:
+            if name not in ORACLES:
+                continue
+            t0 = time.perf_counter()
+            con.execute(ORACLES[name]).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        pass  # sanity column is best-effort
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    result = {
+    ctrl_duck = round(sum(duck.get(k, 0.0) for k in CONTROL), 3)
+    ctrl_spark = round(sum(times.get(k, 0.0) for k in CONTROL), 3)
+    summary = {
         "metric": "headline_suite_wall_clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "runs_per_query": RUNS,
+        "n_queries": len(times),
+        # 5 fixed control keys inline (the full map lives in the artifact)
+        "queries": {k: times[k] for k in CONTROL if k in times},
+        "ctrl": {
+            "duck_sec": ctrl_duck,
+            "spark_sec": ctrl_spark,
+            "ratio": round(ctrl_spark / ctrl_duck, 3) if ctrl_duck else None,
+        },
     }
-    # Full record (with the DuckDB sanity column) to stderr — context for
-    # humans. stdout carries ONLY the compact result as its final line:
-    # the external driver records a bounded tail of stdout, and r7's
-    # BENCH showed `parsed: null` because the 3.6 KB line (sanity column
-    # included) overflowed that tail window.
-    print(json.dumps({**result, "duckdb_sanity": duck}), file=sys.stderr)
+    result = {**summary, "queries": times, "duckdb_sanity": duck}
+    # FULL record (every query + sanity column) to stderr and to the
+    # artifact file; stdout's FINAL line is ONLY the compact summary.
+    # The external driver keeps a ~2000-char tail of stdout — r11/r12
+    # both recorded `parsed: null` because the full per-query map
+    # outgrew that window (VERDICT r12 item 1).
+    print(json.dumps(result), file=sys.stderr)
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local_last.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump({**result, "samples": all_samples}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stderr still has the full record
     samples_out = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES_OUT")
     if samples_out:  # raw per-run samples for variance studies
         with open(samples_out, "w") as f:
             json.dump({**result, "samples": all_samples}, f)
-    print(json.dumps(result))
+    line = json.dumps(summary)
+    assert len(line) < 1000, f"summary line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -2715,3 +2715,164 @@ def multimodal_zip_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_members long, total_len long, content_sum long, "
         "names_sum long, n_deflated long",
     )
+
+
+# --- WARC/1.0 record parse (r13): inside the crawl-archive members -----------
+
+from sim_spark.ops.warc import encode_warc_records, parse_warc_records  # noqa: E402
+
+
+def _gen_warc_gz_payload(doc_id: int) -> bytes:
+    """Deterministic warc.gz: n = 1 + doc%3 records, ONE gzip member per
+    record (the real CommonCrawl layout — members are record-aligned so
+    readers can split). Record r: type cycles response/request/metadata;
+    Target-URI 'http://ex-<doc>.org/p/<r>' on response/request; block
+    byte j = (11·doc + 5r + 3j) % 95 + 32 with length 50 + (doc+13r)%60;
+    WARC-Date minute doc%60, second (7r)%60 — all SQL-recomputable."""
+    n = 1 + doc_id % 3
+    members = []
+    for r in range(n):
+        rtype = ("response", "request", "metadata")[r % 3]
+        ln = 50 + (doc_id + 13 * r) % 60
+        content = bytes(
+            (11 * doc_id + 5 * r + 3 * j) % 95 + 32 for j in range(ln)
+        )
+        rec = dict(
+            type=rtype,
+            record_id=f"<urn:uuid:{doc_id:08d}-{r:04d}>",
+            date=f"2024-01-01T00:{doc_id % 60:02d}:{(7 * r) % 60:02d}Z",
+            content=content,
+            content_type=(
+                "application/http" if rtype != "metadata" else "text/plain"
+            ),
+        )
+        if rtype != "metadata":
+            rec["target_uri"] = f"http://ex-{doc_id}.org/p/{r}"
+        members.append((None, encode_warc_records([rec])))
+    return encode_gzip_members(members)
+
+
+_gen_warc_batches = _make_gen_batches(_gen_warc_gz_payload)
+
+
+def _warc_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = []
+            for mem in parse_gzip_members(bytes(payload)):
+                recs.extend(parse_warc_records(mem["content"]))
+            rows.append(
+                (
+                    int(doc_id),
+                    len(recs),
+                    sum(1 for r in recs if r["type"] == "response"),
+                    sum(r["content_length"] for r in recs),
+                    sum(sum(r["content"]) for r in recs),
+                    sum(
+                        sum(r["target_uri"].encode("latin-1"))
+                        for r in recs
+                        if r["target_uri"] is not None
+                    ),
+                    sum(r["header_bytes"] for r in recs),
+                    sum(
+                        int(r["date"][14:16]) * 60 + int(r["date"][17:19])
+                        for r in recs
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_records", "n_response", "content_total",
+                "payload_sum", "uri_sum", "header_sum", "date_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_warc_record_parse",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+),
+rec AS (
+  SELECT doc_id, n, rr.r,
+         CASE rr.r % 3 WHEN 0 THEN 'response'
+                       WHEN 1 THEN 'request'
+                       ELSE 'metadata' END AS rtype,
+         50 + (doc_id + 13 * rr.r) % 60 AS ln,
+         CASE WHEN rr.r % 3 < 2
+              THEN 'http://ex-' || CAST(doc_id AS VARCHAR) || '.org/p/'
+                   || CAST(rr.r AS VARCHAR) END AS uri
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS r) rr
+),
+csum AS (
+  SELECT doc_id, r,
+         SUM((11 * doc_id + 5 * r + 3 * jj.j) % 95 + 32) AS c_sum
+  FROM rec, LATERAL (SELECT unnest(range(0, ln)) AS j) jj
+  GROUP BY doc_id, r
+),
+usum AS (
+  SELECT rec.doc_id, SUM(ascii(substr(uri, ii.i + 1, 1))) AS uri_sum
+  FROM rec, LATERAL (SELECT unnest(range(0, length(uri))) AS i) ii
+  WHERE uri IS NOT NULL GROUP BY rec.doc_id
+),
+hdr AS (
+  SELECT doc_id, r,
+         10
+         + 11 + length(rtype) + 2
+         + 42
+         + 33
+         + CASE WHEN uri IS NOT NULL THEN 17 + length(uri) + 2 ELSE 0 END
+         + 14 + CASE WHEN rtype = 'metadata' THEN 10 ELSE 16 END + 2
+         + 16 + length(CAST(ln AS VARCHAR)) + 2
+         + 2 AS h
+  FROM rec
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_records,
+       CAST((SELECT COUNT(*) FROM rec
+             WHERE rec.doc_id = p.doc_id AND rtype = 'response')
+            AS BIGINT) AS n_response,
+       CAST((SELECT SUM(ln) FROM rec WHERE rec.doc_id = p.doc_id)
+            AS BIGINT) AS content_total,
+       CAST((SELECT SUM(c_sum) FROM csum WHERE csum.doc_id = p.doc_id)
+            AS BIGINT) AS payload_sum,
+       CAST(COALESCE((SELECT uri_sum FROM usum
+                      WHERE usum.doc_id = p.doc_id), 0)
+            AS BIGINT) AS uri_sum,
+       CAST((SELECT SUM(h) FROM hdr WHERE hdr.doc_id = p.doc_id)
+            AS BIGINT) AS header_sum,
+       CAST((SELECT SUM((doc_id % 60) * 60 + (7 * r) % 60)
+             FROM rec WHERE rec.doc_id = p.doc_id)
+            AS BIGINT) AS date_sum
+FROM p
+""",
+)
+def multimodal_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 record parse (r13) — the layer INSIDE ops/gzf.py's
+    members and the actual first operator of every CommonCrawl-style
+    curation run: version line, named header fields with RFC-822
+    continuation folding, mandatory-field enforcement (WARC-Type /
+    Record-ID / Date / Content-Length), Content-Length block framing
+    (never separator-scanning — blocks are opaque), double-CRLF
+    trailer verification, and record-type dispatch with the spec's
+    Target-URI applicability table. The fixture is the real warc.gz
+    layout (one gzip member per record, record-aligned for split
+    reads); the oracle recomputes record counts, type dispatch,
+    declared lengths, block byte sums, Target-URI ascii sums, EXACT
+    per-record header byte sizes, and date-field arithmetic in
+    integer/string SQL — a one-byte framing error in the parser
+    shifts header_sum/payload_sum and hash-mismatches. Light fan-out
+    class: Arrow-batched mapInPandas, no shuffle until the 8-column
+    feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_warc_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _warc_feature_batches,
+        "doc_id long, n_records long, n_response long, content_total long, "
+        "payload_sum long, uri_sum long, header_sum long, date_sum long",
+    )

@@ -617,3 +617,62 @@ def test_zip_walk_interop_both_directions():
     q[35] ^= 0xFF  # flip a deflate byte -> CRC/deflate error
     with pytest.raises(ValueError):
         parse_zip(bytes(q))
+
+
+def test_warc_record_grammar_roundtrip_and_typed_errors():
+    """WARC/1.0 records round-trip; Content-Length framing is
+    authoritative (blocks may embed 'WARC/1.0'); continuation lines
+    fold; every malformed shape is a typed ValueError."""
+    from sim_spark.ops.warc import encode_warc_records, parse_warc_records
+
+    recs = [
+        dict(type="response", record_id="<urn:uuid:1>", target_uri="http://a/",
+             date="2024-01-01T00:00:00Z", content=b"WARC/1.0\r\nnot a record",
+             content_type="application/http"),
+        dict(type="metadata", record_id="<urn:uuid:2>",
+             date="2024-01-01T00:00:01Z", content=b"",
+             extra=[("WARC-Concurrent-To", "<urn:uuid:1>")]),
+    ]
+    p = encode_warc_records(recs)
+    out = parse_warc_records(p)
+    assert [r["type"] for r in out] == ["response", "metadata"]
+    assert out[0]["content"] == b"WARC/1.0\r\nnot a record"  # framing by CL
+    assert out[0]["target_uri"] == "http://a/"
+    assert out[1]["target_uri"] is None
+    assert out[1]["fields"]["WARC-Concurrent-To"] == "<urn:uuid:1>"
+    assert out[0]["header_bytes"] + out[0]["content_length"] + 4 + \
+        out[1]["header_bytes"] + out[1]["content_length"] + 4 == len(p)
+    # continuation folding
+    folded = p.replace(b"WARC-Target-URI: http://a/\r\n",
+                       b"WARC-Target-URI: http://\r\n a/\r\n", 1)
+    assert parse_warc_records(folded)[0]["target_uri"] == "http:// a/"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="version"):
+        parse_warc_records(b"HTTP/1.0\r\n" + p[10:])
+    p1 = encode_warc_records(recs[:1])
+    with _pytest.raises(ValueError, match="truncated WARC block"):
+        parse_warc_records(p1[:-10])
+    with _pytest.raises(ValueError, match="trailer"):
+        parse_warc_records(p[:-1] + b"X")
+    with _pytest.raises(ValueError, match="mandatory"):
+        parse_warc_records(p.replace(b"WARC-Date", b"XARC-Date", 1))
+    with _pytest.raises(ValueError, match="duplicate"):
+        parse_warc_records(p.replace(
+            b"WARC-Date: ", b"WARC-Type: response\r\nWARC-Date: ", 1))
+    with _pytest.raises(ValueError, match="non-numeric"):
+        parse_warc_records(p.replace(b"Content-Length: 22",
+                                     b"Content-Length: 2x", 1))
+    with _pytest.raises(ValueError, match="Target-URI"):
+        parse_warc_records(p.replace(b"WARC-Target-URI", b"WARC-Targat-URI", 1))
+    with _pytest.raises(ValueError, match="continuation"):
+        parse_warc_records(p[:10] + b" folded\r\n" + p[10:])
+    with _pytest.raises(ValueError, match="whitespace"):
+        parse_warc_records(p.replace(b"WARC-Date: ", b"WARC-Date ", 1))
+    with _pytest.raises(ValueError, match="unknown WARC-Type"):
+        parse_warc_records(p.replace(b"WARC-Type: metadata",
+                                     b"WARC-Type: metadatb", 1))
+    with _pytest.raises(ValueError, match="empty"):
+        parse_warc_records(b"")
+    with _pytest.raises(ValueError):
+        encode_warc_records([dict(type="response", record_id="<u:1>",
+                                  date="2024-01-01T00:00:00Z", content=b"")])
