@@ -65,10 +65,20 @@ def encode_gzip_members(members: list[tuple[str | None, bytes]]) -> bytes:
     return bytes(out)
 
 
-def parse_gzip_members(payload: bytes) -> list[dict]:
+#: per-member inflate budget: gzip's ISIZE trailer sits AFTER the
+#: deflate stream (mod 2^32), so unlike ZIP there is no declared size
+#: to bound by before inflating — a hard cap makes a crafted tiny
+#: member a typed error instead of a decompression bomb (ADVICE r12).
+MAX_MEMBER_BYTES = 1 << 28  # 256 MiB
+
+
+def parse_gzip_members(
+    payload: bytes, max_member_bytes: int = MAX_MEMBER_BYTES
+) -> list[dict]:
     """Walk every member → [{"name": str|None, "content": bytes,
     "mtime": int, "header_bytes": int, "member_bytes": int}, ...] with
-    CRC32 + ISIZE verified per member."""
+    CRC32 + ISIZE verified per member. A member inflating past
+    ``max_member_bytes`` is a typed ValueError."""
     out: list[dict] = []
     pos = 0
     n = len(payload)
@@ -114,13 +124,27 @@ def parse_gzip_members(payload: bytes) -> list[dict]:
             pos += 2
         header_bytes = pos - start
         d = zlib.decompressobj(-15)
+        chunks: list[bytes] = []
+        total = 0
+        buf = payload[pos:]
         try:
-            content = d.decompress(payload[pos:])
-            content += d.flush()
+            while True:
+                chunk = d.decompress(buf, 1 << 20)
+                chunks.append(chunk)
+                total += len(chunk)
+                if total > max_member_bytes:
+                    raise ValueError(
+                        f"gzip member inflates past the "
+                        f"{max_member_bytes}-byte budget"
+                    )
+                if d.eof or not d.unconsumed_tail:
+                    break
+                buf = d.unconsumed_tail
         except zlib.error as e:
             raise ValueError(f"corrupt deflate stream: {e}") from e
         if not d.eof:
             raise ValueError("truncated deflate stream")
+        content = b"".join(chunks)
         # member boundary = everything the decompressor did not consume
         consumed = (n - pos) - len(d.unused_data)
         pos += consumed

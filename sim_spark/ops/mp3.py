@@ -28,6 +28,8 @@ __all__ = [
     "encode_mp3_stream",
     "encode_id3v2",
     "parse_id3v2",
+    "unsync_stuff",
+    "unsync_unstuff",
     "parse_mp3",
     "formula_mp3_params",
     "gen_mp3_payload",
@@ -103,30 +105,80 @@ def _unsyncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
 
 
+def unsync_stuff(data: bytes) -> bytes:
+    """ID3v2 unsynchronisation: insert 0x00 after every 0xFF so no
+    false MPEG sync (FF Ex) survives inside the tag (the encoder MAY
+    stuff every FF; de-unsync removes any 0x00 that follows one)."""
+    return data.replace(b"\xff", b"\xff\x00")
+
+
+def unsync_unstuff(data: bytes) -> bytes:
+    """Reverse unsynchronisation: drop the 0x00 after each 0xFF."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
 def encode_id3v2(
-    frames: list[tuple[str, str]],
+    frames: list[tuple[str, object]],
     version: int = 3,
     padding: int = 0,
     utf8: bool = False,
+    unsync: bool = False,
+    ext_header: bool = False,
+    footer: bool = False,
 ) -> bytes:
-    """Build an ID3v2.3 or v2.4 tag of text frames (TIT2/TPE1/TRCK/...).
+    """Build an ID3v2.3 or v2.4 tag.
+
+    ``frames`` entries are (frame_id, text) for T*** text frames, or
+    ("APIC", (mime, picture_type, description, image_bytes)) for the
+    embedded cover art a multimodal pipeline extracts.
 
     The two versions differ in the FRAME size field: v2.3 writes plain
     big-endian, v2.4 syncsafe — the classic interop trap this encoder
     exists to put under the oracle. Text payload is the encoding byte
-    (0 latin-1 / 3 utf-8) + the text, no terminator (spec-legal)."""
+    (0 latin-1 / 3 utf-8) + the text, no terminator (spec-legal).
+
+    ``unsync`` applies v2.3 tag-wide unsynchronisation (byte stuffing
+    over the whole body — v2.3's defined form; v2.4 moved it
+    per-frame, so it is rejected here). ``ext_header`` emits the
+    version's extended header; ``footer`` (v2.4 only, excludes
+    padding per spec §3.4) appends the 10-byte '3DI' footer."""
     if version not in (3, 4):
         raise ValueError("only ID3v2.3 / v2.4")
     if utf8 and version == 3:
         raise ValueError("utf-8 text encoding is v2.4-only (v2.3: latin-1)")
+    if unsync and version == 4:
+        raise ValueError(
+            "tag-wide unsynchronisation is v2.3-only (v2.4 is per-frame)"
+        )
+    if footer and version == 3:
+        raise ValueError("footer is v2.4-only")
+    if footer and padding:
+        raise ValueError("footer and padding are mutually exclusive")
     body = bytearray()
+    if ext_header:
+        if version == 3:
+            # size(4, excludes itself) + flags(2) + padding size(4)
+            body += struct.pack(">IHI", 6, 0, 0)
+        else:
+            # syncsafe size(4, INCLUDES itself) + n flag bytes + flags
+            body += _syncsafe(6) + b"\x01\x00"
     enc_byte = 3 if utf8 else 0
-    for fid, text in frames:
+    for fid, value in frames:
         if len(fid) != 4 or not fid.isascii():
             raise ValueError(f"bad ID3v2 frame id {fid!r}")
-        data = bytes([enc_byte]) + text.encode(
-            "utf-8" if utf8 else "latin-1"
-        )
+        if fid == "APIC":
+            mime, pic_type, desc, img = value
+            data = (
+                b"\x00"  # latin-1 description encoding
+                + mime.encode("latin-1") + b"\x00"
+                + bytes([pic_type])
+                + desc.encode("latin-1") + b"\x00"
+                + img
+            )
+        else:
+            data = bytes([enc_byte]) + str(value).encode(
+                "utf-8" if utf8 else "latin-1"
+            )
         body += fid.encode("ascii")
         body += _syncsafe(len(data)) if version == 4 else struct.pack(
             ">I", len(data)
@@ -134,14 +186,36 @@ def encode_id3v2(
         body += b"\x00\x00"  # frame flags
         body += data
     body += bytes(padding)
-    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+    flags = 0
+    if unsync:
+        body = bytearray(unsync_stuff(bytes(body)))
+        flags |= 0x80
+    if ext_header:
+        flags |= 0x40
+    if footer:
+        flags |= 0x10
+    out = b"ID3" + bytes([version, 0, flags]) + _syncsafe(len(body)) + bytes(
+        body
+    )
+    if footer:
+        out += b"3DI" + bytes([version, 0, flags]) + _syncsafe(len(body))
+    return out
 
 
 def parse_id3v2(payload: bytes) -> tuple[dict, int]:
-    """Parse a leading ID3v2 tag → ({frame_id: text, ...,
+    """Parse a leading ID3v2 tag → ({frame_id: text, "APIC": {...},
     "_version": 3|4}, total_tag_bytes). Returns ({}, 0) when no tag
-    leads the payload. Typed ValueError on every malformed shape
-    (truncated header/frame, non-syncsafe size byte, bad encoding)."""
+    leads the payload.
+
+    Header flags handled for real (ADVICE r12 + task 8): 0x80
+    unsynchronisation (v2.3 tag-wide byte unstuffing; the v2.4
+    per-frame form is a NAMED unsupported error, not a later 'lost
+    sync'), 0x40 extended header (skipped by its version's size rule),
+    0x20 experimental (ignored per spec), 0x10 footer (v2.4: its 10
+    bytes counted into total_tag_bytes and its '3DI' magic verified).
+    Unknown low flag bits are a named error. Typed ValueError on every
+    malformed shape (truncated header/frame, non-syncsafe size byte,
+    bad encoding, bad footer)."""
     if payload[:3] != b"ID3":
         return {}, 0
     if len(payload) < 10:
@@ -149,30 +223,70 @@ def parse_id3v2(payload: bytes) -> tuple[dict, int]:
     version = payload[3]
     if version not in (3, 4):
         raise ValueError(f"unsupported ID3v2.{version}")
-    if payload[5] & 0x80:
-        raise ValueError("ID3v2 unsynchronisation not supported")
+    flags = payload[5]
+    if flags & 0x0F:
+        raise ValueError(f"unknown ID3v2 header flags 0x{flags & 0x0F:02x}")
+    if flags & 0x10 and version == 3:
+        raise ValueError("ID3v2.3 tag sets the v2.4-only footer flag")
     size = _unsyncsafe(payload[6:10])
-    total = 10 + size
+    total = 10 + size + (10 if flags & 0x10 else 0)
     if total > len(payload):
         raise ValueError("ID3v2 tag size exceeds payload")
+    if flags & 0x10:
+        foot = payload[10 + size : total]
+        if foot[:3] != b"3DI" or foot[3] != version:
+            raise ValueError("bad ID3v2.4 footer")
+    body = payload[10 : 10 + size]
+    if flags & 0x80:
+        if version == 4:
+            raise ValueError(
+                "ID3v2.4 per-frame unsynchronisation not supported "
+                "(tag-level flag set)"
+            )
+        body = unsync_unstuff(body)
+    if flags & 0x40:  # extended header: skip by the version's size rule
+        if version == 3:
+            if len(body) < 4:
+                raise ValueError("truncated ID3v2.3 extended header")
+            (ehsize,) = struct.unpack(">I", body[:4])
+            body = body[4 + ehsize :]
+        else:
+            ehsize = _unsyncsafe(body[:4])  # includes itself
+            if ehsize < 6 or ehsize > len(body):
+                raise ValueError("bad ID3v2.4 extended-header size")
+            body = body[ehsize:]
     tags: dict[str, object] = {"_version": version}
-    pos = 10
-    end = total
+    pos = 0
+    end = len(body)
     while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
+        fid = body[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":  # padding reached
             break
         if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
             raise ValueError(f"bad ID3v2 frame id {fid!r}")
         fsize = (
-            _unsyncsafe(payload[pos + 4 : pos + 8])
+            _unsyncsafe(body[pos + 4 : pos + 8])
             if version == 4
-            else struct.unpack(">I", payload[pos + 4 : pos + 8])[0]
+            else struct.unpack(">I", body[pos + 4 : pos + 8])[0]
         )
         if pos + 10 + fsize > end:
             raise ValueError("ID3v2 frame overruns tag")
-        data = payload[pos + 10 : pos + 10 + fsize]
-        if fid[0:1] == b"T" and fsize >= 1:
+        data = body[pos + 10 : pos + 10 + fsize]
+        if fid == b"APIC" and fsize >= 4:
+            if data[0] != 0:
+                raise ValueError(
+                    f"unsupported APIC description encoding {data[0]}"
+                )
+            mime_end = data.index(b"\x00", 1)
+            pic_type = data[mime_end + 1]
+            desc_end = data.index(b"\x00", mime_end + 2)
+            tags["APIC"] = dict(
+                mime=data[1:mime_end].decode("latin-1"),
+                pic_type=pic_type,
+                desc=data[mime_end + 2 : desc_end].decode("latin-1"),
+                data=data[desc_end + 1 :],
+            )
+        elif fid[0:1] == b"T" and fsize >= 1:
             enc = data[0]
             if enc == 0:
                 text = data[1:].decode("latin-1")

@@ -252,14 +252,20 @@ def encode_tiff(
     strips = [comp(s) for s in strips_raw]
 
     n_tags = 9
-    # layout: header(8) | IFD | [offsets arrays] | strip data
+    # layout: header(8) | IFD | [bits array][offsets arrays] | strip data
     ifd_off = 8
     ifd_size = 2 + n_tags * 12 + 4
     arrays_off = ifd_off + ifd_size
     n_strips = len(strips)
     need_arrays = n_strips > 1
-    offsets_arr_off = arrays_off
-    counts_arr_off = arrays_off + (4 * n_strips if need_arrays else 0)
+    # RGB BitsPerSample (count=3 SHORT = 6 bytes) exceeds the 4-byte IFD
+    # value field, so TIFF 6.0 requires it OUT-OF-LINE at a real offset
+    # (r12 packed two 8s inline, which libtiff would read as an offset —
+    # ADVICE r12). 6 bytes keeps the later arrays word-aligned.
+    bits_arr_off = arrays_off
+    after_bits = arrays_off + (6 if channels == 3 else 0)
+    offsets_arr_off = after_bits
+    counts_arr_off = after_bits + (4 * n_strips if need_arrays else 0)
     data_off = counts_arr_off + (4 * n_strips if need_arrays else 0)
     offsets = []
     pos = data_off
@@ -278,8 +284,7 @@ def encode_tiff(
         tag(_T_WIDTH, 3, 1, width),
         tag(_T_HEIGHT, 3, 1, height),
         tag(_T_BITS, 3, 1, 8) if channels == 1 else
-        struct.pack(e + "HHII", _T_BITS, 3, 3, (8 | (8 << 16))
-                    if not big_endian else ((8 << 16) | 8)),
+        struct.pack(e + "HHII", _T_BITS, 3, 3, bits_arr_off),
         tag(_T_COMPRESSION, 3, 1, compression),
         tag(_T_PHOTOMETRIC, 3, 1, 1 if channels == 1 else 2),
         tag(_T_STRIP_OFFSETS, 4, n_strips,
@@ -296,6 +301,8 @@ def encode_tiff(
     for t in tags:
         out += t
     out += struct.pack(e + "I", 0)  # next IFD
+    if channels == 3:
+        out += struct.pack(e + "HHH", 8, 8, 8)  # out-of-line BitsPerSample
     if need_arrays:
         for o in offsets:
             out += struct.pack(e + "I", o)
@@ -356,14 +363,6 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     bits = req(_T_BITS, 8)
-    if bits[1] == 1:
-        if bits[2] != 8:
-            raise ValueError("only 8-bit TIFF supported")
-    else:  # value is an offset or packed pair; accept only all-8 inline pair
-        if bits[1] == 3 and channels == 3:
-            pass  # encoder packs two 8s inline; full offset walk omitted
-        else:
-            raise ValueError("unsupported BitsPerSample layout")
     rows_per_strip = req(_T_ROWS_PER_STRIP, height)[2]
     so_t, so_n, so_v = req(_T_STRIP_OFFSETS)
     sc_t, sc_n, sc_v = req(_T_STRIP_COUNTS)
@@ -379,6 +378,14 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         fmt = e + ("H" if ttype == 3 else "I") * count
         return list(struct.unpack_from(fmt, payload, value))
 
+    # BitsPerSample: count 1 is inline; count > 1 exceeds the 4-byte IFD
+    # value field, so per TIFF 6.0 the value IS an offset to a SHORT
+    # array — follow it (ADVICE r12: r11/r12 packed pairs inline, which
+    # spec-correct readers misparse).
+    if bits[1] not in (1, channels):
+        raise ValueError("unsupported BitsPerSample layout")
+    if any(b != 8 for b in arr(bits[0], bits[1], bits[2])):
+        raise ValueError("only 8-bit TIFF supported")
     offsets = arr(so_t, so_n, so_v)
     counts = arr(sc_t, sc_n, sc_v)
     row_bytes = width * channels

@@ -10,9 +10,16 @@ walk: EOCD discovery, central-directory entry parse, local-header
 cross-validation, stored (method 0) and raw-deflate (method 8)
 extraction via stdlib zlib, and per-member CRC32 + size verification.
 
-Typed ValueError on every malformed shape: missing/ambiguous EOCD,
-entry-count or offset mismatch, local/central header disagreement,
-CRC or size mismatch, unsupported compression method.
+EOCD discovery scans backward from the end, so when several EOCD
+signatures appear (e.g. a ZIP embedded in a comment) the LAST one in
+the file wins — the spec's own procedure; the comment-length check
+then rejects records whose declared comment does not reach EOF.
+
+Typed ValueError on every malformed shape: missing EOCD, EOCD
+comment-length mismatch, entry-count or offset mismatch, local/central
+header disagreement, CRC or size mismatch, unsupported compression
+method, members that inflate past their declared size, and encode
+inputs that exceed the 16/32-bit header fields (ZIP64 not supported).
 """
 
 from __future__ import annotations
@@ -30,11 +37,25 @@ _EOCD_SIG = b"PK\x05\x06"
 def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
     """Build a ZIP: ``members`` is [(name, content, deflate?)]. Stored
     members keep content verbatim (method 0); deflated use raw deflate
-    (method 8). Central directory + EOCD written per APPNOTE."""
+    (method 8). Central directory + EOCD written per APPNOTE. The
+    non-ZIP64 header fields are 16/32-bit; inputs that exceed them are
+    a typed error, not a silent struct overflow."""
+    if len(members) > 0xFFFF:
+        raise ValueError(
+            f"{len(members)} members exceed the 16-bit EOCD count "
+            "(ZIP64 not supported)"
+        )
     out = bytearray()
     central = bytearray()
     for i, (name, content, deflate) in enumerate(members):
         nb = name.encode("utf-8")
+        if len(nb) > 0xFFFF:
+            raise ValueError(f"ZIP member name too long ({len(nb)} bytes)")
+        if len(content) > 0xFFFFFFFF:
+            raise ValueError(
+                f"ZIP member {name!r} exceeds 32-bit size field "
+                "(ZIP64 not supported)"
+            )
         crc = zlib.crc32(content) & 0xFFFFFFFF
         if deflate:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -132,10 +153,21 @@ def parse_zip(payload: bytes) -> list[dict]:
             raise ValueError(f"ZIP member data overruns payload for {name!r}")
         data = payload[data_off : data_off + comp_len]
         if method == 8:
+            # bound the inflate by the DECLARED size (+1 to detect
+            # overrun): a small crafted member must not expand
+            # unboundedly before the size check (ADVICE r12)
+            d = zlib.decompressobj(-15)
             try:
-                content = zlib.decompress(data, -15)
+                content = d.decompress(data, raw_len + 1)
             except zlib.error as e:
                 raise ValueError(f"corrupt deflate in {name!r}: {e}") from e
+            if len(content) > raw_len:
+                raise ValueError(
+                    f"ZIP member {name!r} inflates past its declared "
+                    f"size {raw_len}"
+                )
+            if not d.eof:
+                raise ValueError(f"truncated deflate in {name!r}")
         else:
             content = data
         if len(content) != raw_len:

@@ -2876,3 +2876,304 @@ def multimodal_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_records long, n_response long, content_total long, "
         "payload_sum long, uri_sum long, header_sum long, date_sum long",
     )
+
+
+# --- MP4 / ISO-BMFF box walk (r13): the video-shard container -----------------
+
+from sim_spark.ops.mp4 import encode_mp4_meta, parse_mp4_meta  # noqa: E402
+
+
+def _gen_mp4_payload(doc_id: int) -> bytes:
+    """Deterministic ISO-BMFF shard: nb = 1 + doc%3 compatible brands
+    'mp4<digit>'; mvhd timescale 600·(1 + doc%5), duration
+    1000 + 37·doc % 500000, version 1 on every third doc (64-bit
+    times); nt = 1 + doc%3 tracks alternating vide/soun with
+    5 + (doc+7k)%20 samples of size 100 + (doc+5k+3j)%200 and
+    video resolution (320 + doc%4·160) × (240 + doc%4·120); mdat of
+    20 + doc%50 bytes behind a 64-bit largesize on odd docs — all
+    SQL-recomputable."""
+    nb = 1 + doc_id % 3
+    brands = ["mp4" + chr(48 + (doc_id + k) % 10) for k in range(nb)]
+    ts = 600 * (1 + doc_id % 5)
+    duration = 1000 + (37 * doc_id) % 500000
+    nt = 1 + doc_id % 3
+    tracks = []
+    for k in range(nt):
+        vide = k % 2 == 0
+        ns = 5 + (doc_id + 7 * k) % 20
+        tracks.append(
+            dict(
+                handler="vide" if vide else "soun",
+                timescale=90000 if vide else 48000,
+                duration=100 * (doc_id % 50 + k + 1),
+                sample_sizes=[
+                    100 + (doc_id + 5 * k + 3 * j) % 200 for j in range(ns)
+                ],
+                width=320 + (doc_id % 4) * 160 if vide else 0,
+                height=240 + (doc_id % 4) * 120 if vide else 0,
+            )
+        )
+    ln = 20 + doc_id % 50
+    mdat = bytes((3 * doc_id + 7 * j) % 256 for j in range(ln))
+    return encode_mp4_meta(
+        "isom",
+        doc_id % 1000,
+        brands,
+        ts,
+        duration,
+        tracks,
+        mdat=mdat,
+        mvhd_v1=doc_id % 3 == 0,
+        mdat_large=doc_id % 2 == 1,
+    )
+
+
+_gen_mp4_batches = _make_gen_batches(_gen_mp4_payload)
+
+
+def _mp4_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = parse_mp4_meta(bytes(payload))
+            rows.append(
+                (
+                    int(doc_id),
+                    len(m["tracks"]),
+                    sum(1 for t in m["tracks"] if t["handler"] == "vide"),
+                    m["duration"] * 1000 // m["timescale"],
+                    sum(t["n_samples"] for t in m["tracks"]),
+                    sum(t["sample_bytes"] for t in m["tracks"]),
+                    sum(t["width"] for t in m["tracks"]),
+                    sum(t["height"] for t in m["tracks"]),
+                    m["mdat_bytes"],
+                    sum(sum(b.encode("ascii")) for b in
+                        m["compatible_brands"]),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_tracks", "n_video", "dur_ms", "total_samples",
+                "sample_bytes", "width_sum", "height_sum", "mdat_bytes",
+                "brand_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_mp4_box_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS nt,
+         600 * (1 + doc_id % 5) AS ts,
+         1000 + (37 * doc_id) % 500000 AS duration
+  FROM documents
+),
+trk AS (
+  SELECT doc_id, kk.k,
+         5 + (doc_id + 7 * kk.k) % 20 AS ns,
+         CASE WHEN kk.k % 2 = 0 THEN 1 ELSE 0 END AS vide
+  FROM p, LATERAL (SELECT unnest(range(0, nt)) AS k) kk
+),
+ssum AS (
+  SELECT doc_id, k,
+         SUM(100 + (doc_id + 5 * k + 3 * jj.j) % 200) AS s_bytes
+  FROM trk, LATERAL (SELECT unnest(range(0, ns)) AS j) jj
+  GROUP BY doc_id, k
+),
+bsum AS (
+  SELECT p.doc_id,
+         SUM(ascii('m') + ascii('p') + ascii('4')
+             + 48 + (p.doc_id + kk.k) % 10) AS b_sum
+  FROM p, LATERAL (SELECT unnest(range(0, 1 + p.doc_id % 3)) AS k) kk
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.nt AS BIGINT) AS n_tracks,
+       CAST((p.nt + 1) // 2 AS BIGINT) AS n_video,
+       CAST(p.duration * 1000 // p.ts AS BIGINT) AS dur_ms,
+       CAST((SELECT SUM(ns) FROM trk WHERE trk.doc_id = p.doc_id)
+            AS BIGINT) AS total_samples,
+       CAST((SELECT SUM(s_bytes) FROM ssum WHERE ssum.doc_id = p.doc_id)
+            AS BIGINT) AS sample_bytes,
+       CAST((SELECT SUM(vide * (320 + (p.doc_id % 4) * 160))
+             FROM trk WHERE trk.doc_id = p.doc_id)
+            AS BIGINT) AS width_sum,
+       CAST((SELECT SUM(vide * (240 + (p.doc_id % 4) * 120))
+             FROM trk WHERE trk.doc_id = p.doc_id)
+            AS BIGINT) AS height_sum,
+       CAST(20 + p.doc_id % 50 AS BIGINT) AS mdat_bytes,
+       CAST((SELECT b_sum FROM bsum WHERE bsum.doc_id = p.doc_id)
+            AS BIGINT) AS brand_sum
+FROM p
+""",
+)
+def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF box walk (r13) — closes the video column of the
+    container matrix. A curation pipeline reads video CONTAINER
+    metadata (brand, movie duration/timescale, per-track handler,
+    sample counts/bytes, resolution), never the codec bitstream
+    (documented decode fence, ops/multimodal.py): ops/mp4.py walks
+    the box tree with 32-bit and 64-bit (largesize) lengths,
+    unknown-box skip at every level (stsd stays opaque), version-0/1
+    full boxes (the 64-bit-time branch every long recording takes),
+    16.16 fixed-point tkhd resolution, stsz fixed-vs-table sample
+    sizes, and an stts/stsz sample-count cross-check. The fixture
+    cycles brand counts, mvhd versions, track counts, and largesize
+    mdat; the oracle recomputes every feature in integer SQL — a
+    mis-walked box length shifts all downstream fields and
+    hash-mismatches. Light fan-out class: Arrow-batched mapInPandas,
+    no shuffle until the 10-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_mp4_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _mp4_feature_batches,
+        "doc_id long, n_tracks long, n_video long, dur_ms long, "
+        "total_samples long, sample_bytes long, width_sum long, "
+        "height_sum long, mdat_bytes long, brand_sum long",
+    )
+
+
+# --- ID3v2 unsync + APIC cover-art extraction (r13) ---------------------------
+
+from sim_spark.ops.mp3 import encode_id3v2, gen_mp3_payload  # noqa: E402
+
+
+def _gen_mp3_apic_payload(doc_id: int) -> bytes:
+    """ID3v2-tagged stream whose tag carries the two real-world
+    features r12's parser did not: v2.3 tag-wide UNSYNCHRONISATION
+    (byte stuffing — the PNG cover art is full of 0xFF, so a missed
+    unstuff corrupts the zlib stream and the decode fails typed) and
+    an APIC frame embedding deterministic cover art
+    (gen_png_twin_payload's formula pixels). Even docs: v2.3 +
+    unsync (+ ext header on doc%3==0, padding doc%5); odd docs:
+    v2.4 (+ footer on doc%4==3, which excludes padding) — all
+    SQL-recomputable."""
+    version = 3 + doc_id % 2
+    unsync = version == 3
+    footer = version == 4 and doc_id % 4 == 3
+    tag = encode_id3v2(
+        [
+            ("TIT2", f"t-{doc_id}"),
+            ("APIC", ("image/png", doc_id % 21, f"cover-{doc_id % 50}",
+                      gen_png_twin_payload(doc_id))),
+        ],
+        version=version,
+        padding=0 if footer else doc_id % 5,
+        unsync=unsync,
+        ext_header=doc_id % 3 == 0,
+        footer=footer,
+    )
+    return tag + gen_mp3_payload(doc_id)
+
+
+_gen_mp3_apic_batches = _make_gen_batches(_gen_mp3_apic_payload)
+
+
+def _mp3_apic_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from sim_spark.ops.mp3 import parse_mp3
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            prof = parse_mp3(bytes(payload))
+            apic = prof["id3"]["APIC"]
+            w, h, px = decode_png(apic["data"])
+            rows.append(
+                (
+                    int(doc_id),
+                    prof["id3"]["_version"],
+                    w,
+                    h,
+                    sum(px),
+                    apic["pic_type"],
+                    sum(apic["desc"].encode("latin-1")),
+                    sum(apic["mime"].encode("latin-1")),
+                    sum(prof["id3"]["TIT2"].encode("latin-1")),
+                    prof["n_frames"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "tag_version", "apic_w", "apic_h", "apic_pixsum",
+                "pic_type", "desc_sum", "mime_sum", "title_sum", "n_frames",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_mp3_apic_unsync",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         't-' || CAST(doc_id AS VARCHAR) AS title,
+         'cover-' || CAST(doc_id % 50 AS VARCHAR) AS descr
+  FROM documents
+),
+pix AS (
+  SELECT doc_id,
+         SUM((doc_id + 7 * (ii.i // (w * 3)) + 13 * ((ii.i // 3) % w)
+              + 29 * (ii.i % 3)) % 256) AS pixsum
+  FROM p, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) ii
+  GROUP BY doc_id
+),
+tsum AS (
+  SELECT doc_id, SUM(ascii(substr(title, ii.i + 1, 1))) AS t_sum
+  FROM p, LATERAL (SELECT unnest(range(0, length(title))) AS i) ii
+  GROUP BY doc_id
+),
+dsum AS (
+  SELECT doc_id, SUM(ascii(substr(descr, ii.i + 1, 1))) AS d_sum
+  FROM p, LATERAL (SELECT unnest(range(0, length(descr))) AS i) ii
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(3 + p.doc_id % 2 AS BIGINT) AS tag_version,
+       CAST(p.w AS BIGINT) AS apic_w,
+       CAST(p.h AS BIGINT) AS apic_h,
+       CAST(pix.pixsum AS BIGINT) AS apic_pixsum,
+       CAST(p.doc_id % 21 AS BIGINT) AS pic_type,
+       CAST(dsum.d_sum AS BIGINT) AS desc_sum,
+       CAST(ascii('i')+ascii('m')+ascii('a')+ascii('g')+ascii('e')
+            +ascii('/')+ascii('p')+ascii('n')+ascii('g')
+            AS BIGINT) AS mime_sum,
+       CAST(tsum.t_sum AS BIGINT) AS title_sum,
+       CAST(3 + p.doc_id % 6 AS BIGINT) AS n_frames
+FROM p
+JOIN pix ON p.doc_id = pix.doc_id
+JOIN tsum ON p.doc_id = tsum.doc_id
+JOIN dsum ON p.doc_id = dsum.doc_id
+""",
+)
+def multimodal_mp3_apic_unsync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 unsynchronisation + APIC cover-art extraction (r13, task
+    8): the two ID3 features real files use that r12's parser did not
+    cover. Unsync byte-stuffing flips every size/offset downstream —
+    here it is exercised against the most hostile payload available
+    (DEFLATE-compressed PNG bytes, dense in 0xFF), so one missed
+    unstuff corrupts the image stream and fails typed instead of
+    silently. The APIC walk (mime NUL scan, picture type, description
+    NUL scan) hands the embedded cover art to ops/multimodal.py's PNG
+    decoder, and the decoded pixels hash-match the shared
+    _formula_pixels arithmetic in SQL — container-in-container, both
+    layers under one oracle. v2.4 docs exercise the footer (10 bytes
+    the total must count) and extended headers on every third doc.
+    Light fan-out class: Arrow-batched mapInPandas, no shuffle until
+    the 10-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_mp3_apic_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _mp3_apic_feature_batches,
+        "doc_id long, tag_version long, apic_w long, apic_h long, "
+        "apic_pixsum long, pic_type long, desc_sum long, mime_sum long, "
+        "title_sum long, n_frames long",
+    )

@@ -676,3 +676,172 @@ def test_warc_record_grammar_roundtrip_and_typed_errors():
     with _pytest.raises(ValueError):
         encode_warc_records([dict(type="response", record_id="<u:1>",
                                   date="2024-01-01T00:00:00Z", content=b"")])
+
+
+def test_mp4_box_walk_roundtrip_and_typed_errors():
+    """ISO-BMFF metadata round-trips across 32/64-bit box sizes and
+    mvhd versions; unknown boxes are skipped at every level; malformed
+    shapes are typed ValueErrors."""
+    import struct as _struct
+
+    from sim_spark.ops.mp4 import encode_mp4_meta, parse_mp4_meta
+
+    tracks = [
+        dict(handler="vide", timescale=90000, duration=900000,
+             sample_sizes=[100, 200, 300], width=640, height=480),
+        dict(handler="soun", timescale=48000, duration=480000,
+             sample_sizes=[10] * 7),
+    ]
+    for v1, large in [(False, False), (True, True)]:
+        p = encode_mp4_meta("isom", 512, ["mp41", "mp42"], 600, 120000,
+                            tracks, mdat=b"\x01\x02\x03",
+                            mvhd_v1=v1, mdat_large=large)
+        m = parse_mp4_meta(p)
+        assert (m["timescale"], m["duration"]) == (600, 120000)
+        assert m["major_brand"] == "isom" and m["minor_version"] == 512
+        assert m["compatible_brands"] == ["mp41", "mp42"]
+        assert [t["handler"] for t in m["tracks"]] == ["vide", "soun"]
+        assert m["tracks"][0]["width"] == 640  # 16.16 fixed-point read
+        assert m["tracks"][0]["sample_bytes"] == 600
+        assert m["tracks"][1]["n_samples"] == 7
+        assert m["mdat_bytes"] == 3
+    # size==0 ("to end of file") accepted for the final top-level box
+    q = bytearray(p)
+    mdat_at = q.rindex(b"mdat") - 4  # fourcc sits after the u32 size field
+    q2 = q[:mdat_at] + _struct.pack(">I", 0) + b"mdat" + b"\x01\x02\x03"
+    assert parse_mp4_meta(bytes(q2))["mdat_bytes"] == 3
+    with pytest.raises(ValueError, match="truncated box"):
+        parse_mp4_meta(p[:-2])
+    with pytest.raises(ValueError, match="expected ftyp"):
+        parse_mp4_meta(p[-11:] + p[:-11])  # mdat first
+    with pytest.raises(ValueError, match="missing mvhd"):
+        parse_mp4_meta(p.replace(b"mvhd", b"xvhd"))
+    with pytest.raises(ValueError, match="missing moov"):
+        parse_mp4_meta(p.replace(b"moov", b"xoov"))
+    with pytest.raises(ValueError, match="smaller than header"):
+        bad = bytearray(p)
+        _struct.pack_into(">I", bad, 0, 4)  # ftyp size 4 < 8
+        parse_mp4_meta(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported mvhd version"):
+        parse_mp4_meta(p.replace(b"mvhd\x01", b"mvhd\x02")
+                       if b"mvhd\x01" in p
+                       else p.replace(b"mvhd\x00", b"mvhd\x02"))
+    with pytest.raises(ValueError, match="stsz table truncated"):
+        stsz_at = p.index(b"stsz")
+        bad = bytearray(p)
+        _struct.pack_into(">I", bad, stsz_at + 12, 1 << 20)  # lying count
+        parse_mp4_meta(bytes(bad))
+    with pytest.raises(ValueError, match="sample-count mismatch"):
+        stts_at = p.index(b"stts")
+        bad = bytearray(p)
+        _struct.pack_into(">I", bad, stts_at + 12, 99)  # stts says 99
+        parse_mp4_meta(bytes(bad))
+
+
+def test_tiff_rgb_bitspersample_is_out_of_line():
+    """TIFF 6.0: a count-3 SHORT BitsPerSample exceeds the 4-byte IFD
+    value field, so the value must be an OFFSET to a 3-SHORT array
+    (not two 8s packed inline, which spec-correct readers follow as an
+    offset). No libtiff in this environment, so pin the wire layout
+    structurally in both byte orders and both compressions."""
+    import struct as _struct
+
+    from sim_spark.ops.tiff import decode_tiff, encode_tiff
+
+    for be in (False, True):
+        for comp in (1, 5):
+            e = ">" if be else "<"
+            px = bytes((i * 7 + 3) % 256 for i in range(4 * 3 * 3))
+            p = encode_tiff(4, 3, px, channels=3, compression=comp,
+                            big_endian=be)
+            (n_tags,) = _struct.unpack_from(e + "H", p, 8)
+            found = False
+            for i in range(n_tags):
+                base = 10 + i * 12
+                tid, ttype, count = _struct.unpack_from(e + "HHI", p, base)
+                if tid == 258:  # BitsPerSample
+                    (off,) = _struct.unpack_from(e + "I", p, base + 8)
+                    assert (ttype, count) == (3, 3)
+                    assert off >= 10 + n_tags * 12 + 4  # beyond the IFD
+                    assert _struct.unpack_from(e + "HHH", p, off) == (8, 8, 8)
+                    found = True
+            assert found
+            assert decode_tiff(p) == (4, 3, 3, px)
+
+
+def test_container_decompression_bounds():
+    """Untrusted-bytes hardening (r13): a crafted tiny member may not
+    inflate unboundedly. gzip (no declared size before the trailer)
+    enforces a hard budget; ZIP bounds by the central directory's
+    declared size and types the overrun."""
+    import struct as _struct
+
+    from sim_spark.ops.gzf import encode_gzip_members, parse_gzip_members
+    from sim_spark.ops.zipwalk import encode_zip, parse_zip
+
+    bomb = encode_gzip_members([("z", b"\x00" * (8 << 20))])
+    assert len(bomb) < 20000  # it IS a bomb: ~1000x expansion
+    with pytest.raises(ValueError, match="budget"):
+        parse_gzip_members(bomb, max_member_bytes=1 << 20)
+    # within budget the same member parses fine
+    assert parse_gzip_members(bomb)[0]["content"] == b"\x00" * (8 << 20)
+
+    zp = bytearray(encode_zip([("a.txt", b"q" * 10000, True)]))
+    eocd = zp.rindex(b"PK\x05\x06")
+    cd_off = _struct.unpack_from("<I", zp, eocd + 16)[0]
+    _struct.pack_into("<I", zp, cd_off + 24, 10)  # central raw_len lies
+    _struct.pack_into("<I", zp, 22, 10)           # local raw_len lies
+    with pytest.raises(ValueError, match="inflates past"):
+        parse_zip(bytes(zp))
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_zip([("n", b"", False)] * 65536)
+    with pytest.raises(ValueError, match="name too long"):
+        encode_zip([("n" * 65536, b"", False)])
+
+
+def test_id3v2_unsync_apic_footer_extended_header():
+    """ID3v2 features real files carry (r13): v2.3 tag-wide
+    unsynchronisation round-trips hostile (0xFF-dense) APIC bytes;
+    extended headers are skipped by each version's size rule; the
+    v2.4 footer's 10 bytes are counted and its magic verified; flag
+    misuse is a NAMED error, not a downstream 'lost sync'."""
+    from sim_spark.ops.mp3 import (
+        encode_id3v2,
+        parse_id3v2,
+        unsync_stuff,
+        unsync_unstuff,
+    )
+
+    art = bytes(range(256)) * 4  # plenty of 0xFF and FF-Ex pairs
+    frames = [("TIT2", "x"), ("APIC", ("image/png", 3, "c", art))]
+    t = encode_id3v2(frames, version=3, unsync=True, ext_header=True)
+    assert t[5] & 0xC0 == 0xC0  # both flags set
+    assert b"\xff\xe0" not in t[10:]  # no false sync survives in the body
+    tags, total = parse_id3v2(t + b"\xff\xfb audio")
+    assert total == len(t)
+    assert tags["APIC"]["data"] == art  # unstuff restored every byte
+    assert tags["APIC"]["mime"] == "image/png"
+    t4 = encode_id3v2(frames, version=4, ext_header=True, footer=True)
+    tags4, total4 = parse_id3v2(t4)
+    assert total4 == len(t4) and t4[-10:-7] == b"3DI"
+    assert tags4["APIC"]["data"] == art and tags4["TIT2"] == "x"
+    assert unsync_unstuff(unsync_stuff(art)) == art
+    with pytest.raises(ValueError, match="per-frame unsynchronisation"):
+        parse_id3v2(b"ID3\x04\x00\x80" + bytes(4))
+    with pytest.raises(ValueError, match="v2.4-only footer"):
+        parse_id3v2(b"ID3\x03\x00\x10" + bytes(4))
+    with pytest.raises(ValueError, match="unknown ID3v2 header flags"):
+        parse_id3v2(b"ID3\x04\x00\x01" + bytes(4))
+    with pytest.raises(ValueError, match="bad ID3v2.4 footer"):
+        bad = bytearray(t4)
+        bad[-10] ^= 0xFF
+        parse_id3v2(bytes(bad))
+    with pytest.raises(ValueError, match="v2.3-only"):
+        encode_id3v2(frames, version=4, unsync=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_id3v2(frames, version=4, footer=True, padding=3)
+    with pytest.raises(ValueError, match="APIC description encoding"):
+        t3 = encode_id3v2([("APIC", ("m", 0, "d", b"z"))], version=3)
+        bad = bytearray(t3)
+        bad[20] = 9  # first APIC data byte = bogus text encoding
+        parse_id3v2(bytes(bad))
