@@ -110,6 +110,10 @@ HEADLINE = [
     "dedup_image_dhash_megadup",
     # r11 additions
     "dedup_audio_fingerprint_metricband",
+    # r13 additions
+    "multimodal_warc_record_parse",
+    "multimodal_mp4_box_walk",
+    "multimodal_mp3_apic_unsync",
 ]
 
 

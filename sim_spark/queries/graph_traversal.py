@@ -525,11 +525,17 @@ def _modularity_oracle(rounds: int = LPA_ROUNDS) -> str:
 lab AS (SELECT node, label FROM l{rounds}),
 deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY 1),
 m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e2),
+el AS MATERIALIZED (
+  -- edge-anchored two-step: label ONE endpoint first. Phrased as one
+  -- 3-way join with `la.label = lb.label` in WHERE, the optimizer may
+  -- reorder to (la JOIN lb ON label) — a many-to-many label join that
+  -- explodes to sum(community²) pairs once LPA converges to giant
+  -- communities (measured 65+ GiB temp at sf10, r13 staged sweep).
+  SELECT e2.dst, la.label FROM e2 JOIN lab la ON la.node = e2.src
+),
 intra2 AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS mc2
-  FROM e2 JOIN lab la ON la.node = e2.src
-          JOIN lab lb ON lb.node = e2.dst
-  WHERE la.label = lb.label
+  FROM el JOIN lab lb ON lb.node = el.dst AND lb.label = el.label
 ),
 dc AS (
   SELECT la.label, CAST(SUM(d.d) AS BIGINT) AS dsum

@@ -122,19 +122,58 @@ CHECKSUM_PROJ: dict[str, list[str]] = {
 }
 
 
-def _checksum_compare(k: str) -> dict:
+def _auto_quant_proj(sdf) -> tuple[list[str], list[str]]:
+    """Generic float canonicalization for checksum keys WITHOUT a
+    hand-written CHECKSUM_PROJ (r12 verdict task 5): float/double
+    columns quantize to micro-units (CAST(FLOOR(c*1e6 + 0.5) AS
+    BIGINT)), booleans cast to string ('true'/'false' in both
+    engines), int/string pass through. Sound ONLY for keys whose
+    float columns sit on a <= 1e-6 grid with engine-identical doubles
+    — certified by the same key hash-matching the full repr-equality
+    pandas compare at a smaller SF (fn_math/fn_try_safe: sf1). The
+    expression text is valid Spark SQL AND DuckDB SQL (STRING is a
+    VARCHAR alias in DuckDB), so both engines run the identical
+    canonicalization. Returns (projection exprs, quantized cols)."""
+    from pyspark.sql import types as T
+
+    proj, quantized = [], []
+    for c in sdf.columns:
+        dt = sdf.schema[c].dataType
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            proj.append(f"CAST(FLOOR({c} * 1000000 + 0.5) AS BIGINT) AS {c}")
+            quantized.append(c)
+        elif isinstance(dt, T.BooleanType):
+            proj.append(f"CAST({c} AS STRING) AS {c}")
+        else:
+            proj.append(c)
+    return proj, quantized
+
+
+def _checksum_compare(k: str, osql: str | None = None) -> dict:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     sdf = qs[k](spark, sf)
+    if osql is None:
+        osql = os_[k]
     # real schema compare (review r10: hardcoding True would hide
     # column drift exactly where only the checksum path runs) — DESCRIBE
     # binds the oracle without executing its CTE chain
     ocols_raw = sorted(
-        r[0] for r in con.execute(f"DESCRIBE SELECT * FROM ({os_[k]}) __t").fetchall()
+        r[0] for r in con.execute(f"DESCRIBE SELECT * FROM ({osql}) __t").fetchall()
     )
     schema_ok = sorted(sdf.columns) == ocols_raw
     proj = CHECKSUM_PROJ.get(k)
+    quantized: list[str] = []
+    if proj is None:
+        from pyspark.sql import types as T
+
+        if any(
+            isinstance(sdf.schema[c].dataType,
+                       (T.FloatType, T.DoubleType, T.BooleanType))
+            for c in sdf.columns
+        ):
+            proj, quantized = _auto_quant_proj(sdf)
     if proj:
         sdf = sdf.selectExpr(*proj)
     cols = sorted(sdf.columns)
@@ -156,7 +195,6 @@ def _checksum_compare(k: str) -> dict:
         F.count(F.lit(1)).alias("n"), F.sum(h).alias("checksum")
     ).collect()[0]
     concat = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-    osql = os_[k]
     if proj:
         osql = f"SELECT {', '.join(proj)} FROM ({osql}) __t0"
     orow = con.execute(
@@ -166,7 +204,7 @@ def _checksum_compare(k: str) -> dict:
     ).fetchone()
     s_n, s_h = int(srow["n"]), int(srow["checksum"] or 0)
     o_n, o_h = int(orow[0]), int(orow[1] or 0)
-    return {
+    rec = {
         "rows_match": s_n == o_n,
         "schema_match": schema_ok,
         "hash_match": s_h == o_h,
@@ -175,6 +213,9 @@ def _checksum_compare(k: str) -> dict:
         "err": None,
         "compare": "md5-checksum (output too large to materialize)",
     }
+    if quantized:
+        rec["compare"] += f"; floats quantized to 1e-6: {quantized}"
+    return rec
 
 
 results: dict[str, dict] = {}
@@ -206,6 +247,18 @@ if _resume and os.path.exists(_resume):
                 _skip[rk] = rv
     print(f"resuming: {len(_skip)} keys carried from {_resume}")
 
+# DRIVE_STAGED_KEYS=k1,k2 evaluates those keys' oracles STAGED: each
+# CTE becomes a temp table (per-round lineage cut — the DuckDB mirror
+# of ops/materialize.py), and the audio fingerprint keys build their
+# signature table in doc_id-modulo chunks (tools/staged_oracle.py).
+# Result-identical to the inline oracle (tests/test_staged_oracle.py);
+# exists so the graph/audio families fit the sandbox at sf10.
+STAGED_KEYS = {
+    k.strip()
+    for k in os.environ.get("DRIVE_STAGED_KEYS", "").split(",")
+    if k.strip()
+}
+
 for k in sorted(qs):
     if k in _skip:
         results[k] = _skip[k]
@@ -219,9 +272,28 @@ for k in sorted(qs):
         "err": None,
         "commit": HEAD,
     }
+    osql = None
+    if k in STAGED_KEYS:
+        from tools.staged_oracle import prepare_staged
+
+        try:
+            t_st = time.time()
+            osql = prepare_staged(con, k, os_.get(k))
+            print(f"  {k}: oracle staged in {time.time()-t_st:.0f}s")
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"staging {type(e).__name__}: " + (
+                (str(e).splitlines() or [""])[0][:160]
+            )
+            failed.append(k)
+            print(f"  {k}: STAGING ERROR {rec['err']}")
+            results[k] = rec
+            con.close()
+            con = duckdb_connect(sf)
+            _write_partial(results)
+            continue
     if k in CHECKSUM_KEYS and k in os_:
         try:
-            rec = _checksum_compare(k)
+            rec = _checksum_compare(k, osql)
             rec["commit"] = HEAD
             ok = rec["rows_match"] and rec["hash_match"] and rec["schema_match"]
             if not ok:
@@ -240,13 +312,16 @@ for k in sorted(qs):
             print(f"  {k}: ERROR {rec['err']}")
         results[k] = rec
         release_tracked_caches()
+        if k in STAGED_KEYS:  # drop staged temp tables, release arena
+            con.close()
+            con = duckdb_connect(sf)
         _write_partial(results)
         continue
     try:
         scols, srows = canonicalize(qs[k](spark, sf).toPandas())
         rec["spark_rows"] = len(srows)
         if k in os_:
-            ocols, orows = canonicalize(con.execute(os_[k]).fetchdf())
+            ocols, orows = canonicalize(con.execute(osql or os_[k]).fetchdf())
             rec["oracle_rows"] = len(orows)
             rec["rows_match"] = len(srows) == len(orows)
             rec["schema_match"] = scols == ocols
@@ -278,6 +353,9 @@ for k in sorted(qs):
         print(f"  {k}: ERROR {rec['err']}")
     results[k] = rec
     release_tracked_caches()  # per-key: no cross-sf cache accumulation
+    if k in STAGED_KEYS:  # drop staged temp tables, release arena
+        con.close()
+        con = duckdb_connect(sf)
     _write_partial(results)
 
 if ROUND is not None:
