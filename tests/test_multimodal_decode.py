@@ -793,8 +793,6 @@ def test_container_decompression_bounds():
     _struct.pack_into("<I", zp, 22, 10)           # local raw_len lies
     with pytest.raises(ValueError, match="inflates past"):
         parse_zip(bytes(zp))
-    with pytest.raises(ValueError, match="16-bit"):
-        encode_zip([("n", b"", False)] * 65536)
     with pytest.raises(ValueError, match="name too long"):
         encode_zip([("n" * 65536, b"", False)])
 
@@ -845,3 +843,51 @@ def test_id3v2_unsync_apic_footer_extended_header():
         bad = bytearray(t3)
         bad[20] = 9  # first APIC data byte = bogus text encoding
         parse_id3v2(bytes(bad))
+
+
+def test_zip64_interop_both_directions():
+    """ZIP64 (r13): the shape every >4 GiB / >65535-member dataset
+    shard takes. Forced-small and auto-engaged (>65535 members)
+    archives round-trip; stdlib zipfile reads ours and we read its —
+    including its force_zip64 local-header style (sentinel local
+    sizes deferring to the 0x0001 extra); malformed ZIP64 shapes are
+    typed errors."""
+    import io
+    import zipfile
+
+    from sim_spark.ops.zipwalk import encode_zip, parse_zip
+
+    members = [("a.txt", b"hello" * 100, True), ("b", b"stored", False)]
+    p64 = encode_zip(members, zip64=True)
+    assert b"PK\x06\x06" in p64 and b"PK\x06\x07" in p64
+    assert [(r["name"], r["content"]) for r in parse_zip(p64)] == [
+        (n, c) for n, c, _ in members
+    ]
+    with zipfile.ZipFile(io.BytesIO(p64)) as zf:
+        assert zf.read("a.txt") == b"hello" * 100
+    # classic stays classic: no ZIP64 records unless needed or forced
+    assert b"PK\x06\x06" not in encode_zip(members)
+
+    n = 65540  # auto-engage on the 16-bit member-count overflow
+    big = encode_zip([(f"f{i}", b"", False) for i in range(n)])
+    assert len(parse_zip(big)) == n
+    with zipfile.ZipFile(io.BytesIO(big)) as zf:
+        assert len(zf.namelist()) == n
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(n):
+            zf.writestr(f"g{i}", "")
+    assert len(parse_zip(buf.getvalue())) == n
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        with zf.open("x.bin", "w", force_zip64=True) as f:
+            f.write(b"payload" * 1000)
+    assert parse_zip(buf.getvalue())[0]["content"] == b"payload" * 1000
+
+    with pytest.raises(ValueError, match="locator"):
+        parse_zip(p64.replace(b"PK\x06\x07", b"PK\x06\x08"))
+    q = bytearray(p64)
+    q[q.index(b"\x01\x00\x18\x00")] = 9  # corrupt the 0x0001 extra id
+    with pytest.raises(ValueError, match="0x0001"):
+        parse_zip(bytes(q))

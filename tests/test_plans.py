@@ -823,6 +823,19 @@ _HEADLINE_SPECS: dict[str, dict] = {
             r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
         ]
     ),
+    # r13 container walks: Arrow-batched mapInPandas fan-out, no
+    # row-wise Python, no shuffle before the tiny feature frame (light
+    # fan-out class: the SIZED repartition elides the Exchange on
+    # small fixtures, like multimodal_mp3_header_parse)
+    "multimodal_warc_record_parse": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
+    "multimodal_mp4_box_walk": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
+    "multimodal_mp3_apic_unsync": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
 }
 
 
