@@ -115,11 +115,42 @@ def decode(payload: bytes) -> dict:
             "pixels": rgb,
             "transparent": transparent,
         }
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from sim_spark.ops.tiff import decode_tiff
+
+        w, h, ch, px = decode_tiff(payload)
+        return {
+            "kind": "tiff", "width": w, "height": h,
+            "channels": ch, "pixels": px,
+        }
+    # r13 container walks (metadata/record layers, not sample decode)
+    if payload[:2] == b"\x1f\x8b":
+        from sim_spark.ops.gzf import parse_gzip_members
+
+        return {"kind": "gzip", "members": parse_gzip_members(payload)}
+    if payload[:4] == b"PK\x03\x04" or b"PK\x05\x06" in payload[-70000:]:
+        from sim_spark.ops.zipwalk import parse_zip
+
+        return {"kind": "zip", "members": parse_zip(payload)}
+    if payload[4:8] == b"ftyp":
+        from sim_spark.ops.mp4 import parse_mp4_meta
+
+        return {"kind": "mp4", **parse_mp4_meta(payload)}
+    if payload[:8] == b"WARC/1.0" or payload[:8] == b"WARC/1.1":
+        from sim_spark.ops.warc import parse_warc_records
+
+        return {"kind": "warc", "records": parse_warc_records(payload)}
+    if payload[257:262] == b"ustar":
+        from sim_spark.ops.tarwalk import parse_tar
+
+        return {"kind": "tar", "members": parse_tar(payload)}
     raise NotImplementedError(
         "MP3/video sample decode requires codec libraries not present in "
         "this environment (frame-header/container parse is real — "
-        "ops/mp3.py); BMP, PNG, WAV, GIF (ops/gif.py), JPEG (ops/jpeg.py) "
-        "and FLAC (ops/flac.py) decode is real"
+        "ops/mp3.py and ops/mp4.py); BMP, PNG, WAV, GIF (ops/gif.py), "
+        "TIFF (ops/tiff.py), JPEG (ops/jpeg.py) and FLAC (ops/flac.py) "
+        "decode is real, and the gzip/zip/tar/WARC container walks "
+        "dispatch here too"
     )
 
 

@@ -891,3 +891,34 @@ def test_zip64_interop_both_directions():
     q[q.index(b"\x01\x00\x18\x00")] = 9  # corrupt the 0x0001 extra id
     with pytest.raises(ValueError, match="0x0001"):
         parse_zip(bytes(q))
+
+
+def test_decode_dispatch_covers_every_container():
+    """The generic decode() sniffer routes every format in the matrix
+    (r13): sample decoders for images/audio, container walks for
+    gzip/zip/tar/MP4/WARC; only MP3/video SAMPLE decode stays fenced."""
+    from sim_spark.ops.gzf import encode_gzip_members
+    from sim_spark.ops.mp4 import encode_mp4_meta
+    from sim_spark.ops.multimodal import decode
+    from sim_spark.ops.tarwalk import encode_tar
+    from sim_spark.ops.tiff import encode_tiff
+    from sim_spark.ops.warc import encode_warc_records
+    from sim_spark.ops.zipwalk import encode_zip
+
+    t = encode_tiff(4, 3, bytes(range(36)), channels=3, big_endian=True)
+    assert decode(t)["kind"] == "tiff" and decode(t)["channels"] == 3
+    g = encode_gzip_members([("a", b"x")])
+    assert decode(g) == {"kind": "gzip", "members": decode(g)["members"]}
+    assert decode(g)["members"][0]["content"] == b"x"
+    z = encode_zip([("a", b"y", True)])
+    assert decode(z)["kind"] == "zip"
+    m = encode_mp4_meta("isom", 0, ["mp41"], 600, 600,
+                        [dict(handler="vide", timescale=90000, duration=90,
+                              sample_sizes=[5], width=16, height=16)])
+    out = decode(m)
+    assert out["kind"] == "mp4" and out["tracks"][0]["handler"] == "vide"
+    w = encode_warc_records([dict(type="metadata", record_id="<u:1>",
+                                  date="2024-01-01T00:00:00Z", content=b"")])
+    assert decode(w)["kind"] == "warc"
+    tar = encode_tar([("a.txt", b"z", 0)])
+    assert decode(tar)["kind"] == "tar"
