@@ -21,13 +21,24 @@ grammar from scratch:
   require ``WARC-Target-URI`` (per the spec's applicability table),
   others carry it optionally.
 
+Block digests (r13): real crawl records carry ``WARC-Block-Digest``
+(and responses ``WARC-Payload-Digest``) — ``sha256:<hex>`` here (the
+spec allows any labelled algorithm; CommonCrawl ships base32 sha1, but
+sha1 is deprecated and sha256 is what both engines can recompute). The
+encoder emits it on request; the parser VERIFIES any sha256-labelled
+block digest it sees — a flipped content byte is a typed error — and
+surfaces unknown-algorithm digests unverified (spec-legal).
+
 Typed ValueError on every malformed shape: bad version line, missing
 colon, empty field name, duplicate field, missing mandatory field,
 non-numeric Content-Length, truncated block, bad record trailer,
-trailing garbage, continuation line before any field.
+trailing garbage, continuation line before any field, block-digest
+mismatch.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 __all__ = ["encode_warc_records", "parse_warc_records", "RECORD_TYPES"]
 
@@ -79,6 +90,11 @@ def encode_warc_records(records: list[dict]) -> bytes:
             fields.append(("WARC-Target-URI", uri))
         if rec.get("content_type") is not None:
             fields.append(("Content-Type", rec["content_type"]))
+        if rec.get("block_digest"):
+            fields.append((
+                "WARC-Block-Digest",
+                "sha256:" + hashlib.sha256(content).hexdigest(),
+            ))
         fields.extend(rec.get("extra", []))
         fields.append(("Content-Length", str(len(content))))
         out += b"WARC/1.0" + _CRLF
@@ -182,6 +198,13 @@ def parse_warc_records(payload: bytes) -> list[dict]:
         if payload[pos : pos + 4] != _CRLF + _CRLF:
             raise ValueError("bad WARC record trailer (expected CRLFCRLF)")
         pos += 4
+        digest = fields.get("WARC-Block-Digest")
+        if digest and digest.startswith("sha256:"):
+            if hashlib.sha256(content).hexdigest() != digest[7:]:
+                raise ValueError(
+                    f"WARC block digest mismatch on "
+                    f"{fields['WARC-Record-ID']!r}"
+                )
         out.append(
             dict(
                 type=rtype,

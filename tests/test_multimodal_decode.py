@@ -922,3 +922,26 @@ def test_decode_dispatch_covers_every_container():
     assert decode(w)["kind"] == "warc"
     tar = encode_tar([("a.txt", b"z", 0)])
     assert decode(tar)["kind"] == "tar"
+
+
+def test_warc_block_digest_verification():
+    """WARC-Block-Digest (r13): sha256-labelled digests are VERIFIED
+    on parse — a flipped content byte is a typed error; unknown
+    algorithms pass through unverified (spec-legal)."""
+    from sim_spark.ops.warc import encode_warc_records, parse_warc_records
+
+    rec = dict(type="resource", record_id="<u:1>", target_uri="http://a/",
+               date="2024-01-01T00:00:00Z", content=b"the block bytes",
+               block_digest=True)
+    p = encode_warc_records([rec])
+    assert b"WARC-Block-Digest: sha256:" in p
+    out = parse_warc_records(p)
+    assert out[0]["fields"]["WARC-Block-Digest"].startswith("sha256:")
+    q = bytearray(p)
+    q[q.index(b"the block")] ^= 0x01
+    with pytest.raises(ValueError, match="digest mismatch"):
+        parse_warc_records(bytes(q))
+    # unknown algorithm: surfaced, not verified
+    p2 = p.replace(b"WARC-Block-Digest: sha256:",
+                   b"WARC-Block-Digest: sha1xx:")
+    assert parse_warc_records(p2)[0]["content"] == b"the block bytes"

@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Build the r12 sf10 drive scope: every registered key, included unless
-it carries a written exclusion reason (r11 verdict task #7: the sf10
-drive must cover >=100 keys and give a per-key reason for the rest).
-Writes SCOPE_sf10_r12.md and prints the DRIVE_KEYS list to stdout."""
+"""Build the sf10 drive scope: every registered key, included unless it
+carries a written exclusion reason (r11 verdict task #7: the sf10 drive
+must cover the surface and give a per-key reason for the rest).
+Writes SCOPE_sf10_r13.md and prints the DRIVE_KEYS list to stdout.
+
+r13: NINE r12 exclusions were converted to sf10 passes by staged oracle
+evaluation (tools/staged_oracle.py) and the float-quantized checksum
+(tools/drive_driver.py) — see CONVERTED below and SCALE.md §30."""
 
 from __future__ import annotations
 
@@ -12,30 +16,45 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import sim_spark.queries  # noqa: F401
-from sim_spark.registry import ORACLES, QUERIES
+from sim_spark.registry import QUERIES
 
-# Exclusions with reasons. Two classes: (a) the key's own semantics or
-# its ORACLE are quadratic / out-of-container at sf10 (measured in
-# SCALE.md §20/§24); (b) heavy seeded-trajectory rows-only keys whose
-# sf10 run yields only a row count for hours of compute.
-EXCLUDE: dict[str, str] = {
+ROUND = 13
+
+# r12 exclusions converted to sf10 passes in r13 (DRIVE_r13_sf10_subset.json)
+CONVERTED: dict[str, str] = {
+    "dedup_audio_fingerprint": (
+        "hash MATCH (12,218 rows; chunked signature staging 6 s vs "
+        "r12's 78 GB spill)"
+    ),
+    "dedup_audio_fingerprint_metricband": (
+        "hash MATCH (3,059 rows; staging 7 s vs r12's >50 min)"
+    ),
     "fn_math": (
-        "corpus-wide per-ROW output (60M rows at sf10) with FLOAT "
-        "columns: the pandas canonicalizer was MEASURED kernel-OOM at "
-        "81 GB RSS on this class in the r12 sweep, and the in-engine "
-        "md5-checksum path is integer/string-only by design (float "
-        "casts are engine-formatting-dependent); verified at sf1"
+        "checksum MATCH, 59,997,213 rows (9 float cols "
+        "micro-unit-quantized, identical expression both engines)"
     ),
-    "fn_try_safe": (
-        "same class as fn_math: 60M-row per-row frame with a float "
-        "column — materialization OOMs, checksum path cannot take "
-        "floats; verified at sf1"
+    "fn_try_safe": "checksum MATCH, 59,997,213 rows",
+    "graph_assortativity": "hash MATCH (staged, 13 s)",
+    "graph_hits_unrolled": "hash MATCH (staged, 6 s)",
+    "graph_label_propagation": "hash MATCH (staged, 145 s)",
+    "graph_modularity_score": (
+        "hash MATCH (staged; required the intra2 join-order fix, "
+        "SCALE §30)"
     ),
+    "graph_sssp_weighted": "hash MATCH (staged, 12 s)",
+}
+
+# Exclusions with reasons. Classes: (a) the key's own semantics or its
+# ORACLE are quadratic / out-of-container at sf10 even staged (measured
+# in SCALE.md §20/§24/§30); (b) heavy seeded-trajectory rows-only keys
+# whose sf10 run yields only a row count for hours of compute; (c)
+# already verified at sf10 in a prior round.
+EXCLUDE: dict[str, str] = {
     "dedup_jaccard_shingles": (
         "exact-SSJoin ground truth; prefix buckets ~13.5B candidates on "
-        "this 30-word-vocab fixture — the r12 density guardrail now "
-        "REFUSES deterministically (CandidateDensityError; SCALE §28), "
-        "which is the key's documented sf10 outcome"
+        "this 30-word-vocab fixture — the r12 density guardrail REFUSES "
+        "deterministically (CandidateDensityError; SCALE §28), which is "
+        "the key's documented sf10 outcome"
     ),
     "dedup_simhash_pairs": (
         "quadratic-OUTPUT class: exact hd<=5 pair list ~42B rows at sf10 "
@@ -47,23 +66,13 @@ EXCLUDE: dict[str, str] = {
     ),
     "dedup_minhash_exactperm": (
         "oracle recomputes md5-affine permutations corpus-wide: >100 GB "
-        "DuckDB spill at sf10 (SCALE §24)"
+        "DuckDB spill at sf10 (SCALE §24); unlike the audio keys, the "
+        "md5() per (doc, shingle, perm) row admits no chunk-local "
+        "reduction small enough for this box"
     ),
     "dedup_simhash64_tf": (
-        "oracle >75 GB DuckDB spill at sf10 (SCALE §24)"
-    ),
-    "dedup_audio_fingerprint": (
-        "MEASURED in the r12 sweep: the oracle recomputes per-doc "
-        "spectral fingerprints corpus-wide in DuckDB and its temp "
-        "spill filled the sandbox disk (~78 GB free) at 500k docs — "
-        "IOException mid-sweep; same oracle-spill class as "
-        "dedup_simhash64_tf; verified at sf1 (SCALE §24a)"
-    ),
-    "dedup_audio_fingerprint_metricband": (
-        "same fingerprint-recompute oracle as dedup_audio_fingerprint "
-        "(plus the metric-band join): >50 min CPU-bound in DuckDB at "
-        "sf10 before the sweep budget cut it; verified at sf1 with "
-        "measured 100% uncapped recall (SCALE §21)"
+        "oracle >75 GB DuckDB spill at sf10 (SCALE §24), same "
+        "md5-per-term class"
     ),
     "join_range_interval": (
         "925M output rows at sf10 — hash-materialization exceeds the "
@@ -72,36 +81,25 @@ EXCLUDE: dict[str, str] = {
     ),
     "join_sql_band_ts": (
         "185M output rows; hash-matched at sf10 in r11 "
-        "(DRIVE_r11_sf10_subset.json) — not re-run to keep the r12 "
-        "sweep inside the session budget"
+        "(DRIVE_r11_sf10_subset.json)"
     ),
     "graph_betweenness_sampled": (
-        "oracle replays K*depth relational Brandes in DuckDB over the "
-        "~240M-row mirrored sf10 edge list (pair CTE alone ~120M rows "
-        "x 2D rounds of joins) — out of sandbox memory; sf1 is the "
-        "measured scale point (SCALE §27)"
+        "oracle replays K*depth relational Brandes over the ~240M-row "
+        "mirrored edge list; staged evaluation helps memory but not the "
+        "intrinsic K*depth*|E| compute on one box; sf1 is the measured "
+        "scale point (SCALE §27)"
     ),
     "graph_triangle_count": (
-        "oracle is the naive ordered 3-way edge join: ~e^1.5 on 120M "
-        "edges in DuckDB — out of sandbox; triangle plan verified at sf1"
-    ),
-    "graph_modularity_score": (
-        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 185 s at sf10 (same LPA chain plus modularity terms); verified sf1"
-    ),
-    "graph_label_propagation": (
-        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 199 s at sf10 (LPA rounds over the edge CTE); verified sf1"
-    ),
-    "graph_sssp_weighted": (
-        "MEASURED r12 probe: oracle OOMs DuckDB at 20 GB memory + 30 GB temp caps after 209 s at sf10 (iterative relaxation over the ~120M-row edge CTE); verified sf1"
-    ),
-    "graph_hits_unrolled": (
-        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 89 s at sf10 (unrolled hub/authority rounds over the edge CTE); verified sf1"
+        "oracle is the naive ordered 3-way edge join (~e^1.5 on 120M "
+        "edges) — intrinsic compute, not memory; triangle plan verified "
+        "at sf1"
     ),
     "graph_clustering_global": (
-        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 410 s at sf10 (wedge/triangle joins over the edge CTE); verified sf1"
-    ),
-    "graph_assortativity": (
-        "MEASURED r12 probe: OOM at 20 GB/30 GB caps after 296 s at sf10 (degree-pair joins over the edge CTE); verified sf1"
+        "NEW reason (r13): the ORACLE now stages fine (71 s); the SPARK "
+        "ENGINE side's exact wedge/triangle shuffle needs more scratch "
+        "disk than the sandbox has (measured [SPILL_OUT_OF_MEMORY] 'No "
+        "space left on device' with ~65 GB free; transient). "
+        "Cluster-shape sound (per-executor local disks); sf1-verified"
     ),
     "ml_kmeans_embeddings": (
         "rows-only seeded Lloyd trajectory: an sf10 run yields only a "
@@ -124,28 +122,47 @@ def main() -> None:
     keys = sorted(QUERIES)
     include = [k for k in keys if k not in EXCLUDE]
     lines = [
-        "# SCOPE — r12 sf10 full-surface drive (r11 verdict task #7)",
+        f"# SCOPE — r{ROUND} sf10 drive scope (updates SCOPE_sf10_r12.md)",
         "",
-        f"Registry: {len(keys)} keys. Included in the sf10 sweep: "
-        f"{len(include)}. Excluded with reasons: {len(EXCLUDE)}.",
+        f"Registry: {len(keys)} keys. In scope for sf10: {len(include)}. "
+        f"Excluded with reasons: {len(EXCLUDE)} (r12 excluded 22; r13 "
+        f"converted {len(CONVERTED)} exclusions to sf10 passes and added "
+        "the three new container keys to scope).",
         "",
-        "Fixture: testdata_sf10 (tools/gen_sf1.py --scale 10; "
-        "distribution-matched 10x of sf0.1). Artifact: "
-        "DRIVE_r12_sf10*.json via tools/drive_driver.py with "
-        "DRIVE_KEYS= the included list; .partial persistence makes the "
-        "sweep resumable, and every record carries its HEAD commit.",
+        "Fixture: testdata_sf10 (tools/gen_sf1.py --scale 10). Evidence: "
+        "DRIVE_r12_sf10_subset.json (357 keys, r12 HEAD) + "
+        "DRIVE_r13_sf10_subset.json (the newly-in-scope keys, r13 HEAD, "
+        "per-key commit stamps). Mechanisms that converted the nine: "
+        "staged oracle evaluation (tools/staged_oracle.py — CTE-chain "
+        "temp-table staging with eager drops, chunked audio signature "
+        "build) and the float-quantized checksum compare "
+        "(tools/drive_driver.py `_auto_quant_proj`); SCALE.md §30 records "
+        "the measurements, including the modularity oracle-phrasing "
+        "defect the staging run itself caught.",
         "",
-        "## Excluded keys",
+        "## Converted in r13 (were excluded in r12)",
+        "",
+        "| key | r13 sf10 outcome |",
+        "|---|---|",
+    ]
+    for k in sorted(CONVERTED):
+        lines.append(f"| `{k}` | {CONVERTED[k]} |")
+    lines += [
+        "",
+        f"## Excluded keys ({len(EXCLUDE)})",
         "",
         "| key | reason |",
         "|---|---|",
     ]
     for k in sorted(EXCLUDE):
         lines.append(f"| `{k}` | {EXCLUDE[k]} |")
-    missing = [k for k in EXCLUDE if k not in QUERIES]
+    missing = [k for k in {**EXCLUDE, **CONVERTED} if k not in QUERIES]
     if missing:
-        raise SystemExit(f"EXCLUDE references unknown keys: {missing}")
-    with open("/root/repo/SCOPE_sf10_r12.md", "w") as f:
+        raise SystemExit(f"scope references unknown keys: {missing}")
+    overlap = set(EXCLUDE) & set(CONVERTED)
+    if overlap:
+        raise SystemExit(f"keys both excluded and converted: {overlap}")
+    with open(f"/root/repo/SCOPE_sf10_r{ROUND}.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(",".join(include))
 
