@@ -4,7 +4,7 @@ carries a written exclusion reason (r11 verdict task #7: the sf10 drive
 must cover the surface and give a per-key reason for the rest).
 Writes SCOPE_sf10_r13.md and prints the DRIVE_KEYS list to stdout.
 
-r13: NINE r12 exclusions were converted to sf10 passes by staged oracle
+r13: TEN r12 exclusions were converted to sf10 passes by staged oracle
 evaluation (tools/staged_oracle.py) and the float-quantized checksum
 (tools/drive_driver.py) — see CONVERTED below and SCALE.md §30."""
 
@@ -42,6 +42,11 @@ CONVERTED: dict[str, str] = {
         "SCALE §30)"
     ),
     "graph_sssp_weighted": "hash MATCH (staged, 12 s)",
+    "graph_betweenness_sampled": (
+        "hash MATCH (staged; the whole K-source Brandes replay stages "
+        "in ~10 s at sf10 — the r12 'out of sandbox memory' was purely "
+        "the single-arena CTE chain, frontier tables are <=4.7M rows)"
+    ),
 }
 
 # Exclusions with reasons. Classes: (a) the key's own semantics or its
@@ -82,12 +87,6 @@ EXCLUDE: dict[str, str] = {
     "join_sql_band_ts": (
         "185M output rows; hash-matched at sf10 in r11 "
         "(DRIVE_r11_sf10_subset.json)"
-    ),
-    "graph_betweenness_sampled": (
-        "oracle replays K*depth relational Brandes over the ~240M-row "
-        "mirrored edge list; staged evaluation helps memory but not the "
-        "intrinsic K*depth*|E| compute on one box; sf1 is the measured "
-        "scale point (SCALE §27)"
     ),
     "graph_triangle_count": (
         "oracle is the naive ordered 3-way edge join (~e^1.5 on 120M "
@@ -132,7 +131,7 @@ def main() -> None:
         "Fixture: testdata_sf10 (tools/gen_sf1.py --scale 10). Evidence: "
         "DRIVE_r12_sf10_subset.json (357 keys, r12 HEAD) + "
         "DRIVE_r13_sf10_subset.json (the newly-in-scope keys, r13 HEAD, "
-        "per-key commit stamps). Mechanisms that converted the nine: "
+        "per-key commit stamps). Mechanisms that converted the ten: "
         "staged oracle evaluation (tools/staged_oracle.py — CTE-chain "
         "temp-table staging with eager drops, chunked audio signature "
         "build) and the float-quantized checksum compare "
