@@ -30,8 +30,10 @@ GRAPH_KEYS = [
 
 AUDIO_KEYS = ["dedup_audio_fingerprint", "dedup_audio_fingerprint_metricband"]
 
+CHUNKED_KEYS = ["dedup_minhash_exactperm", "dedup_simhash64_tf"]
 
-@pytest.mark.parametrize("key", GRAPH_KEYS + AUDIO_KEYS)
+
+@pytest.mark.parametrize("key", GRAPH_KEYS + AUDIO_KEYS + CHUNKED_KEYS)
 def test_staged_equals_direct(sf_dir, key):
     con = duckdb_connect(sf_dir)
     try:

@@ -124,6 +124,65 @@ def _audio_staged(con, band_mask: int | None, chunk_docs: int = 50_000) -> str:
     return run_split(con, refine)
 
 
+def chunked_prefix_staged(
+    con, oracle_sql: str, split_at: str, chunk_docs: int = 50_000
+) -> str:
+    """Generalization of the audio chunking (r13): stage the PER-DOC
+    prefix of a WITH chain (everything up to and including CTE
+    ``split_at``) in doc_id-modulo chunks — bounding the md5/unnest
+    fanout that spilled >75-100 GB corpus-wide at sf10 — then stage the
+    corpus-wide suffix (banding/refine) over the accumulated tables.
+
+    Sound iff every prefix CTE is per-doc independent (each output row
+    derives from one ``documents`` row), which holds for the signature
+    pipelines this is registered for; result identity with the inline
+    oracle is pinned at sf0.01 by tests/test_staged_oracle.py."""
+    ctes, final = split_with_chain(oracle_sql)
+    names = [n for n, _ in ctes]
+    idx = names.index(split_at)
+    prefix, rest = ctes[: idx + 1], ctes[idx + 1 :]
+    anchor = "FROM documents"
+    n_anchors = sum(b.count(anchor) for _n, b in prefix)
+    assert n_anchors == 1, f"expected one documents anchor, got {n_anchors}"
+    rest_text = " ".join(b for _n, b in rest) + " " + final
+    keep = [
+        n for n, _ in prefix if re.search(rf"\b{re.escape(n)}\b", rest_text)
+    ]
+    (n_docs,) = con.execute("SELECT count(*) FROM documents").fetchone()
+    n_chunks = max(1, n_docs // chunk_docs)
+    for i in range(n_chunks):
+        with_block = "WITH " + ", ".join(
+            f"{n} AS ({b.replace(anchor, anchor + f' WHERE doc_id % {n_chunks} = {i}')})"
+            for n, b in prefix
+        )
+        for t in keep:
+            stmt = f"{with_block} SELECT * FROM {t}"
+            if i == 0:
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __acc_{t} AS {stmt}")
+            else:
+                con.execute(f"INSERT INTO __acc_{t} {stmt}")
+    for t in keep:
+        con.execute(f"CREATE OR REPLACE TEMP TABLE {t} AS SELECT * FROM __acc_{t}")
+        con.execute(f"DROP TABLE __acc_{t}")
+    live = list(keep)
+    for j, (name, body) in enumerate(rest):
+        con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS {body}")
+        live.append(name)
+        remaining = " ".join(b for _n, b in rest[j + 1 :]) + " " + final
+        for t in list(live):
+            if not re.search(rf"\b{re.escape(t)}\b", remaining):
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+                live.remove(t)
+    return final
+
+
+#: per-doc signature pipelines whose corpus-wide one-pass oracle spills
+#: out of the sandbox at sf10 — chunk the prefix up to the named CTE
+CHUNK_SPLIT = {
+    "dedup_minhash_exactperm": "sig",
+    "dedup_simhash64_tf": "sig",
+}
+
 STAGED_CHUNKED = {
     "dedup_audio_fingerprint": lambda con: _audio_staged(con, band_mask=None),
     "dedup_audio_fingerprint_metricband": lambda con: _audio_staged(
@@ -139,4 +198,6 @@ def prepare_staged(con, key: str, oracle_sql: str | None) -> str:
         return STAGED_CHUNKED[key](con)
     if oracle_sql is None:
         raise ValueError(f"{key} has no oracle to stage")
+    if key in CHUNK_SPLIT:
+        return chunked_prefix_staged(con, oracle_sql, CHUNK_SPLIT[key])
     return run_split(con, oracle_sql)
