@@ -116,9 +116,15 @@ def dedup_minhash_exactperm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ea = ex.withColumnRenamed("doc_id", "id_a")
     eb = ex.withColumnRenamed("doc_id", "id_b")
+    # shuffle_hash hints: Catalyst's sizeInBytes after the shingle
+    # explode is a gross under-estimate, so it planned BROADCASTs of
+    # the exploded frames — measured at sf10 (r13): "Not enough memory
+    # to build and broadcast" on a ~50M-row build side. The exploded
+    # refine legs must shuffle on their join keys; the tiny per-doc
+    # `sizes` legs below stay broadcastable.
     inter = (
-        cand.join(ea, "id_a")
-        .join(eb, ["id_b", "shingle"])
+        cand.join(ea.hint("shuffle_hash"), "id_a")
+        .join(eb.hint("shuffle_hash"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -1003,3 +1003,18 @@ def test_no_unpartitioned_window_in_source():
             if re.search(r"WINDOW\s+\w+\s+AS\s*\(\s*ORDER", body, re.I):
                 offenders.append(f"{f}:{src[: m.start()].count(chr(10)) + 1} WINDOW AS(ORDER)")
     assert not offenders, offenders
+
+
+def test_exactperm_refine_legs_never_broadcast(spark):
+    """r13 sf10 finding: Catalyst's post-explode size estimate is a
+    gross under-count, so it broadcast the ~50M-row exploded shingle
+    refine legs and OOMed the driver build. The legs are now
+    shuffle_hash-hinted; pin that no broadcast exchange feeds the
+    shingle-keyed joins."""
+    p = plan(spark, "dedup_minhash_exactperm")
+    assert "ShuffledHashJoin" in p, p
+    import re as _re
+    # the only tolerated broadcasts are the per-doc `sizes` legs
+    # (single bigint key, one row per doc)
+    for m in _re.finditer(r"BroadcastExchange[^\n]*\n[^\n]*", p):
+        assert "string" not in m.group(0), f"shingle leg broadcast:\n{p}"

@@ -4,7 +4,7 @@ carries a written exclusion reason (r11 verdict task #7: the sf10 drive
 must cover the surface and give a per-key reason for the rest).
 Writes SCOPE_sf10_r13.md and prints the DRIVE_KEYS list to stdout.
 
-r13: TEN r12 exclusions were converted to sf10 passes by staged oracle
+r13: TWELVE r12 exclusions were converted to sf10 passes by staged oracle
 evaluation (tools/staged_oracle.py) and the float-quantized checksum
 (tools/drive_driver.py) — see CONVERTED below and SCALE.md §30."""
 
@@ -42,6 +42,17 @@ CONVERTED: dict[str, str] = {
         "SCALE §30)"
     ),
     "graph_sssp_weighted": "hash MATCH (staged, 12 s)",
+    "dedup_minhash_exactperm": (
+        "hash MATCH (2,074 rows; chunked-prefix staging bounds the "
+        "md5-per-(doc,shingle,perm) fanout; the run also caught and "
+        "fixed a REAL engine defect — Catalyst broadcast the exploded "
+        "shingle refine legs off a post-explode size under-estimate, "
+        "OOMing the driver build; now shuffle_hash-hinted, SCALE §30)"
+    ),
+    "dedup_simhash64_tf": (
+        "hash MATCH (6,620 rows; chunked-prefix staging, 29 s vs "
+        "r12's >75 GB spill)"
+    ),
     "graph_betweenness_sampled": (
         "hash MATCH (staged; the whole K-source Brandes replay stages "
         "in ~10 s at sf10 — the r12 'out of sandbox memory' was purely "
@@ -68,16 +79,6 @@ EXCLUDE: dict[str, str] = {
     "join_theta_band": (
         "quadratic-OUTPUT class: the band predicate itself yields ~15B "
         "pairs at sf10 (SCALE §24)"
-    ),
-    "dedup_minhash_exactperm": (
-        "oracle recomputes md5-affine permutations corpus-wide: >100 GB "
-        "DuckDB spill at sf10 (SCALE §24); unlike the audio keys, the "
-        "md5() per (doc, shingle, perm) row admits no chunk-local "
-        "reduction small enough for this box"
-    ),
-    "dedup_simhash64_tf": (
-        "oracle >75 GB DuckDB spill at sf10 (SCALE §24), same "
-        "md5-per-term class"
     ),
     "join_range_interval": (
         "925M output rows at sf10 — hash-materialization exceeds the "
@@ -131,7 +132,7 @@ def main() -> None:
         "Fixture: testdata_sf10 (tools/gen_sf1.py --scale 10). Evidence: "
         "DRIVE_r12_sf10_subset.json (357 keys, r12 HEAD) + "
         "DRIVE_r13_sf10_subset.json (the newly-in-scope keys, r13 HEAD, "
-        "per-key commit stamps). Mechanisms that converted the ten: "
+        "per-key commit stamps). Mechanisms that converted the twelve: "
         "staged oracle evaluation (tools/staged_oracle.py — CTE-chain "
         "temp-table staging with eager drops, chunked audio signature "
         "build) and the float-quantized checksum compare "
