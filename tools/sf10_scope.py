@@ -90,9 +90,13 @@ EXCLUDE: dict[str, str] = {
         "(DRIVE_r11_sf10_subset.json)"
     ),
     "graph_triangle_count": (
-        "oracle is the naive ordered 3-way edge join (~e^1.5 on 120M "
-        "edges) — intrinsic compute, not memory; triangle plan verified "
-        "at sf1"
+        "UPDATED r13: the ORACLE now stages in ~1 min (run_split + 44GB "
+        "arena pipelines the ~5.0B wedge probes without materializing "
+        "them); what fails at sf10 on this box is the SPARK ENGINE's "
+        "exact wedge shuffle — UnsafeExternalSorter spill error in the "
+        "degree-oriented wedge stage, same single-box scratch limit as "
+        "graph_clustering_global. Cluster-shape sound (the shuffle "
+        "spreads over N executors' disks); sf1-verified"
     ),
     "graph_clustering_global": (
         "NEW reason (r13): the ORACLE now stages fine (71 s); the SPARK "
