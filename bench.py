@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_warc_record_parse",
     "multimodal_mp4_box_walk",
     "multimodal_mp3_apic_unsync",
+    "multimodal_bz2_multistream_walk",
 ]
 
 

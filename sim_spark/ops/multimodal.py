@@ -124,6 +124,10 @@ def decode(payload: bytes) -> dict:
             "channels": ch, "pixels": px,
         }
     # r13 container walks (metadata/record layers, not sample decode)
+    if payload[:3] == b"BZh":
+        from sim_spark.ops.bz2walk import parse_bz2_streams
+
+        return {"kind": "bz2", "streams": parse_bz2_streams(payload)}
     if payload[:2] == b"\x1f\x8b":
         from sim_spark.ops.gzf import parse_gzip_members
 

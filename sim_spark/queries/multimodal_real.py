@@ -3177,3 +3177,115 @@ def multimodal_mp3_apic_unsync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "apic_pixsum long, pic_type long, desc_sum long, mime_sum long, "
         "title_sum long, n_frames long",
     )
+
+
+# --- bzip2 multistream walk (r13): the Wikipedia-dump shape -------------------
+
+from sim_spark.ops.bz2walk import encode_bz2_streams, parse_bz2_streams  # noqa: E402
+
+
+def _gen_bz2_payload(doc_id: int) -> bytes:
+    """Deterministic multistream bzip2: n = 1 + doc%3 independent
+    streams (the Wikipedia *-multistream.xml.bz2 shape — seekable at
+    stream boundaries via the companion index); stream s: level
+    1 + (doc + 2s) % 9, content byte j = (13·doc + 7s + 3j) % 95 + 32
+    with length 60 + (doc + 19s) % 50 — all SQL-recomputable."""
+    n = 1 + doc_id % 3
+    return encode_bz2_streams(
+        [
+            (
+                1 + (doc_id + 2 * s) % 9,
+                bytes(
+                    (13 * doc_id + 7 * s + 3 * j) % 95 + 32
+                    for j in range(60 + (doc_id + 19 * s) % 50)
+                ),
+            )
+            for s in range(n)
+        ]
+    )
+
+
+_gen_bz2_batches = _make_gen_batches(_gen_bz2_payload)
+
+
+def _bz2_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_bz2_streams(bytes(payload))
+            rows.append(
+                (
+                    int(doc_id),
+                    len(recs),
+                    sum(len(r["content"]) for r in recs),
+                    sum(sum(r["content"]) for r in recs),
+                    sum(r["level"] for r in recs),
+                    sum(r["content"][0] for r in recs),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_streams", "total_len", "content_sum",
+                "level_sum", "head_sum",
+            ],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_bz2_multistream_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+),
+st AS (
+  SELECT doc_id, n, ss.s,
+         1 + (doc_id + 2 * ss.s) % 9 AS level,
+         60 + (doc_id + 19 * ss.s) % 50 AS ln
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS s) ss
+),
+csum AS (
+  SELECT doc_id, s,
+         SUM((13 * doc_id + 7 * s + 3 * jj.j) % 95 + 32) AS c_sum
+  FROM st, LATERAL (SELECT unnest(range(0, ln)) AS j) jj
+  GROUP BY doc_id, s
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_streams,
+       CAST((SELECT SUM(ln) FROM st WHERE st.doc_id = p.doc_id)
+            AS BIGINT) AS total_len,
+       CAST((SELECT SUM(c_sum) FROM csum WHERE csum.doc_id = p.doc_id)
+            AS BIGINT) AS content_sum,
+       CAST((SELECT SUM(level) FROM st WHERE st.doc_id = p.doc_id)
+            AS BIGINT) AS level_sum,
+       CAST((SELECT SUM((13 * p.doc_id + 7 * st.s) % 95 + 32)
+             FROM st WHERE st.doc_id = p.doc_id)
+            AS BIGINT) AS head_sum
+FROM p
+""",
+)
+def multimodal_bz2_multistream_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """bzip2 multistream walk (r13) — the Wikipedia-dump container
+    (*-multistream.xml.bz2): many INDEPENDENT bzip2 streams
+    concatenated so readers can seek to an index offset and decode one
+    stream without the rest. ops/bz2walk.py walks per-stream BZh
+    magic, the level digit (100k-900k block size), the pi-digit block
+    magic (or the sqrt-pi footer of an empty stream), recovers stream
+    boundaries from the decompressor's unused tail, and bounds each
+    stream's inflate (bzip2's worst-case ratio makes 48-byte → 8 MiB
+    bombs trivial). The fixture cycles stream counts and all nine
+    levels; the oracle recomputes stream counts, lengths, content byte
+    sums, level sums, and first-byte sums in integer SQL. Light
+    fan-out class: Arrow-batched mapInPandas, no shuffle until the
+    6-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_bz2_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _bz2_feature_batches,
+        "doc_id long, n_streams long, total_len long, content_sum long, "
+        "level_sum long, head_sum long",
+    )

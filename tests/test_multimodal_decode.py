@@ -945,3 +945,40 @@ def test_warc_block_digest_verification():
     p2 = p.replace(b"WARC-Block-Digest: sha256:",
                    b"WARC-Block-Digest: sha1xx:")
     assert parse_warc_records(p2)[0]["content"] == b"the block bytes"
+
+
+def test_bz2_multistream_walk_roundtrip_and_bounds():
+    """bzip2 multistream walk (the Wikipedia-dump shape): stream
+    boundaries recovered, levels parsed, stdlib agrees on concatenated
+    content; empty streams (sqrt-pi footer) handled; inflate is
+    budget-bounded; malformed shapes are typed."""
+    import bz2 as _bz2
+
+    from sim_spark.ops.bz2walk import encode_bz2_streams, parse_bz2_streams
+    from sim_spark.ops.multimodal import decode
+
+    streams = [(9, b"hello world" * 100), (1, b""), (5, bytes(range(256)) * 40)]
+    p = encode_bz2_streams(streams)
+    recs = parse_bz2_streams(p)
+    assert [(r["level"], r["content"]) for r in recs] == streams
+    assert sum(r["stream_bytes"] for r in recs) == len(p)
+    assert _bz2.decompress(p) == b"".join(c for _l, c in streams)
+    assert decode(p)["kind"] == "bz2"
+    bomb = encode_bz2_streams([(9, b"\x00" * (8 << 20))])
+    assert len(bomb) < 100  # 48-byte bomb -> 8 MiB
+    with pytest.raises(ValueError, match="budget"):
+        parse_bz2_streams(bomb, max_stream_bytes=1 << 20)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bz2_streams(p[:-3])
+    with pytest.raises(ValueError, match="magic"):
+        parse_bz2_streams(b"XZh1" + p[4:])
+    with pytest.raises(ValueError, match="level"):
+        parse_bz2_streams(b"BZh0" + p[4:])
+    with pytest.raises(ValueError, match="block magic"):
+        parse_bz2_streams(p[:4] + b"\x00" + p[5:])
+    q = bytearray(p)
+    q[20] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_bz2_streams(bytes(q))
+    with pytest.raises(ValueError):
+        encode_bz2_streams([(0, b"x")])

@@ -836,6 +836,9 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_mp3_apic_unsync": dict(
         require=["MapInPandas"], forbid=["BatchEvalPython"]
     ),
+    "multimodal_bz2_multistream_walk": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
 }
 
 

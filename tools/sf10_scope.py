@@ -4,7 +4,7 @@ carries a written exclusion reason (r11 verdict task #7: the sf10 drive
 must cover the surface and give a per-key reason for the rest).
 Writes SCOPE_sf10_r13.md and prints the DRIVE_KEYS list to stdout.
 
-r13: TWELVE r12 exclusions were converted to sf10 passes by staged oracle
+r13: FOURTEEN r12 exclusions were converted to sf10 passes by staged oracle
 evaluation (tools/staged_oracle.py) and the float-quantized checksum
 (tools/drive_driver.py) — see CONVERTED below and SCALE.md §30."""
 
@@ -53,6 +53,13 @@ CONVERTED: dict[str, str] = {
         "hash MATCH (6,620 rows; chunked-prefix staging, 29 s vs "
         "r12's >75 GB spill)"
     ),
+    "join_range_interval": (
+        "checksum MATCH, 924,962,582 rows (re-verified at r13 HEAD; "
+        "was excluded as r11-only evidence)"
+    ),
+    "join_sql_band_ts": (
+        "checksum MATCH, 185,211,497 rows (re-verified at r13 HEAD)"
+    ),
     "graph_betweenness_sampled": (
         "hash MATCH (staged; the whole K-source Brandes replay stages "
         "in ~10 s at sf10 — the r12 'out of sandbox memory' was purely "
@@ -79,15 +86,6 @@ EXCLUDE: dict[str, str] = {
     "join_theta_band": (
         "quadratic-OUTPUT class: the band predicate itself yields ~15B "
         "pairs at sf10 (SCALE §24)"
-    ),
-    "join_range_interval": (
-        "925M output rows at sf10 — hash-materialization exceeds the "
-        "sandbox; ALREADY checksum-verified in-engine at sf10 in r11 "
-        "(DRIVE_r11_sf10_subset.json, SCALE §24)"
-    ),
-    "join_sql_band_ts": (
-        "185M output rows; hash-matched at sf10 in r11 "
-        "(DRIVE_r11_sf10_subset.json)"
     ),
     "graph_triangle_count": (
         "UPDATED r13: the ORACLE now stages in ~1 min (run_split + 44GB "
@@ -136,7 +134,7 @@ def main() -> None:
         "Fixture: testdata_sf10 (tools/gen_sf1.py --scale 10). Evidence: "
         "DRIVE_r12_sf10_subset.json (357 keys, r12 HEAD) + "
         "DRIVE_r13_sf10_subset.json (the newly-in-scope keys, r13 HEAD, "
-        "per-key commit stamps). Mechanisms that converted the twelve: "
+        "per-key commit stamps). Mechanisms that converted the fourteen: "
         "staged oracle evaluation (tools/staged_oracle.py — CTE-chain "
         "temp-table staging with eager drops, chunked audio signature "
         "build) and the float-quantized checksum compare "
