@@ -16,10 +16,11 @@ sanity column — goes to stderr and to the artifact file
 $SPARK_GRAFT_BENCH_OUT (default ./BENCH_local_last.json), which each
 round is committed as BENCH_r{N}_local.json.
 
-`ctrl` is the same-box DuckDB control (VERDICT r12 item 7): five fixed
-cheap oracle keys timed in BOTH engines every run, so any cross-round
-drift in the box itself is visible inline (a rising suite value with a
-flat ratio is environment, not regression).
+`ctrl` is the same-box DuckDB control (VERDICT r12 item 7; ten keys
+since r14 per VERDICT r13 item 8, including one deliberately heavy
+iterative key): fixed oracled keys timed in BOTH engines every run, so
+any cross-round drift in the box itself is visible inline (a rising
+suite value with a flat ratio is environment, not regression).
 
 Rules (BASELINE.md): session startup excluded; per-query value is the
 median of 3 runs after one warm-up; results are fully materialized via
@@ -141,18 +142,46 @@ SPECIAL = {
     "join_bucketed_colocated_read": _bucketed_read_leg,
 }
 
-# Same-box control (VERDICT r12 item 7): five fixed, cheap, oracled keys
-# timed in BOTH engines every run. Deliberately scan/join/agg/window/text
-# shaped — one per major plan family — and none is iterative, so the
-# control adds < ~2 s at sf0.1 even when SPARK_GRAFT_SKIP_DUCK=1 skips
-# the full sanity column.
+# Same-box control (VERDICT r12 item 7, widened to ten keys per VERDICT
+# r13 item 8): fixed, oracled keys timed in BOTH engines every run, so
+# cross-round drift adjudication is self-contained in BENCH_rN.json —
+# a rising suite value with a flat ctrl ratio is environment, not
+# regression. One key per major plan family: scan, shuffle join, hash
+# agg, window, text agg, rollup, theta/band join, codec UDF, banded
+# LSH dedup, and ONE deliberately heavy iterative key
+# (graph_betweenness_sampled — the suite's most expensive plan) so the
+# heavy end of the drift band is measured, not inferred.
 CONTROL = [
     "agg_q1_pricing",
     "scan_filter_pushdown",
     "join_inner_shuffle",
     "win_running_sum",
     "text_wordcount",
+    "agg_rollup",
+    "join_theta_band",
+    "multimodal_png_decode",
+    "dedup_simhash64_tf",
+    "graph_betweenness_sampled",
 ]
+
+
+def summary_line(summary: dict) -> str:
+    """The compact stdout line, guaranteed parseable and < 1000 chars.
+
+    Never raises after measurements complete (an assert would both
+    vanish under ``python -O`` and crash the run it exists to protect
+    — ADVICE r13): on overflow it degrades by dropping the inline
+    maps, keeping the headline metric the driver greps for."""
+    line = json.dumps(summary)
+    if len(line) < 1000:
+        return line
+    slim = {k: v for k, v in summary.items() if k not in ("queries", "ctrl")}
+    line = json.dumps(slim)
+    if len(line) < 1000:
+        return line
+    return json.dumps(
+        {k: summary[k] for k in ("metric", "value", "unit", "sf")}
+    )
 
 # Samples per query (median reported). Overridable for variance studies
 # (e.g. SPARK_GRAFT_BENCH_RUNS=5 for the r8 drift adjudication) without
@@ -248,7 +277,7 @@ def main() -> None:
         "cpus": cpus,
         "runs_per_query": RUNS,
         "n_queries": len(times),
-        # 5 fixed control keys inline (the full map lives in the artifact)
+        # fixed control keys inline (the full map lives in the artifact)
         "queries": {k: times[k] for k in CONTROL if k in times},
         "ctrl": {
             "duck_sec": ctrl_duck,
@@ -277,9 +306,7 @@ def main() -> None:
     if samples_out:  # raw per-run samples for variance studies
         with open(samples_out, "w") as f:
             json.dump({**result, "samples": all_samples}, f)
-    line = json.dumps(summary)
-    assert len(line) < 1000, f"summary line too long: {len(line)}"
-    print(line)
+    print(summary_line(summary))
     spark.stop()
 
 

@@ -157,6 +157,20 @@ def _walk_children(payload: bytes) -> list[tuple[bytes, bytes]]:
     return out
 
 
+def _unpack(fmt: str, payload: bytes, off: int, what: str) -> tuple:
+    """struct.unpack_from with the truncation check the docstring
+    contract requires: a crafted box with a valid full-box header but
+    a short fixed-layout body must raise ValueError, never let
+    struct.error escape to callers (ADVICE r13)."""
+    need = off + struct.calcsize(fmt)
+    if need > len(payload):
+        raise ValueError(
+            f"truncated {what} payload (need {need} bytes, "
+            f"have {len(payload)})"
+        )
+    return struct.unpack_from(fmt, payload, off)
+
+
 def _fullbox(payload: bytes, name: str, versions: tuple[int, ...]) -> int:
     if len(payload) < 4:
         raise ValueError(f"truncated {name} full-box header")
@@ -175,21 +189,21 @@ def _parse_trak(payload: bytes) -> dict:
         if btype == b"tkhd":
             v = _fullbox(body, "tkhd", (0, 1))
             off = 4 + (8 + 8 + 4 + 4 if v else 4 + 4 + 4 + 4)
-            (track["track_id"],) = struct.unpack_from(
-                ">I", body, 4 + (16 if v else 8)
+            (track["track_id"],) = _unpack(
+                ">I", body, 4 + (16 if v else 8), "tkhd"
             )
             off += 8 if v else 4  # duration
             off += 8 + 8 + 36  # reserved + layer/alt/vol/res + matrix
-            w, h = struct.unpack_from(">ii", body, off)
+            w, h = _unpack(">ii", body, off, "tkhd width/height")
             track["width"], track["height"] = w >> 16, h >> 16
         elif btype == b"mdia":
             for mtype, mbody in _walk_children(body):
                 if mtype == b"mdhd":
                     v = _fullbox(mbody, "mdhd", (0, 1))
                     if v:
-                        ts, dur = struct.unpack_from(">IQ", mbody, 4 + 16)
+                        ts, dur = _unpack(">IQ", mbody, 4 + 16, "mdhd v1")
                     else:
-                        ts, dur = struct.unpack_from(">II", mbody, 4 + 8)
+                        ts, dur = _unpack(">II", mbody, 4 + 8, "mdhd v0")
                     track["timescale"], track["duration"] = ts, dur
                 elif mtype == b"hdlr":
                     _fullbox(mbody, "hdlr", (0,))
@@ -208,7 +222,7 @@ def _parse_stbl(payload: bytes, track: dict) -> None:
     for btype, body in _walk_children(payload):
         if btype == b"stsz":
             _fullbox(body, "stsz", (0,))
-            fixed, count = struct.unpack_from(">II", body, 4)
+            fixed, count = _unpack(">II", body, 4, "stsz header")
             track["n_samples"] = count
             if fixed:
                 track["sample_bytes"] = fixed * count
@@ -222,7 +236,7 @@ def _parse_stbl(payload: bytes, track: dict) -> None:
                 ) if count else 0
         elif btype == b"stts":
             _fullbox(body, "stts", (0,))
-            (n_ent,) = struct.unpack_from(">I", body, 4)
+            (n_ent,) = _unpack(">I", body, 4, "stts header")
             if len(body) < 8 + 8 * n_ent:
                 raise ValueError("stts table truncated")
             track["stts_samples"] = sum(
@@ -247,7 +261,7 @@ def parse_mp4_meta(payload: bytes) -> dict:
         raise ValueError("malformed ftyp payload")
     out: dict = dict(
         major_brand=fbody[:4].decode("latin-1"),
-        minor_version=struct.unpack_from(">I", fbody, 4)[0],
+        minor_version=_unpack(">I", fbody, 4, "ftyp")[0],
         compatible_brands=[
             fbody[i : i + 4].decode("latin-1")
             for i in range(8, len(fbody), 4)
@@ -272,9 +286,9 @@ def parse_mp4_meta(payload: bytes) -> dict:
         if btype == b"mvhd":
             v = _fullbox(body, "mvhd", (0, 1))
             if v:
-                ts, dur = struct.unpack_from(">IQ", body, 4 + 16)
+                ts, dur = _unpack(">IQ", body, 4 + 16, "mvhd v1")
             else:
-                ts, dur = struct.unpack_from(">II", body, 4 + 8)
+                ts, dur = _unpack(">II", body, 4 + 8, "mvhd v0")
             out["timescale"], out["duration"] = ts, dur
         elif btype == b"trak":
             out["tracks"].append(_parse_trak(body))

@@ -58,7 +58,13 @@ def encode_zip(
     classic fields carry the 0xFFFF/0xFFFFFFFF sentinels; real values
     move to the per-entry 0x0001 extra field, the ZIP64
     end-of-central-directory record, and its locator."""
-    need64 = bool(zip64) or len(members) > 0xFFFF
+    # >= — not > — on every trigger: an archive with EXACTLY 65535
+    # members (or a size/offset of exactly 0xFFFFFFFF) would otherwise
+    # store the literal sentinel value in the classic field, which
+    # readers are required to treat as "consult the ZIP64 record"
+    # (APPNOTE 4.4.1.4). Engaging ZIP64 at the sentinel value itself
+    # means no real count/size/offset is ever emitted as a sentinel.
+    need64 = bool(zip64) or len(members) >= 0xFFFF
     out = bytearray()
     central = bytearray()
     for i, (name, content, deflate) in enumerate(members):
@@ -75,9 +81,9 @@ def encode_zip(
             method = 0
         offset = len(out)
         entry64 = bool(zip64) or (
-            len(data) > 0xFFFFFFFF
-            or len(content) > 0xFFFFFFFF
-            or offset > 0xFFFFFFFF
+            len(data) >= 0xFFFFFFFF
+            or len(content) >= 0xFFFFFFFF
+            or offset >= 0xFFFFFFFF
         )
         need64 = need64 or entry64
         if entry64:
@@ -207,18 +213,27 @@ def parse_zip(payload: bytes) -> list[dict]:
     cd_end = pos
     if 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
         # ZIP64 (APPNOTE 4.5): sentinel classic fields → locator
-        # (fixed 20 bytes immediately before the EOCD) → ZIP64 EOCD
-        if pos < 20 or payload[pos - 20 : pos - 16] != _EOCD64_LOC_SIG:
-            raise ValueError("ZIP64 sentinel without EOCD64 locator")
-        _ld, e64_off, n_disks = struct.unpack_from("<IQI", payload, pos - 16)
-        if n_disks != 1:
-            raise ValueError("multi-disk ZIP64 not supported")
-        if e64_off + 56 > n or payload[e64_off : e64_off + 4] != _EOCD64_SIG:
-            raise ValueError("bad ZIP64 EOCD record")
-        (
-            _rsz, _vm, _vn, _d1, _d2, n_here, n_total, cd_size, cd_off
-        ) = struct.unpack_from("<QHHIIQQQQ", payload, e64_off + 4)
-        cd_end = e64_off
+        # (fixed 20 bytes immediately before the EOCD) → ZIP64 EOCD.
+        # Writers in the wild (old stdlib zipfile among them) have
+        # emitted archives whose classic fields happen to EQUAL a
+        # sentinel without writing any ZIP64 structures; stdlib's
+        # reader tolerates that by falling back to the classic values
+        # when no locator precedes the EOCD, and so do we (ADVICE r13).
+        if pos >= 20 and payload[pos - 20 : pos - 16] == _EOCD64_LOC_SIG:
+            _ld, e64_off, n_disks = struct.unpack_from(
+                "<IQI", payload, pos - 16
+            )
+            if n_disks != 1:
+                raise ValueError("multi-disk ZIP64 not supported")
+            if (
+                e64_off + 56 > n
+                or payload[e64_off : e64_off + 4] != _EOCD64_SIG
+            ):
+                raise ValueError("bad ZIP64 EOCD record")
+            (
+                _rsz, _vm, _vn, _d1, _d2, n_here, n_total, cd_size, cd_off
+            ) = struct.unpack_from("<QHHIIQQQQ", payload, e64_off + 4)
+            cd_end = e64_off
     if n_here != n_total:
         raise ValueError("multi-disk ZIP not supported")
     if cd_off + cd_size > cd_end:

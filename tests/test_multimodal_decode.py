@@ -885,7 +885,11 @@ def test_zip64_interop_both_directions():
             f.write(b"payload" * 1000)
     assert parse_zip(buf.getvalue())[0]["content"] == b"payload" * 1000
 
-    with pytest.raises(ValueError, match="locator"):
+    # locator signature destroyed: the parser now falls back to the
+    # classic EOCD fields (stdlib behavior, ADVICE r13) — here those
+    # are forced-ZIP64 sentinels, so the walk still fails TYPED on the
+    # nonsense classic offset rather than raising a bare struct.error
+    with pytest.raises(ValueError, match="overruns"):
         parse_zip(p64.replace(b"PK\x06\x07", b"PK\x06\x08"))
     q = bytearray(p64)
     q[q.index(b"\x01\x00\x18\x00")] = 9  # corrupt the 0x0001 extra id
@@ -982,3 +986,118 @@ def test_bz2_multistream_walk_roundtrip_and_bounds():
         parse_bz2_streams(bytes(q))
     with pytest.raises(ValueError):
         encode_bz2_streams([(0, b"x")])
+
+
+def test_zip64_exact_65535_member_boundary():
+    """ADVICE r13 (medium): an archive with EXACTLY 65535 members sits
+    ON the 16-bit sentinel. The encoder must engage ZIP64 at >= the
+    sentinel (never emitting a literal 0xFFFF as a real count), and
+    the parser must tolerate writers that DID store the plain value
+    with no ZIP64 structures (stdlib-reader fallback behavior)."""
+    import io
+    import struct
+    import zipfile
+
+    from sim_spark.ops.zipwalk import encode_zip, parse_zip
+
+    n = 0xFFFF
+    members = [(f"f{i}", b"", False) for i in range(n)]
+    p = encode_zip(members)
+    # ZIP64 engaged AT the sentinel: real count lives in the EOCD64
+    assert b"PK\x06\x06" in p and b"PK\x06\x07" in p
+    assert len(parse_zip(p)) == n
+    with zipfile.ZipFile(io.BytesIO(p)) as zf:
+        assert len(zf.namelist()) == n
+
+    # stdlib at the same boundary (whatever shape this stdlib writes,
+    # plain 0xFFFF or ZIP64) must parse
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(n):
+            zf.writestr(f"g{i}", "")
+    assert len(parse_zip(buf.getvalue())) == n
+
+    # synthetic fallback case: rewrite OUR archive's EOCD to the
+    # classic plain-0xFFFF shape with the ZIP64 records cut out —
+    # the parser must fall back to the classic fields, not reject
+    eocd_pos = p.rindex(b"PK\x05\x06")
+    e64_pos = p.rindex(b"PK\x06\x06")
+    _d, _cd, _n1, _n2, cd_size, _off, _cl = struct.unpack_from(
+        "<HHHHIIH", p, eocd_pos + 4
+    )
+    cd_off = e64_pos - cd_size
+    classic = p[:e64_pos] + b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, cd_size, cd_off, 0
+    )
+    assert len(parse_zip(classic)) == n
+
+    # 2**32-1 byte sizes cannot be built in-memory here, but the
+    # trigger comparison itself is what the fix changes: verify via a
+    # zero-offset archive that >= engages entry64 exactly at the
+    # sentinel by checking the code path constants
+    from sim_spark.ops import zipwalk as zw
+
+    src = open(zw.__file__).read()
+    assert ">= 0xFFFF" in src and ">= 0xFFFFFFFF" in src
+
+
+def test_mp4_truncated_leaf_payloads_are_typed_errors():
+    """ADVICE r13 (low): a crafted box with a valid full-box header
+    but a short fixed-layout body must raise ValueError (the module
+    contract), never struct.error."""
+    import struct
+
+    from sim_spark.ops.mp4 import encode_mp4_meta, parse_mp4_meta
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+
+    # mvhd v1 header with a body too short for its 64-bit times
+    for body in (b"\x01\x00\x00\x00" + b"\x00" * 8,
+                 b"\x00\x00\x00\x00" + b"\x00" * 6):
+        with pytest.raises(ValueError, match="truncated mvhd"):
+            parse_mp4_meta(ftyp + box(b"moov", box(b"mvhd", body)))
+
+    good = encode_mp4_meta(
+        "isom", 0, [], 600, 600,
+        [dict(handler="vide", timescale=90000, duration=90,
+              sample_sizes=[5, 7], width=16, height=16)],
+    )
+    mvhd_ok = box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 600, 600))
+
+    # stsz with a valid full-box header but a body short of its own
+    # fixed header; same for stts; tkhd short of width/height; mdhd v1
+    trunc_cases = [
+        (b"stsz", b"\x00" * 4 + b"\x00\x00", "truncated stsz header"),
+        (b"stts", b"\x00" * 4 + b"\x00", "truncated stts header"),
+        (b"mdhd", b"\x01\x00\x00\x00" + b"\x00" * 10, "truncated mdhd v1"),
+        (b"tkhd", b"\x00" * 4 + b"\x00" * 20, "truncated tkhd"),
+    ]
+    for btype, body, msg in trunc_cases:
+        if btype in (b"stsz", b"stts"):
+            inner = box(b"minf", box(b"stbl", box(btype, body)))
+            trak = box(
+                b"trak",
+                box(b"mdia",
+                    box(b"mdhd", b"\x00" * 4 + struct.pack(
+                        ">IIII", 0, 0, 90000, 90) + b"\x00" * 4)
+                    + box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 14)
+                    + inner),
+            )
+        elif btype == b"mdhd":
+            trak = box(
+                b"trak",
+                box(b"mdia",
+                    box(btype, body)
+                    + box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 14)),
+            )
+        else:  # tkhd
+            trak = box(b"trak", box(btype, body))
+        with pytest.raises(ValueError, match=msg):
+            parse_mp4_meta(ftyp + box(b"moov", mvhd_ok + trak))
+
+    # and the well-formed encoder output still parses after the fix
+    out = parse_mp4_meta(good)
+    assert out["tracks"][0]["sample_bytes"] == 12
