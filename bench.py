@@ -116,6 +116,8 @@ HEADLINE = [
     "multimodal_mp4_box_walk",
     "multimodal_mp3_apic_unsync",
     "multimodal_bz2_multistream_walk",
+    # r14 additions
+    "multimodal_mediawiki_dump_parse",
 ]
 
 

@@ -1101,3 +1101,105 @@ def test_mp4_truncated_leaf_payloads_are_typed_errors():
     # and the well-formed encoder output still parses after the fix
     out = parse_mp4_meta(good)
     assert out["tracks"][0]["sample_bytes"] == 12
+
+
+def test_mediawiki_dump_grammar_and_typed_errors():
+    """MediaWiki export grammar (r14, verdict task 3): multistream
+    round-trip with escapes and unknown-element skip; the fragment
+    (seek-one-stream) path; <text bytes> verification; and typed
+    errors on every malformed shape."""
+    from sim_spark.ops.bz2walk import encode_bz2_streams, parse_bz2_streams
+    from sim_spark.ops.mediawiki import (
+        encode_mediawiki_dump,
+        parse_mediawiki_dump,
+        parse_pages_fragment,
+    )
+
+    pages = [
+        dict(title="A&B <odd> \"q\"", ns=0, page_id=11, revisions=[
+            dict(rev_id=1101, timestamp="2024-01-01T00:00:00Z",
+                 username="u&1", text="x < y && z > w; 100% \"sure\""),
+            dict(rev_id=1102, timestamp="2024-01-02T00:00:00Z",
+                 username="", text=""),
+        ]),
+        dict(title="Plain", ns=4, page_id=12, revisions=[
+            dict(rev_id=1201, timestamp="2024-02-01T00:00:00Z",
+                 username="v", text="t" * 200),
+        ]),
+        dict(title="Third", ns=10, page_id=13, revisions=[
+            dict(rev_id=1301, timestamp="2024-03-01T00:00:00Z",
+                 username="w", text="&<>'\""),
+        ]),
+    ]
+    d = encode_mediawiki_dump("My Wiki", "mywiki_db", pages,
+                              pages_per_stream=2, level=5)
+    out = parse_mediawiki_dump(d)
+    # head + ceil(3/2) page streams + footer
+    assert out["n_streams"] == 4
+    assert (out["sitename"], out["dbname"]) == ("My Wiki", "mywiki_db")
+    assert out["version"] == "0.11" and out["lang"] == "en"
+    got = out["pages"]
+    assert [p["page_id"] for p in got] == [11, 12, 13]
+    assert got[0]["title"] == "A&B <odd> \"q\""
+    assert got[0]["revisions"][0]["text"] == "x < y && z > w; 100% \"sure\""
+    assert got[0]["revisions"][0]["username"] == "u&1"
+    assert got[0]["revisions"][1]["text"] == ""
+    assert got[2]["revisions"][0]["text"] == "&<>'\""
+
+    # the seek path: middle stream parses standalone as a fragment
+    streams = parse_bz2_streams(d)
+    frag = parse_pages_fragment(streams[1]["content"].decode())
+    assert [p["page_id"] for p in frag] == [11, 12]
+
+    # <text bytes> attribute is verified (WARC-digest stance)
+    import re as _re
+
+    xml = b"".join(s["content"] for s in streams).decode()
+    bad = _re.sub(r'bytes="200"', 'bytes="199"', xml)
+    with pytest.raises(ValueError, match="bytes"):
+        parse_mediawiki_dump(encode_bz2_streams([(9, bad.encode())]))
+
+    def frag_err(s, msg):
+        with pytest.raises(ValueError, match=msg):
+            parse_pages_fragment(s)
+
+    rev = ("<revision><id>5</id><timestamp>t</timestamp>"
+           "<text>x</text></revision>")
+    frag_err("<page><ns>0</ns><id>1</id>" + rev + "</page>",
+             "missing <title>")
+    frag_err("<page><title>a</title><title>b</title><ns>0</ns><id>1</id>"
+             + rev + "</page>", "duplicate <title>")
+    frag_err("<page><title>a</title><ns>0</ns><id>1</id></page>",
+             "no <revision>")
+    frag_err("<page><title>a</title><ns>x</ns><id>1</id>" + rev + "</page>",
+             "not an integer")
+    frag_err("<page><title>a</title><ns>0</ns><id>1</id>" + rev + "</wrong>",
+             "mismatched close")
+    frag_err("<page><title>a</title><ns>0</ns><id>1</id>" + rev,
+             "unclosed element")
+    frag_err("<page><title>a&bogus;</title><ns>0</ns><id>1</id>" + rev
+             + "</page>", "unknown XML entity")
+    frag_err("<page><title>a&#xGG;</title><ns>0</ns><id>1</id>" + rev
+             + "</page>", "bad numeric character reference")
+    frag_err("loose text", "character data outside")
+    frag_err("   ", "no <page>")
+    frag_err("<page><page><title>a</title></page></page>", "nested <page>")
+
+    # dump-level typed errors
+    def dump_err(xml_text, msg):
+        with pytest.raises(ValueError, match=msg):
+            parse_mediawiki_dump(encode_bz2_streams([(1, xml_text.encode())]))
+
+    dump_err("<notwiki></notwiki>", "expected <mediawiki>")
+    dump_err("<mediawiki><siteinfo><sitename>s</sitename>"
+             "<dbname>d</dbname></siteinfo>", "unclosed <mediawiki>")
+    dump_err("<mediawiki></mediawiki>", "missing <siteinfo>")
+    dump_err("<mediawiki><siteinfo><sitename>s</sitename><dbname>d"
+             "</dbname></siteinfo></mediawiki><page>", "after </mediawiki>")
+
+    # numeric character references and comments are honored
+    ok = ("<?xml version=\"1.0\"?><mediawiki version=\"0.11\">"
+          "<!-- c --><siteinfo><sitename>&#87;iki</sitename>"
+          "<dbname>&#x64;b</dbname></siteinfo></mediawiki>")
+    parsed = parse_mediawiki_dump(encode_bz2_streams([(1, ok.encode())]))
+    assert parsed["sitename"] == "Wiki" and parsed["dbname"] == "db"

@@ -839,6 +839,9 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_bz2_multistream_walk": dict(
         require=["MapInPandas"], forbid=["BatchEvalPython"]
     ),
+    "multimodal_mediawiki_dump_parse": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
 }
 
 
