@@ -149,6 +149,131 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DOULION edge sampling: keep an edge iff its md5 bucket (first hex
+# byte, 256 uniform values) falls below _DOULION_KEEP of _DOULION_MOD.
+# p = 1/8 exactly over the hash's value space, and 1/p^3 = 512 stays
+# integer, so the estimator never leaves BIGINT arithmetic.
+_DOULION_MOD = 8
+_DOULION_KEEP = 1
+_DOULION_INV_P3 = _DOULION_MOD ** 3  # 512
+
+
+@query(
+    "graph_triangle_doulion",
+    oracle=_EDGES_CTE
+    + """
+, s AS MATERIALIZED (
+  SELECT u, v FROM e
+  WHERE (('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)),
+          1, 2))::BIGINT % 8) < 1
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM s) AS n_sampled,
+       (SELECT count(*)
+        FROM s e1 JOIN s e2 ON e1.v = e2.u
+                  JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v) AS tri_sampled,
+       512 * (SELECT count(*)
+              FROM s e1 JOIN s e2 ON e1.v = e2.u
+                        JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v)
+         AS tri_estimate,
+       511 * 512 * (SELECT count(*)
+                    FROM s e1 JOIN s e2 ON e1.v = e2.u
+                              JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v)
+         AS var_bound
+""",
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count by md5-derandomized DOULION edge sampling (r14,
+    verdict task 2 — the scale-provable triangle-family member).
+
+    The exact degree-oriented wedge join (graph_triangle_count) is the
+    optimal O(m^1.5) shape but its shuffle exceeds single-box scratch
+    at sf10 (SCOPE_sf10_r13.md); the production mitigation is DOULION
+    (Tsourakakis et al., KDD'09): keep each edge independently with
+    probability p, count triangles EXACTLY on the sampled graph, and
+    scale by 1/p^3. Derandomized here with the engine-shared md5
+    bucket (curation_extras.md5_bucket convention) so both engines
+    sample the IDENTICAL edge subset — the sampled count is a plain
+    integer both can replay, which is what makes a sampling estimator
+    hash-oracle-able at all. p = 1/8 cuts wedge volume by p^2 = 64x
+    and triangle work by p^3 = 512x, so the same wedge plan that
+    spills at sf10 on the full graph runs in-memory on the sample.
+
+    Columns (all BIGINT, no float leaves the engine):
+    ``tri_estimate`` = 512 * tri_sampled, the unbiased DOULION
+    estimator; ``var_bound`` = 512 * 511 * tri_sampled, the plug-in
+    first-moment variance estimate Var ~= T_hat * (1/p^3 - 1) — the
+    error certificate (it omits DOULION's shared-edge covariance
+    term, which needs the unknown full count; the docstringed bound
+    is the standard practitioners' certificate). The Spark side runs
+    the SAME degree-oriented wedge join as the exact key, just on the
+    sampled edges (orientation by sampled-graph degree keeps the
+    O(m_s^1.5) bound)."""
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("u").cast("string"),
+                        F.col("v").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DOULION_MOD
+    )
+    s = e.where(bucket < _DOULION_KEEP).transform(materialize)
+    deg = (
+        s.select(F.col("u").alias("n"))
+        .unionAll(s.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    sd = (
+        s.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = sd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).transform(materialize)
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        o3, (F.col("a") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst"))
+    ).agg(F.count("*").alias("tri_sampled"))
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(s.agg(F.count("*").alias("n_sampled")))
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_sampled",
+            "tri_sampled",
+            (F.col("tri_sampled") * F.lit(_DOULION_INV_P3)).alias(
+                "tri_estimate"
+            ),
+            (
+                F.col("tri_sampled")
+                * F.lit(_DOULION_INV_P3 * (_DOULION_INV_P3 - 1))
+            ).alias("var_bound"),
+        )
+    )
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
 
