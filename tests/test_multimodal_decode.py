@@ -1203,3 +1203,77 @@ def test_mediawiki_dump_grammar_and_typed_errors():
           "<dbname>&#x64;b</dbname></siteinfo></mediawiki>")
     parsed = parse_mediawiki_dump(encode_bz2_streams([(1, ok.encode())]))
     assert parsed["sitename"] == "Wiki" and parsed["dbname"] == "db"
+
+
+def test_heif_item_walk_roundtrip_and_typed_errors():
+    """HEIF (ops/heif.py, r14): the full iloc/pitm/infe layout matrix
+    round-trips; multi-extent data resolves against the real file
+    bytes; ispe dims bind through ipma; typed errors on escaping
+    extents, unsupported construction methods, missing boxes, bad
+    property indices."""
+    from sim_spark.ops.heif import encode_heif_meta, parse_heif_meta
+
+    def mk_items():
+        return [
+            dict(item_id=1, item_type="hvc1", item_name="p",
+                 data=b"MAIN" * 5, width=320, height=240),
+            dict(item_id=2, item_type="hvc1", item_name="t",
+                 extents=[b"AB", b"CDE", b"F"], width=32, height=24),
+            dict(item_id=9, item_type="Exif", data=b"Exif\x00meta"),
+        ]
+
+    for ilv in (0, 1, 2):
+        for osz, bsz in ((4, 0), (4, 4), (8, 8)):
+            f = encode_heif_meta(
+                "heic", mk_items(), 1, iloc_version=ilv,
+                offset_size=osz, base_offset_size=bsz,
+                pitm_version=ilv % 2, infe_version=2 + ilv % 2,
+            )
+            r = parse_heif_meta(f)
+            assert r["primary_id"] == 1
+            assert [i["data"] for i in r["items"]] == [
+                b"MAIN" * 5, b"ABCDEF", b"Exif\x00meta"]
+            assert len(r["items"][1]["extents"]) == 3
+            assert (r["items"][0]["width"], r["items"][1]["height"],
+                    r["items"][2]["width"]) == (320, 24, None)
+            assert r["n_properties"] == 2
+
+    # extent escaping the file (truncate the mdat tail)
+    f = encode_heif_meta("heic", [dict(item_id=1, item_type="hvc1",
+                                       data=b"XYZT")], 1)
+    with pytest.raises(ValueError):
+        parse_heif_meta(f[:-2])
+    # construction_method != 0 rejected (patch the iloc v1 cm field)
+    f = encode_heif_meta("heic", [dict(item_id=1, item_type="hvc1",
+                                       data=b"XY")], 1, iloc_version=1)
+    il_off = f.index(b"iloc") + 4
+    # layout after fullbox(4) + sizes(2) + count(2): item_id(2), cm(2)
+    raw = bytearray(f)
+    raw[il_off + 4 + 2 + 2 + 2 + 1] = 1
+    with pytest.raises(ValueError, match="construction_method"):
+        parse_heif_meta(bytes(raw))
+    # primary item absent from iinf
+    with pytest.raises(ValueError, match="not in items"):
+        encode_heif_meta("heic", [dict(item_id=2, item_type="hvc1",
+                                       data=b"X")], 1)
+    # duplicate ids
+    with pytest.raises(ValueError, match="duplicate item_id"):
+        encode_heif_meta("heic", [
+            dict(item_id=1, item_type="hvc1", data=b"X"),
+            dict(item_id=1, item_type="hvc1", data=b"Y")], 1)
+    # ipma property index beyond ipco
+    f = bytearray(encode_heif_meta(
+        "heic", [dict(item_id=1, item_type="hvc1", data=b"X",
+                      width=4, height=4)], 1))
+    ap = f.index(b"ipma") + 4
+    # fullbox(4) + count(4) + item_id(2) + assoc_count(1) -> assoc byte
+    f[ap + 4 + 4 + 2 + 1] = 0x80 | 5
+    with pytest.raises(ValueError, match="outside ipco"):
+        parse_heif_meta(bytes(f))
+    # handler must be pict
+    f = bytearray(encode_heif_meta(
+        "heic", [dict(item_id=1, item_type="hvc1", data=b"X")], 1))
+    hp = f.index(b"pict")
+    f[hp:hp + 4] = b"vide"
+    with pytest.raises(ValueError, match="not 'pict'"):
+        parse_heif_meta(bytes(f))
