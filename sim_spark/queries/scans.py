@@ -128,6 +128,57 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_parquet_bloom",
+    oracle="""
+SELECT l_orderkey, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_orderkey IN (7, 388, 1123)
+GROUP BY l_orderkey ORDER BY l_orderkey
+""",
+)
+def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter data skipping (r14, verdict task 7) — the
+    one first-class 100 TB scan-reduction feature beyond min/max and
+    partition pruning. Writes lineitem's (l_orderkey, l_quantity) with
+    a split-block bloom filter on l_orderkey (parquet.bloom.filter.
+    enabled, ndv-sized) and dictionary encoding DISABLED for that
+    column — the realistic high-cardinality-ID layout where neither
+    row-group min/max (shuffled keys span every group), page column
+    indexes (same reason), nor dictionary filtering (no dictionary)
+    can skip, so the bloom filter is the ONLY structure standing
+    between a point/IN lookup and a full scan. The read back filters
+    an IN list that parquet-mr turns into per-row-group bloom probes.
+    tests/test_plans.py::test_parquet_bloom_rowgroup_skip measures the
+    skip for real: the same missing-key scan emits 0 scan-node rows
+    from the bloom file and every row from the bloom-less twin.
+    Oracle recomputes the aggregate from the source table (the
+    round-trip is value-preserving)."""
+    tag = scratch_sf_tag(sf_dir)
+    out = scratch_dir(f"bloom_lineitem_{tag}")
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_orderkey").isin(7, 388, 1123))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
     "scan_python_datasource",
     oracle="""
 SELECT CAST(range AS BIGINT) AS event_id,
