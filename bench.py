@@ -118,6 +118,10 @@ HEADLINE = [
     "multimodal_bz2_multistream_walk",
     # r14 additions
     "multimodal_mediawiki_dump_parse",
+    "multimodal_webp_vp8l_decode",
+    "multimodal_heif_items_walk",
+    "graph_triangle_doulion",
+    "scan_parquet_bloom",
 ]
 
 
