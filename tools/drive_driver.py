@@ -48,6 +48,11 @@ HEAD = _head_commit()
 
 
 def _out_path() -> str:
+    # DRIVE_OUT overrides the artifact path entirely — the r14
+    # full-surface sf10 sweep runs as concurrent key-sharded processes
+    # that would otherwise all claim the same *_subset.json.
+    if os.environ.get("DRIVE_OUT"):
+        return os.environ["DRIVE_OUT"]
     base = os.path.basename(SF_DIR.rstrip("/"))
     if base.startswith("testdata_"):  # repo-local fixtures: testdata_sf10 -> sf10
         base = base[len("testdata_"):]

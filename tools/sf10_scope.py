@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sim_spark.queries  # noqa: F401
 from sim_spark.registry import QUERIES
 
-ROUND = 13
+ROUND = 14
 
 # r12 exclusions converted to sf10 passes in r13 (DRIVE_r13_sf10_subset.json)
 CONVERTED: dict[str, str] = {
@@ -94,7 +94,10 @@ EXCLUDE: dict[str, str] = {
         "exact wedge shuffle — UnsafeExternalSorter spill error in the "
         "degree-oriented wedge stage, same single-box scratch limit as "
         "graph_clustering_global. Cluster-shape sound (the shuffle "
-        "spreads over N executors' disks); sf1-verified"
+        "spreads over N executors' disks); sf1-verified. r14: the "
+        "family's measurable scale path is graph_triangle_doulion "
+        "(md5-derandomized 1-in-8 edge sampling, 64x less wedge "
+        "volume), IN scope this round — SCALE.md §31"
     ),
     "graph_clustering_global": (
         "NEW reason (r13): the ORACLE now stages fine (71 s); the SPARK "
@@ -124,17 +127,19 @@ def main() -> None:
     keys = sorted(QUERIES)
     include = [k for k in keys if k not in EXCLUDE]
     lines = [
-        f"# SCOPE — r{ROUND} sf10 drive scope (updates SCOPE_sf10_r12.md)",
+        f"# SCOPE — r{ROUND} sf10 drive scope (updates SCOPE_sf10_r13.md)",
         "",
         f"Registry: {len(keys)} keys. In scope for sf10: {len(include)}. "
         f"Excluded with reasons: {len(EXCLUDE)} (r12 excluded 22; r13 "
-        f"converted {len(CONVERTED)} exclusions to sf10 passes and added "
-        "the three new container keys to scope).",
+        f"converted {len(CONVERTED)} exclusions to sf10 passes; r14 adds "
+        "the WebP/HEIF/MediaWiki/bloom keys and graph_triangle_doulion "
+        "— the triangle family's sampled scale path — to scope).",
         "",
         "Fixture: testdata_sf10 (tools/gen_sf1.py --scale 10). Evidence: "
-        "DRIVE_r12_sf10_subset.json (357 keys, r12 HEAD) + "
-        "DRIVE_r13_sf10_subset.json (the newly-in-scope keys, r13 HEAD, "
-        "per-key commit stamps). Mechanisms that converted the fourteen: "
+        "DRIVE_r14_sf10.json — ONE full-surface sweep at ONE r14 HEAD "
+        "(r13 verdict task #1; supersedes the r12+r13 two-HEAD splice "
+        "of DRIVE_r12_sf10_subset.json + DRIVE_r13_sf10_subset.json). "
+        "Mechanisms that converted r12's fourteen exclusions: "
         "staged oracle evaluation (tools/staged_oracle.py — CTE-chain "
         "temp-table staging with eager drops, chunked audio signature "
         "build) and the float-quantized checksum compare "
