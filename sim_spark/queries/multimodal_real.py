@@ -3867,3 +3867,128 @@ def multimodal_heif_items_walk(
         "thumb_w_sum long, n_extents long, data_total long, "
         "data_sum long, n_properties long",
     )
+
+
+# --- Arithmetic-coded JPEG (SOF9, r14) ---------------------------------------
+
+from sim_spark.ops.jpeg_arith import (  # noqa: E402
+    decode_jpeg_arith,
+    encode_jpeg_arith_from_coeffs,
+)
+
+
+def _formula_jpeg_arith_coeffs(doc_id: int):
+    """Coefficient formula for the arithmetic key (distinct constants
+    from the Huffman key so the two fixtures differ): wb = 2 + doc%3,
+    hb = 1 + doc%4; DC(b) = ((doc + 19*b) % 45) - 22; AC at zigzag z
+    in 1..23 nonzero iff (doc + 5*b + 7*z) % 6 == 0, value
+    ((doc + 13*b + 11*z) % 25) - 12."""
+    import numpy as np
+
+    wb, hb = 2 + doc_id % 3, 1 + doc_id % 4
+    n = wb * hb
+    b = np.arange(n, dtype=np.int64)[:, None]
+    z = np.arange(64, dtype=np.int64)[None, :]
+    coeffs = np.where(
+        (z >= 1) & (z < 24) & ((doc_id + 5 * b + 7 * z) % 6 == 0),
+        (doc_id + 13 * b + 11 * z) % 25 - 12,
+        0,
+    )
+    coeffs[:, 0] = ((doc_id + 19 * b[:, 0]) % 45) - 22
+    return wb, hb, coeffs
+
+
+def _gen_jpeg_arith_payload(doc_id: int) -> bytes:
+    wb, hb, coeffs = _formula_jpeg_arith_coeffs(doc_id)
+    return encode_jpeg_arith_from_coeffs(wb, hb, coeffs)
+
+
+_gen_jpeg_arith_batches = _make_gen_batches(_gen_jpeg_arith_payload)
+
+
+def _jpeg_arith_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px, coeffs = decode_jpeg_arith(bytes(payload))
+            n = coeffs.shape[0]
+            b = np.arange(n, dtype=np.int64)[:, None]
+            z = np.arange(64, dtype=np.int64)[None, :]
+            rows.append(
+                (
+                    int(doc_id), w, h, n,
+                    int(coeffs[:, 0].sum()),
+                    int((coeffs[:, 1:] != 0).sum()),
+                    int(np.abs(coeffs).sum()),
+                    int(((z + 64 * b) * coeffs).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_blocks", "dc_sum",
+                     "ac_nonzero", "abs_sum", "zz_checksum"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_jpeg_arith_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 2 + (doc_id % 3) AS wb, 1 + (doc_id % 4) AS hb
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, wb, hb, bb.b, zz.z,
+         CASE
+           WHEN zz.z = 0 THEN ((doc_id + 19 * bb.b) % 45) - 22
+           WHEN zz.z < 24 AND (doc_id + 5 * bb.b + 7 * zz.z) % 6 = 0
+             THEN ((doc_id + 13 * bb.b + 11 * zz.z) % 25) - 12
+           ELSE 0
+         END AS coef
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, wb * hb)) AS b) bb,
+       LATERAL (SELECT unnest(range(0, 64)) AS z) zz
+)
+SELECT doc_id,
+       CAST(wb * 8 AS BIGINT) AS width,
+       CAST(hb * 8 AS BIGINT) AS height,
+       CAST(wb * hb AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN z = 0 THEN coef ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(sum(CASE WHEN z > 0 AND coef <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS ac_nonzero,
+       CAST(sum(abs(coef)) AS BIGINT) AS abs_sum,
+       CAST(sum((z + 64 * b) * coef) AS BIGINT) AS zz_checksum
+FROM cells GROUP BY doc_id, wb, hb
+""",
+)
+def multimodal_jpeg_arith_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arithmetic-coded JPEG decode end-to-end (r14 — closing the last
+    named gap in the r13 missing list): synthesize SOF9
+    extended-sequential files whose entropy layer is the T.81 Annex D
+    QM coder (113-state adaptive probability estimation, carry/stack
+    byte output, 0xFF00 stuffing) driving the §F.1.4.4 DC/AC decision
+    trees (difference-classified DC conditioning contexts, per-index
+    SE/S0/X1 AC bins, the Kx low/high band split, the non-adapting
+    equiprobable sign bin), then decode them back (ops/jpeg_arith.py)
+    and aggregate the RECOVERED quantized coefficients. The entropy
+    layer is exactly invertible, so the oracle — recomputing every
+    coefficient from the doc_id formula without seeing a byte —
+    hash-matches bit-exactly; a state-table, conditioning-context,
+    carry, or stuffing bug cannot cancel out of ``zz_checksum``.
+    Pixel parity with the Huffman twin (same coefficients -> identical
+    IDCT plane) is pinned in tests/test_jpeg_codec.py. Same 100 TB
+    shape as every container key: per-row mapInPandas decode, no
+    shuffle until the 8-column feature frame."""
+    d = _doc_ids(spark, sf_dir, heavy=True)
+    payloads = d.mapInPandas(_gen_jpeg_arith_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _jpeg_arith_feature_batches,
+        "doc_id long, width long, height long, n_blocks long, dc_sum long, "
+        "ac_nonzero long, abs_sum long, zz_checksum long",
+    )

@@ -522,3 +522,157 @@ def test_progressive_entry_points_reject_wrong_component_count():
     gray = encode_jpeg_progressive_from_coeffs(wb, hb, coeffs)
     with pytest.raises(ValueError, match="3-component"):
         decode_jpeg_progressive_color(gray)
+
+
+# --- arithmetic coding (ops/jpeg_arith.py, r14) ------------------------------
+
+
+def test_qm_table_invariants():
+    """Table D.3 structural pins: 113 adaptive states + the fixed
+    equiprobable sign bin; all transitions in range; the documented
+    switch-state set; every state reachable from the start state."""
+    from sim_spark.ops.jpeg_arith import _QM_TAB
+
+    assert len(_QM_TAB) == 114
+    for i, (qe, nlps, nmps, sw) in enumerate(_QM_TAB):
+        assert 0 < qe <= 0x5B12, (i, hex(qe))
+        assert 0 <= nlps <= 113 and 0 <= nmps <= 113, i
+    assert [i for i, r in enumerate(_QM_TAB) if r[3]] == [
+        0, 14, 36, 64, 80, 88, 95, 105, 110, 112]
+    seen, frontier = set(), {0}
+    while frontier:
+        s = frontier.pop()
+        if s not in seen:
+            seen.add(s)
+            frontier.update((_QM_TAB[s][1], _QM_TAB[s][2]))
+    assert len(seen - {113}) == 113
+    # the fixed bin never adapts
+    assert _QM_TAB[113][1] == _QM_TAB[113][2] == 113
+
+
+def test_qm_coder_roundtrip_property():
+    """Encoder and decoder implement the SEPARATE Annex D flowcharts
+    with different register conventions — agreement across random
+    adaptive streams is real evidence, not self-confirmation."""
+    import random
+
+    from sim_spark.ops.jpeg_arith import QMDecoder, QMEncoder
+
+    rng = random.Random(1414)
+    for trial in range(40):
+        n_ctx = rng.choice([1, 2, 8, 32])
+        n = rng.choice([1, 5, 100, 2000])
+        p1 = rng.choice([0.5, 0.95, 0.999, 0.02])
+        seq = [(rng.randrange(n_ctx), 1 if rng.random() < p1 else 0)
+               for _ in range(n)]
+        enc = QMEncoder()
+        st_e = bytearray(n_ctx)
+        for ctx, bit in seq:
+            enc.encode(st_e, ctx, bit)
+        data = enc.flush() + b"\xff\xd9"
+        # every 0xFF in the entropy bytes is stuffed (marker safety)
+        body = enc.out
+        for i, b in enumerate(body[:-1]):
+            if b == 0xFF:
+                assert body[i + 1] == 0x00, i
+        dec = QMDecoder(data, 0)
+        st_d = bytearray(n_ctx)
+        for j, (ctx, bit) in enumerate(seq):
+            assert dec.decode(st_d, ctx) == bit, (trial, j)
+
+
+def test_qm_coder_compresses_skew():
+    from sim_spark.ops.jpeg_arith import QMEncoder
+
+    enc = QMEncoder()
+    st = bytearray(1)
+    for i in range(10000):
+        enc.encode(st, 0, 1 if i % 100 == 0 else 0)
+    assert len(enc.flush()) < 300  # ~0.08 bits/decision: adaptation works
+
+
+def test_jpeg_arith_coeff_roundtrip_and_pixel_parity():
+    """Same coefficients through SOF9-arithmetic and baseline-Huffman
+    files: coefficients recover bit-exactly from both, pixels are
+    identical (the IDCT half is shared), and the arithmetic file is
+    smaller (the expected direction for the QM coder)."""
+    import numpy as np
+
+    from sim_spark.ops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+        formula_jpeg_coeffs,
+    )
+    from sim_spark.ops.jpeg_arith import (
+        decode_jpeg_arith,
+        encode_jpeg_arith_from_coeffs,
+    )
+
+    tot_a = tot_h = 0
+    for doc in range(120):
+        wb, hb, coeffs, _ = formula_jpeg_coeffs(doc)
+        fa = encode_jpeg_arith_from_coeffs(wb, hb, coeffs)
+        w, h, px, back = decode_jpeg_arith(fa)
+        assert (w, h) == (wb * 8, hb * 8)
+        assert np.array_equal(back, coeffs)
+        w2, h2, px2, _ = decode_jpeg(encode_jpeg_from_coeffs(wb, hb, coeffs))
+        assert np.array_equal(px, px2)
+        tot_a += len(fa)
+        tot_h += len(encode_jpeg_from_coeffs(wb, hb, coeffs))
+    assert tot_a < tot_h
+
+
+def test_jpeg_arith_extreme_coeffs():
+    """Large DC swings (deep magnitude categories + conditioning
+    switches) and dense AC blocks across the Kx band split."""
+    import numpy as np
+
+    from sim_spark.ops.jpeg_arith import (
+        decode_jpeg_arith,
+        encode_jpeg_arith_from_coeffs,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        wb, hb = 3, 2
+        coeffs = np.zeros((6, 64), dtype=np.int64)
+        coeffs[:, 0] = rng.integers(-1000, 1001, 6)  # deep DC categories
+        dense = rng.integers(-200, 201, (6, 63))
+        mask = rng.random((6, 63)) < 0.7
+        coeffs[:, 1:] = np.where(mask, dense, 0)
+        back = decode_jpeg_arith(
+            encode_jpeg_arith_from_coeffs(wb, hb, coeffs))[3]
+        assert np.array_equal(back, coeffs), trial
+    # all-zero image (every block EOBs immediately, DC context stays 0)
+    z = np.zeros((4, 64), dtype=np.int64)
+    assert np.array_equal(
+        decode_jpeg_arith(encode_jpeg_arith_from_coeffs(2, 2, z))[3], z)
+
+
+def test_jpeg_arith_typed_errors():
+    import numpy as np
+    import pytest
+
+    from sim_spark.ops.jpeg_arith import (
+        decode_jpeg_arith,
+        encode_jpeg_arith_from_coeffs,
+    )
+
+    c = np.zeros((1, 64), dtype=np.int64)
+    c[0, 0] = 5
+    f = encode_jpeg_arith_from_coeffs(1, 1, c)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_arith(f[2:])
+    with pytest.raises(ValueError, match="truncated segment"):
+        decode_jpeg_arith(f[:10])  # cut inside the APP0 body
+    with pytest.raises(ValueError, match="no SOS marker"):
+        decode_jpeg_arith(f[:20])  # cut at a segment boundary
+    # baseline SOF0 in place of SOF9 is a typed refusal
+    from sim_spark.ops.jpeg import encode_jpeg_from_coeffs
+
+    fh = encode_jpeg_from_coeffs(1, 1, c)
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg_arith(fh)
+    # bad coeff shape on the encoder side
+    with pytest.raises(ValueError, match="shape"):
+        encode_jpeg_arith_from_coeffs(2, 1, c)
