@@ -120,6 +120,7 @@ HEADLINE = [
     "multimodal_mediawiki_dump_parse",
     "multimodal_webp_vp8l_decode",
     "multimodal_heif_items_walk",
+    "multimodal_jpeg_arith_decode",
     "graph_triangle_doulion",
     "scan_parquet_bloom",
 ]
