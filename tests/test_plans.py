@@ -842,6 +842,23 @@ _HEADLINE_SPECS: dict[str, dict] = {
     "multimodal_mediawiki_dump_parse": dict(
         require=["MapInPandas"], forbid=["BatchEvalPython"]
     ),
+    "multimodal_webp_vp8l_decode": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
+    "multimodal_heif_items_walk": dict(
+        require=["MapInPandas"], forbid=["BatchEvalPython"]
+    ),
+    # heavy entropy decode: full fan-out like the other JPEG keys
+    "multimodal_jpeg_arith_decode": dict(
+        require=["MapInPandas", "RoundRobinPartitioning"],
+        forbid=["BatchEvalPython"]
+    ),
+    # the sampled wedge join must stay an equi-join (no cartesian);
+    # the only BNLJ is the 1-row count attach
+    "graph_triangle_doulion": dict(
+        bnlj=2,
+        require=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    ),
 }
 
 
