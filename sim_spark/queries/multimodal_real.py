@@ -3992,3 +3992,260 @@ def multimodal_jpeg_arith_decode(
         "doc_id long, width long, height long, n_blocks long, dc_sum long, "
         "ac_nonzero long, abs_sum long, zz_checksum long",
     )
+
+
+# --- TFRecord + Avro OCF: the training-data interchange shards (r14) ---------
+
+from sim_spark.ops.tfrecord import (  # noqa: E402
+    encode_example,
+    encode_tfrecord_file,
+    parse_example,
+    parse_tfrecord_file,
+)
+from sim_spark.ops.avro import encode_avro_ocf, parse_avro_ocf  # noqa: E402
+
+
+def _gen_tfrecord_payload(doc_id: int) -> bytes:
+    """Deterministic TFRecord shard: 1 + doc%4 Example records; record
+    r carries an Int64List "ids" (count 2 + (doc+r)%3, value j =
+    (7*doc + 11*r + 3*j) % 1000), a single-element BytesList "text"
+    (length 5 + (doc+3r)%20, byte j = (5*doc + 7*r + j) % 95 + 32)
+    and a FloatList "w" (count 1 + (doc+r)%2, values j + 0.5 — parsed,
+    counted, never value-aggregated across the hash boundary)."""
+    recs = []
+    for r in range(1 + doc_id % 4):
+        ex = dict(
+            ids=[(7 * doc_id + 11 * r + 3 * j) % 1000
+                 for j in range(2 + (doc_id + r) % 3)],
+            text=[bytes((5 * doc_id + 7 * r + j) % 95 + 32
+                        for j in range(5 + (doc_id + 3 * r) % 20))],
+            w=[j + 0.5 for j in range(1 + (doc_id + r) % 2)],
+        )
+        recs.append(encode_example(ex))
+    return encode_tfrecord_file(recs)
+
+
+_gen_tfrecord_batches = _make_gen_batches(_gen_tfrecord_payload)
+
+
+def _tfrecord_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            exs = [parse_example(r)
+                   for r in parse_tfrecord_file(bytes(payload))]
+            ids = [v for ex in exs for v in ex["ids"][1]]
+            texts = [b for ex in exs for b in ex["text"][1]]
+            rows.append(
+                (
+                    int(doc_id),
+                    len(exs),
+                    len(ids),
+                    sum(ids),
+                    sum(len(b) for b in texts),
+                    sum(byte for b in texts for byte in b),
+                    sum(len(ex["w"][1]) for ex in exs),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_records", "ids_count", "ids_sum",
+                     "text_bytes", "text_sum", "float_count"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_tfrecord_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+),
+r AS (
+  SELECT doc_id, rr.r,
+         2 + (doc_id + rr.r) % 3 AS n_ids,
+         5 + (doc_id + 3 * rr.r) % 20 AS t_len,
+         1 + (doc_id + rr.r) % 2 AS n_fl
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS r) rr
+),
+idsum AS (
+  SELECT doc_id, COUNT(*) AS cnt,
+         SUM((7 * doc_id + 11 * r + 3 * jj.j) % 1000) AS s
+  FROM r, LATERAL (SELECT unnest(range(0, n_ids)) AS j) jj
+  GROUP BY doc_id
+),
+tsum AS (
+  SELECT doc_id, SUM((5 * doc_id + 7 * r + jj.j) % 95 + 32) AS s
+  FROM r, LATERAL (SELECT unnest(range(0, t_len)) AS j) jj
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_records,
+       CAST(idsum.cnt AS BIGINT) AS ids_count,
+       CAST(idsum.s AS BIGINT) AS ids_sum,
+       CAST((SELECT SUM(t_len) FROM r WHERE r.doc_id = p.doc_id)
+            AS BIGINT) AS text_bytes,
+       CAST(tsum.s AS BIGINT) AS text_sum,
+       CAST((SELECT SUM(n_fl) FROM r WHERE r.doc_id = p.doc_id)
+            AS BIGINT) AS float_count
+FROM p JOIN idsum ON p.doc_id = idsum.doc_id
+JOIN tsum ON p.doc_id = tsum.doc_id
+""",
+)
+def multimodal_tfrecord_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shard walk (r14) — THE sharded training-data format.
+    ops/tfrecord.py implements the stack dependency-free: crc32c
+    (Castagnoli, pinned by published test vectors), TensorFlow's
+    masked-CRC framing VERIFIED on both the length header and payload
+    of every record (the WARC-digest stance), the general protobuf
+    wire layer (varints, 4 wire types, unknown-field skip), and the
+    tf.train.Example message graph (Features map entries, the
+    BytesList/FloatList/Int64List oneof, packed AND unpacked numeric
+    lists). The oracle recomputes record counts, id sums and text
+    byte sums from the synthesis formulas in integer SQL; the
+    FloatList arm is parsed and counted but never value-aggregated
+    across the hash boundary. Light fan-out class: Arrow-batched
+    mapInPandas, no shuffle until the 7-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_tfrecord_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _tfrecord_feature_batches,
+        "doc_id long, n_records long, ids_count long, ids_sum long, "
+        "text_bytes long, text_sum long, float_count long",
+    )
+
+
+def _gen_avro_payload(doc_id: int) -> bytes:
+    """Deterministic Avro OCF: 2 + doc%5 flat records in 2-record
+    blocks, deflate codec on even docs; record i: id = doc*100 + i,
+    name char j = chr((11*doc + 3*i + j) % 26 + 97) over length
+    3 + (doc+i)%5, blob byte j = (13*doc + 5*i + 7*j) % 256 over
+    length 2 + (doc+i)%6, score = i + 0.25 (exact quarters), ok =
+    (doc + i) % 3 == 0. Sync marker derived from doc_id (md5) so the
+    fixture is fully deterministic."""
+    import hashlib
+
+    schema = {
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "blob", "type": "bytes"},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+    recs = []
+    for i in range(2 + doc_id % 5):
+        recs.append(
+            dict(
+                id=doc_id * 100 + i,
+                name="".join(chr((11 * doc_id + 3 * i + j) % 26 + 97)
+                             for j in range(3 + (doc_id + i) % 5)),
+                blob=bytes((13 * doc_id + 5 * i + 7 * j) % 256
+                           for j in range(2 + (doc_id + i) % 6)),
+                score=i + 0.25,
+                ok=(doc_id + i) % 3 == 0,
+            )
+        )
+    return encode_avro_ocf(
+        schema, recs,
+        sync=hashlib.md5(f"sync{doc_id}".encode()).digest(),
+        codec="deflate" if doc_id % 2 == 0 else "null",
+        records_per_block=2,
+    )
+
+
+_gen_avro_batches = _make_gen_batches(_gen_avro_payload)
+
+
+def _avro_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            r = parse_avro_ocf(bytes(payload))
+            recs = r["records"]
+            rows.append(
+                (
+                    int(doc_id),
+                    len(recs),
+                    r["n_blocks"],
+                    sum(x["id"] for x in recs),
+                    sum(ord(c) for x in recs for c in x["name"]),
+                    sum(b for x in recs for b in x["blob"]),
+                    int(sum(round(x["score"] * 4) for x in recs)),
+                    sum(1 for x in recs if x["ok"]),
+                    1 if r["codec"] == "deflate" else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_records", "n_blocks", "id_sum",
+                     "name_sum", "blob_sum", "score_qsum", "ok_count",
+                     "codec_deflate"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_avro_ocf_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 5 AS n FROM documents
+),
+r AS (
+  SELECT doc_id, ii.i,
+         3 + (doc_id + ii.i) % 5 AS name_len,
+         2 + (doc_id + ii.i) % 6 AS blob_len
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) ii
+),
+nsum AS (
+  SELECT doc_id, SUM((11 * doc_id + 3 * i + jj.j) % 26 + 97) AS s
+  FROM r, LATERAL (SELECT unnest(range(0, name_len)) AS j) jj
+  GROUP BY doc_id
+),
+bsum AS (
+  SELECT doc_id, SUM((13 * doc_id + 5 * i + 7 * jj.j) % 256) AS s
+  FROM r, LATERAL (SELECT unnest(range(0, blob_len)) AS j) jj
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_records,
+       CAST((p.n + 1) // 2 AS BIGINT) AS n_blocks,
+       CAST(p.doc_id * 100 * p.n + p.n * (p.n - 1) / 2 AS BIGINT) AS id_sum,
+       CAST(nsum.s AS BIGINT) AS name_sum,
+       CAST(bsum.s AS BIGINT) AS blob_sum,
+       CAST(2 * p.n * (p.n - 1) + p.n AS BIGINT) AS score_qsum,
+       CAST((SELECT COUNT(*) FROM r
+             WHERE r.doc_id = p.doc_id
+               AND (r.doc_id + r.i) % 3 = 0) AS BIGINT) AS ok_count,
+       CAST(CASE WHEN p.doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS codec_deflate
+FROM p JOIN nsum ON p.doc_id = nsum.doc_id
+JOIN bsum ON p.doc_id = bsum.doc_id
+""",
+)
+def multimodal_avro_ocf_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File walk (r14) — the interchange format
+    of Kafka dumps and warehouse exports. ops/avro.py walks the
+    container per the public Avro spec: metadata map (avro.schema
+    JSON + avro.codec), per-block sync-marker VERIFICATION,
+    byte-size cross-checks, raw-deflate blocks under the shared
+    decompression-bomb budget, and a schema-AST datum decoder for
+    flat records of primitives (zigzag varlongs, length-prefixed
+    UTF-8, IEEE doubles, booleans). The fixture cycles null/deflate
+    codecs and multi-record blocks; score values are exact quarters
+    so the double arm aggregates as an exact integer (score_qsum =
+    4x sum). Oracle recomputes everything from the synthesis
+    formulas in integer SQL. Light fan-out class: Arrow-batched
+    mapInPandas, no shuffle until the 9-column feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_avro_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _avro_feature_batches,
+        "doc_id long, n_records long, n_blocks long, id_sum long, "
+        "name_sum long, blob_sum long, score_qsum long, ok_count long, "
+        "codec_deflate long",
+    )

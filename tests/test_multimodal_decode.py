@@ -1277,3 +1277,108 @@ def test_heif_item_walk_roundtrip_and_typed_errors():
     f[hp:hp + 4] = b"vide"
     with pytest.raises(ValueError, match="not 'pict'"):
         parse_heif_meta(bytes(f))
+
+
+def test_crc32c_known_answer_vectors():
+    """Published Castagnoli vectors (RFC 3720 / CRC catalog) pin the
+    polynomial, reflection and init/xor conventions — an EXTERNAL
+    oracle, unlike round-trips."""
+    from sim_spark.ops.tfrecord import crc32c, masked_crc32c
+
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+    # TF mask is an involution-free transform; spot-check the formula
+    c = crc32c(b"123456789")
+    assert masked_crc32c(b"123456789") == (
+        (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def test_tfrecord_example_roundtrip_and_typed_errors():
+    from sim_spark.ops.tfrecord import (
+        encode_example,
+        encode_tfrecord_file,
+        parse_example,
+        parse_tfrecord_file,
+    )
+
+    ex = dict(
+        ids=[0, 1, -1, 2**40, -(2**40)],
+        text=[b"hello", b"", b"\xff\x00"],
+        w=[0.5, -2.25, 1e10],
+    )
+    back = parse_example(encode_example(ex))
+    assert back["ids"] == ("int64", ex["ids"])
+    assert back["text"] == ("bytes", ex["text"])
+    assert back["w"][0] == "float" and back["w"][1][:2] == [0.5, -2.25]
+    # unpacked int64 encoding is also accepted (legal on the wire)
+    from sim_spark.ops.tfrecord import _key, _ld, _varint
+
+    unpacked = _ld(3, _key(1, 0) + _varint(7) + _key(1, 0) + _varint(9))
+    feat = _ld(1, _ld(1, b"k") + _ld(2, unpacked))
+    msg = _ld(1, feat)
+    assert parse_example(msg)["k"] == ("int64", [7, 9])
+    # framing + CRC verification
+    recs = [encode_example(ex), b"", b"x" * 1000]
+    f = encode_tfrecord_file(recs)
+    assert parse_tfrecord_file(f) == recs
+    bad = bytearray(f)
+    bad[13] ^= 0x40  # flip a data byte in record 0
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_tfrecord_file(bytes(bad))
+    bad = bytearray(f)
+    bad[3] ^= 1  # flip a length byte -> length CRC fails first
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_tfrecord_file(bytes(bad))
+    with pytest.raises(ValueError, match="truncated record"):
+        parse_tfrecord_file(f[:-2])
+    # oneof with two arms set is refused
+    feat_two = _ld(1, _ld(1, b"x")) + _ld(3, b"")  # BytesList AND Int64List
+    entry = _ld(1, b"k") + _ld(2, feat_two)
+    with pytest.raises(ValueError, match="oneof"):
+        parse_example(_ld(1, _ld(1, entry)))
+
+
+def test_avro_ocf_roundtrip_and_typed_errors():
+    import hashlib
+    import json as _json
+
+    from sim_spark.ops.avro import encode_avro_ocf, parse_avro_ocf
+
+    schema = {"type": "record", "name": "T", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "ok", "type": "boolean"},
+    ]}
+    recs = [dict(id=(-1) ** i * (i ** 3), s=f"v{i}" * (i % 4),
+                 b=bytes([i % 256]) * (i % 3), d=i + 0.25, f=float(i),
+                 ok=bool(i % 2)) for i in range(40)]
+    sync = hashlib.md5(b"s").digest()
+    for codec in ("null", "deflate"):
+        r = parse_avro_ocf(encode_avro_ocf(schema, recs, sync,
+                                           codec=codec,
+                                           records_per_block=6))
+        assert r["records"] == recs
+        assert r["n_blocks"] == 7
+        assert r["schema"]["name"] == "T"
+    f = encode_avro_ocf(schema, recs, sync, records_per_block=10)
+    with pytest.raises(ValueError, match="bad avro magic"):
+        parse_avro_ocf(b"Obj\x02" + f[4:])
+    bad = bytearray(f)
+    bad[f.index(sync, f.index(sync, 4) + 16)] ^= 1
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        parse_avro_ocf(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        encode_avro_ocf(schema, recs, sync, codec="snappy")
+    nested = {"type": "record", "name": "N", "fields": [
+        {"name": "x", "type": {"type": "array", "items": "long"}}]}
+    with pytest.raises(ValueError, match="unsupported type"):
+        encode_avro_ocf(nested, [], sync)
+    with pytest.raises(ValueError, match="missing avro.schema"):
+        # strip metadata: magic + empty map + sync, no schema entry
+        parse_avro_ocf(b"Obj\x01" + b"\x00" + sync)
