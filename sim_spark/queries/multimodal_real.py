@@ -4249,3 +4249,121 @@ def multimodal_avro_ocf_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_sum long, blob_sum long, score_qsum long, ok_count long, "
         "codec_deflate long",
     )
+
+
+# --- Parquet footer walk: thrift compact protocol (r14) ----------------------
+
+from sim_spark.ops.parquet_meta import parse_parquet_footer  # noqa: E402
+
+
+def _gen_parquet_payload(doc_id: int) -> bytes:
+    """A REAL parquet file written by pyarrow (a third-party writer,
+    so the parse is interop, not self-confirmation): n = 10 + doc%50
+    rows in exact 4-row row groups, id_j = (7*doc + 13*j) % 1000
+    (int64, statistics formula-predictable per group) plus a double
+    column the key ignores."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10 + doc_id % 50
+    ids = np.array([(7 * doc_id + 13 * j) % 1000 for j in range(n)],
+                   dtype=np.int64)
+    t = pa.table({"id": ids, "val": np.arange(n, dtype=np.float64)})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=4, compression="snappy")
+    return buf.getvalue()
+
+
+_gen_parquet_batches = _make_gen_batches(_gen_parquet_payload)
+
+
+def _parquet_footer_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            r = parse_parquet_footer(bytes(payload))
+            idcols = [
+                (g, c)
+                for g, rg in enumerate(r["row_groups"])
+                for c in rg["columns"]
+                if c["path"] == "id"
+            ]
+            rows.append(
+                (
+                    int(doc_id),
+                    r["num_rows"],
+                    len(r["row_groups"]),
+                    len(r["row_groups"][0]["columns"]),
+                    sum((g + 1) * c["num_values"] for g, c in idcols),
+                    sum(c["stats"]["min_value"] for _, c in idcols),
+                    sum(c["stats"]["max_value"] for _, c in idcols),
+                    sum(c["stats"].get("null_count", 0)
+                        for _, c in idcols),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "num_rows", "n_row_groups", "n_columns",
+                     "nv_checksum", "min_sum", "max_sum", "null_sum"],
+        ).astype("int64")
+
+
+@query(
+    "multimodal_parquet_footer_walk",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 10 + doc_id % 50 AS n FROM documents
+),
+cells AS (
+  SELECT doc_id, n, jj.j, jj.j // 4 AS g,
+         (7 * doc_id + 13 * jj.j) % 1000 AS id_val
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS j) jj
+),
+grp AS (
+  SELECT doc_id, g, COUNT(*) AS nv, MIN(id_val) AS mn, MAX(id_val) AS mx
+  FROM cells GROUP BY doc_id, g
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS num_rows,
+       CAST((p.n + 3) // 4 AS BIGINT) AS n_row_groups,
+       CAST(2 AS BIGINT) AS n_columns,
+       CAST((SELECT SUM((g + 1) * nv) FROM grp
+             WHERE grp.doc_id = p.doc_id) AS BIGINT) AS nv_checksum,
+       CAST((SELECT SUM(mn) FROM grp WHERE grp.doc_id = p.doc_id)
+            AS BIGINT) AS min_sum,
+       CAST((SELECT SUM(mx) FROM grp WHERE grp.doc_id = p.doc_id)
+            AS BIGINT) AS max_sum,
+       CAST(0 AS BIGINT) AS null_sum
+FROM p
+""",
+)
+def multimodal_parquet_footer_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet footer walk (r14) — the format the engine lives on,
+    parsed from the bytes up: the Thrift COMPACT protocol
+    (varint/zigzag, delta field ids, nested structs, skip-by-type
+    forward compatibility) over the parquet-format FileMetaData
+    schema (ops/parquet_meta.py). The fixture is written by PYARROW
+    with exact 4-row row groups, so the walk is a real third-party
+    interop check, and the per-group INT64 statistics (min/max
+    decoded from their PLAIN encoding) are formula-predictable —
+    the oracle recomputes row-group boundaries, num_values and
+    min/max sums in integer SQL. The same parser proves
+    scan_parquet_bloom's physical claim in tests/test_plans.py:
+    parquet-mr's bloom_filter_offset is present on every chunk of
+    the bloom file and absent on the twin. Light fan-out class:
+    Arrow-batched mapInPandas, no shuffle until the 8-column
+    feature frame."""
+    d = _doc_ids(spark, sf_dir)
+    payloads = d.mapInPandas(_gen_parquet_batches, _PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(
+        _parquet_footer_feature_batches,
+        "doc_id long, num_rows long, n_row_groups long, n_columns long, "
+        "nv_checksum long, min_sum long, max_sum long, null_sum long",
+    )

@@ -1106,6 +1106,28 @@ def test_parquet_bloom_rowgroup_skip(spark, tmp_path):
     assert scan_output_rows(off_dir) == 200_000, (
         "bloom-less twin should stream every row through the scan"
     )
+    # physical proof, not just the metric: the from-scratch footer walk
+    # (ops/parquet_meta.py) shows parquet-mr wrote a bloom_filter_offset
+    # on every chunk of the bloom file and none on the twin
+    import glob as _glob
+
+    from sim_spark.ops.parquet_meta import parse_parquet_footer
+
+    def bloom_chunks(d):
+        offs = []
+        for f in _glob.glob(d + "/part-*.parquet"):
+            r = parse_parquet_footer(open(f, "rb").read())
+            offs += [
+                c["bloom_filter_offset"]
+                for rg in r["row_groups"]
+                for c in rg["columns"]
+                if c["path"] == "k"
+            ]
+        return offs
+
+    on_offs, off_offs = bloom_chunks(on_dir), bloom_chunks(off_dir)
+    assert on_offs and all(o is not None for o in on_offs), on_offs
+    assert all(o is None for o in off_offs), off_offs
     # and the registry key's plan carries the pushed IN predicate
     p = plan(spark, "scan_parquet_bloom")
     assert "PushedFilters: [In(l_orderkey" in p, p
