@@ -33,7 +33,13 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(f"SET memory_limit='{mem}'")
     tmpcap = os.environ.get("SIM_SPARK_DUCKDB_TEMPCAP")
     if tmpcap:
-        con.execute("SET temp_directory='/root/repo/.tmp'")
+        # Per-PID temp dir: concurrent sweep shards sharing one
+        # temp_directory DELETE EACH OTHER'S spill files — DuckDB
+        # aborts with an IO "Could not remove file" terminate (r14
+        # sweep post-mortem; three shards died this way).
+        con.execute(
+            f"SET temp_directory='/root/repo/.tmp/pid{os.getpid()}'"
+        )
         con.execute(f"SET max_temp_directory_size='{tmpcap}'")
     safe_dir = sf_dir.replace("'", "''")  # quote-escape: paths are data
     for t in TABLES:
