@@ -264,7 +264,19 @@ STAGED_KEYS = {
     if k.strip()
 }
 
-for k in sorted(qs):
+# DRIVE_KEYS order is honored when given (r14: concurrent sweep
+# shards run forward + REVERSED lists so they meet in the middle —
+# a sorted() here silently made the reversed twin duplicate its
+# forward sibling key for key); default stays sorted.
+if os.environ.get("DRIVE_KEYS"):
+    _order = [
+        k.strip()
+        for k in os.environ["DRIVE_KEYS"].split(",")
+        if k.strip() and k.strip() in qs
+    ]
+else:
+    _order = sorted(qs)
+for k in _order:
     if k in _skip:
         results[k] = _skip[k]
         continue
