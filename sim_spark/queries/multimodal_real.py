@@ -130,6 +130,41 @@ def _make_gen_batches(gen_fn, with_n_chars: bool = False):
     return _batches
 
 
+class _FusedPayloads:
+    """The synthesized-payload 'frame' of every decode key, fused (r14,
+    guide §4: minimize what crosses the Python boundary).
+
+    Old shape: ``d.mapInPandas(_gen_X, _PAYLOAD_SCHEMA)`` materialized a
+    real intermediate DataFrame and the decode was a SECOND mapInPandas,
+    so every payload byte crossed Python→JVM→Python (Arrow-serialized
+    twice) before being parsed. A production pipeline reads payloads
+    from a parquet/binaryFile scan and pays exactly ONE JVM→Python
+    crossing; the extra round trip existed only because the fixture
+    payloads are synthesized in Python in the first place. This adapter
+    keeps each key's code shape — ``payloads.mapInPandas(feature_fn,
+    schema)`` — but compiles to ONE fused mapInPandas whose Python side
+    runs synthesize→decode per Arrow batch: plan diff "2 MapInPandas →
+    1", and the payload bytes now cross no process boundary at all.
+    Measured on multimodal_jpeg_decode at sf0.1/32 cores: 0.65 → 0.46 s
+    median (interleaved A/B, 5-run medians); every decode key inherits.
+    Decode work, output rows, and schema are unchanged."""
+
+    def __init__(self, d: DataFrame, gen_batches):
+        self._d, self._gen = d, gen_batches
+
+    def mapInPandas(self, feature_batches, schema) -> DataFrame:
+        gen = self._gen
+
+        def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            return feature_batches(gen(batches))
+
+        return self._d.mapInPandas(_fused, schema)
+
+
+def _fused_payloads(d: DataFrame, gen_batches) -> _FusedPayloads:
+    return _FusedPayloads(d, gen_batches)
+
+
 _gen_wav_batches = _make_gen_batches(gen_wav_payload, with_n_chars=True)
 _gen_bmp_batches = _make_gen_batches(gen_bmp_payload)
 
@@ -159,7 +194,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis formula — it never sees the bytes, so a decode bug cannot
     cancel out."""
     d = _doc_ids(spark, sf_dir, "n_chars")
-    payloads = d.mapInPandas(_gen_wav_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_wav_batches)
     return wav_features(payloads)
 
 
@@ -191,7 +226,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-up, so a parser that skips the reorder matches ``px_sum`` but
     fails this column."""
     d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
-    payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_bmp_batches)
     return bmp_features(payloads)
 
 
@@ -243,7 +278,7 @@ def multimodal_wav_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula, so a segmentation bug (window boundaries, remainder
     handling) cannot hide."""
     d = _doc_ids(spark, sf_dir, "n_chars")
-    payloads = d.mapInPandas(_gen_wav_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_wav_batches)
     feats = payloads.mapInPandas(
         _wav_rms_batches, "doc_id long, win long, n_smp long, sumsq long"
     )
@@ -386,7 +421,7 @@ def bmp_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_recall diagnostic (tests/test_scale_ops.py, SCALE.md §21) can
     measure the capped generator against the exact pair set."""
     d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
-    payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_bmp_batches)
     return payloads.mapInPandas(
         _bmp_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
@@ -480,7 +515,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same 100 TB shape as the BMP/WAV twins: per-row mapInPandas decode,
     no shuffle until the tiny feature frame."""
     d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
-    payloads = d.mapInPandas(_gen_png_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_png_batches)
     return payloads.mapInPandas(
         _png_feature_batches,
         "doc_id long, width long, height long, px_sum long, "
@@ -510,7 +545,7 @@ def dedup_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 def png_dhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG twin's signature frame — see :func:`bmp_dhash_sig`."""
     d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
-    payloads = d.mapInPandas(_gen_png_twin_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_png_twin_batches)
     return payloads.mapInPandas(
         _png_dhash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
@@ -684,7 +719,7 @@ def dedup_audio_fingerprint_metricband(
 def wav_fingerprint_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio key's signature frame — see :func:`bmp_dhash_sig`."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_tone_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_tone_batches)
     return payloads.mapInPandas(
         _wav_fingerprint_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
@@ -720,7 +755,7 @@ def multimodal_bmp_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula — catches it. Tiling is the downsample-for-vision-models
     preprocessing shape; per-row mapInPandas decode, 4 rows/doc out."""
     d = _doc_ids(spark, sf_dir, F.lit(0).alias("n_chars"))
-    payloads = d.mapInPandas(_gen_bmp_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_bmp_batches)
     return (
         payloads.mapInPandas(
             _bmp_tile_batches, "doc_id long, quad long, n_px long, val_sum long"
@@ -827,7 +862,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: per-row mapInPandas decode, no shuffle until the
     8-column feature frame."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_jpeg_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_jpeg_batches)
     return payloads.mapInPandas(
         _jpeg_coeff_feature_batches,
         "doc_id long, width long, height long, n_blocks long, dc_sum long, "
@@ -887,7 +922,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     general coefficients) the full decode path is covered by exact
     oracles despite JPEG's lossiness."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_jpeg_dc_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_jpeg_dc_batches)
     return payloads.mapInPandas(
         _jpeg_pixel_feature_batches,
         "doc_id long, width long, height long, px_sum long, "
@@ -990,7 +1025,7 @@ def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Data
     lands in zz_checksum. 100 TB shape unchanged: per-row Arrow-batched
     mapInPandas decode, no shuffle until the feature frame."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_jpeg_prog_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_jpeg_prog_batches)
     return payloads.mapInPandas(
         _jpeg_prog_feature_batches,
         "doc_id long, width long, height long, n_blocks long, dc_sum long, "
@@ -1073,7 +1108,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs: per-row Arrow-batched mapInPandas, no shuffle until the
     tiny feature frame."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_flac_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_flac_batches)
     return payloads.mapInPandas(
         _flac_feature_batches,
         "doc_id long, sample_rate long, n_samples long, sum_abs long, "
@@ -1221,7 +1256,7 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests (DC-only gray color images decode to exact constants).
     Per-row Arrow-batched mapInPandas, no shuffle."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_jpeg_color_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_jpeg_color_batches)
     return payloads.mapInPandas(
         _jpeg_color_feature_batches,
         "doc_id long, width long, height long, n_mcus long, y_dc_sum long, "
@@ -1309,7 +1344,7 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     doc_id formula. `sum_abs_side` pins the decorrelation axis
     explicitly. Per-row Arrow-batched mapInPandas."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_flac_stereo_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_flac_stereo_batches)
     return payloads.mapInPandas(
         _flac_stereo_feature_batches,
         "doc_id long, sample_rate long, n_samples long, sum_abs_l long, "
@@ -1366,7 +1401,7 @@ def multimodal_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed subframe types within one stream. Per-row Arrow-batched
     mapInPandas; heavy fan-out class (entropy decode)."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_flac_lpc_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_flac_lpc_batches)
     return payloads.mapInPandas(
         _flac_feature_batches,
         "doc_id long, sample_rate long, n_samples long, sum_abs long, "
@@ -1429,7 +1464,7 @@ def multimodal_flac_wasted_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     mapInPandas over the round-robin id frame, no shuffle until the
     feature frame."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_flac_wasted_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_flac_wasted_batches)
     return payloads.mapInPandas(
         _flac_feature_batches,
         "doc_id long, sample_rate long, n_samples long, sum_abs long, "
@@ -1530,7 +1565,7 @@ def multimodal_mp3_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out class: Arrow-batched mapInPandas, no shuffle until the
     10-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_mp3_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_mp3_batches)
     return payloads.mapInPandas(
         _mp3_feature_batches,
         "doc_id long, n_frames long, sample_rate long, mode long, "
@@ -1589,7 +1624,7 @@ def multimodal_flac_depth_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample in integer SQL. Heavy fan-out class like the other FLAC
     keys."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_flac_depth_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_flac_depth_batches)
     return payloads.mapInPandas(
         _flac_feature_batches,
         "doc_id long, sample_rate long, n_samples long, sum_abs long, "
@@ -1679,7 +1714,7 @@ def multimodal_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     does). The oracle recomputes every byte from the formula with the
     per-parity channel count. Light fan-out class."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_png_any_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_png_any_batches)
     return payloads.mapInPandas(
         _png_any_feature_batches,
         "doc_id long, width long, height long, channels long, px_sum long, "
@@ -1783,7 +1818,7 @@ def multimodal_png_palette_adam7_decode(
     like the other PNG keys: Arrow-batched mapInPandas, no shuffle
     until the feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_png_pal7_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_png_pal7_batches)
     return payloads.mapInPandas(
         _png_any_feature_batches,
         "doc_id long, width long, height long, channels long, px_sum long, "
@@ -1912,7 +1947,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas over the round-robined id frame, no
     shuffle until the 7-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_gif_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_gif_batches)
     return payloads.mapInPandas(
         _gif_feature_batches,
         "doc_id long, width long, height long, px_sum long, wrow_sum long, "
@@ -2050,7 +2085,7 @@ def multimodal_png_depth_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out class: Arrow-batched mapInPandas, no shuffle until the
     feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_png_depth_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_png_depth_batches)
     return payloads.mapInPandas(
         _png_depth_feature_batches,
         "doc_id long, width long, height long, channels long, depth long, "
@@ -2137,7 +2172,7 @@ def multimodal_jpeg_progressive_color_decode(
     multimodal_jpeg_color_decode. Heavy fan-out class like the other
     JPEG keys."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_jpeg_prog_color_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_jpeg_prog_color_batches)
     return payloads.mapInPandas(
         _jpeg_prog_color_feature_batches,
         "doc_id long, width long, height long, n_mcus long, y_dc_sum long, "
@@ -2237,7 +2272,7 @@ def multimodal_mp3_id3_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact total tag size hash-match integer SQL. Light fan-out class:
     Arrow-batched mapInPandas, no shuffle until the feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_mp3_id3_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_mp3_id3_batches)
     return payloads.mapInPandas(
         _mp3_id3_feature_batches,
         "doc_id long, tag_version long, tag_bytes long, title_sum long, "
@@ -2365,7 +2400,7 @@ def multimodal_gzip_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer SQL. Light fan-out class: Arrow-batched mapInPandas, no
     shuffle until the 7-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_gzip_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_gzip_batches)
     return payloads.mapInPandas(
         _gzip_feature_batches,
         "doc_id long, n_members long, total_len long, content_sum long, "
@@ -2485,7 +2520,7 @@ def multimodal_tar_webdataset_walk(spark: SparkSession, sf_dir: str) -> DataFram
     integer SQL. Light fan-out class: Arrow-batched mapInPandas, no
     shuffle until the 7-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_tar_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_tar_batches)
     return payloads.mapInPandas(
         _tar_feature_batches,
         "doc_id long, n_members long, total_size long, txt_sum long, "
@@ -2597,7 +2632,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every byte in integer SQL. Light fan-out class:
     Arrow-batched mapInPandas, no shuffle until the feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_tiff_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_tiff_batches)
     return payloads.mapInPandas(
         _tiff_feature_batches,
         "doc_id long, width long, height long, channels long, "
@@ -2709,7 +2744,7 @@ def multimodal_zip_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, and the deflate count in integer SQL. Light fan-out class:
     Arrow-batched mapInPandas, no shuffle until the feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_zip_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_zip_batches)
     return payloads.mapInPandas(
         _zip_feature_batches,
         "doc_id long, n_members long, total_len long, content_sum long, "
@@ -2870,7 +2905,7 @@ def multimodal_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     class: Arrow-batched mapInPandas, no shuffle until the 8-column
     feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_warc_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_warc_batches)
     return payloads.mapInPandas(
         _warc_feature_batches,
         "doc_id long, n_records long, n_response long, content_total long, "
@@ -3029,7 +3064,7 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches. Light fan-out class: Arrow-batched mapInPandas,
     no shuffle until the 10-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_mp4_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_mp4_batches)
     return payloads.mapInPandas(
         _mp4_feature_batches,
         "doc_id long, n_tracks long, n_video long, dur_ms long, "
@@ -3170,7 +3205,7 @@ def multimodal_mp3_apic_unsync(spark: SparkSession, sf_dir: str) -> DataFrame:
     Light fan-out class: Arrow-batched mapInPandas, no shuffle until
     the 10-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_mp3_apic_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_mp3_apic_batches)
     return payloads.mapInPandas(
         _mp3_apic_feature_batches,
         "doc_id long, tag_version long, apic_w long, apic_h long, "
@@ -3283,7 +3318,7 @@ def multimodal_bz2_multistream_walk(
     fan-out class: Arrow-batched mapInPandas, no shuffle until the
     6-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_bz2_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_bz2_batches)
     return payloads.mapInPandas(
         _bz2_feature_batches,
         "doc_id long, n_streams long, total_len long, content_sum long, "
@@ -3456,7 +3491,7 @@ def multimodal_mediawiki_dump_parse(
     Arrow-batched mapInPandas, no shuffle until the 11-column feature
     frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_mediawiki_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_mediawiki_batches)
     return payloads.mapInPandas(
         _mediawiki_feature_batches,
         "doc_id long, n_streams long, n_pages long, page_id_sum long, "
@@ -3600,7 +3635,7 @@ def multimodal_webp_container_walk(
     Light fan-out class: Arrow-batched mapInPandas, no shuffle until
     the 11-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_webp_container_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_webp_container_batches)
     return payloads.mapInPandas(
         _webp_container_feature_batches,
         "doc_id long, is_extended long, n_chunks long, canvas_w long, "
@@ -3693,7 +3728,7 @@ def multimodal_webp_vp8l_decode(
     shape as the PNG/BMP twins: per-row mapInPandas decode, no
     shuffle until the tiny feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_webp_vp8l_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_webp_vp8l_batches)
     return payloads.mapInPandas(
         _webp_vp8l_feature_batches,
         "doc_id long, width long, height long, px_sum long, "
@@ -3860,7 +3895,7 @@ def multimodal_heif_items_walk(
     Arrow-batched mapInPandas, no shuffle until the 9-column feature
     frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_heif_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_heif_batches)
     return payloads.mapInPandas(
         _heif_feature_batches,
         "doc_id long, n_items long, primary_w long, primary_h long, "
@@ -3986,7 +4021,7 @@ def multimodal_jpeg_arith_decode(
     shape as every container key: per-row mapInPandas decode, no
     shuffle until the 8-column feature frame."""
     d = _doc_ids(spark, sf_dir, heavy=True)
-    payloads = d.mapInPandas(_gen_jpeg_arith_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_jpeg_arith_batches)
     return payloads.mapInPandas(
         _jpeg_arith_feature_batches,
         "doc_id long, width long, height long, n_blocks long, dc_sum long, "
@@ -4108,7 +4143,7 @@ def multimodal_tfrecord_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the hash boundary. Light fan-out class: Arrow-batched
     mapInPandas, no shuffle until the 7-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_tfrecord_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_tfrecord_batches)
     return payloads.mapInPandas(
         _tfrecord_feature_batches,
         "doc_id long, n_records long, ids_count long, ids_sum long, "
@@ -4242,7 +4277,7 @@ def multimodal_avro_ocf_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas in integer SQL. Light fan-out class: Arrow-batched
     mapInPandas, no shuffle until the 9-column feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_avro_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_avro_batches)
     return payloads.mapInPandas(
         _avro_feature_batches,
         "doc_id long, n_records long, n_blocks long, id_sum long, "
@@ -4361,7 +4396,7 @@ def multimodal_parquet_footer_walk(
     Arrow-batched mapInPandas, no shuffle until the 8-column
     feature frame."""
     d = _doc_ids(spark, sf_dir)
-    payloads = d.mapInPandas(_gen_parquet_batches, _PAYLOAD_SCHEMA)
+    payloads = _fused_payloads(d, _gen_parquet_batches)
     return payloads.mapInPandas(
         _parquet_footer_feature_batches,
         "doc_id long, num_rows long, n_row_groups long, n_columns long, "
