@@ -3204,7 +3204,7 @@ def multimodal_mp3_apic_unsync(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total must count) and extended headers on every third doc.
     Light fan-out class: Arrow-batched mapInPandas, no shuffle until
     the 10-column feature frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = _fused_payloads(d, _gen_mp3_apic_batches)
     return payloads.mapInPandas(
         _mp3_apic_feature_batches,
@@ -3490,7 +3490,7 @@ def multimodal_mediawiki_dump_parse(
     text character sums in integer SQL. Light fan-out class:
     Arrow-batched mapInPandas, no shuffle until the 11-column feature
     frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = _fused_payloads(d, _gen_mediawiki_batches)
     return payloads.mapInPandas(
         _mediawiki_feature_batches,
@@ -3634,7 +3634,7 @@ def multimodal_webp_container_walk(
     metadata byte sums from the synthesis formulas in integer SQL.
     Light fan-out class: Arrow-batched mapInPandas, no shuffle until
     the 11-column feature frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = _fused_payloads(d, _gen_webp_container_batches)
     return payloads.mapInPandas(
         _webp_container_feature_batches,
@@ -3727,7 +3727,7 @@ def multimodal_webp_vp8l_decode(
     inversion, or container-walk bug cannot cancel out. Same 100 TB
     shape as the PNG/BMP twins: per-row mapInPandas decode, no
     shuffle until the tiny feature frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = _fused_payloads(d, _gen_webp_vp8l_batches)
     return payloads.mapInPandas(
         _webp_vp8l_feature_batches,
@@ -4395,7 +4395,7 @@ def multimodal_parquet_footer_walk(
     the bloom file and absent on the twin. Light fan-out class:
     Arrow-batched mapInPandas, no shuffle until the 8-column
     feature frame."""
-    d = _doc_ids(spark, sf_dir)
+    d = _doc_ids(spark, sf_dir, heavy=True)
     payloads = _fused_payloads(d, _gen_parquet_batches)
     return payloads.mapInPandas(
         _parquet_footer_feature_batches,
