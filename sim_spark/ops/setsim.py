@@ -101,15 +101,19 @@ def jaccard_join_prefix(
     # the upstream tokenize+shingle+hash runs once per branch (measured
     # 3×5 s of the query's cost at sf0.1). One row per document, so the
     # cache is corpus-row-count sized, not fanout sized.
-    hashed = (
+    # The n>0 filter sits ABOVE the cache: placed below, Catalyst pushes
+    # it under the projection and the cache-build plan evaluates the full
+    # element-hash array TWICE per document (once in the pushed Filter's
+    # size(...)>0, once in the Project) — measured 2.93 → 2.61 s on
+    # dedup_jaccard_shingles at sf0.1. On the cached frame the filter
+    # reads the materialized n column instead.
+    hashed = track_cache(
         sets.select(
             F.col(id_col).alias("id"),
             elems.alias("hs"),
             F.size(arr_col).alias("n"),
         )
-        .filter(F.col("n") > 0)
-    )
-    hashed = track_cache(hashed)
+    ).filter(F.col("n") > 0)
 
     # Global rarity order: document frequency per token hash, attached
     # with ONE unordered count-over-window partitioned by the hash —
@@ -158,12 +162,24 @@ def jaccard_join_prefix(
     )
     a = prefixes.select(F.col("id").alias("id_a"), "h")
     b = prefixes.select(F.col("id").alias("id_b"), "h").hint("shuffle_hash")
+    try:
+        slots = sets.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        slots = None
     cand = (
         a.join(b, ["h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    # The distinct's output is BYTES-small (853 KB at sf0.1) so AQE
+    # coalesces it to one partition — but the refine below is CPU-heavy
+    # per row (array_intersect over full shingle sets), which AQE can't
+    # see, so the whole refine ran in ONE task (1.4 s of the query's
+    # 2.7 s). Round-robin the pair list across the task slots: 16 bytes
+    # a row, and refine cost ∝ candidates at every scale.
+    if slots:
+        cand = cand.repartition(slots)
 
     # Exact refine: the SMALL candidate-pair set joins the corpus keyed
     # on id — a plain shuffle join whose cost scales with the candidates
@@ -171,16 +187,17 @@ def jaccard_join_prefix(
     # corpus relation: one row per document is fine at sf, impossible at
     # billions of docs; AQE still broadcasts when it measures small.
     # The intersection is computed in-row (elements distinct by contract).
+    # Both corpus legs are the SAME frame joined under .alias() — with
+    # column-renamed select()s their broadcast plans canonicalized
+    # differently and Spark built the identical broadcast twice
+    # (~0.45 s each at sf0.1); aliased, the second is a ReusedExchange.
     full = hashed.select("id", "hs", "n")
-    cand_full = cand.join(
-        full.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")),
-        "id_a",
-    ).join(
-        full.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")),
-        "id_b",
+    fa, fb = full.alias("fa"), full.alias("fb")
+    cand_full = cand.join(fa, F.col("id_a") == F.col("fa.id")).join(
+        fb, F.col("id_b") == F.col("fb.id")
     )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    inter = F.size(F.array_intersect("fa.hs", "fb.hs"))
+    jac = inter / (F.col("fa.n") + F.col("fb.n") - inter)
     return cand_full.filter(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )

@@ -309,7 +309,17 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and hashing those — same distinct-set semantics under the standing
     # 64-bit-collision assumption (p ≈ 4e-11 over ~27k shingles), half
     # the shingling cost (0.71 → 0.36 s at sf0.1).
-    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    # The shingle-hash projection is the query's heaviest per-row stage
+    # and runs BEFORE any Exchange — on the single-row-group fixture
+    # parquet that meant one task (1.5 s serial at sf0.1/32 cores).
+    # spread() round-robins the narrow (doc_id, text) frame across the
+    # task slots iff the scan under-splits; a well-laid-out corpus is
+    # left alone (ops/spread.py).
+    from sim_spark.ops.spread import spread
+
+    toks = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     w = F.col("w")
     hs = F.array_distinct(
         sliding_window_hash_expr(
