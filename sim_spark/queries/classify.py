@@ -779,30 +779,22 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cost is a single partial+final aggregate regardless of grid
         # size. The 64 (e, pol, thr) rows unfold from the 1-row result
         # JVM-side; argmin is a 64-row TakeOrdered.
+        # Built as SQL strings (F.expr): the Column-API threshold loop
+        # cost thousands of py4j round-trips of pure driver wall per
+        # build (see ml_gbt_residual_stumps.fit). {t}D literals keep
+        # the original DOUBLE threshold type (SQL `0.25` is DECIMAL).
         aggs = [
-            F.sum(
-                F.when(pred(F.col("x"), F.lit(t), F.lit(1)) != F.col("y"), F.col(wcol)).otherwise(F.lit(0))
-            ).alias(f"e{i}")
+            f"SUM(CASE WHEN (CASE WHEN x <= {t}D THEN 1 ELSE -1 END) <> y"
+            f" THEN {wcol} ELSE 0 END) AS e{i}"
             for i, t in enumerate(_ADA_THRS)
         ]
-        one = weighted.agg(F.sum(wcol).alias("wt"), *aggs)
-        structs = F.array(
-            *[
-                s
-                for i, t in enumerate(_ADA_THRS)
-                for s in (
-                    F.struct(
-                        F.col(f"e{i}").alias("e"), F.lit(1).alias("pol"), F.lit(t).alias("thr")
-                    ),
-                    F.struct(
-                        (F.col("wt") - F.col(f"e{i}")).alias("e"),
-                        F.lit(-1).alias("pol"),
-                        F.lit(t).alias("thr"),
-                    ),
-                )
-            ]
-        )
-        cand = one.select(F.explode(structs).alias("c"), "wt").select(
+        one = weighted.agg(F.expr(f"SUM({wcol}) AS wt"), *[F.expr(a) for a in aggs])
+        structs = "array(" + ", ".join(
+            f"struct(e{i} AS e, 1 AS pol, {t}D AS thr),"
+            f" struct(wt - e{i} AS e, -1 AS pol, {t}D AS thr)"
+            for i, t in enumerate(_ADA_THRS)
+        ) + ")"
+        cand = one.select(F.expr(f"explode({structs}) AS c"), F.col("wt")).select(
             "c.thr", "c.pol", "c.e", "wt"
         )
         return cand.orderBy("e", "pol", "thr").limit(1)
@@ -1019,77 +1011,66 @@ def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fit(frame, rcol):
         """SSE-optimal stump over (x, rcol): one conditional-sum pass +
         exact-rational 23x23 tournament; returns 1 cached row
-        (t, nl, sl, nr, sr, pl, pr) with milli-quantized leaf values."""
-        aggs = []
+        (t, nl, pl, pr) with milli-quantized leaf values.
+
+        Every expression here is built as ONE SQL string per output
+        column (F.expr / selectExpr): the per-threshold Column-API loop
+        issued ~16 000 py4j round-trips and cost 2.6 s of DRIVER wall
+        per query build (cProfile: socket recv under Column.__op__),
+        dwarfing the 0.77 s the tasks themselves take. Identical
+        expression trees — the SQL parser builds the same CaseWhen/
+        Cast/Decimal nodes the Column API did (oracle-hash re-proven).
+
+        The 23×23 tournament runs as nested array lambdas ON the one
+        aggregate row — same cross-multiplied 128-bit comparisons, same
+        d.t < c.t tie-break as the old explode → cache → crossJoin →
+        groupBy shape, but zero extra plans and no second cache."""
+        aggs = [
+            "CAST(COUNT(1) AS BIGINT) AS nt",
+            f"CAST(SUM({rcol}) AS BIGINT) AS st",
+        ]
         for t in _GBT_THRS:
-            left = F.col("x") <= t
-            aggs += [
-                F.sum(F.when(left, 1).otherwise(0)).cast("long").alias(f"nl{t}"),
-                F.sum(F.when(left, F.col(rcol)).otherwise(0))
-                .cast("long")
-                .alias(f"sl{t}"),
-            ]
-        one = frame.agg(
-            F.count(F.lit(1)).cast("long").alias("nt"),
-            F.sum(rcol).cast("long").alias("st"),
-            *aggs,
-        )
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    F.col(f"nl{t}").alias("nl"),
-                    F.col(f"sl{t}").alias("sl"),
-                    (F.col("nt") - F.col(f"nl{t}")).alias("nr"),
-                    (F.col("st") - F.col(f"sl{t}")).alias("sr"),
-                )
-                for t in _GBT_THRS
-            ]
-        )
-        # Cached: the tournament references cand on BOTH legs of the
-        # self-join — uncached, the conditional-sum corpus reduce would
-        # execute twice per fit (caught by the r7e review via the
-        # PLANS.md snapshot's duplicated Scan branches).
-        cand = track_cache(
-            one.select(F.explode(structs).alias("c"))
-            .select("c.t", "c.nl", "c.sl", "c.nr", "c.sr")
-            .filter((F.col("nl") > 0) & (F.col("nr") > 0))
-        )
+            aggs.append(
+                f"CAST(SUM(CASE WHEN x <= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS nl{t}"
+            )
+            aggs.append(
+                f"CAST(SUM(CASE WHEN x <= {t} THEN {rcol} ELSE 0 END) AS BIGINT)"
+                f" AS sl{t}"
+            )
+        one = frame.agg(*[F.expr(a) for a in aggs])
+        structs = "array(" + ", ".join(
+            f"struct({t} AS t, nl{t} AS nl, sl{t} AS sl,"
+            f" nt - nl{t} AS nr, st - sl{t} AS sr)"
+            for t in _GBT_THRS
+        ) + ")"
+        cands = f"filter({structs}, c -> c.nl > 0 AND c.nr > 0)"
 
-        def score(p):
+        def score(s):
             return (
-                dec(f"{p}.sl") * F.col(f"{p}.sl") * F.col(f"{p}.nr")
-                + dec(f"{p}.sr") * F.col(f"{p}.sr") * F.col(f"{p}.nl")
+                f"(CAST({s}.sl AS DECIMAL(38,0)) * {s}.sl * {s}.nr"
+                f" + CAST({s}.sr AS DECIMAL(38,0)) * {s}.sr * {s}.nl)"
             )
 
-        c, d = cand.alias("c"), cand.alias("d")
-        beat = (score("d") * (F.col("c.nl") * F.col("c.nr"))
-                > score("c") * (F.col("d.nl") * F.col("d.nr"))) | (
-            (score("d") * (F.col("c.nl") * F.col("c.nr"))
-             == score("c") * (F.col("d.nl") * F.col("d.nr")))
-            & (F.col("d.t") < F.col("c.t"))
+        beats = (
+            f"({score('d')} * (c.nl * c.nr) > {score('c')} * (d.nl * d.nr))"
+            f" OR (({score('d')} * (c.nl * c.nr) = {score('c')} * (d.nl * d.nr))"
+            f" AND d.t < c.t)"
         )
-        win = (
-            c.crossJoin(d)
-            .groupBy(
-                F.col("c.t").alias("t"),
-                F.col("c.nl").alias("nl"),
-                F.col("c.sl").alias("sl"),
-                F.col("c.nr").alias("nr"),
-                F.col("c.sr").alias("sr"),
-            )
-            .agg(F.sum(F.when(beat, 1).otherwise(0)).alias("beaten"))
-            .filter(F.col("beaten") == 0)
-            .select(
-                "t",
-                "nl",
-                F.floor(F.col("sl") * 1.0 / F.col("nl") + F.lit(0.5))
-                .cast("long")
-                .alias("pl"),
-                F.floor(F.col("sr") * 1.0 / F.col("nr") + F.lit(0.5))
-                .cast("long")
-                .alias("pr"),
-            )
+        w = (
+            f"element_at(filter({cands},"
+            f" c -> NOT exists({cands}, d -> {beats})), 1)"
+        )
+        # Cached: the 1-row winner broadcasts into the next boosting
+        # round AND the final report — uncached, the conditional-sum
+        # corpus reduce inside it would execute once per reference.
+        # 1.0D / 0.5D: SQL `1.0` parses as DECIMAL(2,1); the D suffix
+        # keeps the original Column API's DOUBLE arithmetic bit-for-bit.
+        win = one.selectExpr(f"{w} AS w").selectExpr(
+            "w.t AS t",
+            "w.nl AS nl",
+            "CAST(FLOOR(w.sl * 1.0D / w.nl + 0.5D) AS BIGINT) AS pl",
+            "CAST(FLOOR(w.sr * 1.0D / w.nr + 0.5D) AS BIGINT) AS pr",
         )
         return track_cache(win)
 

@@ -51,6 +51,21 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
+    # AQE coalesces the basket frame by BYTES (5 MB at sf0.1 → 4
+    # partitions), but the stage after it — O(k²) pair expansion +
+    # distinct partials — is CPU-bound (measured 770 ms on 4 of 32
+    # cores). Round-robin the baskets across the task slots in the
+    # small-corpus regime where that starvation can happen at all; at
+    # scale the byte-sized partitions already cover every core and the
+    # extra Exchange would be a wasted corpus pass, so it is skipped.
+    try:
+        slots = spark.sparkContext.defaultParallelism
+        from sim_spark.io import table_count
+
+        if table_count(spark, sf_dir, "orders") < slots * 50_000:
+            ps = ps.repartition(slots)
+    except Exception:  # Spark Connect: no sparkContext — leave layout alone
+        pass
     return (
         ps.select(
             F.explode(

@@ -178,27 +178,31 @@ def _spark_simhash_df(d: DataFrame) -> DataFrame:
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
+    # All per-bit expressions are SQL strings (F.expr): the Column-API
+    # loops issued thousands of py4j round-trips of pure driver wall per
+    # query build (r14 cProfile; see ml_gbt_residual_stumps.fit). The
+    # parsed trees are identical — same CaseWhen/Cast/BitwiseAnd nodes.
     hexed = tokens.withColumn("h8", F.substring(F.md5("word"), 1, 8))
     digits = hexed.select(
         "doc_id",
         *[
-            F.conv(F.substring("h8", j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            F.expr(f"CAST(CONV(SUBSTRING(h8, {j + 1}, 1), 16, 10) AS INT) AS d{j}")
             for j in range(8)
         ],
     )
     votes = [
-        F.sum(
-            F.when(
-                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (3 - b % 4))) > 0, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(
+            f"SUM(CASE WHEN (d{b // 4} & {1 << (3 - b % 4)}) > 0"
+            f" THEN 1 ELSE -1 END) AS v{b}"
+        )
         for b in range(_SIMHASH_BITS)
     ]
     voted = digits.groupBy("doc_id").agg(*votes)
-    fp = F.lit(0).cast("bigint")
-    for i in range(_SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    return voted.select("doc_id", fp.alias("simhash"))
+    fp = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return voted.select("doc_id", F.expr(f"{fp} AS simhash"))
 
 
 _SIMHASH_ORACLE_VOTES = ",\n         ".join(
@@ -403,33 +407,38 @@ def simhash64_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # SQL-string expressions for the same reason as _spark_simhash_df:
+    # the 16-digit + 64-vote + 4-band Column-API loops cost ~2.9 s of
+    # py4j round-trips per build (r14 cProfile), identical parsed trees.
     hexed = tf.withColumn("h16", F.substring(F.md5("word"), 1, 16))
     digits = hexed.select(
         "doc_id",
         "cnt",
         *[
-            F.conv(F.substring("h16", j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            F.expr(f"CAST(CONV(SUBSTRING(h16, {j + 1}, 1), 16, 10) AS INT) AS d{j}")
             for j in range(16)
         ],
     )
     votes = [
-        F.sum(
-            F.when(
-                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (3 - b % 4))) > 0,
-                F.col("cnt"),
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"v{b}")
+        F.expr(
+            f"SUM(CASE WHEN (d{b // 4} & {1 << (3 - b % 4)}) > 0"
+            f" THEN cnt ELSE -cnt END) AS v{b}"
+        )
         for b in range(_SH64_BITS)
     ]
     voted = digits.groupBy("doc_id").agg(*votes)
-    bands = []
-    for k in range(4):
-        b = F.lit(0).cast("bigint")
-        for i in range(16):
-            b = b + F.when(
-                F.col(f"v{16 * k + i}") > 0, F.lit(1 << i).cast("bigint")
-            ).otherwise(0)
-        bands.append(b.alias(f"b{k}"))
+    bands = [
+        F.expr(
+            "CAST(0 AS BIGINT) + "
+            + " + ".join(
+                f"(CASE WHEN v{16 * k + i} > 0 THEN CAST({1 << i} AS BIGINT)"
+                f" ELSE 0 END)"
+                for i in range(16)
+            )
+            + f" AS b{k}"
+        )
+        for k in range(4)
+    ]
     return track_cache(voted.select("doc_id", *bands))
 
 
