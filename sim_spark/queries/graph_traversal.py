@@ -50,7 +50,11 @@ def _edges_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: checkpoint the 12M-row UNDIRECTED half and mirror it lazily —
     # the union of two reads of one checkpoint costs no shuffle, and the
     # durable write halves (the mirrored frame was 24M rows at sf1).
-    e = _copurchase_edges(spark, sf_dir).transform(materialize)
+    # cache_ok: this is a FLAT base frame (scan+join+distinct, no loop
+    # state behind it), so per-reference plan inlining is bounded and
+    # every consumer loop reads the columnar cache instead of
+    # re-scanning the pair-generation join.
+    e = materialize(_copurchase_edges(spark, sf_dir), cache_ok=True)
     return e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -461,12 +465,18 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which materializes right below. Cutting it here too wrote and
         # re-read the same frame twice (r12: one checkpoint round saved,
         # ~2 s of the sf1 wall).
+        # cache_ok: D+D-1 rounds, each state consumed a bounded number
+        # of times — every consumer short-circuits into the columnar
+        # cache and each state evaluates once (localCheckpoint paid an
+        # extra final-stage pass per round); 13.8 s -> 6.3 s (r14).
         if rnd < _BC_DEPTH - 1:
-            nxt = nxt.transform(materialize)
+            nxt = materialize(nxt, cache_ok=True)
         layers.append(nxt)
     deps = {
-        _BC_DEPTH: layers[_BC_DEPTH].withColumn("dq", F.lit(0).cast("long"))
-        .transform(materialize)
+        _BC_DEPTH: materialize(
+            layers[_BC_DEPTH].withColumn("dq", F.lit(0).cast("long")),
+            cache_ok=True,
+        )
     }
     for k in range(_BC_DEPTH - 1, 0, -1):
         v = layers[k].alias("v")
@@ -500,7 +510,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # d1 is consumed exactly once (the bc union) — a checkpoint
             # there would be a pure write-read tax; deeper deps feed both
             # the next sweep and the union, so they stay durable.
-            deps[k] = deps[k].transform(materialize)
+            deps[k] = materialize(deps[k], cache_ok=True)
     all_d = deps[1].select("src", "node", "dq")
     for k in range(2, _BC_DEPTH + 1):
         all_d = all_d.unionAll(deps[k].select("src", "node", "dq"))

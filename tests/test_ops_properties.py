@@ -1183,3 +1183,38 @@ def test_jaccard_prefix_join_unchanged_under_budget(spark):
     assert out[(1, 2)] == 1.0
     assert abs(out[(1, 3)] - 4 / 6) < 1e-5  # output is round(j, 6)
     assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_materialize_cache_ok_rows_and_partitioning(spark, monkeypatch):
+    """r14: cache_ok materialize must (a) return the same rows, (b) be
+    eagerly cached so every downstream reference short-circuits into an
+    InMemoryTableScan (one evaluation total — the point vs
+    localCheckpoint's extra pass), and (c) register in the
+    tracked-cache pool so the bench releases it between keys."""
+    import pyspark.sql.functions as F
+
+    from sim_spark.ops.materialize import materialize
+    from sim_spark import scratch
+
+    monkeypatch.setenv("SIM_SPARK_LOCAL_CHECKPOINT", "1")
+    base = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    agg = base.groupBy("k").agg(F.sum("v").alias("s"))
+    before = len(scratch._TRACKED_CACHES)
+    mat = materialize(agg, cache_ok=True)
+    assert len(scratch._TRACKED_CACHES) == before + 1  # (c)
+    expect = {(r["k"], r["s"]) for r in agg.collect()}
+    assert {(r["k"], r["s"]) for r in mat.collect()} == expect  # (a)
+    # (b): downstream consumers read the cache, not a recompute
+    assert mat.storageLevel.useMemory
+    plan = (
+        mat.groupBy("k")
+        .agg(F.max("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
+    mat.unpersist()
+    scratch._TRACKED_CACHES.remove(mat)
