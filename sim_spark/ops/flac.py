@@ -239,6 +239,10 @@ def _best_rice_k(zz: np.ndarray) -> tuple[int, int]:
     return k, int(costs[k])
 
 
+_PLAN_MISS = object()
+_PLAN_MEMO: dict = {}
+
+
 def _partition_plan(zz: np.ndarray, bs: int, order: int):
     """(partition_order, [k per partition], total residual-section bits)
     — the real-encoder decision (r12): try every partition order whose
@@ -247,35 +251,54 @@ def _partition_plan(zz: np.ndarray, bs: int, order: int):
     keep the cheapest. Mixed-regime blocks (constant head, noisy tail)
     are exactly where per-partition k beats a single k.
 
-    Vectorized over ALL candidate orders at once: one (15, n) prefix-sum
-    table of per-sample quotient bits answers any segment's cost for any
-    k by subtraction, so the 7-order search costs the same O(15n) pass
-    the single-k chooser did (the naive per-order rescan was a measured
-    2.3x on the decode-key fixtures)."""
-    # prefix[k, i] = bits of the unary quotients of zz[:i] at parameter k
-    q = zz[None, :] >> _K_RANGE  # (15, n)
-    prefix = np.zeros((15, zz.size + 1), dtype=np.int64)
-    np.cumsum(q, axis=1, out=prefix[:, 1:])
-    kk1 = _K_RANGE + 1  # (15, 1)
-
-    best = None
+    r14 shape: instead of a (15, n+1) quotient-bit prefix table per
+    call, pad the warm-up deficit with zeros (quotient bits of 0 are 0
+    at every k, so sums are unchanged), reshape-sum the (15, bs)
+    quotient matrix once at the DEEPEST valid partition order, and
+    derive every coarser order by pairwise halving — the same integer
+    per-partition costs, ~3x less numpy per call on the ~256-sample
+    blocks these fixtures emit. Ties across orders resolve to the
+    LOWEST po exactly as the old ascending scan did (descending loop,
+    <=). A pure-function memo keyed on the residuals removes the
+    search/emit and stereo cost/emit recomputes of the same block
+    (plan is a deterministic function of (zz, order); zz.size + order
+    recovers bs, so the key is complete). The memo is scoped to ONE
+    encode_flac*/stream call — each entry point clears it — so nothing
+    is reused across rows, runs, or bench iterations; only the
+    cost-pass/emit-pass repeats within a single stream hit."""
+    key = (zz.tobytes(), order)
+    hit = _PLAN_MEMO.get(key, _PLAN_MISS)
+    if hit is not _PLAN_MISS:
+        return hit
+    # deepest po passing the same validity scan the ascending loop ran
+    po_max = -1
     po = 0
     while po <= 6:
         nparts = 1 << po
         if bs % nparts or (bs >> po) <= order or nparts > zz.size + order:
             break
-        step = bs >> po
-        bounds = np.arange(nparts + 1, dtype=np.int64) * step - order
-        bounds[0] = 0  # first partition is short by the warm-up count
-        los, his = bounds[:-1], bounds[1:]
-        costs = prefix[:, his] - prefix[:, los] + (his - los)[None, :] * kk1
-        ks = costs.argmin(axis=0)
-        bits = 2 + 4 + 4 * nparts + int(
-            costs[ks, np.arange(nparts)].sum()
-        )
-        if best is None or bits < best[2]:
-            best = (po, ks.tolist(), bits)
+        po_max = po
         po += 1
+    best = None
+    if po_max >= 0:
+        zp = np.concatenate([np.zeros(order, dtype=np.int64), zz]) if order else zz
+        q = zp[None, :] >> _K_RANGE  # (15, bs)
+        kk1 = _K_RANGE[:, 0] + 1  # (15,)
+        nparts = 1 << po_max
+        qs = q.reshape(15, nparts, bs >> po_max).sum(axis=2)  # (15, nparts)
+        for po in range(po_max, -1, -1):
+            nparts = 1 << po
+            step = bs >> po
+            lens = np.full(nparts, step, dtype=np.int64)
+            lens[0] = step - order
+            costs = qs + kk1[:, None] * lens[None, :]
+            ks = costs.argmin(axis=0)
+            bits = 2 + 4 + 4 * nparts + int(costs[ks, np.arange(nparts)].sum())
+            if best is None or bits <= best[2]:
+                best = (po, ks.tolist(), bits)
+            if po:
+                qs = qs.reshape(15, nparts >> 1, 2).sum(axis=2)
+    _PLAN_MEMO[key] = best
     return best
 
 
@@ -321,6 +344,7 @@ def encode_flac(
 ) -> bytes:
     """Mono samples -> FLAC stream (STREAMINFO + frames) at any
     supported depth (8/12/16/20/24 bits, r12)."""
+    _PLAN_MEMO.clear()  # memo lives for this one stream only
     assert bps in _BPS_CODE, bps
     s = np.asarray(samples, dtype=np.int64)
     lim = 1 << (bps - 1)
@@ -392,6 +416,9 @@ def _write_residuals(
         put(k, 4)
         # one put per sample: the unary quotient, stop bit, and k-bit
         # remainder concatenate to (1 << k) | rem over (q + 1 + k) bits
+        # (r14: a per-partition numpy scatter-pack was tried and is
+        # SLOWER — high-po blocks split into 4-sample partitions where
+        # fixed numpy overhead swamps the per-sample loop)
         kmask = (1 << k) - 1
         stop = 1 << k
         for u in zz[lo : lo + cnt].tolist():
@@ -471,6 +498,7 @@ def encode_flac_stereo(
     left: np.ndarray, right: np.ndarray, sample_rate: int
 ) -> bytes:
     """Stereo int16 -> FLAC stream with per-frame decorrelation."""
+    _PLAN_MEMO.clear()  # memo lives for this one stream only
     lft = np.asarray(left, dtype=np.int64)
     rgt = np.asarray(right, dtype=np.int64)
     assert lft.size == rgt.size and lft.size
@@ -763,10 +791,38 @@ def _read_residuals(r: _BitReader, bs: int, order: int) -> list[int]:
                     for v in (r.bits(rawbits) for _ in range(count))
                 )
             continue
+        # r14: the unary+remainder+unzigzag hot loop runs with the
+        # reader state in locals — one Python frame per SAMPLE instead
+        # of three method calls (unary, bits, _unzigzag); semantics are
+        # byte-for-byte those of the _BitReader methods.
+        data, bp, acc, n = r.data, r.byte_pos, r._acc, r._n
+        kmask = (1 << k) - 1
+        append = res.append
         for _ in range(count):
-            q = r.unary()
-            u = (q << k) | r.bits(k)
-            res.append(_unzigzag(u))
+            q = 0
+            while True:
+                if n == 0:
+                    acc = data[bp]
+                    bp += 1
+                    n = 8
+                if acc == 0:
+                    q += n
+                    n = 0
+                    continue
+                bl = acc.bit_length()
+                q += n - bl
+                n = bl - 1
+                acc -= 1 << n
+                break
+            while n < k:
+                acc = (acc << 8) | data[bp]
+                bp += 1
+                n += 8
+            n -= k
+            u = (q << k) | ((acc >> n) & kmask)
+            acc &= (1 << n) - 1
+            append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+        r.byte_pos, r._acc, r._n = bp, acc, n
     return res
 
 
@@ -879,6 +935,7 @@ def encode_flac_lpc(
     decoder's LPC path is exercised END TO END — container, frame
     headers, CRCs, MD5 — under the multimodal_flac_lpc_decode hash
     oracle, not just at frame level in unit tests."""
+    _PLAN_MEMO.clear()  # memo lives for this one stream only
     s = np.asarray(samples, dtype=np.int64)
     assert s.size > len(coefs) and np.all((s >= -32768) & (s <= 32767))
     n = s.size
