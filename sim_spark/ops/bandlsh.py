@@ -12,6 +12,17 @@ The signature frame is `track_cache`d: the cap aggregate, and both sides
 of the self-join, would otherwise each re-execute the expensive
 mapInPandas decode/fingerprint pipeline that produces it (3 source runs
 per query run, measured in the r8 review).
+
+r14: the caches are additionally materialized EAGERLY (one count())
+before the multi-branch plan consumes them. A lazy cache does not
+dedupe CONCURRENT first readers: AQE submits every independent leaf
+stage of the candidate/refine DAG at once, and each branch that reaches
+the unpopulated InMemoryRelation re-executes its child subtree. Event
+logs on dedup_image_dhash_megadup showed the classes partial-agg
+Exchange map stage running NINE times (once per plan reference, ~1.5 s
+of serialized task wall on 32 slots) and the signature mapInPandas
+twice; after the eager count every branch short-circuits into the
+populated blocks and the duplicates disappear.
 """
 
 from __future__ import annotations
@@ -136,6 +147,7 @@ def banded_dedup(
     (r9 verdict task #3); the per-fixture floors are regression-guarded
     in tests/test_scale_ops.py and tabulated in SCALE.md §21."""
     sig = track_cache(sig)
+    sig.count()  # eager: see module docstring (concurrent-first-reader dupes)
     pairs = _band_candidates(sig, capped=True, band_mask=band_mask)
     return (
         pairs.withColumn("hd", _hamming(hd_mask))
@@ -175,6 +187,9 @@ def banded_canonical(
     classes = track_cache(
         sig.groupBy(*bcols).agg(F.min("doc_id").alias("rep"))
     )
+    # eager: one pass populates BOTH caches (classes reads through sig's
+    # InMemoryTableScan) — see module docstring for the duplicate-stage race
+    classes.count()
     pairs = _band_candidates(
         classes.select(F.col("rep").alias("doc_id"), *bcols), capped=True
     )
