@@ -60,8 +60,22 @@ def bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     # Tag the catalog table names with the sf_dir so layouts for two
     # scale factors written in one process never overwrite each other.
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    lt = write_bucketed(spark, li, f"lio_l_{tag}", "l_orderkey", n_buckets=8)
-    rt = write_bucketed(spark, o, f"lio_r_{tag}", "o_orderkey", n_buckets=8)
+    # r14: the two table writes are independent jobs — submit them from
+    # a 2-thread pool so the small orders write back-fills executor
+    # slots freed by the lineitem write's tail instead of serializing
+    # after it (optimization guide §2.6). The writes target distinct
+    # tables; the shared CREATE DATABASE is IF NOT EXISTS on a
+    # process-private location, so the DDL race is benign.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fl = pool.submit(
+            write_bucketed, spark, li, f"lio_l_{tag}", "l_orderkey", n_buckets=8
+        )
+        fr = pool.submit(
+            write_bucketed, spark, o, f"lio_r_{tag}", "o_orderkey", n_buckets=8
+        )
+        lt, rt = fl.result(), fr.result()
     key = (spark.sparkContext.applicationId, sf_dir)
     _BUCKETED_SIDES[key] = (lt, rt)
     return _BUCKETED_SIDES[key]
