@@ -243,7 +243,10 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _DOULION_MOD
     )
-    s = e.where(bucket < _DOULION_KEEP).transform(materialize)
+    # s is a cheap md5-bucket filter over the cached edge frame — its 4
+    # readers (deg union x2, sd, count) re-filter the InMemoryTableScan
+    # instead of paying another materialization job.
+    s = e.where(bucket < _DOULION_KEEP)
     deg = (
         s.select(F.col("u").alias("n"))
         .unionAll(s.select(F.col("v").alias("n")))
