@@ -158,6 +158,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — Lee-et-al-style substring dedup with no suffix array and no
     all-pairs stage."""
     d = table(spark, sf_dir, "documents")
+    # The per-word md5 (h48) + positional span combine is the query's
+    # heaviest per-row work and runs BEFORE the first Exchange — one
+    # task on the single-row-group fixture parquet. spread() round-robins
+    # the narrow (doc_id, source, text) frame across the task slots iff
+    # the scan under-splits (no-op on a well-laid-out corpus).
+    from sim_spark.ops.spread import spread
+
+    d = spread(d.select("doc_id", "source", "text"))
     wh = F.transform(F.split(F.col("text"), " "), h48)
     spans = span_keys_expr()
     per_doc_span = (
@@ -1188,7 +1196,14 @@ def dedup_onion_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize ONCE into a real column: splicing the split() expression
     # straight into the transform lambda would re-evaluate it per array
     # element (interpreted HOF path) — measured 2x on the gram stage.
-    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # The 5-gram concat_ws/slice build runs BEFORE the gram-keyed
+    # Exchange — serial on the one-row-group fixture scan; spread()
+    # fans the narrow frame across task slots iff it under-splits.
+    from sim_spark.ops.spread import spread
+
+    t = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     ws = F.col("ws")
     starts = F.when(F.size(ws) >= 5, F.sequence(F.lit(1), F.size(ws) - 4)).otherwise(
         F.array().cast("array<int>")

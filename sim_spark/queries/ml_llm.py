@@ -462,7 +462,16 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    # The 64-element zip_with/aggregate dot per (corpus, query) pair is
+    # the heavy per-row work and runs IN the corpus scan stage (broadcast
+    # join = no Exchange on the stream side) — serial on the one-row-group
+    # fixture parquet. spread() fans the narrow corpus frame across task
+    # slots iff the scan under-splits (no-op on a well-split corpus).
+    from sim_spark.ops.spread import spread
+
+    c = spread(
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
     dot = F.aggregate(
         F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

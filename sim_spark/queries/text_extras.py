@@ -869,7 +869,14 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize ONCE into a real column (dedup_onion_ngram note): a
     # split() spliced into the transform lambda re-evaluates per element
     # on the interpreted HOF path.
-    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # The 3-gram concat_ws/slice + per-gram md5 build runs BEFORE the
+    # doc_id window Exchange — serial on the one-row-group fixture scan;
+    # spread() fans the narrow frame across task slots iff it under-splits.
+    from sim_spark.ops.spread import spread
+
+    t = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     ws = F.col("ws")
     starts = F.when(F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)).otherwise(
         F.array().cast("array<int>")
