@@ -241,17 +241,25 @@ def main() -> None:
     for name in HEADLINE:
         fn = SPECIAL.get(name) or QUERIES[name]
         _materialize(fn(spark, sf_dir))  # warm-up: JIT, code cache, file stats
+        # Per-RUN release (r15, VERDICT r14 item 1): the old per-QUERY
+        # release let the untimed warm-up populate every track_cache'd
+        # frame and the timed runs then read those blocks through the
+        # CacheManager — cache-heavy keys were timed mostly warm
+        # (graph_betweenness_sampled measured 6.2 s warm vs 12.5 s cold
+        # at the r14 HEAD). Releasing after the warm-up AND after every
+        # timed run makes each sample a full cold computation from the
+        # parquet inputs. This is a deliberate measurement-protocol fix
+        # (OPTIMIZATION_r15.md records both protocols' numbers at the
+        # same HEAD); JIT/code-cache/file-stats warm-up is unaffected.
+        release_tracked_caches()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 4))
+            release_tracked_caches()
         all_samples[name] = samples
         times[name] = round(statistics.median(samples), 3)
-        # Per-QUERY release (not per-run): timed runs keep the same warm
-        # cache profile as earlier rounds, but blocks never accumulate
-        # across queries/sf_dirs for the session lifetime (ADVICE r5).
-        release_tracked_caches()
 
     # DuckDB sanity column (same parquet, oracle SQL) — context, not a
     # gate. SPARK_GRAFT_SKIP_DUCK=1 skips the FULL column (its CC

@@ -49,7 +49,36 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
 _MAT_SEQ = 0
 
 
-def materialize(df: DataFrame, *, cache_ok: bool = False) -> DataFrame:
+def _flat_cached(df: DataFrame) -> DataFrame:
+    """Rewrap an (eagerly populated) cached ``df`` as a DataFrame whose
+    logical plan is the bare ``InMemoryRelation`` leaf.
+
+    r15 (VERDICT r14 items 2/5): ``cache()`` alone leaves the FULL
+    logical plan on the frame — every downstream reference re-inlines
+    it, so a K-round loop over cached states builds plan trees that grow
+    multiplicatively (graph_betweenness_sampled's analyzed plan reached
+    57 988 lines and its wall was catalyst planning, not tasks).
+    ``InMemoryRelation`` is a *leaf* node: wrapping it directly makes
+    every consumer's plan O(consumer), the analyzer/optimizer never walk
+    the upstream tree again, and execution still short-circuits into the
+    populated columnar blocks. If the blocks are later evicted or
+    released, the relation recomputes from its baked physical plan —
+    same recovery story as a plain cache. Falls back to ``df`` unchanged
+    when the JVM internals are unreachable (Spark Connect)."""
+    try:
+        spark = df.sparkSession
+        jspark = spark._jsparkSession
+        opt = jspark.sharedState().cacheManager().lookupCachedData(df._jdf)
+        if not opt.isDefined():
+            return df
+        imr = opt.get().cachedRepresentation()
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(jspark, imr)
+        return DataFrame(jdf, spark)
+    except Exception:
+        return df  # Connect / internals moved: plain cached frame still correct
+
+
+def materialize(df: DataFrame, *, cache_ok: bool = False, eager: bool = True) -> DataFrame:
     """Evaluate ``df`` once and sever its lineage, durably by default.
 
     r12: the durable path is a PARQUET write + read-back instead of
@@ -83,8 +112,9 @@ def materialize(df: DataFrame, *, cache_ok: bool = False) -> DataFrame:
             from sim_spark.scratch import track_cache
 
             track_cache(df)
-            df.count()
-            return df
+            if eager:
+                df.count()
+            return _flat_cached(df)
         return df.localCheckpoint()
     global _MAT_SEQ
     base = os.environ.get("SIM_SPARK_CHECKPOINT_DIR")

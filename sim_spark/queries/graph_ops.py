@@ -35,17 +35,9 @@ e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected edges (u < v) of the co-purchase graph.
-
-    r12: one keyed aggregate, not a self-join — collect_set(partkey)
-    per order (map-side partial aggregation absorbs the old DISTINCT's
-    extra shuffle), sort in-row, expand the ordered pairs with nested
-    array transforms (u < v by construction). Order baskets are small
-    and bounded (TPC-H ≤ 7 items), so the in-row expansion is O(k²) on
-    single-digit k — the sf1 edge build dropped ~3× vs the ok-keyed
-    self-join, which shuffled the (ok, part) frame twice and joined
-    6M × 6M on a hot key. Same distinct edge set, same oracle CTE."""
+def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, sorted distinct part array) — the shared first stage
+    of every co-purchase edge derivation."""
     ps = (
         table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey"))
@@ -66,8 +58,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ps = ps.repartition(slots)
     except Exception:  # Spark Connect: no sparkContext — leave layout alone
         pass
+    return ps
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (u < v) of the co-purchase graph.
+
+    r12: one keyed aggregate, not a self-join — collect_set(partkey)
+    per order (map-side partial aggregation absorbs the old DISTINCT's
+    extra shuffle), sort in-row, expand the ordered pairs with nested
+    array transforms (u < v by construction). Order baskets are small
+    and bounded (TPC-H ≤ 7 items), so the in-row expansion is O(k²) on
+    single-digit k — the sf1 edge build dropped ~3× vs the ok-keyed
+    self-join, which shuffled the (ok, part) frame twice and joined
+    6M × 6M on a hot key. Same distinct edge set, same oracle CTE."""
     return (
-        ps.select(
+        _order_baskets(spark, sf_dir)
+        .select(
             F.explode(
                 F.expr(
                     "flatten(transform(ps, (x, i) -> "

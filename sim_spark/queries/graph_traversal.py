@@ -47,14 +47,49 @@ def _edges_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this frame; un-cut, the pair-generation self-join re-executes per
     # reference and the K-round plan grows exponentially (each round's
     # state references the previous state twice: relax + union).
-    # r12: checkpoint the 12M-row UNDIRECTED half and mirror it lazily —
-    # the union of two reads of one checkpoint costs no shuffle, and the
-    # durable write halves (the mirrored frame was 24M rows at sf1).
-    # cache_ok: this is a FLAT base frame (scan+join+distinct, no loop
-    # state behind it), so per-reference plan inlining is bounded and
-    # every consumer loop reads the columnar cache instead of
-    # re-scanning the pair-generation join.
-    e = materialize(_copurchase_edges(spark, sf_dir), cache_ok=True)
+    import os
+
+    if os.environ.get("SIM_SPARK_LOCAL_CHECKPOINT") == "1":
+        # r15 (VERDICT r14 item 2): cache the MIRRORED frame
+        # hash-partitioned on src — every consumer loop joins
+        # e2.src == state.node, and with an unpartitioned cache each
+        # round's AQE plan materialized a fresh full shuffle map stage
+        # over the edge frame BEFORE converting the tiny state side to
+        # broadcast (measured: two 64-task ~1.4 s stages per round on
+        # betweenness; ~7 such scans per cold run). Partitioned once,
+        # EnsureRequirements reuses the cached layout for every round's
+        # join: one exchange total instead of one per round (guide
+        # §2.4). repartition("src") takes the session shuffle
+        # parallelism, so the layout is scale-adaptive, and the
+        # InMemoryRelation preserves outputPartitioning for consumers.
+        # Both directions are emitted IN-ROW by the basket expansion and
+        # deduped ON the src layout (hashpartitioning(src) satisfies the
+        # (src, dst)-clustered distribution the dedup aggregate needs),
+        # so the old distinct-by-(u,v) exchange disappears too: one
+        # exchange builds dedup + layout together.
+        from sim_spark.queries.graph_ops import _order_baskets
+
+        both = (
+            _order_baskets(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) -> flatten("
+                        "transform(slice(ps, i + 2, size(ps)), "
+                        "y -> array(struct(x AS src, y AS dst), "
+                        "struct(y AS src, x AS dst))))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+        e2 = both.repartition("src").dropDuplicates(["src", "dst"])
+        return materialize(e2, cache_ok=True)
+    # Durable path (cluster): checkpoint the UNDIRECTED half and mirror
+    # it lazily — parquet read-back cannot carry a hash layout anyway,
+    # and the durable write halves (the mirrored frame was 24M rows at
+    # sf1; r12).
+    e = materialize(_copurchase_edges(spark, sf_dir))
     return e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -437,6 +472,9 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     above, twice (forward then backward). States are durably
     materialized per round so the 2D-round lineage stays flat; at scale
     the K sources multiply state rows, not plan depth."""
+    def _cut(df: DataFrame) -> DataFrame:
+        return materialize(df, cache_ok=True)
+
     e2 = _edges_both(spark, sf_dir)
     ed = e2.select(F.col("src").alias("es"), F.col("dst").alias("edst"))
     srcs = (
@@ -465,18 +503,11 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which materializes right below. Cutting it here too wrote and
         # re-read the same frame twice (r12: one checkpoint round saved,
         # ~2 s of the sf1 wall).
-        # cache_ok: D+D-1 rounds, each state consumed a bounded number
-        # of times — every consumer short-circuits into the columnar
-        # cache and each state evaluates once (localCheckpoint paid an
-        # extra final-stage pass per round); 13.8 s -> 6.3 s (r14).
         if rnd < _BC_DEPTH - 1:
-            nxt = materialize(nxt, cache_ok=True)
+            nxt = _cut(nxt)
         layers.append(nxt)
     deps = {
-        _BC_DEPTH: materialize(
-            layers[_BC_DEPTH].withColumn("dq", F.lit(0).cast("long")),
-            cache_ok=True,
-        )
+        _BC_DEPTH: _cut(layers[_BC_DEPTH].withColumn("dq", F.lit(0).cast("long")))
     }
     for k in range(_BC_DEPTH - 1, 0, -1):
         v = layers[k].alias("v")
@@ -510,7 +541,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # d1 is consumed exactly once (the bc union) — a checkpoint
             # there would be a pure write-read tax; deeper deps feed both
             # the next sweep and the union, so they stay durable.
-            deps[k] = materialize(deps[k], cache_ok=True)
+            deps[k] = _cut(deps[k])
     all_d = deps[1].select("src", "node", "dq")
     for k in range(2, _BC_DEPTH + 1):
         all_d = all_d.unionAll(deps[k].select("src", "node", "dq"))

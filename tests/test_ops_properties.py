@@ -1186,11 +1186,15 @@ def test_jaccard_prefix_join_unchanged_under_budget(spark):
 
 
 def test_materialize_cache_ok_rows_and_partitioning(spark, monkeypatch):
-    """r14: cache_ok materialize must (a) return the same rows, (b) be
-    eagerly cached so every downstream reference short-circuits into an
-    InMemoryTableScan (one evaluation total — the point vs
-    localCheckpoint's extra pass), and (c) register in the
-    tracked-cache pool so the bench releases it between keys."""
+    """r14/r15: cache_ok materialize must (a) return the same rows,
+    (b) be eagerly cached so every downstream reference short-circuits
+    into an InMemoryTableScan (one evaluation total — the point vs
+    localCheckpoint's extra pass), (c) register in the tracked-cache
+    pool so the bench releases it between keys, and (d — r15) return a
+    FLAT logical plan: a bare InMemoryRelation leaf, so a K-round loop
+    over cached states builds O(K) plans instead of the 2^K-inlined
+    trees that made graph_betweenness_sampled's wall pure catalyst
+    planning (57 988-line analyzed plan, VERDICT r14 item 2)."""
     import pyspark.sql.functions as F
 
     from sim_spark.ops.materialize import materialize
@@ -1204,10 +1208,11 @@ def test_materialize_cache_ok_rows_and_partitioning(spark, monkeypatch):
     before = len(scratch._TRACKED_CACHES)
     mat = materialize(agg, cache_ok=True)
     assert len(scratch._TRACKED_CACHES) == before + 1  # (c)
+    tracked = scratch._TRACKED_CACHES[-1]
     expect = {(r["k"], r["s"]) for r in agg.collect()}
     assert {(r["k"], r["s"]) for r in mat.collect()} == expect  # (a)
-    # (b): downstream consumers read the cache, not a recompute
-    assert mat.storageLevel.useMemory
+    # (b): the cache is populated eagerly and consumers read it
+    assert tracked.storageLevel.useMemory
     plan = (
         mat.groupBy("k")
         .agg(F.max("s"))
@@ -1216,5 +1221,15 @@ def test_materialize_cache_ok_rows_and_partitioning(spark, monkeypatch):
         .toString()
     )
     assert "InMemoryTableScan" in plan
-    mat.unpersist()
-    scratch._TRACKED_CACHES.remove(mat)
+    # (d): the returned frame's LOGICAL plan is the IMR leaf itself —
+    # nothing upstream for the analyzer/optimizer to re-walk. (On Spark
+    # Connect the wrap falls back to the plain cached frame; this suite
+    # runs classic, where the wrap must engage.)
+    analyzed = mat._jdf.queryExecution().analyzed()
+    assert analyzed.getClass().getSimpleName() == "InMemoryRelation"
+    assert analyzed.children().size() == 0  # leaf: no logical upstream
+    # releasing the TRACKED frame still works (the bench contract)
+    tracked.unpersist()
+    scratch._TRACKED_CACHES.remove(tracked)
+    # after release, the wrapped frame recomputes from the baked plan
+    assert {(r["k"], r["s"]) for r in mat.collect()} == expect
