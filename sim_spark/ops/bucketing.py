@@ -17,6 +17,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,14 +26,21 @@ _DB = "sim_spark_buckets"
 # on the same host never share a path (no DROP/rmtree races, no
 # predictable-/tmp-path squatting; mkdtemp is 0700).
 _LOCATION: str | None = None
+_LOCATION_LOCK = threading.Lock()
 
 
 def _location() -> str:
+    # Locked lazy init (ADVICE r14): scale_ops submits the two bucketed
+    # writes from a thread pool, and an unlocked check-then-mkdtemp let
+    # both threads create distinct dirs — the database LOCATION (first
+    # CREATE wins) could then diverge from the module global, so the
+    # pre-write rmtree cleaned the wrong directory.
     global _LOCATION
-    if _LOCATION is None:
-        _LOCATION = tempfile.mkdtemp(prefix="sim_spark_buckets_")
-        atexit.register(shutil.rmtree, _LOCATION, ignore_errors=True)
-    return _LOCATION
+    with _LOCATION_LOCK:
+        if _LOCATION is None:
+            _LOCATION = tempfile.mkdtemp(prefix="sim_spark_buckets_")
+            atexit.register(shutil.rmtree, _LOCATION, ignore_errors=True)
+        return _LOCATION
 
 
 def write_bucketed(

@@ -240,7 +240,23 @@ def _best_rice_k(zz: np.ndarray) -> tuple[int, int]:
 
 
 _PLAN_MISS = object()
-_PLAN_MEMO: dict = {}
+# Thread-local (ADVICE r14): the memo is scoped to one encode_flac*
+# stream — a module-global dict cleared at entry points was correct only
+# by convention and unsafe if two encodes ever interleave in one process
+# (driver-side threaded callers exist since scale_ops r14). Each thread
+# sees its own dict; entry points still reset it per stream.
+_PLAN_TLS = __import__("threading").local()
+
+
+def _plan_memo() -> dict:
+    memo = getattr(_PLAN_TLS, "memo", None)
+    if memo is None:
+        memo = _PLAN_TLS.memo = {}
+    return memo
+
+
+def _plan_memo_reset() -> None:
+    _PLAN_TLS.memo = {}
 
 
 def _partition_plan(zz: np.ndarray, bs: int, order: int):
@@ -266,8 +282,9 @@ def _partition_plan(zz: np.ndarray, bs: int, order: int):
     encode_flac*/stream call — each entry point clears it — so nothing
     is reused across rows, runs, or bench iterations; only the
     cost-pass/emit-pass repeats within a single stream hit."""
+    memo = _plan_memo()
     key = (zz.tobytes(), order)
-    hit = _PLAN_MEMO.get(key, _PLAN_MISS)
+    hit = memo.get(key, _PLAN_MISS)
     if hit is not _PLAN_MISS:
         return hit
     # deepest po passing the same validity scan the ascending loop ran
@@ -298,7 +315,7 @@ def _partition_plan(zz: np.ndarray, bs: int, order: int):
                 best = (po, ks.tolist(), bits)
             if po:
                 qs = qs.reshape(15, nparts >> 1, 2).sum(axis=2)
-    _PLAN_MEMO[key] = best
+    memo[key] = best
     return best
 
 
@@ -344,7 +361,7 @@ def encode_flac(
 ) -> bytes:
     """Mono samples -> FLAC stream (STREAMINFO + frames) at any
     supported depth (8/12/16/20/24 bits, r12)."""
-    _PLAN_MEMO.clear()  # memo lives for this one stream only
+    _plan_memo_reset()  # memo lives for this one stream only
     assert bps in _BPS_CODE, bps
     s = np.asarray(samples, dtype=np.int64)
     lim = 1 << (bps - 1)
@@ -498,7 +515,7 @@ def encode_flac_stereo(
     left: np.ndarray, right: np.ndarray, sample_rate: int
 ) -> bytes:
     """Stereo int16 -> FLAC stream with per-frame decorrelation."""
-    _PLAN_MEMO.clear()  # memo lives for this one stream only
+    _plan_memo_reset()  # memo lives for this one stream only
     lft = np.asarray(left, dtype=np.int64)
     rgt = np.asarray(right, dtype=np.int64)
     assert lft.size == rgt.size and lft.size
@@ -935,7 +952,7 @@ def encode_flac_lpc(
     decoder's LPC path is exercised END TO END — container, frame
     headers, CRCs, MD5 — under the multimodal_flac_lpc_decode hash
     oracle, not just at frame level in unit tests."""
-    _PLAN_MEMO.clear()  # memo lives for this one stream only
+    _plan_memo_reset()  # memo lives for this one stream only
     s = np.asarray(samples, dtype=np.int64)
     assert s.size > len(coefs) and np.all((s >= -32768) & (s <= 32767))
     n = s.size

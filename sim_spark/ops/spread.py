@@ -15,25 +15,74 @@ an Exchange there would pay a shuffle for nothing (and can even reduce
 parallelism). Same guard as the decode keys' ``_doc_ids`` fan-out.
 Callers project to the narrow column set FIRST so the Exchange moves
 only what the compute needs (guide §2: shuffle fewer bytes).
+
+r15 (VERDICT r14 item 6): the layout probe reads the optimizer's size
+estimate (``optimizedPlan().stats().sizeInBytes`` vs the session's scan
+split size) instead of ``df.rdd.getNumPartitions()`` — the RDD
+conversion physically planned the query AND built a pickle-serializing
+Python RDD per call (repeated driver work on 100 TB-wide plans), and it
+read the pre-AQE partition count anyway. The stats pass is analysis +
+optimization the query pays regardless (memoized on the Dataset), and
+bytes-vs-split-size is exactly how the scan itself will be split.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+_WARNED = False
+
+
+def _warn_once(what: str) -> None:
+    # ADVICE r14: the old guards swallowed every exception twice, so a
+    # real regression silently degraded to the serial layout with no
+    # signal. One process-wide warning distinguishes "Connect, by
+    # design" from "the probe broke".
+    global _WARNED
+    if not _WARNED:
+        _WARNED = True
+        warnings.warn(
+            f"spread(): layout probe unavailable ({what}); leaving frame "
+            "layout unchanged for this process",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """How many tasks the frame's scan stage will get, estimated from
+    plan statistics: sizeInBytes / maxPartitionBytes (clamped up by 1).
+    None when the JVM internals are unreachable (Spark Connect)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        raw = raw.removesuffix("b")
+        mult = units.get(raw[-1:], 1)
+        max_split = int(raw.rstrip("kmgt") or "134217728") * mult
+        return max(1, size // max_split)
+    except Exception as exc:
+        _warn_once(f"stats probe failed: {type(exc).__name__}: {exc}")
+        return None
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin ``df`` across all task slots iff it currently has
-    fewer partitions than ``min_partitions`` (default: the session's
-    ``defaultParallelism``). No-op under Spark Connect (no ``.rdd``)."""
+    """Round-robin ``df`` across all task slots iff its estimated scan
+    parallelism is below ``min_partitions`` (default: the session's
+    ``defaultParallelism``). No-op under Spark Connect (no JVM access)."""
     try:
         slots = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no sparkContext — leave layout alone
+        _warn_once("no sparkContext (Spark Connect)")
         return df
     target = min_partitions or slots
-    try:
-        if df.rdd.getNumPartitions() >= target:
-            return df
-    except Exception:
+    est = _estimated_scan_partitions(df)
+    if est is None or est >= target:
         return df
     return df.repartition(target)

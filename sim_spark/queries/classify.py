@@ -1057,8 +1057,18 @@ def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" OR (({score('d')} * (c.nl * c.nr) = {score('c')} * (d.nl * d.nr))"
             f" AND d.t < c.t)"
         )
+        # try_element_at + the IS NOT NULL filter (ADVICE r14): when NO
+        # candidate is valid (every threshold leaves an empty side),
+        # filter() yields an empty array — plain element_at on it ERRORS
+        # under ANSI mode (which this session pins on), and silently
+        # yielding a 1-row all-NULL winner would propagate NULL pl/pr
+        # into the next boosting round's residuals. try_element_at
+        # returns NULL for the empty array and the filter restores the
+        # old crossJoin formulation's empty-frame shape: the degenerate
+        # round contributes nothing. Non-degenerate results unchanged
+        # (hash re-proven at sf0.01 and sf0.1).
         w = (
-            f"element_at(filter({cands},"
+            f"try_element_at(filter({cands},"
             f" c -> NOT exists({cands}, d -> {beats})), 1)"
         )
         # Cached: the 1-row winner broadcasts into the next boosting
@@ -1066,7 +1076,7 @@ def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus reduce inside it would execute once per reference.
         # 1.0D / 0.5D: SQL `1.0` parses as DECIMAL(2,1); the D suffix
         # keeps the original Column API's DOUBLE arithmetic bit-for-bit.
-        win = one.selectExpr(f"{w} AS w").selectExpr(
+        win = one.selectExpr(f"{w} AS w").where("w IS NOT NULL").selectExpr(
             "w.t AS t",
             "w.nl AS nl",
             "CAST(FLOOR(w.sl * 1.0D / w.nl + 0.5D) AS BIGINT) AS pl",
