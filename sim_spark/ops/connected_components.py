@@ -62,6 +62,35 @@ def _contract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         ).astype("int64")
 
 
+def _contract_whole(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Union-find over ALL batches of the (single) partition in one
+    structure — the finish-in-memory step: on a one-partition frame the
+    per-node min root IS the exact component mapping of the remaining
+    contracted graph (unlike :func:`_contract_partition`, which unions
+    per batch and needs further global rounds)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for pdf in batches:
+        for s, d in zip(pdf["s"], pdf["d"]):
+            s, d = int(s), int(d)
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+    nodes = list(parent)
+    yield pd.DataFrame(
+        {"node": nodes, "root": [find(n) for n in nodes]}
+    ).astype("int64")
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -72,14 +101,42 @@ def connected_components(
 ) -> DataFrame:
     """(node_col) + (src,dst) → (node_col, component) with component =
     min node id reachable. Isolated nodes keep their own id."""
+    import os
+
     # Checkpoint the (small, derived) edge list once so the upstream
     # pair-generation pipeline is evaluated exactly once, not once per
     # reference in the round's two-sided rewrite join.
     cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(materialize)
+    # Finish-in-memory threshold (r15, VERDICT r14 item 4 — the
+    # Kiveris-family endgame): the contracted edge list shrinks
+    # geometrically, and once it fits comfortably in ONE task a single
+    # whole-graph union-find pass replaces the remaining rounds. Each
+    # distributed round here costs 3 driver round-trips (isEmpty + two
+    # checkpoints) over a frame that is already tiny — measured 29 jobs
+    # / ~5.9 s cold at sf0.1 where the edge list starts below the
+    # threshold to begin with. 1M edges ≈ a 1-2 s single-task pass;
+    # larger graphs keep contracting distributed until they fit.
+    finish_edges = int(os.environ.get("SIM_SPARK_CC_FINISH_EDGES", "1000000"))
     mappings: list[DataFrame] = []
     converged = False
     for _ in range(max_iter):
-        if cur.isEmpty():
+        n_edges = cur.count()
+        if n_edges == 0:
+            converged = True
+            break
+        if n_edges <= finish_edges:
+            local = cur.coalesce(1).mapInPandas(
+                _contract_whole, schema="node long, root long"
+            )
+            # one partition + whole-partition union-find ⇒ exact roots
+            # of the contracted graph; min-agg is a no-op reshape kept
+            # for the shared compose below
+            m = (
+                local.groupBy("node")
+                .agg(F.min("root").alias("root"))
+                .transform(materialize)
+            )
+            mappings.append(m)
             converged = True
             break
         local = cur.mapInPandas(_contract_partition, schema="node long, root long")
