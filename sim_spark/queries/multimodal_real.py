@@ -92,15 +92,16 @@ def _doc_ids(
     if n is None:
         n = _DOC_COUNT_CACHE[sf_dir] = table(spark, sf_dir, "documents").count()
     target = max(1, min(slots, (n + 1999) // 2000))
-    try:
-        # A well-laid-out input already splits wide enough: adding an
-        # Exchange there only REDUCES parallelism (repartition(25) over
-        # a 32-split scan) and pays a shuffle for nothing. Classic API
-        # only; under Connect (.rdd unavailable) fall through.
-        if d.rdd.getNumPartitions() >= target:
-            return d
-    except Exception:
-        pass
+    # A well-laid-out input already splits wide enough: adding an
+    # Exchange there only REDUCES parallelism (repartition(25) over a
+    # 32-split scan) and pays a shuffle for nothing. r15: probe via the
+    # optimizer's size estimate (ops/spread), not df.rdd — the RDD
+    # conversion physically planned the frame per call.
+    from sim_spark.ops.spread import _estimated_scan_partitions
+
+    est = _estimated_scan_partitions(d)
+    if est is not None and est >= target:
+        return d
     return d.repartition(target)
 
 
