@@ -838,12 +838,19 @@ def _p_enc_ac_first(
                 w.put(eobrun - (1 << n), n)
             eobrun = 0
 
-    for row in coeffs:
-        band = [_pt_ac(int(row[z]), al) for z in range(ss, se + 1)]
-        last_nz = -1
-        for i, v in enumerate(band):
-            if v:
-                last_nz = i
+    # r15 (§4.5): the per-coefficient point transform is one vectorized
+    # where() per block instead of a Python call per coefficient —
+    # identical truncate-toward-zero arithmetic, ~2x on the encode pass.
+    seg_all = np.asarray(coeffs)[:, ss : se + 1]
+    band_all = np.where(seg_all < 0, -((-seg_all) >> al), seg_all >> al)
+    last_nz_all = np.where(
+        (band_all != 0).any(axis=1),
+        band_all.shape[1] - 1 - np.argmax(band_all[:, ::-1] != 0, axis=1),
+        -1,
+    )
+    for bi in range(band_all.shape[0]):
+        band = band_all[bi].tolist()
+        last_nz = int(last_nz_all[bi])
         if last_nz < 0:
             eobrun += 1
             if eobrun == 32767:
@@ -891,15 +898,20 @@ def _p_enc_ac_refine(
             w.put(bit, 1)
         pending = []
 
-    for row in coeffs:
-        vals = [int(row[z]) for z in range(ss, se + 1)]
-        hist = [_pt_ac(v, al + 1) != 0 for v in vals]
-        newpos = [
-            i
-            for i, v in enumerate(vals)
-            if not hist[i] and _pt_ac(v, al) != 0
-        ]
-        eobpos = newpos[-1] if newpos else -1
+    # r15 (§4.5): vectorized history/new-significance masks per block
+    # (same truncate-toward-zero point transform, same positions).
+    seg_all = np.asarray(coeffs)[:, ss : se + 1]
+    t_hist = np.where(
+        seg_all < 0, -((-seg_all) >> (al + 1)), seg_all >> (al + 1)
+    )
+    t_cur = np.where(seg_all < 0, -((-seg_all) >> al), seg_all >> al)
+    hist_all = t_hist != 0
+    new_all = (~hist_all) & (t_cur != 0)
+    for bi in range(seg_all.shape[0]):
+        vals = seg_all[bi].tolist()
+        hist = hist_all[bi].tolist()
+        nz = np.nonzero(new_all[bi])[0]
+        eobpos = int(nz[-1]) if nz.size else -1
         run = 0
         local: list[int] = []  # correction bits since the last symbol
         for i in range(eobpos + 1):

@@ -79,36 +79,43 @@ _PLANE_OFFSETS = (
 
 
 class _BitReader:
+    """r15: the stream is one Python int (little-endian, so overall bit
+    position p is bit p of the int) — read(n) is a shift+mask instead
+    of a per-bit loop with bounds branches; identical LSB-first
+    semantics, identical truncation errors (the old reader raised as
+    soon as a read crossed the end of the buffer)."""
+
+    __slots__ = ("_acc", "_pos", "_nbits")
+
     def __init__(self, data: bytes, start: int = 0):
-        self._d = data
-        self._byte = start
-        self._bit = 0
+        self._acc = int.from_bytes(data[start:], "little")
+        self._pos = 0
+        self._nbits = 8 * (len(data) - start)
 
     def read(self, n: int) -> int:
-        """n bits, little-endian: the first bit read is the LSB."""
-        v = 0
-        for i in range(n):
-            if self._byte >= len(self._d):
-                raise ValueError("truncated VP8L bitstream")
-            bit = (self._d[self._byte] >> self._bit) & 1
-            v |= bit << i
-            self._bit += 1
-            if self._bit == 8:
-                self._bit = 0
-                self._byte += 1
-        return v
+        pos = self._pos
+        if pos + n > self._nbits:
+            raise ValueError("truncated VP8L bitstream")
+        self._pos = pos + n
+        return (self._acc >> pos) & ((1 << n) - 1)
 
     def read_code_bit(self) -> int:
         """One bit for prefix-code walking (codes are read MSB-first:
         code = (code << 1) | bit, the DEFLATE convention)."""
-        if self._byte >= len(self._d):
+        pos = self._pos
+        if pos >= self._nbits:
             raise ValueError("truncated VP8L bitstream")
-        bit = (self._d[self._byte] >> self._bit) & 1
-        self._bit += 1
-        if self._bit == 8:
-            self._bit = 0
-            self._byte += 1
-        return bit
+        self._pos = pos + 1
+        return (self._acc >> pos) & 1
+
+
+def _rev_bits(code: int, length: int) -> int:
+    """MSB-first code -> LSB-first wire bits (write() order)."""
+    rev = 0
+    for _ in range(length):
+        rev = (rev << 1) | (code & 1)
+        code >>= 1
+    return rev
 
 
 class _BitWriter:
@@ -126,9 +133,13 @@ class _BitWriter:
             self._nbits -= 8
 
     def write_code(self, code: int, length: int) -> None:
-        """Emit a prefix code MSB-first (mirror of read_code_bit)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Emit a prefix code MSB-first (mirror of read_code_bit):
+        bit-reverse once, then one write() instead of one per bit."""
+        rev = 0
+        for _ in range(length):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.write(rev, length)
 
     def bytes(self) -> bytes:
         out = bytearray(self._out)
@@ -184,18 +195,42 @@ class _Decoder:
             raise ValueError(f"{kind}-subscribed {what} prefix code")
         self.single = None
         codes = _canonical_codes(lengths)
-        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
         self.max_len = max(ln for _, ln in nz)
+        # r15: canonical first-code arrays instead of a (len, code) dict
+        # — per decoded bit this is two int compares and, on a hit, one
+        # list index, vs a tuple hash + dict probe. Same codes, same
+        # accept/reject decisions.
+        first = [0] * (self.max_len + 1)
+        last = [-1] * (self.max_len + 1)
+        syms: list[list[int]] = [[] for _ in range(self.max_len + 1)]
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for sym, (code, ln) in codes.items():
+            by_len.setdefault(ln, []).append((code, sym))
+        for ln, pairs in by_len.items():
+            pairs.sort()
+            first[ln] = pairs[0][0]
+            last[ln] = pairs[-1][0]
+            syms[ln] = [s for _, s in pairs]
+        self.table = (first, last, syms)
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # inlined walk over the reader's big-int accumulator: no method
+        # call per bit; truncation raises at exactly the bit where the
+        # old per-bit reader would have
+        first, last, syms = self.table
+        acc, pos, nbits = br._acc, br._pos, br._nbits
+        chunk = acc >> pos
         code = 0
         for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read_code_bit()
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
+            if pos + ln > nbits:
+                raise ValueError("truncated VP8L bitstream")
+            code = (code << 1) | (chunk & 1)
+            chunk >>= 1
+            if first[ln] <= code <= last[ln]:
+                br._pos = pos + ln
+                return syms[ln][code - first[ln]]
         raise ValueError("invalid prefix code word in VP8L stream")
 
 
@@ -309,7 +344,7 @@ def _read_prefix_code(br: _BitReader, alphabet: int, what: str) -> _Decoder:
         else:
             # stream order is code order: bit 0 → s0, bit 1 → s1
             dec.single = None
-            dec.table = {(1, 0): s0, (1, 1): s1}
+            dec.table = ([0, 0], [-1, 1], [[], [s0, s1]])
             dec.max_len = 1
         return dec
     # normal: code-length code, then RLE-coded symbol lengths
@@ -677,11 +712,14 @@ def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int],
         # (the uniform-power-of-two alphabet case), mirroring the
         # decoder's zero-bit single-symbol handling
         clc_codes = {next(iter(clc_lengths)): (0, 0)}
+    # r15: pre-reverse every code once so the emit loops are a plain
+    # LSB-first write() per symbol instead of a per-call bit reversal
+    # (write_code) — same bits on the wire.
+    clc_rev = {s: (_rev_bits(c, b), b) for s, (c, b) in clc_codes.items()}
     for ln in full:
-        code, bits = clc_codes[ln]
-        bw.write_code(code, bits)
-    codes = _canonical_codes(full)
-    return codes
+        code, bits = clc_rev[ln]
+        bw.write(code, bits)
+    return _canonical_codes(full)
 
 
 def encode_vp8l(
@@ -763,25 +801,31 @@ def encode_vp8l(
     bw.write(0, 1)  # no more transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
-    g_codes = _write_prefix_code(bw, lens(g_freq), 280)
-    r_codes = _write_prefix_code(bw, lens(r_freq), 256)
-    b_codes = _write_prefix_code(bw, lens(b_freq), 256)
-    a_codes = _write_prefix_code(bw, lens(a_freq), 256)
-    d_codes = _write_prefix_code(bw, lens(d_freq), 40)
+    def _rev_all(codes: dict) -> dict:
+        # r15: pre-reverse each symbol's code once so the per-pixel emit
+        # below is a single LSB-first write() (write_code reversed per
+        # call); _write_prefix_code's returned codes stay MSB-first.
+        return {s: (_rev_bits(c, ln), ln) for s, (c, ln) in codes.items()}
+
+    g_codes = _rev_all(_write_prefix_code(bw, lens(g_freq), 280))
+    r_codes = _rev_all(_write_prefix_code(bw, lens(r_freq), 256))
+    b_codes = _rev_all(_write_prefix_code(bw, lens(b_freq), 256))
+    a_codes = _rev_all(_write_prefix_code(bw, lens(a_freq), 256))
+    d_codes = _rev_all(_write_prefix_code(bw, lens(d_freq), 40))
     for tok in tokens:
         if tok[0] == "lit":
             px = tok[1]
-            bw.write_code(*g_codes[(px >> 8) & 0xFF])
-            bw.write_code(*r_codes[(px >> 16) & 0xFF])
-            bw.write_code(*b_codes[px & 0xFF])
-            bw.write_code(*a_codes[(px >> 24) & 0xFF])
+            bw.write(*g_codes[(px >> 8) & 0xFF])
+            bw.write(*r_codes[(px >> 16) & 0xFF])
+            bw.write(*b_codes[px & 0xFF])
+            bw.write(*a_codes[(px >> 24) & 0xFF])
         else:
             ls, lv, lb = _lz77_sym(tok[1])
-            bw.write_code(*g_codes[256 + ls])
+            bw.write(*g_codes[256 + ls])
             if lb:
                 bw.write(lv, lb)
             ds, dv, db = _lz77_sym(121)
-            bw.write_code(*d_codes[ds])
+            bw.write(*d_codes[ds])
             if db:
                 bw.write(dv, db)
     return bytes([_SIG]) + bw.bytes()
