@@ -100,13 +100,19 @@ def materialize(df: DataFrame, *, cache_ok: bool = False, eager: bool = True) ->
     downstream reference short-circuits into a columnar
     InMemoryTableScan, and the state evaluates exactly once (the eager
     ``localCheckpoint`` pays an extra pass over the final stage and a
-    java-serialized block round-trip). Measured on
-    graph_betweenness_sampled: 13.8 s -> 6.3 s back-to-back. Loops
-    whose rounds reference prior state
-    multiplicatively (CC large/small-star, BPE train) must NOT set it:
-    their uncut plan trees grow exponentially (measured: tree-string
-    blowup/driver hang). The durable path ignores the flag — parquet
-    round-trips cut lineage regardless."""
+    java-serialized block round-trip).
+
+    r15: the cached frame is additionally rewrapped as a bare
+    ``InMemoryRelation`` leaf (:func:`_flat_cached`), so consumers carry
+    O(1) logical plans instead of re-inlining the upstream tree per
+    reference — the r14 caveat that multiplicative-reference loops blow
+    up the plan tree no longer applies to the LOGICAL plan (the baked
+    physical plan inside the relation nests, but it is a leaf to the
+    analyzer/optimizer and canonicalization is memoized per object).
+    ``eager=False`` skips the populating count() — only safe when no
+    two concurrent branches race the first read (a lazy InMemoryRelation
+    recomputes per concurrent first reader). The durable path ignores
+    both flags — parquet round-trips cut lineage regardless."""
     if os.environ.get("SIM_SPARK_LOCAL_CHECKPOINT") == "1":
         if cache_ok:
             from sim_spark.scratch import track_cache
