@@ -399,14 +399,34 @@ def simhash64_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TF-weighted 64-bit simhash signature frame (doc_id, b0..b3) —
     exposed so the band_recall diagnostic (tests/test_scale_ops.py,
     SCALE.md §21) can measure the capped generator's recall."""
+    from sim_spark.ops.spread import spread
     from sim_spark.scratch import track_cache
 
     d = table(spark, sf_dir, "documents")
+    # r15: the explode + token-count partial aggregation ran in the ONE
+    # task of the unsplittable fixture scan (timeline: two sequential
+    # 1-task stages, ~1.5 s of the key's cold wall) — the same serial
+    # pre-Exchange disease item 11/r14 fixed on jaccard/winnowing.
+    # spread() round-robins the narrow (doc_id, text) frame across the
+    # task slots iff the layout under-parallelizes; no-op on a
+    # well-split input.
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # The md5 + 16-digit + 64-vote projection below is CPU-heavy per
+    # (doc, word) row, but AQE coalesces the tf exchange read to ONE
+    # partition by BYTES (timeline: a single-task 752 ms stage) — so
+    # pin the layout to doc_id across the session's shuffle parallelism:
+    # the projection runs wide and the votes aggregate reuses the
+    # partitioning (no extra exchange for it).
+    try:
+        n_shuffle = int(tf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        tf = tf.repartition(n_shuffle, "doc_id")
+    except Exception:
+        pass  # non-numeric conf (auto): leave AQE in charge
     # SQL-string expressions for the same reason as _spark_simhash_df:
     # the 16-digit + 64-vote + 4-band Column-API loops cost ~2.9 s of
     # py4j round-trips per build (r14 cProfile), identical parsed trees.
